@@ -1,0 +1,132 @@
+"""Deterministic, engine-portable string hashing for dedup operators.
+
+Spark's native hashes (murmur3 `hash()`, `xxhash64`) have no DuckDB
+counterpart, so every hash-based operator here (MinHash-LSH, SimHash,
+fingerprinting) is built on a 48-bit integer derived from md5 — a function
+both Spark and DuckDB can compute bit-identically, which is what makes the
+DuckDB oracle checks of those operators exact rather than approximate.
+
+    h48(s) = int(md5(s)[:12 hex chars], 16)        # in [0, 2^48)
+
+48 bits: every positional term of the hex expansion stays exact in a double
+(DuckDB's `16**k` path), while collision probability stays negligible at the
+shingle cardinalities involved.
+
+MinHash permutations are the standard universal-hash family
+    perm_k(h) = (a_k * (h mod P) + b_k) mod P,   P = 2^31 - 1 (prime)
+with (a_k, b_k) drawn from a fixed LCG so Spark expression and oracle SQL are
+generated from the same constants.  All arithmetic stays below 2^62, exact in
+int64 for both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: hex chars of md5 used for the base hash (48 bits)
+H48_HEX_CHARS = 12
+
+#: Mersenne prime for the universal-hash family
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def _lcg(seed: int):
+    """Tiny deterministic LCG (MMIX constants) — NOT for crypto, only to fix
+    the minhash permutation constants identically across engines/rounds."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    while True:
+        state = (6364136223846793005 * state + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        yield state
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """(a_k, b_k) pairs for `num_perm` permutations; a_k in [1, P), b_k in [0, P)."""
+    gen = _lcg(seed)
+    params = []
+    for _ in range(num_perm):
+        a = next(gen) % (MINHASH_PRIME - 1) + 1
+        b = next(gen) % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def h48(c: Column | str) -> Column:
+    """48-bit md5-derived hash of a string column (long)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(col), 1, H48_HEX_CHARS), 16, 10).cast("long")
+
+
+def h48_mod_p(c: Column | str) -> Column:
+    """h48 reduced into the universal-hash domain [0, P)."""
+    return h48(c) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signature(shingles: Column | str, num_perm: int, seed: int = 42) -> Column:
+    """MinHash signature (array<long>, length `num_perm`) of a shingle array.
+
+    Pure builtins: one md5 per shingle (computed once via an inner
+    transform), then `array_min` per permutation.  No shuffle — the
+    signature is a row-local expression, so at 100 TB this runs embarrassingly
+    parallel inside the scan stage.
+    """
+    sh = F.col(shingles) if isinstance(shingles, str) else shingles
+    hashed = F.transform(sh, lambda s: h48_mod_p(s))  # one h48 per shingle
+    sigs = [
+        F.array_min(
+            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+        )
+        for a, b in minhash_params(num_perm, seed)
+    ]
+    return F.array(*sigs)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-SQL side (oracle generators) — must mirror the Spark expressions
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def sql_h48(expr: str) -> str:
+    """DuckDB SQL computing h48 of string expression `expr`.
+
+    DuckDB 1.0 lacks hex->int casting, so expand the hex positionally:
+    sum over the first 12 hex chars of digit * 16^(11-i) (each term exact
+    in the BIGINT domain).
+    """
+    n = H48_HEX_CHARS
+    return (
+        "list_sum(list_transform(range(1, {n1}), i -> "
+        "(strpos('0123456789abcdef', substr(md5({e}), i, 1)) - 1) "
+        "* CAST(16**({n} - i) AS BIGINT)))"
+    ).format(e=expr, n=n, n1=n + 1)
+
+
+def sql_h48_mod_p(expr: str) -> str:
+    return f"({sql_h48(expr)} % {MINHASH_PRIME})"
+
+
+def sql_minhash_signature(shingles_expr: str, num_perm: int, seed: int = 42) -> str:
+    """DuckDB SQL computing the same array<long> signature as
+    `minhash_signature` over a DuckDB list expression `shingles_expr`.
+
+    Assumes the surrounding query has already materialized
+    `hashed` = list_transform(shingles, s -> h48_mod_p(s)) under the name
+    given in `shingles_expr` (pass e.g. 'hashed') to avoid recomputing md5
+    per permutation.
+    """
+    parts = [
+        f"list_min(list_transform({shingles_expr}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_params(num_perm, seed)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def sql_hashed_shingles(shingles_expr: str) -> str:
+    """DuckDB SQL: list of h48-mod-P values for a list-of-strings expression."""
+    return f"list_transform({shingles_expr}, s -> {sql_h48_mod_p('s')})"
