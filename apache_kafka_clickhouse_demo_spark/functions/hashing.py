@@ -100,10 +100,12 @@ def sql_h48(expr: str) -> str:
     in the BIGINT domain).
     """
     n = H48_HEX_CHARS
+    # outer CAST: DuckDB's list_sum widens to HUGEINT; bring it back to
+    # BIGINT so oracle output dtypes match Spark's long.
     return (
-        "list_sum(list_transform(range(1, {n1}), i -> "
+        "CAST(list_sum(list_transform(range(1, {n1}), i -> "
         "(strpos('0123456789abcdef', substr(md5({e}), i, 1)) - 1) "
-        "* CAST(16**({n} - i) AS BIGINT)))"
+        "* CAST(16**({n} - i) AS BIGINT))) AS BIGINT)"
     ).format(e=expr, n=n, n1=n + 1)
 
 

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (SURVEY.md §2.7).
+
+- brute_force_topk : exact cosine top-k with TWO-PHASE partial top-k
+  aggregation: each scan partition reduces to k candidates per query before
+  any shuffle, so the shuffle volume is O(#queries x k x #partitions)
+  instead of O(corpus) — the property that keeps this viable at 100 TB.
+  (A window row_number() would shuffle the whole scored corpus to #query
+  partitions — a hotspot; we deliberately avoid it.)
+- rp_lsh_ann_topk  : approximate variant — random-hyperplane LSH buckets
+  (sign bits of dot(v, r_j) for fixed pseudo-random hyperplanes), exact
+  rerank within the query's bucket.  Hyperplanes come from the same
+  deterministic LCG as the MinHash permutations, so the DuckDB oracle can
+  reproduce the bucketing bit-for-bit.
+
+cf. PAPERS.md: EDBT'19 streaming similarity search; ICDE'21 REPOSE
+distributed top-k (partition-local pruning before global merge — the same
+two-phase idea).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions.hashing import _lcg
+from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+
+
+def _topk_sorted_slice(pairs_col: Column | str, k: int) -> Column:
+    """Keep the k best (cos desc, id asc) entries of an array of
+    struct(neg_cos, neighbor_id, cos_sim) — array_sort orders by fields."""
+    return F.slice(F.array_sort(pairs_col), 1, k)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    queries is expected small (broadcast); corpus is the 100 TB side.
+    Output: (query_id, neighbor_id, rank, cos_sim), rank 1..k by
+    (cos desc, neighbor_id asc); self-matches excluded.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine("qv", "cv").alias("cos_sim"),
+        )
+        .select(
+            "query_id",
+            F.struct(
+                (-F.col("cos_sim")).alias("neg_cos"),
+                F.col("neighbor_id").alias("neighbor_id"),
+                F.col("cos_sim").alias("cos_sim"),
+            ).alias("entry"),
+        )
+    )
+
+    # phase 1: partition-local top-k (map-side reduction, no data-sized shuffle)
+    partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
+        _topk_sorted_slice(F.collect_list("entry"), k).alias("topk")
+    )
+    # phase 2: merge the per-partition top-k lists
+    merged = partial.groupBy("query_id").agg(
+        _topk_sorted_slice(F.flatten(F.collect_list("topk")), k).alias("topk")
+    )
+    return merged.select(
+        "query_id", F.posexplode("topk").alias("_pos", "e")
+    ).select(
+        "query_id",
+        F.col("e.neighbor_id").alias("neighbor_id"),
+        (F.col("_pos") + 1).alias("rank"),
+        F.col("e.cos_sim").alias("cos_sim"),
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def rp_hyperplanes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim.
+
+    Components are exact 6-decimal values from the shared LCG so both Spark
+    literals and DuckDB SQL literals parse to identical doubles.
+    """
+    gen = _lcg(seed)
+    return [
+        [((next(gen) % 2_000_001) - 1_000_000) / 1e6 for _ in range(dim)]
+        for _ in range(num_planes)
+    ]
+
+
+def rp_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """LSH bucket id = integer of sign bits of dot(v, r_j), j ascending."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        prods = F.zip_with(
+            v,
+            F.array(*[F.lit(x) for x in plane]),
+            lambda x, y: x.cast("double") * y,
+        )
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def rp_lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: exact cosine rerank restricted to the query's LSH
+    bucket.  Join key is the bucket id, so the shuffle partitions the corpus
+    once by bucket instead of replicating it per query."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = rp_hyperplanes(num_planes, dim, seed)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        rp_bucket(vec_col, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        rp_bucket(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            F.struct(
+                (-V.cosine("qv", "cv")).alias("neg_cos"),
+                F.col("neighbor_id").alias("neighbor_id"),
+                V.cosine("qv", "cv").alias("cos_sim"),
+            ).alias("entry"),
+        )
+    )
+    partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
+        _topk_sorted_slice(F.collect_list("entry"), k).alias("topk")
+    )
+    merged = partial.groupBy("query_id").agg(
+        _topk_sorted_slice(F.flatten(F.collect_list("topk")), k).alias("topk")
+    )
+    return merged.select("query_id", F.posexplode("topk").alias("_pos", "e")).select(
+        "query_id",
+        F.col("e.neighbor_id").alias("neighbor_id"),
+        (F.col("_pos") + 1).alias("rank"),
+        F.col("e.cos_sim").alias("cos_sim"),
+    ).orderBy("query_id", "rank")

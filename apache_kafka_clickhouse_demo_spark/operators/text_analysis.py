@@ -1,0 +1,111 @@
+"""Text analysis operators (SURVEY.md §2.7): language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure column expressions over the `documents` table — row-local, no
+shuffle, executed inside whole-stage codegen; at 100 TB these run at scan
+throughput.  Every operator has an exact DuckDB oracle (queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+from apache_kafka_clickhouse_demo_spark.functions import text as TX
+
+#: BPE-ish token pattern: word pieces, numbers, or single non-space symbols.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _lang_scores(toks: Column) -> dict[str, Column]:
+    """Distinct-token overlap with each language's stopword list."""
+    return {
+        lang: F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+        for lang, words in TX.LANG_STOPWORDS.items()
+    }
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword-overlap language heuristic.
+
+    predicted = argmax over languages of |distinct(tokens) ∩ stopwords(lang)|,
+    ties broken by language code ascending, 'und' if all scores are 0.
+    """
+    toks = TX.tokens(text_col)
+    scores = _lang_scores(toks)
+    langs = sorted(scores)  # tie-break: lexicographic language code
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier codes overwrite later on ties
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        best.cast("int").alias("lang_score"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality features + composite score.
+
+    Features (all deterministic, SQL-portable):
+      n_chars, n_tokens, avg_token_len, punct_ratio (punctuation chars /
+      chars), stopword_ratio (stopword tokens / tokens), quality in [0,1].
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = TX.tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in TX.QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    avg_token_len = F.round(tok_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 4)
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 4)
+
+    # Composite: reward mid-length docs and stopword presence, punish symbol soup.
+    quality = F.round(
+        F.least(n_tokens.cast("double") / 64.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2,
+        4,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    t = F.trim(F.lower(F.col(text_col)))
+    ws = F.size(F.split(t, r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: whole-text 48-bit hash + winnowed min-shingle
+    hash (the minimum h48 over word 3-gram shingles — a 1-permutation
+    MinHash, stable under reordering-free edits at either end)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = TX.tokens(text_col)
+    sh = TX.word_shingles(toks, 3)
+    min_shingle = F.array_min(F.transform(sh, lambda s: H.h48(s)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        H.h48(t).alias("text_fp"),
+        min_shingle.alias("min_shingle_fp"),
+    )
