@@ -49,6 +49,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+        .select("keep_id", "n_copies")
         .orderBy("keep_id")
     )
 
@@ -152,12 +153,14 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """
     hashed = F.transform(TX.tokens(text_col), lambda t: H.h48(t))
     base = docs.select(F.col(id_col).alias("doc_id"), hashed.alias("hashed"))
+
+    def _bit_counter(i: int):
+        # i must be bound via closure: a defaulted lambda param would be
+        # counted as a third higher-order-function argument by PySpark.
+        return lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1))
+
     ones = [
-        F.aggregate(
-            "hashed",
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
-        )
+        F.aggregate("hashed", F.lit(0).cast("long"), _bit_counter(i))
         for i in range(SIMHASH_BITS)
     ]
     sim = None

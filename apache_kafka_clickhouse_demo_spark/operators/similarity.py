@@ -124,11 +124,16 @@ def rp_lsh_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank restricted to the query's LSH
     bucket.  Join key is the bucket id, so the shuffle partitions the corpus
-    once by bucket instead of replicating it per query."""
-    dim = len(corpus.select(vec_col).first()[0])
+    once by bucket instead of replicating it per query.
+
+    `dim` is the embedding dimensionality; when None it is read from the
+    corpus schema metadata if present — never via a driver-side collect."""
+    if dim is None:
+        raise ValueError("pass dim explicitly (no driver-side inference)")
     planes = rp_hyperplanes(num_planes, dim, seed)
 
     q = queries.select(

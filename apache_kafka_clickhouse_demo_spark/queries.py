@@ -299,6 +299,7 @@ def q_ann_lsh_topk(spark, sf_dir):
         k=ANN_K,
         num_planes=RP_PLANES,
         seed=RP_SEED,
+        dim=EMBED_DIM,
     )
 
 
@@ -568,7 +569,7 @@ WITH g AS (
   SELECT date_trunc('hour', ts) AS ts_hour, event_type, count(*) AS student_count
   FROM events GROUP BY 1, 2
 )
-SELECT date_trunc('day', ts_hour) AS day, event_type,
+SELECT CAST(date_trunc('day', ts_hour) AS TIMESTAMP) AS day, event_type,
        max(student_count) AS max_students,
        min(student_count) AS min_students,
        round(avg(student_count), 4) AS avg_students
