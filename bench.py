@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall time of all headline queries (one warm pass after
+a session warm-up so JVM/codegen startup is not billed to the first query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from apache_kafka_clickhouse_demo_spark import queries as Q  # noqa: E402
+from apache_kafka_clickhouse_demo_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headliners: the reference-parity pipeline + the analytics and the
+# beyond-parity operators that matter at scale.  Every name must exist in
+# Q.QUERIES.
+HEADLINE = [
+    "extract_typed_events",
+    "attendance_granular",
+    "attendance_daily_merged",
+    "latest_event",
+    "type_user_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "brand_revenue",
+    "top_orders_per_customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_lsh_topk",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def _run_one(spark, name: str) -> float:
+    t0 = time.time()
+    df = Q.QUERIES[name](spark, SF_DIR)
+    # Execute fully but keep the result on executors; count() after the
+    # query's own plan forces every stage without a driver-side collect of
+    # wide rows.
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> int:
+    spark = get_spark(app_name="bench")
+    # warm-up: session init + parquet footer reads outside the timed region
+    Q.QUERIES["count_events"](spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            times[name] = round(_run_one(spark, name), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0 if all(t >= 0 for t in times.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
