@@ -28,11 +28,13 @@ from apache_kafka_clickhouse_demo_spark.functions import vectors as V
 from apache_kafka_clickhouse_demo_spark.operators import (
     attendance,
     dedup,
+    entry_pipeline,
     multimodal,
     similarity,
     text_analysis,
 )
-from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+from apache_kafka_clickhouse_demo_spark.schemas import TESTDATA_TABLES
+from apache_kafka_clickhouse_demo_spark.sources.tables import load_table, register_views
 
 # ---------------------------------------------------------------------------
 # Tuning constants (shared by Spark queries and oracle generators)
@@ -149,6 +151,33 @@ def q_type_user_stats(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+def q_entry_house_points(spark, sf_dir):
+    """P4/F4/F5/F6 + A3/A4 on the TRUE reference record shape: synthesize
+    §1.4 NDJSON messages, run the real M1 from_json extraction, group by the
+    nested `student.house` field (README.rst:114-116)."""
+    messages = entry_pipeline.synth_entry_messages(_t(spark, sf_dir, "events"))
+    return entry_pipeline.house_points(entry_pipeline.typed_entry_events(messages))
+
+
+def q_entry_attendance(spark, sf_dir):
+    """M2/A2/A5 on the true reference shape: count(student) per
+    (timestamp, subject) after the JSON hop (README.rst:154-162)."""
+    messages = entry_pipeline.synth_entry_messages(_t(spark, sf_dir, "events"))
+    return entry_pipeline.class_attendance(entry_pipeline.typed_entry_events(messages))
+
+
+def q_show_tables(spark, sf_dir):
+    """S8 — catalog listing (README.rst:37): SHOW TABLES over the registered
+    views, restricted to the engine's table set."""
+    register_views(spark, sf_dir)
+    return (
+        spark.sql("SHOW TABLES")
+        .filter(F.col("tableName").isin(*TESTDATA_TABLES))
+        .select(F.col("tableName").alias("name"))
+        .orderBy("name")
     )
 
 
@@ -342,6 +371,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attendance_daily_merged": q_attendance_daily_merged,
     "user_activity": q_user_activity,
     "type_user_stats": q_type_user_stats,
+    "entry_house_points": q_entry_house_points,
+    "entry_attendance": q_entry_attendance,
+    "show_tables": q_show_tables,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -583,6 +615,24 @@ FROM events GROUP BY user_id ORDER BY user_id
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+        "entry_house_points": """
+WITH e AS (
+  SELECT CASE user_id % 4 WHEN 0 THEN 'Gryffindor' WHEN 1 THEN 'Hufflepuff'
+              WHEN 2 THEN 'Ravenclaw' ELSE 'Slytherin' END AS house,
+         CAST(floor(value) AS BIGINT) % 11 - 5 AS points
+  FROM events
+)
+SELECT house, CAST(sum(points) AS BIGINT) AS house_points, count(*) AS n_entries
+FROM e GROUP BY house ORDER BY house_points DESC, house
+""",
+        "entry_attendance": """
+SELECT make_timestamp(epoch_ms(ts) * 1000) AS timestamp, event_type AS subject,
+       count(*) AS n_students
+FROM events GROUP BY 1, 2 ORDER BY timestamp, subject
+""",
+        "show_tables": "SELECT name FROM (VALUES "
+        + ", ".join(f"('{t}')" for t in sorted(TESTDATA_TABLES))
+        + ") AS t(name) ORDER BY name",
         "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

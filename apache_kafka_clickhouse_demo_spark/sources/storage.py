@@ -1,0 +1,105 @@
+"""Sorted/partitioned columnar storage — the MergeTree-family write path.
+
+The reference's storage tables are columnar with an explicit sort key and
+background merges (`ENGINE = MergeTree ORDER BY ...`,
+/root/reference/README.rst:88-89, 135-136, 214-216).  The Spark-first
+analogue (SURVEY.md §2.1 S5/S6, §2.6 O4):
+
+- `write_sorted`   : partitioned parquet, rows sorted *within* each task
+                     before write.  Parquet row-group min/max stats on the
+                     sort column then give the same range-scan pruning as the
+                     MergeTree sparse primary index; `partition_cols` adds
+                     coarse partition pruning on top.
+- `insert_into`    : `INSERT INTO ... SELECT` batch backfill (S7,
+                     README.rst:178-185, 242-252) — append of an arbitrary
+                     transformed DataFrame into a live table directory.
+- `compact_summing`: SummingMergeTree background-merge analogue (S6/A8,
+                     README.rst:214-216) — collapse same-key partial rows
+                     into one combined row and atomically rewrite the table.
+
+At 100 TB the write pattern is the same: `repartition(partition_cols)` keeps
+one shuffle whose output is aligned with the directory layout, and each task
+writes one sorted file per directory instead of #tasks x #partitions
+fragments.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """MergeTree `ORDER BY` analogue: sorted, optionally partitioned parquet.
+
+    Rows are shuffled once onto the partition columns (so each output
+    directory is produced by few tasks), then sorted within each task on the
+    sort key before writing — every parquet file is internally sorted and
+    its row-group stats are tight, which is what makes P3-style timestamp
+    range predicates prune like a sparse primary index.
+    """
+    out = df
+    if partition_cols:
+        out = out.repartition(*[F.col(c) for c in partition_cols])
+        out = out.sortWithinPartitions(*[*partition_cols, *sort_cols])
+    else:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def insert_into(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """S7 — `INSERT INTO <table> SELECT ...` (README.rst:178-185): append a
+    (transformed) DataFrame into an existing table directory."""
+    writer = df.write.mode("append")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """S5 scan side for engine-written tables (plain columnar scan; Catalyst
+    provides pushdown + partition pruning)."""
+    return spark.read.parquet(path)
+
+
+def compact_summing(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    agg_exprs: dict[str, Column],
+) -> None:
+    """S6/A8 — SummingMergeTree same-key collapse (README.rst:214-216).
+
+    Reads the table, combines all partial rows per key with the given
+    aggregate expressions (e.g. `agg_state.sum_states` for avg states,
+    max/min for max/min states), and atomically replaces the table with the
+    compacted form.  The read-path result is identical before and after —
+    compaction only reduces stored row count, exactly like a background
+    merge.
+    """
+    df = spark.read.parquet(path)
+    compacted = df.groupBy(*keys).agg(*[expr.alias(name) for name, expr in agg_exprs.items()])
+    # write to a sibling temp dir, then swap — readers never see a half table
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/")) or ".", prefix="_compact_")
+    try:
+        compacted.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + "_old"
+        os.rename(path.rstrip("/"), old)
+        os.rename(tmp, path.rstrip("/"))
+        shutil.rmtree(old)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

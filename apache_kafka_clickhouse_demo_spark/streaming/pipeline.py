@@ -1,0 +1,127 @@
+"""Materialized-view cascade manager — the reference's core operator, M1-M4.
+
+Reference semantics (/root/reference/README.rst):
+
+- A ClickHouse MV is an **insert trigger**: for every consumed block, run the
+  MV's SELECT over *that block only* and append the result to the
+  destination table (README.rst:95-103 ingest MV; :154-162 and :222-236
+  cascaded aggregating MVs).  There is no lateness/watermark concept — every
+  block contributes, whenever it arrives.
+- Aggregating MVs therefore store **partial** per-block rows; correctness is
+  restored by merge-on-read (`maxMerge`/`minMerge`/`avgMerge`,
+  README.rst:264-272) or by SummingMergeTree background compaction
+  (README.rst:214-216).
+
+The Spark-first mapping is `foreachBatch`: each micro-batch IS the insert
+block.  `create_materialized_view` runs `transform(block)` and appends to a
+columnar destination — the exact per-block semantics, with Spark's
+checkpointed source offsets providing exactly-once block delivery (better
+than the reference's manual cutover trick, SURVEY.md §2.2 M4).  Cascading
+works by pointing the next MV's file-stream source at the previous MV's
+destination directory.
+
+`backfill_cutover` reproduces the reference's signature pattern
+(README.rst:121-123, 147, 160, 178-185, 242-252): pick a cutover timestamp
+T, let the streaming MV handle rows `>= T`, and one-shot `INSERT ... SELECT`
+the history `< T` — exposed as one call for parity even though a single
+checkpointed stream from earliest offsets would be exactly-once on its own.
+
+On a real cluster the destinations would be Delta tables (atomic commits,
+compaction); plain parquet directories keep this sandbox-runnable and the
+semantics identical for availableNow triggers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from apache_kafka_clickhouse_demo_spark.sources.storage import insert_into
+
+
+@dataclass
+class MaterializedView:
+    """Handle for a running MV: the streaming query plus its wiring."""
+
+    query: StreamingQuery
+    dest_path: str
+    checkpoint: str
+
+    def process_available(self) -> None:
+        """Drain everything currently available (test/backfill helper)."""
+        self.query.processAllAvailable()
+
+    def stop(self) -> None:
+        self.query.stop()
+
+
+def create_materialized_view(
+    source: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    dest_path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    available_now: bool = False,
+) -> MaterializedView:
+    """M1-M3 — `CREATE MATERIALIZED VIEW ... TO dest AS SELECT ...`.
+
+    `source` is any streaming DataFrame (Kafka, file, rate); `transform` is
+    the MV's SELECT, applied to each insert block in isolation — stateless
+    extraction (M1) and per-block aggregation producing partial rows
+    (M2/M3) both run through the same path, exactly like the reference.
+    """
+    if not source.isStreaming:
+        raise ValueError("source must be a streaming DataFrame (use spark.readStream)")
+
+    def _per_block(block: DataFrame, _batch_id: int) -> None:
+        insert_into(transform(block), dest_path, partition_cols)
+
+    writer = (
+        source.writeStream.foreachBatch(_per_block)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return MaterializedView(writer.start(), dest_path, checkpoint)
+
+
+def backfill_cutover(
+    spark: SparkSession,
+    history: DataFrame,
+    source: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    cutover_predicate: Column,
+    dest_path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    available_now: bool = False,
+) -> MaterializedView:
+    """M4 — the backfill/stream cutover (README.rst:121-123, 178-185).
+
+    1. Start the MV on `source` with its SELECT restricted to *input* rows
+       satisfying `cutover_predicate` (the `WHERE timestamp >= T` inside the
+       MV select, README.rst:160 — the filter runs BEFORE any aggregation
+       in `transform`, exactly like the reference).
+    2. One-shot `INSERT INTO dest SELECT` over `history` rows that do NOT
+       satisfy it (the `timestamp < T` half, README.rst:178-185).
+
+    The predicate split makes the seam exactly-once by construction: every
+    input row feeds exactly one of the two paths, matching the reference's
+    future-timestamp trick.  (With a checkpointed replayable source the
+    split is redundant — Spark's offsets already give exactly-once — but it
+    is the reference's signature pattern, so it is a first-class API.)
+    """
+    mv = create_materialized_view(
+        source,
+        lambda block: transform(block.filter(cutover_predicate)),
+        dest_path,
+        checkpoint,
+        partition_cols,
+        available_now=available_now,
+    )
+    insert_into(transform(history.filter(~cutover_predicate)), dest_path, partition_cols)
+    return mv

@@ -1,0 +1,56 @@
+"""Plan-shape tripwires: properties that make queries viable at 100 TB.
+
+Value checks at sf0.01 can't see a silent regression to full scans or
+shuffle joins; these tests pin the physical plan (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark import queries as Q
+from apache_kafka_clickhouse_demo_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    formatted_plan,
+    scan_read_schema,
+)
+
+
+def test_events_range_predicate_pushed_to_scan(spark, sf_dir):
+    """P3: the timestamp range filter reaches the (normalized) parquet scan."""
+    assert_pushed_filters(Q.q_events_after(spark, sf_dir), "ts")
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    """A projection query must not drag the wide `props` JSON column
+    through the scan."""
+    schemas = "\n".join(scan_read_schema(Q.q_user_activity(spark, sf_dir)))
+    assert "props" not in schemas
+    assert "user_id" in schemas
+
+
+def test_q3_q5_broadcast_dimensions(spark, sf_dir):
+    assert_broadcast_join(Q.q3_shipping_priority(spark, sf_dir), expect=1)
+    assert_broadcast_join(Q.q5_local_supplier_volume(spark, sf_dir), expect=3)
+
+
+def test_lsh_dedups_have_no_cartesian(spark, sf_dir):
+    for q in (Q.q_dedup_minhash_lsh, Q.q_dedup_simhash):
+        df = q(spark, sf_dir)
+        assert_no_cartesian(df)
+        assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """O1: ORDER BY ... LIMIT 1 plans as TakeOrderedAndProject, not a full
+    global sort."""
+    plan = formatted_plan(Q.q_latest_event(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_brute_force_topk_no_window_shuffle(spark, sf_dir):
+    """The two-phase top-k must not plan a window over the scored corpus."""
+    plan = formatted_plan(Q.q_ann_topk(spark, sf_dir))
+    assert "Window" not in plan

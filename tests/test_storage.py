@@ -1,0 +1,86 @@
+"""Sorted/partitioned storage write path (S5 sink, S7, O4, S6 compaction)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions.agg_state import (
+    avg_merge,
+    avg_state,
+    sum_states,
+)
+from apache_kafka_clickhouse_demo_spark.plans.explain import formatted_plan
+from apache_kafka_clickhouse_demo_spark.sources.storage import (
+    compact_summing,
+    insert_into,
+    read_table,
+    write_sorted,
+)
+from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+
+
+def test_write_sorted_round_trip_and_partition_pruning(spark, sf_dir, tmp_path):
+    """O4/S5: partitioned sorted write; a partition predicate prunes at scan
+    (the MergeTree sparse-index analogue, README.rst:88-89)."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_sorted(events, path, sort_cols=["ts"], partition_cols=["day"])
+
+    back = read_table(spark, path)
+    assert back.count() == events.count()
+
+    # files inside each day directory are internally sorted by ts
+    one_day = [d for d in os.listdir(path) if d.startswith("day=")][0]
+    day_df = spark.read.parquet(os.path.join(path, one_day))
+    ts_list = [r["ts"] for r in day_df.select("ts").collect()]
+    assert ts_list == sorted(ts_list)
+
+    # partition pruning visible in the physical plan
+    some_day = back.select("day").orderBy("day").first()["day"]
+    plan = formatted_plan(back.filter(F.col("day") == F.lit(some_day)))
+    assert "PartitionFilters" in plan
+    assert plan.count("day)") >= 1 or "day#" in plan
+
+
+def test_insert_into_appends(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    write_sorted(df, path, sort_cols=["id"])
+    insert_into(df.filter(F.col("id") < 3), path)
+    assert read_table(spark, path).count() == 13
+
+
+def test_compact_summing_preserves_read(spark, tmp_path):
+    """S6/A8: background-merge compaction collapses same-key partial state
+    rows without changing the merged read answer (README.rst:214-216)."""
+    rows = [("a", b, v) for b in range(4) for v in range(10)] + [
+        ("b", b, v * 3) for b in range(3) for v in range(5)
+    ]
+    df = spark.createDataFrame(rows, "key string, block int, v int")
+    states = df.groupBy("key", "block").agg(avg_state("v").alias("avg_state"))
+    path = str(tmp_path / "states")
+    states.write.parquet(path)
+
+    def merged_read():
+        return {
+            r["key"]: r["av"]
+            for r in read_table(spark, path)
+            .groupBy("key")
+            .agg(avg_merge("avg_state").alias("av"))
+            .collect()
+        }
+
+    before = merged_read()
+    n_before = read_table(spark, path).count()
+    compact_summing(
+        spark, path, keys=["key"], agg_exprs={"avg_state": sum_states("avg_state")}
+    )
+    after = merged_read()
+    assert read_table(spark, path).count() < n_before
+    assert before.keys() == after.keys()
+    for k in before:
+        assert abs(before[k] - after[k]) < 1e-12
