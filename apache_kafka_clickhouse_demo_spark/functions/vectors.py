@@ -35,6 +35,22 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
+def normalize(a: Column | str) -> Column:
+    """Unit-normalized double copy (zero vector -> zero vector).
+
+    Pre-normalizing once per vector turns every later cosine into a single
+    dot product — the pairwise-verify hot loop drops from 3 array passes to
+    1.  NOTE: the norm sub-expression is re-evaluated per element by the
+    interpreted HOF evaluator (O(d^2) per row), so only materialize this
+    behind a persist/write, never inline in a per-pair expression.
+    """
+    v = _c(a)
+    n = norm2(v)
+    return F.when(n > 0, F.transform(v, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(v, lambda x: F.lit(0.0))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB-SQL mirrors (same accumulation order -> bit-identical doubles)
 # ---------------------------------------------------------------------------
@@ -57,4 +73,14 @@ def sql_cosine(a: str, b: str, dim: int) -> str:
         f"(CASE WHEN {sql_norm2(a, dim)} > 0 AND {sql_norm2(b, dim)} > 0 "
         f"THEN {sql_dot(a, b, dim)} / ({sql_norm2(a, dim)} * {sql_norm2(b, dim)}) "
         f"ELSE 0.0 END)"
+    )
+
+
+def sql_normalize(a: str, dim: int) -> str:
+    """Mirror of `normalize` (same per-element division order)."""
+    n = sql_norm2(a, dim)
+    return (
+        f"(CASE WHEN {n} > 0 "
+        f"THEN list_transform(range(1, {dim + 1}), i -> CAST({a}[i] AS DOUBLE) / {n}) "
+        f"ELSE list_transform(range(1, {dim + 1}), i -> 0.0) END)"
     )

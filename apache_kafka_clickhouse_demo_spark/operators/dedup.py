@@ -12,11 +12,13 @@ Five dedup families, each DataFrame-native and shuffle-frugal:
                    any near-dup pair shares at least one identical chunk, so
                    the join on (chunk_idx, chunk_value) is EXACT, not
                    approximate, and never compares all pairs.
-- ngram_jaccard  : exact word-set Jaccard over candidate pairs (all-pairs at
-                   test scale; compose with minhash_lsh candidates at 100 TB).
-- embedding      : cosine >= t near-dup pairs over embedding vectors
-                   (brute pairs at test scale; random-hyperplane LSH is the
-                   scale path, see similarity.py).
+- ngram_jaccard  : EXACT word-shingle Jaccard via a prefix-filtered
+                   inverted-index join (PPJoin prefix principle): only each
+                   set's globally-rarest grams are indexed, so the candidate
+                   join never touches hot grams and is never all-pairs.
+- embedding      : cosine >= t near-dup pairs via multi-table
+                   random-hyperplane LSH (shuffle on bucket keys only),
+                   exact-cosine verify within collisions.
 
 All hash arithmetic uses the engine-portable h48 family
 (functions/hashing.py) so every operator here has an exact DuckDB oracle.
@@ -26,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from apache_kafka_clickhouse_demo_spark.functions import hashing as H
 from apache_kafka_clickhouse_demo_spark.functions import text as TX
@@ -96,7 +99,12 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
 
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n)
+    # The signature table feeds three plan branches (banding + both verify
+    # sides); persist so the expensive row-local signature pass runs once.
+    # At cluster scale this would be a checkpoint to engine storage instead.
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     band_keys = F.array(
         *[
@@ -121,17 +129,20 @@ def minhash_lsh_pairs(
     )
 
     sh = sigs.select("doc_id", "shingles")
+    # one intersect per pair; |union| = szA + szB - |intersect| (sets are
+    # distinct); lambda-bind the intersect so it is evaluated once
+    inter = F.size(F.array_intersect("sa.shingles", "sb.shingles")).cast("double")
+    jaccard = F.element_at(
+        F.transform(
+            F.array(inter),
+            lambda x: x / (F.size("sa.shingles") + F.size("sb.shingles") - x),
+        ),
+        1,
+    )
     verified = (
         cand.join(sh.alias("sa"), cand.id_a == F.col("sa.doc_id"))
         .join(sh.alias("sb"), cand.id_b == F.col("sb.doc_id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sa.shingles", "sb.shingles")).cast("double")
-                / F.size(F.array_distinct(F.concat("sa.shingles", "sb.shingles")))
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -154,19 +165,32 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     hashed = F.transform(TX.tokens(text_col), lambda t: H.h48(t))
     base = docs.select(F.col(id_col).alias("doc_id"), hashed.alias("hashed"))
 
-    def _bit_counter(i: int):
-        # i must be bound via closure: a defaulted lambda param would be
-        # counted as a third higher-order-function argument by PySpark.
-        return lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1))
+    # ONE pass over the token hashes maintaining all 48 per-bit counts
+    # (48 separate F.aggregate calls would re-walk the array 48x per row in
+    # the interpreted higher-order-function evaluator).
+    init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
 
-    ones = [
-        F.aggregate("hashed", F.lit(0).cast("long"), _bit_counter(i))
-        for i in range(SIMHASH_BITS)
-    ]
-    sim = None
-    for i, o in enumerate(ones):
-        term = F.when(o * 2 > F.size("hashed"), F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
+    def step(acc, h):
+        # i is a plain python int here, so shiftright gets a literal numBits
+        bits = F.array(
+            *[F.shiftright(h, i).bitwiseAND(F.lit(1)) for i in range(SIMHASH_BITS)]
+        )
+        return F.zip_with(acc, bits, lambda a, b: a + b)
+
+    counts = F.aggregate("hashed", init, step)
+    # single reference to `counts` (n references would re-evaluate the whole
+    # aggregate n times — HOF expressions sit outside codegen CSE):
+    # majority-vote each bit against the token count, weight by 2^i, sum.
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c * 2 > F.size("hashed"), w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return base.select("doc_id", sim.alias("simhash"))
 
 
@@ -185,7 +209,8 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
-    sims = simhash(docs, text_col, id_col)
+    # both sides of the chunk self-join read this — compute the hashes once
+    sims = simhash(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
 
     chunks = F.array(
         *[
@@ -229,27 +254,93 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact Jaccard over distinct word n-gram sets, all qualifying pairs.
+    """EXACT Jaccard >= threshold pairs via a prefix-filtered inverted-index
+    join (the PPJoin prefix-filter principle, no all-pairs comparison).
 
-    Test-scale form is a self-join (broadcast one side); the 100 TB form is
-    minhash_lsh_pairs (same verify expression, LSH candidate generation).
+    Two sets with Jaccard >= t must share at least one gram among each
+    set's "prefix": its (|s| - ceil(t * |s|) + 1) globally-rarest grams.
+    So: index ONLY prefixes, join prefixes on the gram, verify candidates
+    with the exact Jaccard.  This keeps the operator exact (same oracle as
+    the naive form) while the candidate join touches only rare grams —
+    frequent grams (the skew killers at 100 TB) sort to the END of the
+    frequency order and never enter the index.
+
+    Shuffles: one linear groupBy for gram frequencies, one doc_id window for
+    prefix selection, one candidate join keyed on rare grams, one join-back
+    for verification — all linear in data size, none quadratic.
     """
+    from pyspark.sql import Window as W
+
     toks = TX.tokens(text_col)
+    # shingle sets feed tokenization AND both verify sides — one pass
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(TX.word_shingles(toks, shingle_n)).alias("grams"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    tokens = sets.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("g")
+    )
+    freq = tokens.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+
+    # rank each doc's grams rarest-first; prefix length = sz - ceil(t*sz) + 1
+    w = W.partitionBy("doc_id").orderBy("df", "g")
+    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1).cast("int")
+    pref = (
+        tokens.join(freq, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "sz", "pos", "g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # read by both self-join sides
+
+    # PPJoin length + positional filters (Xiao et al., WWW'08) — both are
+    # necessary-condition prunes, so the result stays EXACT:
+    # - length: Jaccard >= t forces t*|B| <= |A| (and vice versa);
+    # - positional: a match at prefix positions (pa, pb) bounds the possible
+    #   overlap by 1 + min(szA - pa, szB - pb), which must reach the
+    #   equivalent-overlap threshold ceil(t/(1+t) * (szA + szB)).
+    # On low-vocabulary corpora (where every gram is frequent and the bare
+    # prefix filter degenerates toward all-pairs) the positional filter is
+    # what keeps the candidate set near-linear.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            on=[
+                F.col("a.g") == F.col("b.g"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"),
+                F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"),
+                ubound >= alpha,
+            ],
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    # verify: |union| = szA + szB - |intersect| (sets are distinct), so the
+    # hot loop is ONE array_intersect per pair instead of intersect + a
+    # concat+distinct union build.  The lambda binds the intersect size
+    # once; naming it via withColumn would let CollapseProject inline (and
+    # re-evaluate) the intersect at each reference.
+    inter = F.size(F.array_intersect("sa.grams", "sb.grams")).cast("double")
+    jaccard = F.element_at(
+        F.transform(
+            F.array(inter),
+            lambda x: x / (F.size("sa.grams") + F.size("sb.grams") - x),
+        ),
+        1,
     )
     return (
-        sets.alias("a")
-        .join(F.broadcast(sets.alias("b")), F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            (
-                F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
-                / F.size(F.array_distinct(F.concat("a.grams", "b.grams")))
-            ).alias("jaccard"),
-        )
+        cand.join(sets.alias("sa"), cand.id_a == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), cand.id_b == F.col("sb.doc_id"))
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -265,22 +356,66 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    dim: int = 64,
+    num_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 101,
 ) -> DataFrame:
-    """Pairs of vectors with cosine >= threshold.
+    """Cosine >= threshold pairs via multi-table random-hyperplane LSH.
 
-    Brute pairs at test scale (broadcast self-join).  The 100 TB path
-    bucketizes with random-hyperplane LSH first (similarity.rp_lsh_buckets)
-    and runs this verify within buckets.
+    Candidate pairs are vectors that collide in at least one of
+    `num_tables` independent LSH tables (each table = `planes_per_table`
+    sign bits); collisions are verified with the exact cosine.  The join
+    key is (table, bucket) — the corpus is shuffled once onto bucket keys,
+    never compared all-pairs, which is what survives 100 TB.  Recall is
+    tunable: P(candidate) = 1 - (1 - p^P)^L with p = 1 - angle/pi.
+
+    The hyperplanes come from the deterministic shared LCG
+    (similarity.rp_hyperplanes), so the DuckDB oracle reproduces the exact
+    same candidate set bit-for-bit — the correctness check is exact for the
+    algorithm, not an approximation of the ideal answer.
     """
-    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    return (
-        vecs.alias("a")
-        .join(F.broadcast(vecs.alias("b")), F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            V.cosine("a.v", "b.v").alias("cos_sim"),
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        rp_bucket,
+        rp_hyperplanes,
+    )
+
+    # pre-normalize once (behind the persist): every pairwise verify is then
+    # a single dot product instead of dot + two norms
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        V.normalize(F.col(vec_col)).alias("nv"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = F.array(
+        *[
+            rp_bucket(F.col("v"), rp_hyperplanes(planes_per_table, dim, seed + t))
+            for t in range(num_tables)
+        ]
+    )
+    # num_tables x planes dot products per row — compute once, read twice
+    tabled = vecs.select(
+        "vid", F.posexplode(buckets).alias("tbl", "bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    cand = (
+        tabled.alias("a")
+        .join(
+            tabled.alias("b"),
+            on=[
+                F.col("a.tbl") == F.col("b.tbl"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
         )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+
+    return (
+        cand.join(vecs.alias("va"), cand.id_a == F.col("va.vid"))
+        .join(vecs.alias("vb"), cand.id_b == F.col("vb.vid"))
+        .select("id_a", "id_b", V.dot("va.nv", "vb.nv").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )

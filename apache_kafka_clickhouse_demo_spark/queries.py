@@ -54,7 +54,16 @@ MINHASH_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 3
 NGRAM_N = 2
 NGRAM_THRESHOLD = 0.6
-NEAR_DUP_COS = 0.9
+# 0.40 is chosen so the fixture yields a non-empty answer set (max pairwise
+# cosine at sf0.01 is ~0.513 — the synthetic vectors have no true near-dups).
+# 8 tables x 8 planes are production parameters: at a real dedup threshold
+# (0.9) they give ~93% recall; at the fixture's artificially low 0.40 they
+# still yield a non-vacuous answer while keeping buckets small enough that
+# the candidate join stays near-linear.
+NEAR_DUP_COS = 0.40
+NEAR_DUP_TABLES = 8
+NEAR_DUP_PLANES = 8
+NEAR_DUP_SEED = 101
 
 EVENTS_CUTOFF = "2024-01-15 00:00:00"
 Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -310,7 +319,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COS)
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_COS,
+        dim=EMBED_DIM,
+        num_tables=NEAR_DUP_TABLES,
+        planes_per_table=NEAR_DUP_PLANES,
+        seed=NEAR_DUP_SEED,
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -470,6 +486,19 @@ ORDER BY id_a, id_b
 """
 
 
+def _sql_rp_bucket(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB mirror of similarity.rp_bucket for a fixed hyperplane set."""
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lits})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST(2**{j} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def _oracle_ann_topk(use_lsh: bool = False) -> str:
     cos = V.sql_cosine("q.qv", "e.embedding", EMBED_DIM)
     if not use_lsh:
@@ -479,15 +508,7 @@ def _oracle_ann_topk(use_lsh: bool = False) -> str:
         planes = similarity.rp_hyperplanes(RP_PLANES, EMBED_DIM, RP_SEED)
 
         def bucket(vec: str) -> str:
-            terms = []
-            for j, plane in enumerate(planes):
-                lits = "[" + ", ".join(repr(x) for x in plane) + "]"
-                dot = (
-                    f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
-                    f"i -> CAST({vec}[i] AS DOUBLE) * ({lits})[i]))"
-                )
-                terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST(2**{j} AS BIGINT) ELSE 0 END)")
-            return "(" + " + ".join(terms) + ")"
+            return _sql_rp_bucket(vec, planes)
 
         joins = (
             f"(SELECT *, {bucket('embedding')} AS bucket FROM embeddings) e "
@@ -515,6 +536,35 @@ def _oracle_ann_topk(use_lsh: bool = False) -> str:
 SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos_sim
 FROM ranked WHERE rnk <= {ANN_K}
 ORDER BY query_id, rank
+"""
+
+
+def _oracle_embedding_near_dup() -> str:
+    """Mirrors the multi-table RP-LSH candidate generation bit-for-bit
+    (same deterministic hyperplanes), then the same normalized-dot verify."""
+    table_selects = "\nUNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_sql_rp_bucket('embedding', similarity.rp_hyperplanes(NEAR_DUP_PLANES, EMBED_DIM, NEAR_DUP_SEED + t))} AS bucket "
+        f"FROM embeddings"
+        for t in range(NEAR_DUP_TABLES)
+    )
+    cos = V.sql_dot("va.nv", "vb.nv", EMBED_DIM)
+    return f"""
+WITH nemb AS (
+  SELECT vec_id, {V.sql_normalize('embedding', EMBED_DIM)} AS nv FROM embeddings
+), tabled AS (
+{table_selects}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM tabled a JOIN tabled b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cos_sim
+FROM cand
+JOIN nemb va ON cand.id_a = va.vec_id
+JOIN nemb vb ON cand.id_b = vb.vec_id
+WHERE {cos} >= {NEAR_DUP_COS}
+ORDER BY id_a, id_b
 """
 
 
@@ -701,13 +751,7 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         / len(list_distinct(list_concat(a.grams, b.grams))) >= {NGRAM_THRESHOLD}
 ORDER BY id_a, id_b
 """,
-        "embedding_near_dup": f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {V.sql_cosine('a.embedding', 'b.embedding', EMBED_DIM)} AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {V.sql_cosine('a.embedding', 'b.embedding', EMBED_DIM)} >= {NEAR_DUP_COS}
-ORDER BY id_a, id_b
-""",
+        "embedding_near_dup": _oracle_embedding_near_dup(),
         "ann_topk": _oracle_ann_topk(use_lsh=False),
         "ann_lsh_topk": _oracle_ann_topk(use_lsh=True),
         "lang_id": _oracle_lang_id(),

@@ -36,7 +36,14 @@ def test_q3_q5_broadcast_dimensions(spark, sf_dir):
 
 
 def test_lsh_dedups_have_no_cartesian(spark, sf_dir):
-    for q in (Q.q_dedup_minhash_lsh, Q.q_dedup_simhash):
+    """Every pairwise dedup op must plan equi-joins only — a nested-loop or
+    cartesian plan is O(n^2) compares and dead at 100 TB."""
+    for q in (
+        Q.q_dedup_minhash_lsh,
+        Q.q_dedup_simhash,
+        Q.q_dedup_ngram_jaccard,
+        Q.q_embedding_near_dup,
+    ):
         df = q(spark, sf_dir)
         assert_no_cartesian(df)
         assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
