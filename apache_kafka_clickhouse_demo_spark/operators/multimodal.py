@@ -71,12 +71,18 @@ def decode_image(blob: bytes) -> object:
 
 
 def _fake_feature(blob: bytes) -> list[float]:
-    """Deterministic fake 'decoded feature': byte-histogram moments.
-    Stands in for a real decode->resize->embed step; same shape/flow."""
+    """Deterministic fake 'decoded feature': strided byte sums / length.
+    Stands in for a real decode->resize->embed step; numpy-vectorized over
+    the blob so the Python-side cost is O(rows) calls, not O(bytes) loops."""
+    import numpy as np
+
     if blob is None or len(blob) == 0:
         return [0.0] * FEATURE_DIM
-    n = len(blob)
-    return [round(sum(b for b in blob[i::FEATURE_DIM]) / n, 6) for i in range(FEATURE_DIM)]
+    a = np.frombuffer(blob, dtype=np.uint8)
+    n = len(a)
+    pad = (-n) % FEATURE_DIM
+    sums = np.pad(a, (0, pad)).reshape(-1, FEATURE_DIM).sum(axis=0, dtype=np.int64)
+    return [round(s / n, 6) for s in sums.tolist()]
 
 
 def extract_features(media: DataFrame) -> DataFrame:

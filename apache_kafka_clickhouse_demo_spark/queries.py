@@ -178,6 +178,99 @@ def q_entry_attendance(spark, sf_dir):
     return entry_pipeline.class_attendance(entry_pipeline.typed_entry_events(messages))
 
 
+def q_events_preview(spark, sf_dir):
+    """P2/O2 — bare `SELECT *` preview (README.rst:194,258)."""
+    return (
+        _t(spark, sf_dir, "events").select("*").orderBy("event_id").limit(20)
+    )
+
+
+def q_mv_cascade_attendance(spark, sf_dir):
+    """M1+M2 through the REAL streaming path (not a batch stand-in): produce
+    NDJSON, run the checkpointed ingest MV and the cascaded aggregating MV
+    (multiple insert blocks -> partial rows), then merge-on-read.
+
+    This is the reference's core loop (README.rst:64-73, 95-103, 154-162,
+    254-272) executed inside the correctness gate: the oracle is the direct
+    batch aggregate, equal iff the streaming cascade loses/duplicates
+    nothing and the partial rows merge exactly.
+    """
+    import tempfile
+
+    from apache_kafka_clickhouse_demo_spark.operators import entry_pipeline as EP
+    from apache_kafka_clickhouse_demo_spark.schemas import STUDENT_ENTRY_EVENTS_SCHEMA
+    from apache_kafka_clickhouse_demo_spark.streaming import create_materialized_view
+
+    work = tempfile.mkdtemp(prefix="mv_cascade_")
+    raw = f"{work}/raw"
+    # producer hop: NDJSON files on disk (4 arrival chunks)
+    EP.synth_entry_messages(_t(spark, sf_dir, "events")).repartition(4).write.text(raw)
+
+    # MV #1: opaque message -> typed table (checkpointed stream)
+    src1 = spark.readStream.format("text").load(raw).withColumnRenamed("value", "message")
+    mv1 = create_materialized_view(
+        src1, EP.typed_entry_events, f"{work}/typed", f"{work}/ck1", available_now=True
+    )
+    mv1.process_available()
+    mv1.stop()
+
+    # MV #2: typed -> per-(timestamp, subject) PARTIAL counts, one block per
+    # file so the stored table really holds several partial rows per key
+    src2 = (
+        spark.readStream.schema(STUDENT_ENTRY_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{work}/typed")
+    )
+    mv2 = create_materialized_view(
+        src2, EP.class_attendance, f"{work}/counts", f"{work}/ck2", available_now=True
+    )
+    mv2.process_available()
+    mv2.stop()
+
+    # read path: merge the stored partial rows
+    return (
+        spark.read.parquet(f"{work}/counts")
+        .groupBy("timestamp", "subject")
+        .agg(F.sum("n_students").alias("n_students"))
+        .orderBy("timestamp", "subject")
+    )
+
+
+def q_attendance_daily_compacted(spark, sf_dir):
+    """S5-sink + S6/A8 in the gate: write per-block daily states to engine
+    storage, run the SummingMergeTree-style compaction, and answer from the
+    COMPACTED table (README.rst:206-216, 264-272).  Equal to the direct
+    aggregate iff compaction preserves the merge."""
+    import tempfile
+
+    from apache_kafka_clickhouse_demo_spark.functions import agg_state as S
+    from apache_kafka_clickhouse_demo_spark.sources.storage import (
+        compact_summing,
+        read_table,
+        write_sorted,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    granular = attendance.attendance_granular(events).withColumn(
+        "_block", F.col("ts_hour")
+    )
+    states = attendance.attendance_daily_states(granular, "_block").drop("_block")
+
+    path = tempfile.mkdtemp(prefix="daily_states_") + "/t"
+    write_sorted(states, path, sort_cols=["day", "event_type"])
+    compact_summing(
+        spark,
+        path,
+        keys=["day", "event_type"],
+        agg_exprs={
+            "max_state": S.max_merge("max_state"),
+            "min_state": S.min_merge("min_state"),
+            "avg_state": S.sum_states("avg_state"),
+        },
+    )
+    return attendance.attendance_daily_merged(read_table(spark, path))
+
+
 def q_show_tables(spark, sf_dir):
     """S8 — catalog listing (README.rst:37): SHOW TABLES over the registered
     views, restricted to the engine's table set."""
@@ -258,6 +351,46 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate pushes
+    to the parquet scan, no shuffle beyond the final partial/final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q5_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q5_END).cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    windows — the canonical event-analytics pattern.  Partitioned by
+    user_id, so the shuffle is one exchange on the session key."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    is_new = F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), 1).otherwise(0)
+    sessions = (
+        _t(spark, sf_dir, "events")
+        .withColumn("is_new", is_new)
+        .withColumn("session_idx", F.sum("is_new").over(w))
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+        )
+        .orderBy("user_id", "session_idx")
     )
 
 
@@ -389,10 +522,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "type_user_stats": q_type_user_stats,
     "entry_house_points": q_entry_house_points,
     "entry_attendance": q_entry_attendance,
+    "events_preview": q_events_preview,
+    "mv_cascade_attendance": q_mv_cascade_attendance,
+    "attendance_daily_compacted": q_attendance_daily_compacted,
     "show_tables": q_show_tables,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "user_sessions": q_user_sessions,
     "brand_revenue": q_brand_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "dedup_exact": q_dedup_exact,
@@ -680,6 +818,25 @@ SELECT make_timestamp(epoch_ms(ts) * 1000) AS timestamp, event_type AS subject,
        count(*) AS n_students
 FROM events GROUP BY 1, 2 ORDER BY timestamp, subject
 """,
+        "events_preview": """
+SELECT * FROM events ORDER BY event_id LIMIT 20
+""",
+        "mv_cascade_attendance": """
+SELECT make_timestamp(epoch_ms(ts) * 1000) AS timestamp, event_type AS subject,
+       count(*) AS n_students
+FROM events GROUP BY 1, 2 ORDER BY timestamp, subject
+""",
+        "attendance_daily_compacted": """
+WITH g AS (
+  SELECT date_trunc('hour', ts) AS ts_hour, event_type, count(*) AS student_count
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', ts_hour) AS TIMESTAMP) AS day, event_type,
+       max(student_count) AS max_students,
+       min(student_count) AS min_students,
+       round(avg(student_count), 4) AS avg_students
+FROM g GROUP BY 1, 2 ORDER BY day, event_type
+""",
         "show_tables": "SELECT name FROM (VALUES "
         + ", ".join(f"('{t}')" for t in sorted(TESTDATA_TABLES))
         + ") AS t(name) ORDER BY name",
@@ -717,6 +874,29 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '{Q5_START}' AND o_orderdate < TIMESTAMP '{Q5_END}'
 GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+        "q6_forecast_revenue": f"""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q5_START}' AND l_shipdate < TIMESTAMP '{Q5_END}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+        "user_sessions": """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
 """,
         "brand_revenue": """
 SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -35,6 +35,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "user_sessions",
     "brand_revenue",
     "top_orders_per_customer",
     "dedup_exact",
