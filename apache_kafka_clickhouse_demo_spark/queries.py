@@ -271,6 +271,38 @@ def q_attendance_daily_compacted(spark, sf_dir):
     return attendance.attendance_daily_merged(read_table(spark, path))
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup in the gate: feed the events table
+    DOUBLED through a watermarked `dropDuplicatesWithinWatermark` stream;
+    the result must be exactly the original table (oracle: plain SELECT)."""
+    import tempfile
+
+    from apache_kafka_clickhouse_demo_spark.streaming import streaming_dedup
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    events = _t(spark, sf_dir, "events")
+    events.unionAll(events).repartition(6).write.parquet(f"{work}/doubled")
+
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{work}/doubled")
+    )
+    deduped = streaming_dedup(src, keys=["event_id"], watermark_col="ts", delay="3650 days")
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(f"{work}/out")
+        )
+        .option("checkpointLocation", f"{work}/ck")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{work}/out").orderBy("event_id")
+
+
 def q_show_tables(spark, sf_dir):
     """S8 — catalog listing (README.rst:37): SHOW TABLES over the registered
     views, restricted to the engine's table set."""
@@ -525,6 +557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_preview": q_events_preview,
     "mv_cascade_attendance": q_mv_cascade_attendance,
     "attendance_daily_compacted": q_attendance_daily_compacted,
+    "stream_dedup": q_stream_dedup,
     "show_tables": q_show_tables,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -825,6 +858,9 @@ SELECT * FROM events ORDER BY event_id LIMIT 20
 SELECT make_timestamp(epoch_ms(ts) * 1000) AS timestamp, event_type AS subject,
        count(*) AS n_students
 FROM events GROUP BY 1, 2 ORDER BY timestamp, subject
+""",
+        "stream_dedup": """
+SELECT * FROM events ORDER BY event_id
 """,
         "attendance_daily_compacted": """
 WITH g AS (

@@ -1,8 +1,14 @@
-"""Structured-Streaming layer: materialized-view cascade (M1-M3) and the
-backfill/stream cutover pattern (M4).  See streaming.pipeline."""
+"""Structured-Streaming layer: materialized-view cascade (M1-M3), the
+backfill/stream cutover pattern (M4), and watermarked/custom-state
+operators.  See streaming.pipeline and streaming.stateful."""
 
 from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (  # noqa: F401
     MaterializedView,
     backfill_cutover,
     create_materialized_view,
+)
+from apache_kafka_clickhouse_demo_spark.streaming.stateful import (  # noqa: F401
+    running_totals,
+    streaming_dedup,
+    windowed_counts,
 )

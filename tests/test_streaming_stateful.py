@@ -1,0 +1,155 @@
+"""Watermarked / custom-state streaming operators vs their batch truths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+    running_totals,
+    streaming_dedup,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Typed events parquet, 4 files so file-stream runs several batches."""
+    root = str(tmp_path_factory.mktemp("events_parquet"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(root)
+    return root
+
+
+def _stream(spark, events_dir, per_trigger=1):
+    schema = spark.read.parquet(events_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def _run_to_parquet(df, tmp_path, name):
+    dest = str(tmp_path / name)
+    q = (
+        df.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(dest)
+        )
+        .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return dest
+
+
+def test_streaming_dedup_drops_dupes(spark, events_dir, tmp_path):
+    """A doubled input stream dedups back to the distinct batch answer."""
+    schema = spark.read.parquet(events_dir).schema
+    doubled_dir = str(tmp_path / "doubled")
+    base = spark.read.parquet(events_dir)
+    base.unionAll(base).repartition(6).write.parquet(doubled_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(doubled_dir)
+    )
+    # delay must exceed the fixture's full time span (~30 days): the files
+    # arrive in arbitrary order, so a shorter watermark would legitimately
+    # drop old-timestamped rows as late data rather than as duplicates
+    deduped = streaming_dedup(src, keys=["event_id"], watermark_col="ts", delay="90 days")
+    dest = _run_to_parquet(deduped, tmp_path, "deduped")
+
+    got = spark.read.parquet(dest)
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == base.count()
+
+
+def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
+    """Append-mode watermarked windows = batch per-hour counts for every
+    window the watermark closed (all but the stream's last hour)."""
+    wc = windowed_counts(
+        _stream(spark, events_dir, per_trigger=2),
+        ts_col="ts",
+        window="1 hour",
+        keys=("event_type",),
+        delay="1 minute",
+    )
+    dest = str(tmp_path / "wc")
+    q = (
+        wc.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "wc_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(dest).collect()
+    }
+    batch = {
+        (r["h"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "no closed windows emitted"
+    # every emitted window must match the batch truth exactly
+    for k, v in got.items():
+        assert batch[k] == v, k
+    # and only the tail (still-open windows at end of stream) may be missing
+    missing = set(batch) - set(got)
+    if missing:
+        max_emitted = max(k[0] for k in got)
+        assert all(k[0] >= max_emitted for k in missing)
+
+
+def test_running_totals_final_state_matches_batch(spark, events_dir, tmp_path):
+    """applyInPandasWithState: the LAST update per user equals the batch
+    aggregate over all events."""
+    src = _stream(spark, events_dir, per_trigger=1).select("user_id", "value", "ts")
+    dest = str(tmp_path / "rt")
+
+    def sink(batch, batch_id):
+        batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(dest)
+
+    q = (
+        running_totals(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "rt_ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from pyspark.sql import Window as W
+
+    updates = spark.read.parquet(dest)
+    w = W.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    final = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    f = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    b = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert f.keys() == b.keys()
+    for k in b:
+        assert f[k][0] == b[k][0]
+        assert f[k][1] == pytest.approx(b[k][1], rel=1e-9)
