@@ -40,14 +40,19 @@ def normalize(a: Column | str) -> Column:
 
     Pre-normalizing once per vector turns every later cosine into a single
     dot product — the pairwise-verify hot loop drops from 3 array passes to
-    1.  NOTE: the norm sub-expression is re-evaluated per element by the
-    interpreted HOF evaluator (O(d^2) per row), so only materialize this
-    behind a persist/write, never inline in a per-pair expression.
+    1.  The norm is lambda-bound through a single-element array so the
+    interpreted HOF evaluator computes it once per ROW (O(d)), not once per
+    element (O(d^2) — a naive `transform(v, x -> x / norm(v))` does that).
     """
     v = _c(a)
-    n = norm2(v)
-    return F.when(n > 0, F.transform(v, lambda x: x.cast("double") / n)).otherwise(
-        F.transform(v, lambda x: F.lit(0.0))
+    return F.element_at(
+        F.transform(
+            F.array(norm2(v)),
+            lambda n: F.when(n > 0, F.transform(v, lambda x: x.cast("double") / n)).otherwise(
+                F.transform(v, lambda x: F.lit(0.0))
+            ),
+        ),
+        1,
     )
 
 

@@ -32,6 +32,23 @@ def _topk_sorted_slice(pairs_col: Column | str, k: int) -> Column:
     return F.slice(F.array_sort(pairs_col), 1, k)
 
 
+def _score_entry(cos: Column) -> Column:
+    """struct(neg_cos, neighbor_id, cos_sim) with the score lambda-bound so
+    the dot product is evaluated ONCE (two plain references to the same
+    HOF expression would each re-walk the arrays)."""
+    return F.element_at(
+        F.transform(
+            F.array(cos),
+            lambda cs: F.struct(
+                (-cs).alias("neg_cos"),
+                F.col("neighbor_id").alias("neighbor_id"),
+                cs.alias("cos_sim"),
+            ),
+        ),
+        1,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,24 +62,13 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rank, cos_sim), rank 1..k by
     (cos desc, neighbor_id asc); self-matches excluded.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # normalize ONCE per vector: the hot scoring loop is then a single dot
+    # product (1 array pass) instead of dot + two norms (3 passes)
+    q = queries.select(F.col(id_col).alias("query_id"), V.normalize(vec_col).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), V.normalize(vec_col).alias("cn"))
 
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            V.cosine("qv", "cv").alias("cos_sim"),
-        )
-        .select(
-            "query_id",
-            F.struct(
-                (-F.col("cos_sim")).alias("neg_cos"),
-                F.col("neighbor_id").alias("neighbor_id"),
-                F.col("cos_sim").alias("cos_sim"),
-            ).alias("entry"),
-        )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", _score_entry(V.dot("qn", "cn")).alias("entry")
     )
 
     # phase 1: partition-local top-k (map-side reduction, no data-sized shuffle)
@@ -136,27 +142,26 @@ def rp_lsh_ann_topk(
         raise ValueError("pass dim explicitly (no driver-side inference)")
     planes = rp_hyperplanes(num_planes, dim, seed)
 
+    # buckets hash the RAW vectors (oracle mirrors this); scoring uses
+    # prenormalized copies so the rerank is one dot product per pair.
+    # num_planes sets the bucket count (2^planes): size it as
+    # ~log2(corpus_size / target_bucket_rows) — at 100 TB that's 20+ planes
+    # (or several smaller tables, cf. dedup.embedding_near_dup_pairs),
+    # never a fixed small constant.
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        V.normalize(vec_col).alias("qn"),
         rp_bucket(vec_col, planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        V.normalize(vec_col).alias("cn"),
         rp_bucket(vec_col, planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            F.struct(
-                (-V.cosine("qv", "cv")).alias("neg_cos"),
-                F.col("neighbor_id").alias("neighbor_id"),
-                V.cosine("qv", "cv").alias("cos_sim"),
-            ).alias("entry"),
-        )
+        .select("query_id", _score_entry(V.dot("qn", "cn")).alias("entry"))
     )
     partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
         _topk_sorted_slice(F.collect_list("entry"), k).alias("topk")

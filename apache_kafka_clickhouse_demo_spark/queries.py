@@ -671,34 +671,33 @@ def _sql_rp_bucket(vec: str, planes: list[list[float]]) -> str:
 
 
 def _oracle_ann_topk(use_lsh: bool = False) -> str:
-    cos = V.sql_cosine("q.qv", "e.embedding", EMBED_DIM)
+    """Mirrors the prenormalize-then-dot scoring (same op order as Spark):
+    buckets (LSH variant) hash the RAW vectors, scores are dots of unit
+    vectors."""
+    norm = V.sql_normalize("embedding", EMBED_DIM)
+    cos = V.sql_dot("q.qnv", "e.nv", EMBED_DIM)
     if not use_lsh:
-        joins = "embeddings e, q"
-        cond = f"WHERE e.vec_id != q.query_id"
+        nemb = f"SELECT vec_id, {norm} AS nv FROM embeddings"
+        joins = "nemb e, q"
+        q_sub = f"SELECT vec_id AS query_id, nv AS qnv FROM nemb WHERE vec_id < {ANN_NUM_QUERIES}"
     else:
         planes = similarity.rp_hyperplanes(RP_PLANES, EMBED_DIM, RP_SEED)
-
-        def bucket(vec: str) -> str:
-            return _sql_rp_bucket(vec, planes)
-
-        joins = (
-            f"(SELECT *, {bucket('embedding')} AS bucket FROM embeddings) e "
-            f"JOIN (SELECT query_id, qv, {bucket('qv')} AS bucket "
-            f"FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES})) q "
-            f"ON e.bucket = q.bucket"
+        nemb = (
+            f"SELECT vec_id, {norm} AS nv, "
+            f"{_sql_rp_bucket('embedding', planes)} AS bucket FROM embeddings"
         )
-        cond = "WHERE e.vec_id != q.query_id"
-    q_cte = (
-        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}),"
-        if not use_lsh
-        else "WITH"
-    )
+        joins = "nemb e JOIN q ON e.bucket = q.bucket"
+        q_sub = (
+            f"SELECT vec_id AS query_id, nv AS qnv, bucket "
+            f"FROM nemb WHERE vec_id < {ANN_NUM_QUERIES}"
+        )
     return f"""
-{q_cte}
+WITH nemb AS ({nemb}),
+ q AS ({q_sub}),
  scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM {joins}
-  {cond}
+  WHERE e.vec_id != q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk

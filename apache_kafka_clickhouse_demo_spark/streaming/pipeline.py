@@ -114,8 +114,15 @@ def backfill_cutover(
     future-timestamp trick.  (With a checkpointed replayable source the
     split is redundant — Spark's offsets already give exactly-once — but it
     is the reference's signature pattern, so it is a first-class API.)
+
+    The backfill runs BEFORE the stream starts: parquet appends stage under
+    a shared `_temporary/` inside dest, so two concurrent jobs writing the
+    same directory can delete each other's in-flight task files (a real
+    race observed under load — Delta-style committers lift this on a
+    cluster).  Sequencing them removes the only concurrent writer.
     """
-    mv = create_materialized_view(
+    insert_into(transform(history.filter(~cutover_predicate)), dest_path, partition_cols)
+    return create_materialized_view(
         source,
         lambda block: transform(block.filter(cutover_predicate)),
         dest_path,
@@ -123,5 +130,3 @@ def backfill_cutover(
         partition_cols,
         available_now=available_now,
     )
-    insert_into(transform(history.filter(~cutover_predicate)), dest_path, partition_cols)
-    return mv
