@@ -70,10 +70,10 @@ def h48_mod_p(c: Column | str) -> Column:
 def minhash_signature(shingles: Column | str, num_perm: int, seed: int = 42) -> Column:
     """MinHash signature (array<long>, length `num_perm`) of a shingle array.
 
-    Pure builtins: one md5 per shingle (computed once via an inner
-    transform), then `array_min` per permutation.  No shuffle — the
-    signature is a row-local expression, so at 100 TB this runs embarrassingly
-    parallel inside the scan stage.
+    Row-local expression form (no shuffle) — NOTE: the md5s run in the
+    interpreted HOF evaluator here; for the hot path prefer the
+    explode+groupBy codegen pipeline in operators.dedup.minhash_signatures,
+    which is ~5x faster per core.  Kept for array-level callers.
     """
     sh = F.col(shingles) if isinstance(shingles, str) else shingles
     hashed = F.transform(sh, lambda s: h48_mod_p(s))  # one h48 per shingle

@@ -69,13 +69,36 @@ def minhash_signatures(
     num_perm: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig): row-local — runs inside the scan stage."""
+    """(id, shingles, sig) via the CODEGEN hash pipeline.
+
+    The md5s are the dominant cost; inside an array-lambda they run in the
+    interpreted HOF evaluator.  Exploding shingles to rows puts the
+    md5 + conv in whole-stage codegen, and the per-permutation minima
+    become plain codegen `min()` aggregates with map-side partial
+    aggregation — the shuffle carries only (doc_id, num_perm mins) per doc
+    per partition, far smaller than the data.  Same values as the
+    row-local expression form, so the oracle is unchanged.
+    """
     toks = TX.tokens(text_col)
     sh = F.array_distinct(TX.word_shingles(toks, shingle_n))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        sh.alias("shingles"),
-    ).withColumn("sig", H.minhash_signature(F.col("shingles"), num_perm))
+    # the interpreted shingle construction is the dominant row-local cost —
+    # persist so the hash branch and the join branch both read it once
+    base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    hashed = base.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", H.h48_mod_p("s").alias("h")
+    )
+    params = H.minhash_params(num_perm)
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(H.MINHASH_PRIME)).alias(f"_m{k}")
+            for k, (a, b) in enumerate(params)
+        ]
+    )
+    sig = F.array(*[F.col(f"_m{k}") for k in range(num_perm)])
+    return base.join(mins, "doc_id").select("doc_id", "shingles", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -160,38 +183,32 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """(doc_id, simhash): 48-bit SimHash over token h48 hashes.
 
     bit_i(doc) = 1 iff more than half the tokens have bit_i set
-    (strict majority; ties -> 0).  Row-local, builtins only.
+    (strict majority; ties -> 0).
     """
-    hashed = F.transform(TX.tokens(text_col), lambda t: H.h48(t))
-    base = docs.select(F.col(id_col).alias("doc_id"), hashed.alias("hashed"))
+    # Fully-codegen pipeline: explode tokens to rows, md5-hash in
+    # whole-stage codegen, then ONE hash aggregate with 48 conditional sums
+    # (bit counts) + a count — the shuffle carries only 49 longs per doc
+    # per partition thanks to map-side partial aggregation.
+    tok_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(TX.tokens(text_col)).alias("t")
+    ).select("doc_id", H.h48("t").alias("h"))
 
-    # ONE pass over the token hashes maintaining all 48 per-bit counts
-    # (48 separate F.aggregate calls would re-walk the array 48x per row in
-    # the interpreted higher-order-function evaluator).
-    init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
-
-    def step(acc, h):
-        # i is a plain python int here, so shiftright gets a literal numBits
-        bits = F.array(
-            *[F.shiftright(h, i).bitwiseAND(F.lit(1)) for i in range(SIMHASH_BITS)]
-        )
-        return F.zip_with(acc, bits, lambda a, b: a + b)
-
-    counts = F.aggregate("hashed", init, step)
-    # single reference to `counts` (n references would re-evaluate the whole
-    # aggregate n times — HOF expressions sit outside codegen CSE):
-    # majority-vote each bit against the token count, weight by 2^i, sum.
-    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
-    sim = F.aggregate(
-        F.zip_with(
-            counts,
-            weights,
-            lambda c, w: F.when(c * 2 > F.size("hashed"), w).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    counted = tok_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"_c{i}")
+            for i in range(SIMHASH_BITS)
+        ],
     )
-    return base.select("doc_id", sim.alias("simhash"))
+    # majority vote per bit (strict; ties -> 0), weight by 2^i — plain
+    # codegen arithmetic over the 48 count columns
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_c{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return counted.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(

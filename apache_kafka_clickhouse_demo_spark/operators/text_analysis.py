@@ -99,13 +99,25 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: whole-text 48-bit hash + winnowed min-shingle
     hash (the minimum h48 over word 3-gram shingles — a 1-permutation
-    MinHash, stable under reordering-free edits at either end)."""
+    MinHash, stable under reordering-free edits at either end).
+
+    Explode + codegen md5 + min() aggregate: the per-shingle hashing runs
+    in whole-stage codegen instead of the interpreted HOF evaluator, and
+    map-side partial aggregation shrinks the shuffle to one long per doc
+    per partition."""
     t = F.lower(F.trim(F.col(text_col)))
     toks = TX.tokens(text_col)
     sh = TX.word_shingles(toks, 3)
-    min_shingle = F.array_min(F.transform(sh, lambda s: H.h48(s)))
-    return docs.select(
+    exploded = docs.select(
         F.col(id_col).alias("doc_id"),
-        H.h48(t).alias("text_fp"),
-        min_shingle.alias("min_shingle_fp"),
+        H.h48(t).alias("text_fp"),  # once per input row, carried by explode
+        F.explode(sh).alias("s"),
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.first("text_fp").alias("text_fp"),
+            F.min(H.h48("s")).alias("min_shingle_fp"),
+        )
+        .select("doc_id", "text_fp", "min_shingle_fp")
     )
