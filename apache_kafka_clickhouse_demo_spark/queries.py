@@ -426,6 +426,31 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_daily_type_rollup(spark, sf_dir):
+    """ROLLUP grouping sets: per-(day, type) + per-day + grand total in one
+    pass — Catalyst expands to a single Expand + hash aggregate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .rollup(F.to_date("ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(
+            F.col("day").asc_nulls_first(), F.col("event_type").asc_nulls_first()
+        )
+    )
+
+
+def q_repeat_users(spark, sf_dir):
+    """Set operation (INTERSECT): users active in both the first and the
+    last week of the dataset."""
+    events = _t(spark, sf_dir, "events")
+    first_week = events.filter(F.dayofmonth("ts") <= 7).select("user_id")
+    last_week = events.filter(F.dayofmonth("ts") >= 22).select("user_id")
+    return first_week.intersect(last_week).orderBy("user_id")
+
+
 def q_brand_revenue(spark, sf_dir):
     li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     return (
@@ -564,6 +589,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
     "user_sessions": q_user_sessions,
+    "daily_type_rollup": q_daily_type_rollup,
+    "repeat_users": q_repeat_users,
     "brand_revenue": q_brand_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "dedup_exact": q_dedup_exact,
@@ -932,6 +959,19 @@ WITH marked AS (
 SELECT user_id, session_idx, count(*) AS n_events,
        epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
 FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+""",
+        "daily_type_rollup": """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
+""",
+        "repeat_users": """
+SELECT user_id FROM events WHERE date_part('day', ts) <= 7
+INTERSECT
+SELECT user_id FROM events WHERE date_part('day', ts) >= 22
+ORDER BY user_id
 """,
         "brand_revenue": """
 SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
