@@ -18,32 +18,49 @@ from apache_kafka_clickhouse_demo_spark.functions import text as TX
 BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
-def _lang_scores(toks: Column) -> dict[str, Column]:
-    """Distinct-token overlap with each language's stopword list."""
-    return {
-        lang: F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
-        for lang, words in TX.LANG_STOPWORDS.items()
-    }
-
-
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram/stopword-overlap language heuristic.
 
     predicted = argmax over languages of |distinct(tokens) ∩ stopwords(lang)|,
     ties broken by language code ascending, 'und' if all scores are 0.
+
+    Expression shape: the distinct-token array and the 5-score array are
+    each lambda-bound once, and the final struct is emitted through
+    `inline` — so tokenization runs ONCE per row.  A naive argmax
+    (greatest + chained whens over named score expressions) re-evaluates
+    tokenize+distinct per reference (~12x per row) in the interpreted HOF
+    evaluator.
     """
-    toks = TX.tokens(text_col)
-    scores = _lang_scores(toks)
-    langs = sorted(scores)  # tie-break: lexicographic language code
-    best = F.greatest(*[scores[lang] for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):  # earlier codes overwrite later on ties
-        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        pred.alias("pred_lang"),
-        best.cast("int").alias("lang_score"),
+    langs = sorted(TX.LANG_STOPWORDS)
+
+    def scores_of(td: Column) -> Column:
+        return F.array(
+            *[
+                F.size(
+                    F.array_intersect(
+                        td, F.array(*[F.lit(w) for w in TX.LANG_STOPWORDS[lang]])
+                    )
+                )
+                for lang in langs
+            ]
+        )
+
+    def struct_of(sc: Column) -> Column:
+        best = F.array_max(sc)  # sc is bound: cheap to reference
+        pred = F.lit("und")
+        for i in reversed(range(len(langs))):  # earlier codes win ties
+            pred = F.when(
+                (best > 0) & (F.element_at(sc, i + 1) == best), F.lit(langs[i])
+            ).otherwise(pred)
+        return F.struct(pred.alias("pred_lang"), best.cast("int").alias("lang_score"))
+
+    one_struct = F.transform(
+        F.array(F.array_distinct(TX.tokens(text_col))),
+        lambda td: F.element_at(
+            F.transform(F.array(scores_of(td)), lambda sc: struct_of(sc)), 1
+        ),
     )
+    return docs.select(F.col(id_col).alias("doc_id"), F.inline(one_struct))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

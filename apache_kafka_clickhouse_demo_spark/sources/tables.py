@@ -35,7 +35,11 @@ def _normalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(raw.dtypes).get("ts") != "bigint":  # future fixture already clean
         return raw
     converted = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    key = sf_dir.strip("/").replace("/", "_")
+    # cache key includes source mtime+size: a regenerated fixture (or a
+    # stale /tmp surviving a fixture rebuild) self-invalidates
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{int(st.st_mtime)}_{st.st_size}"
     dest = os.path.join(_NORM_CACHE, key, "events.parquet")
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         try:
