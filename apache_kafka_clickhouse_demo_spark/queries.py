@@ -303,6 +303,22 @@ def q_stream_dedup(spark, sf_dir):
     return spark.read.parquet(f"{work}/out").orderBy("event_id")
 
 
+def q_sql_busy_days(spark, sf_dir):
+    """Pure `spark.sql()` text surface (the reference's native interface is
+    SQL): aggregate + HAVING over the registered views."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        HAVING count(*) >= 50
+        ORDER BY event_type, day
+        """
+    )
+
+
 def q_show_tables(spark, sf_dir):
     """S8 — catalog listing (README.rst:37): SHOW TABLES over the registered
     views, restricted to the engine's table set."""
@@ -423,6 +439,61 @@ def q_user_sessions(spark, sf_dir):
             (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
         )
         .orderBy("user_id", "session_idx")
+    )
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape — LEFT SEMI join (EXISTS): orders in Q1-1996 with at
+    least one late-shipping lineitem, counted per priority.  The semi join
+    stops probing after the first match and never duplicates orders."""
+    orders, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    late = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): customers with no order in 1996
+    (restricted window so the fixture yields a non-empty answer — every
+    customer has SOME order, which would make the check vacuous)."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    orders_96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+    )
+    return (
+        cust.join(orders_96, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact quantiles (sort-based percentile, linear interpolation) per
+    event type — the exact twin of the approx-quantile sketches a
+    monitoring pipeline would use at 100 TB."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("ps"))
+        .select(
+            "event_type",
+            F.round(F.element_at("ps", 1), 6).alias("p25"),
+            F.round(F.element_at("ps", 2), 6).alias("p50"),
+            F.round(F.element_at("ps", 3), 6).alias("p75"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -583,6 +654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mv_cascade_attendance": q_mv_cascade_attendance,
     "attendance_daily_compacted": q_attendance_daily_compacted,
     "stream_dedup": q_stream_dedup,
+    "sql_busy_days": q_sql_busy_days,
     "show_tables": q_show_tables,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -591,6 +663,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "daily_type_rollup": q_daily_type_rollup,
     "repeat_users": q_repeat_users,
+    "q4_order_priority": q4_order_priority,
+    "customers_no_orders": q_customers_no_orders,
+    "value_percentiles": q_value_percentiles,
     "brand_revenue": q_brand_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "dedup_exact": q_dedup_exact,
@@ -888,6 +963,14 @@ FROM events GROUP BY 1, 2 ORDER BY timestamp, subject
         "stream_dedup": """
 SELECT * FROM events ORDER BY event_id
 """,
+        "sql_busy_days": """
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+HAVING count(*) >= 50
+ORDER BY event_type, day
+""",
         "attendance_daily_compacted": """
 WITH g AS (
   SELECT date_trunc('hour', ts) AS ts_hour, event_type, count(*) AS student_count
@@ -959,6 +1042,34 @@ WITH marked AS (
 SELECT user_id, session_idx, count(*) AS n_events,
        epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
 FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+""",
+        "q4_order_priority": f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q5_START}'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "customers_no_orders": f"""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '{Q5_START}' AND o_orderdate < TIMESTAMP '{Q5_END}'
+)
+ORDER BY c_custkey
+""",
+        "value_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "daily_type_rollup": """
 SELECT CAST(ts AS DATE) AS day, event_type,
