@@ -1,0 +1,96 @@
+"""As-of (temporal closest-match) join — `ASOF JOIN` re-expressed for Spark.
+
+The reference engine family exposes `ASOF JOIN` natively (nearest
+`right.ts <= left.ts` per join key); Spark has no built-in equivalent and
+the naive encodings are scale-killers: a range join explodes to
+O(|left| x |right| per key) compares, and a per-row correlated top-1
+subquery is not expressible as one pass.
+
+Spark-first design — union + ordered window, ZERO joins:
+
+1. tag each input (`_side` = 0 for right, 1 for left) and union them by
+   name (payload columns null on the other side);
+2. one window per join key, ordered by (ts, _side), frame
+   UNBOUNDED PRECEDING..CURRENT ROW, carrying the most recent right-side
+   payload forward with `last(..., ignorenulls=True)` — a running frame
+   Spark evaluates incrementally in O(1) per row;
+3. keep the left rows.
+
+At equal timestamps the right row sorts first (`_side` 0 < 1), giving
+`left.ts >= right.ts` (backward) semantics; `direction="forward"` flips
+the sort to match the next right row at-or-after instead.
+
+Scale notes (100 TB): exactly ONE shuffle, on the join keys — the same
+exchange a sort-merge join would need — but no probe phase, no range
+explosion, and O(1) state beyond the partition sort regardless of how
+far back the match lies.  All expressions are codegen builtins.  A
+single hot key degrades to one sorted partition, the same failure mode
+as any keyed window; pre-bucket hot keys upstream if that matters.
+
+Ties among right rows at the same (key, ts) are resolved by `tiebreak`
+columns if given; pre-aggregate the right side to one row per (key, ts)
+when exact cross-engine determinism is required (the gate queries do).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    *,
+    direction: str = "backward",
+    how: str = "left",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Attach to each left row the payload of the closest right row.
+
+    `right` must carry exactly `on + [ts_col] + payload_cols` (+ optional
+    `tiebreak`); payload names must not collide with left columns.
+    direction="backward": latest right row with right.ts <= left.ts;
+    "forward": earliest right row with right.ts >= left.ts.
+    how="left" keeps unmatched left rows (null payload); "inner" drops them.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"payload columns collide with left columns: {sorted(clash)}")
+
+    keep = list(on) + [ts_col] + list(payload_cols) + list(tiebreak)
+    l_tag = left.withColumn(_SIDE, F.lit(1))
+    r_tag = right.select(*keep).withColumn(_SIDE, F.lit(0))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    asc = direction == "backward"
+    order = [F.col(ts_col).asc() if asc else F.col(ts_col).desc()]
+    # right rows at the boundary timestamp must precede left rows so the
+    # running `last` sees them (<= / >= inclusive semantics)
+    order.append(F.col(_SIDE).asc())
+    for t in tiebreak:
+        order.append(F.col(t).asc() if asc else F.col(t).desc())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload_cols:
+        u = u.withColumn(
+            c, F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    out = u.filter(F.col(_SIDE) == 1).drop(_SIDE, *[t for t in tiebreak if t not in left.columns])
+    if how == "inner":
+        out = out.filter(F.col(payload_cols[0]).isNotNull())
+    return out

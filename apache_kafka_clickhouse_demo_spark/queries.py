@@ -26,6 +26,7 @@ from apache_kafka_clickhouse_demo_spark.functions import hashing as H
 from apache_kafka_clickhouse_demo_spark.functions import text as TX
 from apache_kafka_clickhouse_demo_spark.functions import vectors as V
 from apache_kafka_clickhouse_demo_spark.operators import (
+    asof,
     attendance,
     dedup,
     entry_pipeline,
@@ -64,6 +65,9 @@ NEAR_DUP_COS = 0.40
 NEAR_DUP_TABLES = 8
 NEAR_DUP_PLANES = 8
 NEAR_DUP_SEED = 101
+
+SPLIT_SALT = "split:"
+SPLIT_TRAIN_PCT = 90
 
 EVENTS_CUTOFF = "2024-01-15 00:00:00"
 Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -522,6 +526,79 @@ def q_repeat_users(spark, sf_dir):
     return first_week.intersect(last_week).orderBy("user_id")
 
 
+def q_asof_last_purchase(spark, sf_dir):
+    """ASOF JOIN (backward): each click joined to the user's most recent
+    purchase at-or-before it.  Union+window implementation — one shuffle on
+    user_id, no range explosion (operators/asof.py)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # one row per (user, ts) so the closest match is engine-independent
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    return asof.asof_join(
+        clicks, purchases, on=["user_id"], ts_col="ts",
+        payload_cols=["purchase_ts", "purchase_value"],
+    ).orderBy("event_id")
+
+
+def q_asof_next_error(spark, sf_dir):
+    """ASOF JOIN (forward): each signup joined to the user's next error
+    at-or-after it — the inner variant drops signups with no later error."""
+    events = _t(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("error_value"))
+        .withColumn("error_ts", F.col("ts"))
+    )
+    return asof.asof_join(
+        signups, errors, on=["user_id"], ts_col="ts",
+        payload_cols=["error_ts", "error_value"],
+        direction="forward", how="inner",
+    ).orderBy("event_id")
+
+
+def q_latest_value_per_user(spark, sf_dir):
+    """argMax/argMin parity (`max_by`/`min_by` with a struct ordering key):
+    first and last event value per user in one hash aggregate — no window,
+    no self-join, map-side partials apply."""
+    key = F.struct("ts", "event_id")  # unique → deterministic across engines
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("value", key).alias("last_value"),
+            F.min_by("value", key).alias("first_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic train/test split by content-independent hash bucket:
+    h48(salt || doc_id) % 100 < 90 → train.  Row-local (no shuffle), stable
+    across runs/engines/cluster sizes — the property a 100 TB training
+    pipeline needs so re-runs never leak test docs into train."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = H.h48(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
 def q_brand_revenue(spark, sf_dir):
     li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     return (
@@ -663,6 +740,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "daily_type_rollup": q_daily_type_rollup,
     "repeat_users": q_repeat_users,
+    "asof_last_purchase": q_asof_last_purchase,
+    "asof_next_error": q_asof_next_error,
+    "latest_value_per_user": q_latest_value_per_user,
+    "train_test_split": q_train_test_split,
     "q4_order_priority": q4_order_priority,
     "customers_no_orders": q_customers_no_orders,
     "value_percentiles": q_value_percentiles,
@@ -1083,6 +1164,51 @@ SELECT user_id FROM events WHERE date_part('day', ts) <= 7
 INTERSECT
 SELECT user_id FROM events WHERE date_part('day', ts) >= 22
 ORDER BY user_id
+""",
+        "asof_last_purchase": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+""",
+        "asof_next_error": """
+WITH signups AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+), err AS (
+  SELECT user_id, ts, max(value) AS error_value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT s.event_id, s.user_id, s.ts, e.ts AS error_ts, e.error_value
+FROM signups s ASOF JOIN err e
+  ON s.user_id = e.user_id AND s.ts <= e.ts
+ORDER BY s.event_id
+""",
+        "latest_value_per_user": """
+WITH ranked AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_last,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn_first
+  FROM events
+)
+SELECT user_id, max(ts) AS last_ts,
+       max(CASE WHEN rn_last = 1 THEN value END) AS last_value,
+       max(CASE WHEN rn_first = 1 THEN value END) AS first_value
+FROM ranked GROUP BY user_id ORDER BY user_id
+""",
+        "train_test_split": f"""
+SELECT doc_id,
+       CASE WHEN ({H.sql_h48(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} % 100)
+                 < {SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
 """,
         "brand_revenue": """
 SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

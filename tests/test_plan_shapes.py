@@ -61,3 +61,16 @@ def test_brute_force_topk_no_window_shuffle(spark, sf_dir):
     """The two-phase top-k must not plan a window over the scored corpus."""
     plan = formatted_plan(Q.q_ann_topk(spark, sf_dir))
     assert "Window" not in plan
+
+
+def test_asof_join_single_exchange_no_join(spark, sf_dir):
+    """The as-of join must plan as union + running window: zero join
+    operators and exactly one shuffle for the window keys (a range/theta
+    join here would be the O(n^2)-per-key scale-killer it exists to avoid).
+    """
+    plan = formatted_plan(Q.q_asof_last_purchase(spark, sf_dir))
+    assert "Join" not in plan, plan
+    # two hash exchanges total: one belongs to the right side's (user, ts)
+    # pre-aggregate, one to the as-of window itself
+    n = plan.count("Arguments: hashpartitioning")
+    assert n == 2, f"expected 2 hash exchanges, got {n}\n{plan}"
