@@ -436,3 +436,65 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id): every node labeled with the smallest id reachable
+    through the pair graph — the step that turns pairwise near-dup output
+    into "keep one doc per duplicate group".
+
+    Iterative min-label propagation: labels start as self; each round every
+    node takes the min of its own and its neighbors' labels; stop when a
+    round changes no label.  Rounds = graph diameter, and near-dup clusters
+    are shallow (cliques/stars around a canonical doc), so 2-3 rounds is
+    typical.  Each round is one edge-label equi-join + a min-aggregate —
+    both plain shuffles on node ids — and `localCheckpoint` cuts lineage so
+    the plan stays constant-size across rounds.  The convergence test is a
+    driver-side count, the standard fixpoint check for iterative distributed
+    algorithms.  For adversarial long-chain graphs, swap the propagation
+    step for large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014) — rounds drop to
+    O(log^2 n); same interface, not needed for dedup-shaped graphs.
+    """
+    half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        improved = (
+            new.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if improved == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -68,6 +68,7 @@ NEAR_DUP_SEED = 101
 
 SPLIT_SALT = "split:"
 SPLIT_TRAIN_PCT = 90
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 EVENTS_CUTOFF = "2024-01-15 00:00:00"
 Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -646,6 +647,72 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH near-dup pairs: every doc
+    labeled with the smallest doc_id in its duplicate group — the final
+    'keep one per group' step of a dedup pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        num_perm=MINHASH_PERM,
+        bands=MINHASH_BANDS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+    return dedup.connected_components(docs, pairs).orderBy("doc_id")
+
+
+def q_event_type_matrix(spark, sf_dir):
+    """countIf/sumIf-style conditional aggregation (manual pivot): one hash
+    aggregate producing a wide per-user activity matrix — no per-type
+    scans, no join, map-side partials carry 7 numbers per user."""
+    events = _t(spark, sf_dir, "events")
+    per_type = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return (
+        events.groupBy("user_id")
+        .agg(
+            *per_type,
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+                2,
+            ).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_uniq_users(spark, sf_dir):
+    """uniqExact parity: exact COUNT(DISTINCT) per group.  Spark plans this
+    as a two-phase aggregate (partial distinct by (type, user) then count),
+    so the full user set never concentrates on one node."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("uniq_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Text scrubbing for training data: redact numeric tokens from the raw
+    props payload before it ever reaches a training corpus.  Row-local
+    regexp_replace — embarrassingly parallel, no shuffle."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.regexp_replace("props", "[0-9]+", "#").alias("props_scrubbed"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING)
 
@@ -751,6 +818,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "event_type_matrix": q_event_type_matrix,
+    "uniq_users": q_uniq_users,
+    "pii_scrub": q_pii_scrub,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
@@ -805,6 +876,41 @@ JOIN sigs sb ON cand.id_b = sb.doc_id
 WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {MINHASH_THRESHOLD}
 ORDER BY id_a, id_b
+"""
+
+
+def _oracle_dedup_clusters() -> str:
+    """Transitive closure by recursive CTE over the minhash pair oracle —
+    exponential-state but exact at oracle scale; the Spark side's label
+    propagation is the scalable form."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_oracle_minhash_lsh()})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS node, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def _oracle_event_type_matrix() -> str:
+    per_type = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {per_type},
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+         AS purchase_value
+FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -1229,6 +1335,18 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id
 """,
         "dedup_minhash_lsh": minhash_sql,
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "event_type_matrix": _oracle_event_type_matrix(),
+        "uniq_users": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "pii_scrub": """
+SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed
+FROM events ORDER BY event_id
+""",
         "dedup_simhash": _oracle_simhash(),
         "dedup_ngram_jaccard": f"""
 WITH sets AS (

@@ -1,0 +1,47 @@
+"""connected_components: fixpoint label propagation on known graph shapes.
+
+The oracle gate checks the end-to-end minhash->clusters pipeline; these pin
+the operator itself on graphs with known components — including a long
+chain, the worst case for propagation round count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.operators.dedup import connected_components
+
+
+def _run(spark, node_ids, pair_list):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        pair_list or [(None, None)], "id_a long, id_b long"
+    ).filter(F.col("id_a").isNotNull())
+    out = connected_components(nodes, pairs)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_clique_chain_and_singleton(spark):
+    # clique {1,2,3}, chain 10-11-12-13, singleton 20
+    got = _run(
+        spark,
+        [1, 2, 3, 10, 11, 12, 13, 20],
+        [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12), (12, 13)],
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-12: diameter 12, forces many propagation rounds
+    n = 13
+    got = _run(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_bridged_components_merge(spark):
+    # two cliques joined by one bridge edge collapse to one component
+    got = _run(
+        spark,
+        [1, 2, 5, 6],
+        [(1, 2), (5, 6), (2, 5)],
+    )
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1}
