@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
 from apache_kafka_clickhouse_demo_spark.functions import text as TX
 from apache_kafka_clickhouse_demo_spark.functions import vectors as V
 
@@ -83,7 +84,7 @@ def minhash_signatures(
     sh = F.array_distinct(TX.word_shingles(toks, shingle_n))
     # the interpreted shingle construction is the dominant row-local cost —
     # persist so the hash branch and the join branch both read it once
-    base = docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).persist(
+    base = spread_small(docs).select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
@@ -189,7 +190,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # whole-stage codegen, then ONE hash aggregate with 48 conditional sums
     # (bit counts) + a count — the shuffle carries only 49 longs per doc
     # per partition thanks to map-side partial aggregation.
-    tok_rows = docs.select(
+    tok_rows = spread_small(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(TX.tokens(text_col)).alias("t")
     ).select("doc_id", H.h48("t").alias("h"))
 
@@ -290,7 +291,7 @@ def ngram_jaccard_pairs(
 
     toks = TX.tokens(text_col)
     # shingle sets feed tokenization AND both verify sides — one pass
-    sets = docs.select(
+    sets = spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(TX.word_shingles(toks, shingle_n)).alias("grams"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -399,7 +400,7 @@ def embedding_near_dup_pairs(
 
     # pre-normalize once (behind the persist): every pairwise verify is then
     # a single dot product instead of dot + two norms
-    vecs = emb.select(
+    vecs = spread_small(emb).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         V.normalize(F.col(vec_col)).alias("nv"),

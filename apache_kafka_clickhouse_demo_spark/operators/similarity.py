@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from apache_kafka_clickhouse_demo_spark.functions.hashing import _lcg
 from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
 
 
 def _topk_sorted_slice(pairs_col: Column | str, k: int) -> Column:
@@ -65,7 +66,7 @@ def brute_force_topk(
     # normalize ONCE per vector: the hot scoring loop is then a single dot
     # product (1 array pass) instead of dot + two norms (3 passes)
     q = queries.select(F.col(id_col).alias("query_id"), V.normalize(vec_col).alias("qn"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), V.normalize(vec_col).alias("cn"))
+    c = spread_small(corpus).select(F.col(id_col).alias("neighbor_id"), V.normalize(vec_col).alias("cn"))
 
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", _score_entry(V.dot("qn", "cn")).alias("entry")
@@ -153,7 +154,7 @@ def rp_lsh_ann_topk(
         V.normalize(vec_col).alias("qn"),
         rp_bucket(vec_col, planes).alias("bucket"),
     )
-    c = corpus.select(
+    c = spread_small(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         V.normalize(vec_col).alias("cn"),
         rp_bucket(vec_col, planes).alias("bucket"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
 
 from apache_kafka_clickhouse_demo_spark.functions import hashing as H
 from apache_kafka_clickhouse_demo_spark.functions import text as TX
@@ -125,7 +126,7 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     t = F.lower(F.trim(F.col(text_col)))
     toks = TX.tokens(text_col)
     sh = TX.word_shingles(toks, 3)
-    exploded = docs.select(
+    exploded = spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
         H.h48(t).alias("text_fp"),  # once per input row, carried by explode
         F.explode(sh).alias("s"),

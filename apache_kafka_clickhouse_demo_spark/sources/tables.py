@@ -67,3 +67,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_small(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small-but-CPU-heavy input up to the
+    session's default parallelism.
+
+    The local fixtures are single-row-group parquet files, so their scans
+    are ONE task no matter how small `files.maxPartitionBytes` is — and a
+    CPU-bound operator downstream (per-shingle md5, per-vector dot
+    products) then runs on one core.  Shuffling a few MB to unlock every
+    core is always worth it.  On a real cluster inputs carry far more
+    splits than cores, the guard makes this a no-op, and no shuffle is
+    added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

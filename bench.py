@@ -39,9 +39,12 @@ HEADLINE = [
     "user_sessions",
     "brand_revenue",
     "top_orders_per_customer",
+    "asof_last_purchase",
+    "event_type_matrix",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_topk",
     "ann_lsh_topk",
     "text_quality",
