@@ -73,7 +73,14 @@ def decode_image(blob: bytes) -> object:
 def _fake_feature(blob: bytes) -> list[float]:
     """Deterministic fake 'decoded feature': strided byte sums / length.
     Stands in for a real decode->resize->embed step; numpy-vectorized over
-    the blob so the Python-side cost is O(rows) calls, not O(bytes) loops."""
+    the blob so the Python-side cost is O(rows) calls, not O(bytes) loops.
+
+    Rounding is floor(x*1e6 + 0.5)/1e6 — NOT Python round() — because
+    banker's rounding differs from DuckDB's half-away round(); this exact
+    floor form is mirrored in the oracle SQL, making the feature values
+    bit-identical cross-engine."""
+    import math
+
     import numpy as np
 
     if blob is None or len(blob) == 0:
@@ -82,7 +89,7 @@ def _fake_feature(blob: bytes) -> list[float]:
     n = len(a)
     pad = (-n) % FEATURE_DIM
     sums = np.pad(a, (0, pad)).reshape(-1, FEATURE_DIM).sum(axis=0, dtype=np.int64)
-    return [round(s / n, 6) for s in sums.tolist()]
+    return [math.floor((int(s) / n) * 1e6 + 0.5) / 1e6 for s in sums.tolist()]
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -502,6 +502,36 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+def q_value_histogram(spark, sf_dir):
+    """Histogram binning: fixed-width buckets as a plain group-by — one hash
+    aggregate with map-side partials, the way a 100 TB profile pass bins."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_user_event_sequence(spark, sf_dir):
+    """groupArray parity (ordered collect): each user's full event-type
+    sequence in (ts, event_id) order.  collect_list + array_sort on a
+    struct gives a deterministic order without a window pass."""
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s.event_type,
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(seq.alias("seq_types"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 def q_daily_type_rollup(spark, sf_dir):
     """ROLLUP grouping sets: per-(day, type) + per-day + grand total in one
     pass — Catalyst expands to a single Expand + hash aggregate."""
@@ -774,12 +804,12 @@ def q_media_summary(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """mapInPandas plumbing (stubbed decode) — no SQL oracle by design;
-    the driver records the weaker rows-only check."""
+    """mapInPandas feature extraction over Arrow blob batches.  The stub
+    decode is a deterministic strided byte-sum with floor-based rounding,
+    so even this Python-side path is fully hash-checked against a DuckDB
+    oracle — the doubles are bit-identical cross-engine."""
     feats = multimodal.extract_features(multimodal.attach_media(_t(spark, sf_dir, "documents")))
-    return feats.select(
-        "doc_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
-    ).orderBy("doc_id")
+    return feats.orderBy("doc_id")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -814,6 +844,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_order_priority": q4_order_priority,
     "customers_no_orders": q_customers_no_orders,
     "value_percentiles": q_value_percentiles,
+    "value_histogram": q_value_histogram,
+    "user_event_sequence": q_user_event_sequence,
     "brand_revenue": q_brand_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "dedup_exact": q_dedup_exact,
@@ -911,6 +943,28 @@ SELECT user_id,
        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
          AS purchase_value
 FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _oracle_media_features() -> str:
+    """Mirror of multimodal._fake_feature: strided byte sums over the utf-8
+    blob (== ascii codes — the fixture text is pure ASCII, asserted by
+    octet_length == length), floor-rounded exactly like the Python side."""
+    dim = multimodal.FEATURE_DIM
+    feats = ",\n         ".join(
+        "floor((CAST(coalesce(list_sum(list_transform("
+        f"range({j + 1}, length(text) + 1, {dim}), i -> ascii(substr(text, i, 1))"
+        ")), 0) AS DOUBLE) / length(text)) * 1000000.0 + 0.5) / 1000000.0"
+        for j in range(dim)
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       [{feats}] AS feature
+FROM documents ORDER BY doc_id
 """
 
 
@@ -1258,6 +1312,18 @@ SELECT event_type,
        round(quantile_cont(value, 0.75), 6) AS p75
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+        "value_histogram": """
+SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY bucket ORDER BY bucket
+""",
+        "user_event_sequence": """
+SELECT user_id,
+       list(event_type ORDER BY ts, event_id) AS seq_types,
+       count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+""",
         "daily_type_rollup": """
 SELECT CAST(ts AS DATE) AS day, event_type,
        count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -1396,6 +1462,5 @@ SELECT media_type, count(*) AS n_files,
        max(n_bytes) AS max_bytes
 FROM m GROUP BY media_type ORDER BY media_type
 """,
-        # "media_features" intentionally omitted: mapInPandas stub decode is
-        # not SQL-expressible; the driver records the rows-only check.
+        "media_features": _oracle_media_features(),
     }
