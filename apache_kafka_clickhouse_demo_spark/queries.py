@@ -729,6 +729,21 @@ def q_uniq_users(spark, sf_dir):
     )
 
 
+def q_uniq_users_approx(spark, sf_dir):
+    """`uniq` parity: HyperLogLog++ approximate count-distinct — the sketch
+    path a 100 TB pipeline actually uses (fixed ~KB state per group, pure
+    map-side mergeable, vs the shuffle-heavy exact expand).  Deliberately
+    NO oracle entry: Spark's HLL++ and DuckDB's HLL disagree by design, so
+    the driver records the rows-only check; the 2%-rsd accuracy contract is
+    asserted against the exact count in tests/test_approx_sketches.py."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_uniq_users"))
+        .orderBy("event_type")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """Text scrubbing for training data: redact numeric tokens from the raw
     props payload before it ever reaches a training corpus.  Row-local
@@ -853,6 +868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "event_type_matrix": q_event_type_matrix,
     "uniq_users": q_uniq_users,
+    "uniq_users_approx": q_uniq_users_approx,
     "pii_scrub": q_pii_scrub,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
