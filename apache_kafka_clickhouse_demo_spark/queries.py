@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_kafka_clickhouse_demo_spark.functions import hashing as H
@@ -502,6 +502,72 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+def q_click_purchase_users(spark, sf_dir):
+    """FULL OUTER join: per-user click and purchase counts side by side,
+    keeping users who only ever did one of the two.  Both sides pre-aggregate
+    before the join, so the shuffle carries one row per user per side."""
+    events = _t(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("c_user"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, clicks.c_user == purchases.p_user, "full_outer")
+        .select(
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — per-group average as a join (the scalable form of a
+    correlated scalar subquery): lineitems below 20% of their part's mean
+    quantity, for one brand.  The per-part aggregate is tiny after the
+    brand filter, so it broadcasts."""
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    brand_items = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    part_avg = brand_items.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return brand_items.join(
+        F.broadcast(part_avg.withColumnRenamed("l_partkey", "t_partkey")),
+        F.col("l_partkey") == F.col("t_partkey"),
+    ).filter(F.col("l_quantity") < F.col("qty_threshold")).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def q_user_cumulative_value(spark, sf_dir):
+    """Running aggregate: each purchase with the user's cumulative purchase
+    value so far — an ordered window with the default running frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.sum("value").over(w), 6).alias("cum_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_value_histogram(spark, sf_dir):
     """Histogram binning: fixed-width buckets as a plain group-by — one hash
     aggregate with map-side partials, the way a 100 TB profile pass bins."""
@@ -860,6 +926,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_no_orders": q_customers_no_orders,
     "value_percentiles": q_value_percentiles,
     "value_histogram": q_value_histogram,
+    "click_purchase_users": q_click_purchase_users,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "user_cumulative_value": q_user_cumulative_value,
     "user_event_sequence": q_user_event_sequence,
     "brand_revenue": q_brand_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1327,6 +1396,40 @@ SELECT event_type,
        round(quantile_cont(value, 0.50), 6) AS p50,
        round(quantile_cont(value, 0.75), 6) AS p75
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "click_purchase_users": """
+WITH c AS (
+  SELECT user_id AS c_user, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT user_id AS p_user, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(c_user, p_user) AS user_id,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c_user = p_user
+ORDER BY user_id
+""",
+        "q17_small_quantity_revenue": """
+WITH brand_items AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), t AS (
+  SELECT l_partkey AS t_partkey, avg(l_quantity) * 0.2 AS qty_threshold
+  FROM brand_items GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM brand_items JOIN t ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+""",
+        "user_cumulative_value": """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cum_value
+FROM events WHERE event_type = 'purchase' ORDER BY event_id
 """,
         "value_histogram": """
 SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
