@@ -72,22 +72,7 @@ def brute_force_topk(
         "query_id", _score_entry(V.dot("qn", "cn")).alias("entry")
     )
 
-    # phase 1: partition-local top-k (map-side reduction, no data-sized shuffle)
-    partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
-        _topk_sorted_slice(F.collect_list("entry"), k).alias("topk")
-    )
-    # phase 2: merge the per-partition top-k lists
-    merged = partial.groupBy("query_id").agg(
-        _topk_sorted_slice(F.flatten(F.collect_list("topk")), k).alias("topk")
-    )
-    return merged.select(
-        "query_id", F.posexplode("topk").alias("_pos", "e")
-    ).select(
-        "query_id",
-        F.col("e.neighbor_id").alias("neighbor_id"),
-        (F.col("_pos") + 1).alias("rank"),
-        F.col("e.cos_sim").alias("cos_sim"),
-    ).orderBy("query_id", "rank")
+    return _two_phase_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -164,15 +149,106 @@ def rp_lsh_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", _score_entry(V.dot("qn", "cn")).alias("entry"))
     )
+    return _two_phase_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other classic scale path
+# ---------------------------------------------------------------------------
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, entry) -> ranked top-k rows without windowing the scored
+    set: partition-local top-k (map-side reduction), then merge the short
+    per-partition lists.  Shuffle volume is O(queries * k * partitions)."""
     partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
         _topk_sorted_slice(F.collect_list("entry"), k).alias("topk")
     )
     merged = partial.groupBy("query_id").agg(
         _topk_sorted_slice(F.flatten(F.collect_list("topk")), k).alias("topk")
     )
-    return merged.select("query_id", F.posexplode("topk").alias("_pos", "e")).select(
-        "query_id",
-        F.col("e.neighbor_id").alias("neighbor_id"),
-        (F.col("_pos") + 1).alias("rank"),
-        F.col("e.cos_sim").alias("cos_sim"),
-    ).orderBy("query_id", "rank")
+    return (
+        merged.select("query_id", F.posexplode("topk").alias("_pos", "e"))
+        .select(
+            "query_id",
+            F.col("e.neighbor_id").alias("neighbor_id"),
+            (F.col("_pos") + 1).alias("rank"),
+            F.col("e.cos_sim").alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    centroid_ratio: int = 64,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "ivf:",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus onto sampled
+    centroid vectors, probe each query's `nprobe` closest cells, exact-rerank
+    inside the probed cells only.
+
+    Centroids are a deterministic 1/centroid_ratio hash-sample of the corpus
+    itself (h48(salt || id) % ratio == 0): no k-means fit pass, no driver
+    collect, and the centroid count grows with the corpus automatically —
+    at 100 TB the cell size stays ~centroid_ratio vectors in expectation
+    while the broadcast side stays corpus/ratio rows.  (A trained k-means
+    quantizer probes fewer/better cells but needs an iterative fit whose
+    float accumulation order is not reproducible cross-engine; the sampled
+    quantizer keeps the whole operator exactly oracle-checkable.)
+
+    Plan shape: centroid assignment is a broadcast nested-loop over the
+    small centroid table folded into one max_by aggregate per vector (the
+    standard IVF assign cost, n * n/ratio dots, all codegen); the probe
+    join shuffles corpus and queries by cell id only.  Ties in assignment
+    and probing break on centroid id, so results are fully deterministic.
+    """
+    if dim is None:
+        raise ValueError("pass dim explicitly (no driver-side inference)")
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+    from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
+    from pyspark.sql import Window
+
+    vecs = spread_small(corpus).select(
+        F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
+    )
+    cents = vecs.filter(
+        H.h48(F.concat(F.lit(salt), F.col("vid").cast("string"))) % centroid_ratio == 0
+    ).select(F.col("vid").alias("cent_id"), F.col("nv").alias("cv"))
+
+    # assignment: argmax cosine over centroids, tie -> smallest cent_id
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vid", "nv", "cent_id", V.dot("nv", "cv").alias("ccos"))
+        .groupBy("vid")
+        .agg(
+            F.max_by("cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))).alias(
+                "cent_id"
+            ),
+            F.first("nv").alias("nv"),
+        )
+        .select(F.col("vid").alias("neighbor_id"), "nv", "cent_id")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), V.normalize(vec_col).alias("qn"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qn", "cent_id", V.dot("qn", "cv").alias("ccos"))
+        .withColumn("_rn", F.row_number().over(wq))  # query side is small
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qn", "cent_id")
+    )
+
+    scored = (
+        probes.join(assign, "cent_id")  # the IVF cell join: shuffle on cell id
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", _score_entry(V.dot("qn", "nv")).alias("entry"))
+    )
+    return _two_phase_topk(scored, k)

@@ -46,6 +46,9 @@ ANN_NUM_QUERIES = 32
 ANN_K = 10
 RP_PLANES = 4
 RP_SEED = 7
+IVF_RATIO = 64
+IVF_NPROBE = 2
+IVF_SALT = "ivf:"
 
 MINHASH_PERM = 12
 MINHASH_BANDS = 4
@@ -864,6 +867,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: hash-sampled centroids, nprobe-cell probe, exact
+    rerank within cells (operators/similarity.ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < ANN_NUM_QUERIES),
+        k=ANN_K,
+        dim=EMBED_DIM,
+        centroid_ratio=IVF_RATIO,
+        nprobe=IVF_NPROBE,
+        salt=IVF_SALT,
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return text_analysis.language_id(_t(spark, sf_dir, "documents"))
 
@@ -944,6 +962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
@@ -1129,6 +1148,51 @@ WITH nemb AS ({nemb}),
 ), ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos_sim
+FROM ranked WHERE rnk <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+def _oracle_ann_ivf() -> str:
+    """Mirror of similarity.ivf_topk: same hash-sampled centroids, same
+    argmax assignment with (cos desc, cent_id asc) tie-break, same nprobe
+    probe, same normalized-dot rerank."""
+    norm = V.sql_normalize("embedding", EMBED_DIM)
+    cent_pred = (
+        f"({H.sql_h48(f'{IVF_SALT!r} || CAST(vec_id AS VARCHAR)')} % {IVF_RATIO}) = 0"
+    )
+    return f"""
+WITH nemb AS (
+  SELECT vec_id, {norm} AS nv FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, nv AS cv FROM nemb WHERE {cent_pred}
+), assign AS (
+  SELECT vec_id AS neighbor_id, nv, cent_id FROM (
+    SELECT e.vec_id, e.nv, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {V.sql_dot('e.nv', 'c.cv', EMBED_DIM)} DESC,
+                                       c.cent_id) AS rn
+    FROM nemb e, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qn, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.nv AS qn, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {V.sql_dot('q.nv', 'c.cv', EMBED_DIM)} DESC,
+                                       c.cent_id) AS rn
+    FROM nemb q, cents c WHERE q.vec_id < {ANN_NUM_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, {V.sql_dot('p.qn', 'a.nv', EMBED_DIM)} AS cos_sim
+  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+  WHERE a.neighbor_id != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos_sim
@@ -1549,6 +1613,7 @@ ORDER BY id_a, id_b
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "ann_topk": _oracle_ann_topk(use_lsh=False),
         "ann_lsh_topk": _oracle_ann_topk(use_lsh=True),
+        "ann_ivf_topk": _oracle_ann_ivf(),
         "lang_id": _oracle_lang_id(),
         "text_quality": _oracle_text_quality(),
         "token_counts": f"""
