@@ -626,6 +626,17 @@ def q_repeat_users(spark, sf_dir):
     return first_week.intersect(last_week).orderBy("user_id")
 
 
+def q_churned_users(spark, sf_dir):
+    """Set operation (EXCEPT): users who purchased in the first week but not
+    in the last week — the set-difference twin of repeat_users.  (Scoped to
+    purchases so the fixture yields a non-empty answer set; any-activity
+    churn is empty at sf0.01.)"""
+    events = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    first_week = events.filter(F.dayofmonth("ts") <= 7).select("user_id")
+    last_week = events.filter(F.dayofmonth("ts") >= 22).select("user_id")
+    return first_week.subtract(last_week).orderBy("user_id")
+
+
 def q_asof_last_purchase(spark, sf_dir):
     """ASOF JOIN (backward): each click joined to the user's most recent
     purchase at-or-before it.  Union+window implementation — one shuffle on
@@ -936,6 +947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "daily_type_rollup": q_daily_type_rollup,
     "repeat_users": q_repeat_users,
+    "churned_users": q_churned_users,
     "asof_last_purchase": q_asof_last_purchase,
     "asof_next_error": q_asof_next_error,
     "latest_value_per_user": q_latest_value_per_user,
@@ -1518,6 +1530,14 @@ ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
 SELECT user_id FROM events WHERE date_part('day', ts) <= 7
 INTERSECT
 SELECT user_id FROM events WHERE date_part('day', ts) >= 22
+ORDER BY user_id
+""",
+        "churned_users": """
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND date_part('day', ts) <= 7
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND date_part('day', ts) >= 22
 ORDER BY user_id
 """,
         "asof_last_purchase": """
