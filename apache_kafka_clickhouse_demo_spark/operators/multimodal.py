@@ -126,3 +126,59 @@ def media_summary(media: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+FRAME_STRIDE = 256  # bytes per conceptual frame
+FRAME_SAMPLE_EVERY = 2  # keep every 2nd frame
+FRAME_MAX = 4  # at most 4 sampled frames per video
+
+_FRAMES_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling for video blobs: every FRAME_SAMPLE_EVERY-th
+    FRAME_STRIDE-byte stripe (a real pipeline would seek keyframes; the
+    stripe stands in for a decoded frame), up to FRAME_MAX per video.
+
+    mapInPandas over Arrow batches, like extract_features; rows fan OUT
+    (one per sampled frame), which is why this is mapInPandas and not a
+    scalar pandas_udf.  The per-frame md5 is computed from the exact blob
+    slice, so the whole Python path is hash-checked against a DuckDB
+    oracle (`substr` clamps at the blob end exactly like the Python slice).
+    Filter pushdown note: the media_type predicate applies BEFORE the
+    Python stage, so audio/image blobs never cross the Arrow boundary.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_offset": [], "frame_md5": []
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(blob)
+                for j in range(FRAME_MAX):
+                    idx = j * FRAME_SAMPLE_EVERY
+                    off = idx * FRAME_STRIDE
+                    if off >= n:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset"].append(off)
+                    out["frame_md5"].append(
+                        hashlib.md5(bytes(blob[off : off + FRAME_STRIDE])).hexdigest()
+                    )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int64", "frame_offset": "int64"}
+            )
+
+    videos = media.filter(F.col("meta.media_type") == "video").select("doc_id", "blob")
+    return videos.mapInPandas(batches, schema=_FRAMES_OUT_SCHEMA)

@@ -893,6 +893,13 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Frame sampling over video blobs (mapInPandas fan-out); per-frame md5
+    of the exact blob slice makes the Python path hash-checkable."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media).orderBy("doc_id", "frame_idx")
+
+
 def q_lang_id(spark, sf_dir):
     return text_analysis.language_id(_t(spark, sf_dir, "documents"))
 
@@ -981,6 +988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "media_summary": q_media_summary,
     "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 
@@ -1081,6 +1089,28 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
        [{feats}] AS feature
 FROM documents ORDER BY doc_id
+"""
+
+
+def _oracle_media_frame_sample() -> str:
+    """Mirror of multimodal.sample_frames: video docs (doc_id % 3 = 2), every
+    FRAME_SAMPLE_EVERY-th FRAME_STRIDE-byte stripe up to FRAME_MAX, md5 of
+    the clamped slice (ASCII text, so substr == byte slice)."""
+    stride = multimodal.FRAME_STRIDE
+    every = multimodal.FRAME_SAMPLE_EVERY
+    return f"""
+WITH v AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, text,
+         CAST(i * {every} AS BIGINT) AS frame_idx,
+         CAST(i * {every * stride} AS BIGINT) AS frame_offset
+  FROM v, UNNEST(range(0, {multimodal.FRAME_MAX})) AS t(i)
+  WHERE i * {every * stride} < length(text)
+)
+SELECT doc_id, frame_idx, frame_offset,
+       md5(substr(text, CAST(frame_offset + 1 AS INTEGER), {stride})) AS frame_md5
+FROM f ORDER BY doc_id, frame_idx
 """
 
 
@@ -1667,4 +1697,5 @@ SELECT media_type, count(*) AS n_files,
 FROM m GROUP BY media_type ORDER BY media_type
 """,
         "media_features": _oracle_media_features(),
+        "media_frame_sample": _oracle_media_frame_sample(),
     }
