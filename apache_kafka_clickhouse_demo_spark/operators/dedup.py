@@ -462,10 +462,11 @@ def connected_components(
     are shallow (cliques/stars around a canonical doc), so 2-3 rounds is
     typical.  Each round is one edge-label equi-join + a min-aggregate —
     both plain shuffles on node ids — and `localCheckpoint` cuts lineage so
-    the plan stays constant-size across rounds.  The convergence test is a
-    driver-side count, the standard fixpoint check for iterative distributed
-    algorithms.  For adversarial long-chain graphs, swap the propagation
-    step for large-star/small-star contraction (Kiveris et al., "Connected
+    the plan stays constant-size across rounds.  Convergence is detected by
+    the total label sum: labels only ever decrease, so an unchanged sum IS
+    the fixpoint — one cheap aggregate per round instead of a change-count
+    join.  For adversarial long-chain graphs, swap the propagation step for
+    large-star/small-star contraction (Kiveris et al., "Connected
     Components in MapReduce and Beyond", 2014) — rounds drop to
     O(log^2 n); same interface, not needed for dedup-shaped graphs.
     """
@@ -477,25 +478,20 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    prev_sum = None
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
-        new = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        improved = (
-            new.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if improved == 0:
+        label_sum = labels.agg(F.sum("label")).first()[0]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

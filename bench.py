@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_clusters",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "doc_fingerprint",
 ]

@@ -74,3 +74,10 @@ def test_asof_join_single_exchange_no_join(spark, sf_dir):
     # pre-aggregate, one to the as-of window itself
     n = plan.count("Arguments: hashpartitioning")
     assert n == 2, f"expected 2 hash exchanges, got {n}\n{plan}"
+
+
+def test_q17_broadcasts_both_small_sides(spark, sf_dir):
+    """Q17 shape: the brand part-key list and the per-part threshold table
+    must both broadcast — shuffling lineitem twice for them is the 100 TB
+    failure mode."""
+    assert_broadcast_join(Q.q17_small_quantity_revenue(spark, sf_dir), expect=2)
