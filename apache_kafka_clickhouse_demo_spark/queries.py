@@ -71,6 +71,8 @@ NEAR_DUP_SEED = 101
 
 SPLIT_SALT = "split:"
 SPLIT_TRAIN_PCT = 90
+SAMPLE_SALT = "sample:"
+SAMPLE_PCT = 10
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 EVENTS_CUTOFF = "2024-01-15 00:00:00"
@@ -809,6 +811,20 @@ def q_uniq_users(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~10% sample by hash bucket on the row key — unlike
+    TABLESAMPLE this is reproducible across runs, engines, and cluster
+    sizes, which is what training-data curation needs (resampling must not
+    silently change the corpus).  Row-local, no shuffle; the filter runs in
+    the scan stage."""
+    ev = _t(spark, sf_dir, "events")
+    keep = (
+        H.h48(F.concat(F.lit(SAMPLE_SALT), F.col("event_id").cast("string"))) % 100
+        < SAMPLE_PCT
+    )
+    return ev.filter(keep).select("event_id", "event_type", "user_id").orderBy("event_id")
+
+
 def q_uniq_users_approx(spark, sf_dir):
     """`uniq` parity: HyperLogLog++ approximate count-distinct — the sketch
     path a 100 TB pipeline actually uses (fixed ~KB state per group, pure
@@ -975,6 +991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_type_matrix": q_event_type_matrix,
     "uniq_users": q_uniq_users,
     "uniq_users_approx": q_uniq_users_approx,
+    "hash_sample": q_hash_sample,
     "pii_scrub": q_pii_scrub,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1607,6 +1624,12 @@ SELECT user_id, max(ts) AS last_ts,
        max(CASE WHEN rn_last = 1 THEN value END) AS last_value,
        max(CASE WHEN rn_first = 1 THEN value END) AS first_value
 FROM ranked GROUP BY user_id ORDER BY user_id
+""",
+        "hash_sample": f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE ({H.sql_h48(f"'{SAMPLE_SALT}' || CAST(event_id AS VARCHAR)")} % 100)
+      < {SAMPLE_PCT}
+ORDER BY event_id
 """,
         "train_test_split": f"""
 SELECT doc_id,
