@@ -73,6 +73,7 @@ SPLIT_SALT = "split:"
 SPLIT_TRAIN_PCT = 90
 SAMPLE_SALT = "sample:"
 SAMPLE_PCT = 10
+FILL_MIN_VALUE = 300.0
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 EVENTS_CUTOFF = "2024-01-15 00:00:00"
@@ -573,6 +574,29 @@ def q_user_cumulative_value(spark, sf_dir):
     )
 
 
+def q_daily_big_values_filled(spark, sf_dir):
+    """Gap-filled daily series (`ORDER BY ... WITH FILL` parity): daily
+    count of high-value events over the dataset's full [min, max] day
+    range, absent days densified to zero.  The calendar spine is one
+    min/max aggregate + sequence() — no driver collect — and the sparse
+    daily counts broadcast to the left join against it."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = (
+        ev.filter(F.col("value") > FILL_MIN_VALUE)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        days.join(F.broadcast(daily), "day", "left")
+        .select("day", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+        .orderBy("day")
+    )
+
+
 def q_value_histogram(spark, sf_dir):
     """Histogram binning: fixed-width buckets as a plain group-by — one hash
     aggregate with map-side partials, the way a 100 TB profile pass bins."""
@@ -979,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_no_orders": q_customers_no_orders,
     "value_percentiles": q_value_percentiles,
     "value_histogram": q_value_histogram,
+    "daily_big_values_filled": q_daily_big_values_filled,
     "click_purchase_users": q_click_purchase_users,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "user_cumulative_value": q_user_cumulative_value,
@@ -1519,6 +1544,20 @@ SELECT event_type,
        round(quantile_cont(value, 0.50), 6) AS p50,
        round(quantile_cont(value, 0.75), 6) AS p75
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "daily_big_values_filled": f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+), days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events WHERE value > {FILL_MIN_VALUE} GROUP BY 1
+)
+SELECT days.day AS day, CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
+FROM days LEFT JOIN daily ON days.day = daily.day
+ORDER BY days.day
 """,
         "click_purchase_users": """
 WITH c AS (
