@@ -1,0 +1,85 @@
+"""asof_join edge semantics: boundary inclusivity, direction, join mode.
+
+The oracle gate proves parity with DuckDB's ASOF JOIN on fixture data; these
+pin the corner cases a fixture may not hit."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 10:00:00")),
+            (2, 100, _ts("2024-01-01 12:00:00")),
+            (3, 200, _ts("2024-01-01 09:00:00")),  # before any right row
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 10:00:00"), 1.0),  # exactly at left #1
+            (100, _ts("2024-01-01 11:00:00"), 2.0),
+            (200, _ts("2024-01-01 11:30:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, val double",
+    ).withColumn("val_ts", F.col("ts"))
+    return left, right
+
+
+def _rows(df):
+    return {r["event_id"]: (r["val_ts"], r["val"]) for r in df.collect()}
+
+
+def test_backward_is_inclusive_at_equal_ts(spark, tables):
+    left, right = tables
+    got = _rows(
+        asof_join(left, right, on=["user_id"], ts_col="ts", payload_cols=["val_ts", "val"])
+    )
+    # left #1 matches the right row AT its own timestamp (>= semantics)
+    assert got[1] == (_ts("2024-01-01 10:00:00"), 1.0)
+    # left #2 takes the latest earlier row, not the first
+    assert got[2] == (_ts("2024-01-01 11:00:00"), 2.0)
+    # left #3 precedes every right row for its key -> null payload kept (left join)
+    assert got[3] == (None, None)
+
+
+def test_forward_matches_next_at_or_after(spark, tables):
+    left, right = tables
+    got = _rows(
+        asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            payload_cols=["val_ts", "val"], direction="forward",
+        )
+    )
+    assert got[1] == (_ts("2024-01-01 10:00:00"), 1.0)  # inclusive boundary
+    assert got[2] == (None, None)  # nothing at-or-after 12:00 for user 100
+    assert got[3] == (_ts("2024-01-01 11:30:00"), 9.0)
+
+
+def test_inner_drops_unmatched_left_rows(spark, tables):
+    left, right = tables
+    got = _rows(
+        asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            payload_cols=["val_ts", "val"], how="inner",
+        )
+    )
+    assert set(got) == {1, 2}
+
+
+def test_payload_collision_rejected(spark, tables):
+    left, right = tables
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["user_id"], ts_col="ts", payload_cols=["ts"])
