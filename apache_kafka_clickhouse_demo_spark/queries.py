@@ -74,6 +74,7 @@ SPLIT_TRAIN_PCT = 90
 SAMPLE_SALT = "sample:"
 SAMPLE_PCT = 10
 FILL_MIN_VALUE = 300.0
+CURATION_MIN_QUALITY = 0.5
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 EVENTS_CUTOFF = "2024-01-15 00:00:00"
@@ -835,6 +836,47 @@ def q_uniq_users(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation pipeline — the capstone composition: keep a doc
+    iff it is (a) the canonical representative of its near-dup cluster,
+    (b) predicted English, and (c) above the quality threshold; attach the
+    deterministic train/test split to survivors.  Every stage is one of the
+    gate operators composed unchanged, which is the point: the curation
+    pass a 100 TB corpus runs is exactly these row-local scores plus the
+    banded-LSH dedup, joined on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = text_analysis.language_id(docs).select("doc_id", "pred_lang")
+    qual = text_analysis.quality_score(docs).select("doc_id", "quality")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        num_perm=MINHASH_PERM,
+        bands=MINHASH_BANDS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+    canon = (
+        dedup.connected_components(docs, pairs)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    bucket = H.h48(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.select("doc_id")
+        .join(canon, "doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= CURATION_MIN_QUALITY))
+        .select(
+            "doc_id",
+            "quality",
+            F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic ~10% sample by hash bucket on the row key — unlike
     TABLESAMPLE this is reproducible across runs, engines, and cluster
@@ -1017,6 +1059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniq_users": q_uniq_users,
     "uniq_users_approx": q_uniq_users_approx,
     "hash_sample": q_hash_sample,
+    "corpus_curation": q_corpus_curation,
     "pii_scrub": q_pii_scrub,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1131,6 +1174,30 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
        [{feats}] AS feature
 FROM documents ORDER BY doc_id
+"""
+
+
+def _oracle_corpus_curation() -> str:
+    """Composition of the lang-ID, quality, and cluster oracles — mirrors
+    q_corpus_curation stage for stage."""
+    split_bucket = H.sql_h48(f"'{SPLIT_SALT}' || CAST(d.doc_id AS VARCHAR)")
+    return f"""
+WITH lang AS (
+  SELECT doc_id, pred_lang FROM ({_oracle_lang_id()})
+), qual AS (
+  SELECT doc_id, quality FROM ({_oracle_text_quality()})
+), canon AS (
+  SELECT doc_id FROM ({_oracle_dedup_clusters()}) WHERE doc_id = cluster_id
+)
+SELECT d.doc_id, quality,
+       CASE WHEN ({split_bucket} % 100) < {SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split
+FROM documents d
+JOIN canon USING (doc_id)
+JOIN lang USING (doc_id)
+JOIN qual USING (doc_id)
+WHERE pred_lang = 'en' AND quality >= {CURATION_MIN_QUALITY}
+ORDER BY d.doc_id
 """
 
 
@@ -1664,6 +1731,7 @@ SELECT user_id, max(ts) AS last_ts,
        max(CASE WHEN rn_first = 1 THEN value END) AS first_value
 FROM ranked GROUP BY user_id ORDER BY user_id
 """,
+        "corpus_curation": _oracle_corpus_curation(),
         "hash_sample": f"""
 SELECT event_id, event_type, user_id FROM events
 WHERE ({H.sql_h48(f"'{SAMPLE_SALT}' || CAST(event_id AS VARCHAR)")} % 100)
