@@ -554,6 +554,25 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
+def q_purchase_gaps(spark, sf_dir):
+    """lag/lead coverage: per-user gap to the previous purchase and
+    time-to-next purchase, in milliseconds (exact integer arithmetic, so
+    the oracle is bit-free)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            (ms - F.lag(ms).over(w)).alias("ms_since_prev"),
+            (F.lead(ms).over(w) - ms).alias("ms_to_next"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_user_cumulative_value(spark, sf_dir):
     """Running aggregate: each purchase with the user's cumulative purchase
     value so far — an ordered window with the default running frame."""
@@ -1049,6 +1068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "click_purchase_users": q_click_purchase_users,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "user_cumulative_value": q_user_cumulative_value,
+    "purchase_gaps": q_purchase_gaps,
     "user_event_sequence": q_user_event_sequence,
     "brand_revenue": q_brand_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1652,6 +1672,14 @@ WITH brand_items AS (
 SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
 FROM brand_items JOIN t ON l_partkey = t_partkey
 WHERE l_quantity < qty_threshold
+""",
+        "purchase_gaps": """
+SELECT event_id, user_id,
+       epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS ms_since_prev,
+       lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS ms_to_next
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
 """,
         "user_cumulative_value": """
 SELECT event_id, user_id, ts,
