@@ -182,3 +182,42 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
     videos = media.filter(F.col("meta.media_type") == "video").select("doc_id", "blob")
     return videos.mapInPandas(batches, schema=_FRAMES_OUT_SCHEMA)
+
+
+RESIZE_BYTES = 64  # target "resolution" of the fake resize
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Deterministic fake resize: strided downsample of the blob to at most
+    RESIZE_BYTES bytes (stride = n // RESIZE_BYTES, floor, min 1) — stands
+    in for decode->bilinear-resize->re-encode, keeping the real pipeline
+    shape: scalar-per-row Python over Arrow batches, blob in, smaller blob
+    out.  Emits the resized length and md5 so the Python path is exactly
+    hash-checkable; the resized blob itself stays on executors.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            n_out, md5_out = [], []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                stride = max(1, len(b) // RESIZE_BYTES)
+                resized = b[::stride][:RESIZE_BYTES]
+                n_out.append(len(resized))
+                md5_out.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "resized_bytes": n_out, "resized_md5": md5_out}
+            ).astype({"doc_id": "int64", "resized_bytes": "int64"})
+
+    return media.select("doc_id", "blob").mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("resized_bytes", T.LongType()),
+                T.StructField("resized_md5", T.StringType()),
+            ]
+        ),
+    )

@@ -1001,6 +1001,13 @@ def q_media_frame_sample(spark, sf_dir):
     return multimodal.sample_frames(media).orderBy("doc_id", "frame_idx")
 
 
+def q_media_resize(spark, sf_dir):
+    """Fake-resize over blobs (strided downsample, mapInPandas): resized
+    length + md5, hash-checked against the same slicing done in SQL."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_media(media).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     return text_analysis.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1094,6 +1101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_summary": q_media_summary,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
+    "media_resize": q_media_resize,
 }
 
 
@@ -1856,4 +1864,20 @@ FROM m GROUP BY media_type ORDER BY media_type
 """,
         "media_features": _oracle_media_features(),
         "media_frame_sample": _oracle_media_frame_sample(),
+        "media_resize": f"""
+WITH s AS (
+  SELECT doc_id, text,
+         greatest(1, length(text) // {multimodal.RESIZE_BYTES}) AS stride,
+         length(text) AS n FROM documents
+)
+SELECT doc_id,
+       CAST(least({multimodal.RESIZE_BYTES}, (n + stride - 1) // stride) AS BIGINT)
+         AS resized_bytes,
+       md5(array_to_string(
+         list_transform(
+           range(0, least({multimodal.RESIZE_BYTES}, (n + stride - 1) // stride)),
+           i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)),
+         '')) AS resized_md5
+FROM s ORDER BY doc_id
+""",
     }
