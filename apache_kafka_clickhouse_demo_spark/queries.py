@@ -87,6 +87,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dec2(c) -> "F.Column":
+    """Exact decimal(18,2) copy of a money column (every fixture money/value
+    column carries at most 2 decimals, so this cast is lossless)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+_DEC_ONE = "CAST(1 AS DECIMAL(18,2))"
+
+
+def _money_sum(expr) -> "F.Column":
+    """Order-independent money sum -> double.
+
+    A double sum's half-cent rounding boundary flips with accumulation
+    order, and the driver's session partitions differently than local runs
+    — summing exact decimals makes the cents deterministic.  The oracles
+    mirror this as CAST(round(sum(<decimal expr>), 2) AS DOUBLE): DuckDB
+    round() is HALF_UP like Spark's decimal cast (DuckDB's decimal CAST is
+    half-even — do not use it there)."""
+    return F.sum(expr).cast("decimal(18,2)").cast("double")
+
+
 # ===========================================================================
 # Reference-parity queries (events table = the reference's entry events;
 # SURVEY.md §2.2-2.6)
@@ -109,7 +131,7 @@ def q_value_by_type(spark, sf_dir):
         attendance.typed_events(_t(spark, sf_dir, "events"))
         .groupBy("event_type")
         .agg(
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _money_sum(_dec2("value")).alias("total_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy(F.col("total_value").desc())
@@ -156,7 +178,7 @@ def q_user_activity(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _money_sum(_dec2("value")).alias("total_value"),
         )
         .orderBy("user_id")
     )
@@ -355,14 +377,22 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            _money_sum(_dec2("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(
+                _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
+            ).alias("sum_disc_price"),
+            _money_sum(
+                _dec2("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
+                * (F.lit(1).cast("decimal(18,2)") + _dec2("l_tax"))
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(_dec2("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec2("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -380,7 +410,9 @@ def q3_shipping_priority(spark, sf_dir):
         .join(orders.filter(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_money_sum(
+            _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
+        ).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -409,7 +441,9 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_money_sum(
+            _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
+        ).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -426,7 +460,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_money_sum(_dec2("l_extendedprice") * _dec2("l_discount")).alias("revenue"))
     )
 
 
@@ -550,7 +584,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         F.broadcast(part_avg.withColumnRenamed("l_partkey", "t_partkey")),
         F.col("l_partkey") == F.col("t_partkey"),
     ).filter(F.col("l_quantity") < F.col("qty_threshold")).agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        F.round(F.sum(_dec2("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly")
     )
 
 
@@ -625,7 +659,7 @@ def q_value_histogram(spark, sf_dir):
         .groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum(_dec2("value")).cast("double") / F.count(F.lit(1)), 6).alias("avg_value"),
         )
         .orderBy("bucket")
     )
@@ -655,7 +689,7 @@ def q_daily_type_rollup(spark, sf_dir):
         .rollup(F.to_date("ts").alias("day"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _money_sum(_dec2("value")).alias("total_value"),
         )
         .orderBy(
             F.col("day").asc_nulls_first(), F.col("event_type").asc_nulls_first()
@@ -756,13 +790,52 @@ def q_train_test_split(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — 4-table join: revenue lost to returns per customer
+    in one quarter.  lineitem (the 100 TB side) is filtered first; orders
+    carries the date predicate into its scan; customer and nation broadcast,
+    so the only data-sized shuffle is the final group-by."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    o_q = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o_q, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # exact decimal arithmetic: the fixture's prices/discounts have 2
+            # decimals, so the sum is order-independent and the half-cent
+            # rounding boundary (which double sums land on either side of,
+            # depending on accumulation order) cannot occur
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_brand_revenue(spark, sf_dir):
     li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _money_sum(
+            _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
+        ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("p_brand"))
@@ -831,9 +904,10 @@ def q_event_type_matrix(spark, sf_dir):
         events.groupBy("user_id")
         .agg(
             *per_type,
-            F.round(
-                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
-                2,
+            _money_sum(
+                F.when(F.col("event_type") == "purchase", _dec2("value")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
             ).alias("purchase_value"),
         )
         .orderBy("user_id")
@@ -1077,6 +1151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_cumulative_value": q_user_cumulative_value,
     "purchase_gaps": q_purchase_gaps,
     "user_event_sequence": q_user_event_sequence,
+    "q10_returned_items": q10_returned_items,
     "brand_revenue": q_brand_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "dedup_exact": q_dedup_exact,
@@ -1177,7 +1252,7 @@ def _oracle_event_type_matrix() -> str:
     return f"""
 SELECT user_id,
        {per_type},
-       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+       CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
          AS purchase_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
@@ -1472,7 +1547,7 @@ FROM events
 """,
         "count_events": "SELECT count(*) AS n_events FROM events",
         "value_by_type": """
-SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+SELECT event_type, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value, count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY total_value DESC
 """,
         "latest_event": """
@@ -1499,7 +1574,7 @@ SELECT CAST(date_trunc('day', ts_hour) AS TIMESTAMP) AS day, event_type,
 FROM g GROUP BY 1, 2 ORDER BY day, event_type
 """,
         "user_activity": """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+SELECT user_id, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id ORDER BY user_id
 """,
         "type_user_stats": """
@@ -1557,18 +1632,18 @@ FROM g GROUP BY 1, 2 ORDER BY day, event_type
         "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """,
         "q3_shipping_priority": f"""
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1579,7 +1654,7 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
         "q5_local_supplier_volume": f"""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1590,7 +1665,7 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name ORDER BY revenue DESC, n_name
 """,
         "q6_forecast_revenue": f"""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q5_START}' AND l_shipdate < TIMESTAMP '{Q5_END}'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -1677,7 +1752,7 @@ WITH brand_items AS (
   SELECT l_partkey AS t_partkey, avg(l_quantity) * 0.2 AS qty_threshold
   FROM brand_items GROUP BY 1
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM brand_items JOIN t ON l_partkey = t_partkey
 WHERE l_quantity < qty_threshold
 """,
@@ -1699,7 +1774,7 @@ FROM events WHERE event_type = 'purchase' ORDER BY event_id
         "value_histogram": """
 SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
        count(*) AS n,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
 FROM events GROUP BY bucket ORDER BY bucket
 """,
         "user_event_sequence": """
@@ -1710,7 +1785,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 """,
         "daily_type_rollup": """
 SELECT CAST(ts AS DATE) AS day, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
 ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
@@ -1781,8 +1856,24 @@ SELECT doc_id,
             THEN 'train' ELSE 'test' END AS split
 FROM documents ORDER BY doc_id
 """,
+        "q10_returned_items": f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),
+                  2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q5_START}'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
         "brand_revenue": """
-SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT p_brand, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 10
