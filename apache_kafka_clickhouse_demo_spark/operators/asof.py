@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "_asof_side"
+_MATCH = "_asof_match"
 
 
 def asof_join(
@@ -90,7 +91,14 @@ def asof_join(
         u = u.withColumn(
             c, F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True).over(w)
         )
+    # Explicit always-non-null match marker for how="inner": filtering on a
+    # payload column would wrongly drop left rows whose matched right row
+    # legitimately carries NULL in that payload.
+    matched = F.last(
+        F.when(F.col(_SIDE) == 0, F.lit(1)), ignorenulls=True
+    ).over(w)
+    u = u.withColumn(_MATCH, matched)
     out = u.filter(F.col(_SIDE) == 1).drop(_SIDE, *[t for t in tiebreak if t not in left.columns])
     if how == "inner":
-        out = out.filter(F.col(payload_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col(_MATCH).isNotNull())
+    return out.drop(_MATCH)

@@ -88,7 +88,13 @@ def minhash_signatures(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    hashed = base.select("doc_id", F.explode("shingles").alias("s")).select(
+    # explode_OUTER: a doc whose shingle array is NULL (NULL text — short
+    # docs always yield at least one shingle) must still get a signature row
+    # — the oracle computes one (all permutation minima NULL).
+    # h48_mod_p(NULL) = NULL, so the min() aggregates below yield exactly
+    # those NULLs, and the banding step turns all-NULL band slices into ''
+    # keys on both engines.
+    hashed = base.select("doc_id", F.explode_outer("shingles").alias("s")).select(
         "doc_id", H.h48_mod_p("s").alias("h")
     )
     params = H.minhash_params(num_perm)
@@ -190,12 +196,18 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # whole-stage codegen, then ONE hash aggregate with 48 conditional sums
     # (bit counts) + a count — the shuffle carries only 49 longs per doc
     # per partition thanks to map-side partial aggregation.
+    #
+    # explode_OUTER + count("h") + the NULL guard below: a doc with a NULL
+    # token array (NULL text) must keep its row with simhash = NULL (the
+    # oracle's bit-sums over a NULL hash list are NULL), not silently vanish
+    # — and NULL never equi-joins, so such docs produce no pairs on either
+    # engine.
     tok_rows = spread_small(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(TX.tokens(text_col)).alias("t")
+        F.col(id_col).alias("doc_id"), F.explode_outer(TX.tokens(text_col)).alias("t")
     ).select("doc_id", H.h48("t").alias("h"))
 
     counted = tok_rows.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.count("h").alias("_n"),  # non-null hashes only: 0 for empty docs
         *[
             F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"_c{i}")
             for i in range(SIMHASH_BITS)
@@ -209,6 +221,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             F.lit(0).cast("long")
         )
         sim = term if sim is None else sim + term
+    sim = F.when(F.col("_n") > 0, sim)  # empty doc -> NULL simhash, as the oracle
     return counted.select("doc_id", sim.alias("simhash"))
 
 

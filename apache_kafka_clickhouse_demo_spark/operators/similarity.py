@@ -184,7 +184,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     dim: int | None = None,
-    centroid_ratio: int = 64,
+    target_centroids: int = 256,
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -194,20 +194,29 @@ def ivf_topk(
     centroid vectors, probe each query's `nprobe` closest cells, exact-rerank
     inside the probed cells only.
 
-    Centroids are a deterministic 1/centroid_ratio hash-sample of the corpus
-    itself (h48(salt || id) % ratio == 0): no k-means fit pass, no driver
-    collect, and the centroid count grows with the corpus automatically —
-    at 100 TB the cell size stays ~centroid_ratio vectors in expectation
-    while the broadcast side stays corpus/ratio rows.  (A trained k-means
-    quantizer probes fewer/better cells but needs an iterative fit whose
-    float accumulation order is not reproducible cross-engine; the sampled
-    quantizer keeps the whole operator exactly oracle-checkable.)
+    Centroids are a deterministic hash-sample of the corpus itself, sized
+    to a FIXED target count: sampling modulus = max(1, n // target_centroids)
+    with h48(salt || id) % modulus == 0, so the expected centroid count is
+    ~target_centroids regardless of corpus size.  That keeps both scale
+    hazards bounded as the corpus grows: the broadcast side stays
+    ~target_centroids rows (constant, never corpus/ratio), and assignment
+    stays O(n * target_centroids) dot products (linear in n, never
+    O(n²/ratio)).  At 100 TB you raise target_centroids (e.g. to ~sqrt(n),
+    the classic IVF sizing) — the broadcast is still just K vectors.
+    No k-means fit pass: a trained quantizer probes fewer/better cells but
+    needs an iterative fit whose float accumulation order is not
+    reproducible cross-engine; the sampled quantizer keeps the whole
+    operator exactly oracle-checkable (the oracle derives the same modulus
+    from the same count).
+
+    The one driver-side action is the scalar `corpus.count()` that fixes
+    the modulus — one lightweight job, same class as broadcast planning.
 
     Plan shape: centroid assignment is a broadcast nested-loop over the
-    small centroid table folded into one max_by aggregate per vector (the
-    standard IVF assign cost, n * n/ratio dots, all codegen); the probe
-    join shuffles corpus and queries by cell id only.  Ties in assignment
-    and probing break on centroid id, so results are fully deterministic.
+    small centroid table folded into one max_by aggregate per vector (all
+    codegen, map-side partials); the probe join shuffles corpus and queries
+    by cell id only.  Ties in assignment and probing break on centroid id,
+    so results are fully deterministic.
     """
     if dim is None:
         raise ValueError("pass dim explicitly (no driver-side inference)")
@@ -215,11 +224,14 @@ def ivf_topk(
     from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
     from pyspark.sql import Window
 
+    n = corpus.count()  # scalar; fixes the sampling modulus deterministically
+    modulus = max(1, n // target_centroids)
+
     vecs = spread_small(corpus).select(
         F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
     )
     cents = vecs.filter(
-        H.h48(F.concat(F.lit(salt), F.col("vid").cast("string"))) % centroid_ratio == 0
+        H.h48(F.concat(F.lit(salt), F.col("vid").cast("string"))) % modulus == 0
     ).select(F.col("vid").alias("cent_id"), F.col("nv").alias("cv"))
 
     # assignment: argmax cosine over centroids, tie -> smallest cent_id

@@ -19,8 +19,9 @@ from apache_kafka_clickhouse_demo_spark.functions import text as TX
 BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
-def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """N-gram/stopword-overlap language heuristic.
+def _lang_struct(text_col: str) -> Column:
+    """1-element array of struct(pred_lang, lang_score) — the language-ID
+    argmax as a single expression, for `F.inline` in a select.
 
     predicted = argmax over languages of |distinct(tokens) ∩ stopwords(lang)|,
     ties broken by language code ascending, 'und' if all scores are 0.
@@ -55,17 +56,22 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             ).otherwise(pred)
         return F.struct(pred.alias("pred_lang"), best.cast("int").alias("lang_score"))
 
-    one_struct = F.transform(
+    return F.transform(
         F.array(F.array_distinct(TX.tokens(text_col))),
         lambda td: F.element_at(
             F.transform(F.array(scores_of(td)), lambda sc: struct_of(sc)), 1
         ),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), F.inline(one_struct))
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document quality features + composite score.
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword-overlap language heuristic (see _lang_struct)."""
+    return docs.select(F.col(id_col).alias("doc_id"), F.inline(_lang_struct(text_col)))
+
+
+def _quality_cols(text_col: str) -> list[Column]:
+    """The quality-score feature columns (aliased), for reuse by both
+    quality_score and the one-pass text_profile.
 
     Features (all deterministic, SQL-portable):
       n_chars, n_tokens, avg_token_len, punct_ratio (punctuation chars /
@@ -91,26 +97,49 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2,
         4,
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         avg_token_len.alias("avg_token_len"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality"),
-    )
+    ]
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality features + composite score."""
+    return docs.select(F.col(id_col).alias("doc_id"), *_quality_cols(text_col))
+
+
+def _token_count_cols(text_col: str) -> list[Column]:
+    t = F.trim(F.lower(F.col(text_col)))
+    ws = F.size(F.split(t, r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0))
+    return [ws.alias("ws_tokens"), bpe.alias("bpe_tokens")]
 
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per document."""
-    t = F.trim(F.lower(F.col(text_col)))
-    ws = F.size(F.split(t, r"\s+"))
-    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0))
+    return docs.select(F.col(id_col).alias("doc_id"), *_token_count_cols(text_col))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document text profile: quality features + token counts +
+    language ID, all in a SINGLE row-local projection.
+
+    At 100 TB this matters: a curation pass needs all three signals, and
+    joining three separate per-doc outputs back on doc_id would add two
+    data-sized shuffles for what is fundamentally one scan.  Every column
+    here is a pure expression over the same row (the generator `inline`
+    emits exactly one struct per input row), so the whole profile runs at
+    scan throughput with zero exchanges.
+    """
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        ws.alias("ws_tokens"),
-        bpe.alias("bpe_tokens"),
+        *_quality_cols(text_col),
+        *_token_count_cols(text_col),
+        F.inline(_lang_struct(text_col)),
     )
 
 
@@ -122,14 +151,22 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     Explode + codegen md5 + min() aggregate: the per-shingle hashing runs
     in whole-stage codegen instead of the interpreted HOF evaluator, and
     map-side partial aggregation shrinks the shuffle to one long per doc
-    per partition."""
+    per partition.
+
+    explode_OUTER, not explode: a doc with a NULL text has a NULL token
+    (hence shingle) array, and a plain explode would drop its row entirely —
+    the oracle emits it with NULL fingerprints.  (Short docs are safe either
+    way: word_shingles yields the full token string as a single shingle, so
+    shingle arrays are never empty for non-NULL text.)  The outer variant
+    keeps one row with s = NULL; h48(NULL) = NULL, so both fingerprints
+    surface as exactly the oracle's NULLs."""
     t = F.lower(F.trim(F.col(text_col)))
     toks = TX.tokens(text_col)
     sh = TX.word_shingles(toks, 3)
     exploded = spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
         H.h48(t).alias("text_fp"),  # once per input row, carried by explode
-        F.explode(sh).alias("s"),
+        F.explode_outer(sh).alias("s"),
     )
     return (
         exploded.groupBy("doc_id")

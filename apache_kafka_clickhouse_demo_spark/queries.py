@@ -46,7 +46,10 @@ ANN_NUM_QUERIES = 32
 ANN_K = 10
 RP_PLANES = 4
 RP_SEED = 7
-IVF_RATIO = 64
+# Fixed TARGET centroid count (not a corpus ratio): the sampling modulus is
+# derived as max(1, n // target) on both engines, so the centroid broadcast
+# stays ~constant-size no matter how large the corpus grows (VERDICT r02 #4).
+IVF_TARGET_CENTROIDS = 16
 IVF_NPROBE = 2
 IVF_SALT = "ivf:"
 
@@ -185,13 +188,16 @@ def q_user_activity(spark, sf_dir):
 
 
 def q_type_user_stats(spark, sf_dir):
-    """DISTINCT aggregate coverage: exact count-distinct per group."""
+    """A3/A4 + DISTINCT aggregate coverage in one hash aggregate: per-type
+    exact count-distinct, row count, and money sum (absorbs the former
+    value_by_type gate slot — same groupBy key, same scan)."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
+            _money_sum(_dec2("value")).alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -608,13 +614,18 @@ def q_purchase_gaps(spark, sf_dir):
 
 
 def q_user_cumulative_value(spark, sf_dir):
-    """Running aggregate: each purchase with the user's cumulative purchase
-    value so far — an ordered window with the default running frame."""
-    w = (
+    """Windowed analytics in ONE pass over one partition spec: running sum
+    (unbounded-preceding frame) + lag/lead inter-purchase gaps.  Sharing the
+    (user_id; ts, event_id) window means Catalyst plans a single exchange +
+    sort for all three analytic columns — this query absorbs the former
+    purchase_gaps gate slot at zero extra shuffle."""
+    wf = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
     return (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -622,7 +633,9 @@ def q_user_cumulative_value(spark, sf_dir):
             "event_id",
             "user_id",
             "ts",
-            F.round(F.sum("value").over(w), 6).alias("cum_value"),
+            F.round(F.sum("value").over(wf), 6).alias("cum_value"),
+            (ms - F.lag(ms).over(w)).alias("ms_since_prev"),
+            (F.lead(ms).over(w) - ms).alias("ms_to_next"),
         )
         .orderBy("event_id")
     )
@@ -668,7 +681,12 @@ def q_value_histogram(spark, sf_dir):
 def q_user_event_sequence(spark, sf_dir):
     """groupArray parity (ordered collect): each user's full event-type
     sequence in (ts, event_id) order.  collect_list + array_sort on a
-    struct gives a deterministic order without a window pass."""
+    struct gives a deterministic order without a window pass.
+
+    The sequence is emitted as a '|'-joined STRING (not array<string>):
+    semantics are identical, and a scalar column is what downstream
+    hash/compare tooling — including the driver's pandas canonicalization,
+    which cannot factorize list cells — can digest."""
     seq = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
         lambda s: s.event_type,
@@ -676,7 +694,10 @@ def q_user_event_sequence(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(seq.alias("seq_types"), F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.concat_ws("|", seq).alias("seq_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
         .orderBy("user_id")
     )
 
@@ -715,6 +736,28 @@ def q_churned_users(spark, sf_dir):
     first_week = events.filter(F.dayofmonth("ts") <= 7).select("user_id")
     last_week = events.filter(F.dayofmonth("ts") >= 22).select("user_id")
     return first_week.subtract(last_week).orderBy("user_id")
+
+
+def q_user_set_ops(spark, sf_dir):
+    """Set-operation coverage (INTERSECT + EXCEPT) in one gate query: users
+    active in both the first and last week ('repeat'), and users who
+    purchased in the first week but not the last ('churned').  Each branch
+    is the same distinct-shuffle a standalone set op would plan; the union
+    of the two tagged results adds no exchange."""
+    events = _t(spark, sf_dir, "events")
+    first_week = events.filter(F.dayofmonth("ts") <= 7).select("user_id")
+    last_week = events.filter(F.dayofmonth("ts") >= 22).select("user_id")
+    repeat = first_week.intersect(last_week).select(
+        F.lit("repeat").alias("set_op"), "user_id"
+    )
+    purch = events.filter(F.col("event_type") == "purchase")
+    churned = (
+        purch.filter(F.dayofmonth("ts") <= 7)
+        .select("user_id")
+        .subtract(purch.filter(F.dayofmonth("ts") >= 22).select("user_id"))
+        .select(F.lit("churned").alias("set_op"), "user_id")
+    )
+    return repeat.unionByName(churned).orderBy("set_op", "user_id")
 
 
 def q_asof_last_purchase(spark, sf_dir):
@@ -782,11 +825,18 @@ def q_train_test_split(spark, sf_dir):
     pipeline needs so re-runs never leak test docs into train."""
     docs = _t(spark, sf_dir, "documents")
     bucket = H.h48(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    # independent-salt sampling flag in the same row-local pass (absorbs the
+    # former hash_sample gate slot): reproducible ~SAMPLE_PCT% subset,
+    # decorrelated from the split by the distinct salt
+    sample_bucket = (
+        H.h48(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))) % 100
+    )
     return docs.select(
         "doc_id",
         F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
         .otherwise(F.lit("test"))
         .alias("split"),
+        (sample_bucket < SAMPLE_PCT).alias("in_sample"),
     ).orderBy("doc_id")
 
 
@@ -911,21 +961,6 @@ def q_event_type_matrix(spark, sf_dir):
             ).alias("purchase_value"),
         )
         .orderBy("user_id")
-    )
-
-
-def q_uniq_users(spark, sf_dir):
-    """uniqExact parity: exact COUNT(DISTINCT) per group.  Spark plans this
-    as a two-phase aggregate (partial distinct by (type, user) then count),
-    so the full user set never concentrates on one node."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("uniq_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("event_type")
     )
 
 
@@ -1054,7 +1089,8 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: hash-sampled centroids, nprobe-cell probe, exact
+    """IVF-style ANN: hash-sampled centroids sized to a FIXED target count
+    (constant broadcast at any corpus size), nprobe-cell probe, exact
     rerank within cells (operators/similarity.ivf_topk)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
@@ -1062,7 +1098,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") < ANN_NUM_QUERIES),
         k=ANN_K,
         dim=EMBED_DIM,
-        centroid_ratio=IVF_RATIO,
+        target_centroids=IVF_TARGET_CENTROIDS,
         nprobe=IVF_NPROBE,
         salt=IVF_SALT,
     )
@@ -1094,6 +1130,13 @@ def q_token_counts(spark, sf_dir):
     return text_analysis.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_text_profile(spark, sf_dir):
+    """Language ID + quality features + token counts as ONE row-local pass
+    (operators/text_analysis.text_profile) — the gate query for all three
+    text-analysis operators; zero exchanges, scan-throughput at 100 TB."""
+    return text_analysis.text_profile(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return text_analysis.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1103,65 +1146,43 @@ def q_media_summary(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """mapInPandas feature extraction over Arrow blob batches.  The stub
-    decode is a deterministic strided byte-sum with floor-based rounding,
-    so even this Python-side path is fully hash-checked against a DuckDB
-    oracle — the doubles are bit-identical cross-engine."""
-    feats = multimodal.extract_features(multimodal.attach_media(_t(spark, sf_dir, "documents")))
-    return feats.orderBy("doc_id")
+    """mapInPandas feature extraction + fake resize over Arrow blob batches,
+    joined on doc_id — the gate query for both Python-side media operators.
+    The stub decode is a deterministic strided byte-sum with floor-based
+    rounding, so even this Python-side path is fully hash-checked against a
+    DuckDB oracle.
 
+    The feature vector is emitted as `feature_ufp`: '|'-joined micro-units
+    (round(x * 1e6) as long).  Integers format identically everywhere,
+    sidestepping both cross-engine float-formatting hazards and the
+    driver's list-cell canonicalization limit; no information is lost (the
+    features are floor-quantized to 1e-6 by construction)."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media).select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.concat_ws(
+            "|", F.transform("feature", lambda x: F.round(x * 1e6).cast("long"))
+        ).alias("feature_ufp"),
+    )
+    resized = multimodal.resize_media(media)
+    return feats.join(resized, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gate registry — AT MOST 50 entries (the driver's correctness gate emits
+# rows for the first 50 registry keys; round 2 registered 65 and the last 15
+# were silently never checked).  Every operator family keeps exactly one
+# gate query; the absorbed/overlapping variants live in EXTRA_QUERIES below,
+# still oracle-checked locally by tools/oracle_check.py.
+#
+# Order matters: queries that had no driver row in round 2 (or changed this
+# round) come FIRST, so even a truncated gate records them.
+# ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "extract_typed_events": q_extract_typed_events,
-    "count_events": q_count_events,
-    "value_by_type": q_value_by_type,
-    "latest_event": q_latest_event,
-    "events_after": q_events_after,
-    "attendance_granular": q_attendance_granular,
-    "attendance_daily_merged": q_attendance_daily_merged,
-    "user_activity": q_user_activity,
-    "type_user_stats": q_type_user_stats,
-    "entry_house_points": q_entry_house_points,
-    "entry_attendance": q_entry_attendance,
-    "events_preview": q_events_preview,
-    "mv_cascade_attendance": q_mv_cascade_attendance,
-    "attendance_daily_compacted": q_attendance_daily_compacted,
-    "stream_dedup": q_stream_dedup,
-    "sql_busy_days": q_sql_busy_days,
-    "show_tables": q_show_tables,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "user_sessions": q_user_sessions,
-    "daily_type_rollup": q_daily_type_rollup,
-    "repeat_users": q_repeat_users,
-    "churned_users": q_churned_users,
-    "asof_last_purchase": q_asof_last_purchase,
-    "asof_next_error": q_asof_next_error,
-    "latest_value_per_user": q_latest_value_per_user,
-    "train_test_split": q_train_test_split,
-    "q4_order_priority": q4_order_priority,
-    "customers_no_orders": q_customers_no_orders,
-    "value_percentiles": q_value_percentiles,
-    "value_histogram": q_value_histogram,
-    "daily_big_values_filled": q_daily_big_values_filled,
-    "click_purchase_users": q_click_purchase_users,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "user_cumulative_value": q_user_cumulative_value,
-    "purchase_gaps": q_purchase_gaps,
-    "user_event_sequence": q_user_event_sequence,
-    "q10_returned_items": q10_returned_items,
-    "brand_revenue": q_brand_revenue,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "event_type_matrix": q_event_type_matrix,
-    "uniq_users": q_uniq_users,
-    "uniq_users_approx": q_uniq_users_approx,
-    "hash_sample": q_hash_sample,
-    "corpus_curation": q_corpus_curation,
+    # -- never driver-checked in r02 / changed in r03: front-loaded --
     "pii_scrub": q_pii_scrub,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1169,14 +1190,73 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "lang_id": q_lang_id,
-    "text_quality": q_text_quality,
-    "token_counts": q_token_counts,
+    "text_profile": q_text_profile,
     "doc_fingerprint": q_doc_fingerprint,
     "media_summary": q_media_summary,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
-    "media_resize": q_media_resize,
+    "user_sessions": q_user_sessions,
+    "user_event_sequence": q_user_event_sequence,
+    "user_set_ops": q_user_set_ops,
+    "user_cumulative_value": q_user_cumulative_value,
+    "type_user_stats": q_type_user_stats,
+    "train_test_split": q_train_test_split,
+    # -- stable green rows from CORRECTNESS_r02 --
+    "latest_event": q_latest_event,
+    "events_after": q_events_after,
+    "attendance_granular": q_attendance_granular,
+    "attendance_daily_merged": q_attendance_daily_merged,
+    "user_activity": q_user_activity,
+    "entry_house_points": q_entry_house_points,
+    "mv_cascade_attendance": q_mv_cascade_attendance,
+    "attendance_daily_compacted": q_attendance_daily_compacted,
+    "stream_dedup": q_stream_dedup,
+    "sql_busy_days": q_sql_busy_days,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "customers_no_orders": q_customers_no_orders,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "daily_type_rollup": q_daily_type_rollup,
+    "asof_last_purchase": q_asof_last_purchase,
+    "asof_next_error": q_asof_next_error,
+    "latest_value_per_user": q_latest_value_per_user,
+    "value_percentiles": q_value_percentiles,
+    "value_histogram": q_value_histogram,
+    "daily_big_values_filled": q_daily_big_values_filled,
+    "click_purchase_users": q_click_purchase_users,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "event_type_matrix": q_event_type_matrix,
+    "uniq_users_approx": q_uniq_users_approx,
+    "corpus_curation": q_corpus_curation,
+}
+
+# Operator variants NOT in the driver gate (the 50-slot budget): duplicates
+# of a gate query's operator coverage, trivia, or variants a gate query
+# absorbed.  All still runnable, benchable, and oracle-checked locally
+# (tools/oracle_check.py verifies QUERIES and EXTRA_QUERIES alike).
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_typed_events": q_extract_typed_events,  # M1 via mv_cascade_attendance
+    "count_events": q_count_events,  # A1 via n_events in type_user_stats et al.
+    "value_by_type": q_value_by_type,  # absorbed into type_user_stats
+    "entry_attendance": q_entry_attendance,  # same oracle as mv_cascade_attendance
+    "events_preview": q_events_preview,  # P2/O2 trivia
+    "show_tables": q_show_tables,  # S8 trivia (tests/test_catalog_and_extras.py)
+    "repeat_users": q_repeat_users,  # absorbed into user_set_ops
+    "churned_users": q_churned_users,  # absorbed into user_set_ops
+    "purchase_gaps": q_purchase_gaps,  # absorbed into user_cumulative_value
+    "hash_sample": q_hash_sample,  # absorbed into train_test_split.in_sample
+    "lang_id": q_lang_id,  # absorbed into text_profile
+    "text_quality": q_text_quality,  # absorbed into text_profile
+    "token_counts": q_token_counts,  # absorbed into text_profile
+    "media_resize": q_media_resize,  # absorbed into media_features
+    "q10_returned_items": q10_returned_items,  # join shape covered by q3
+    "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
 }
 
 
@@ -1259,24 +1339,45 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 
 def _oracle_media_features() -> str:
-    """Mirror of multimodal._fake_feature: strided byte sums over the utf-8
-    blob (== ascii codes — the fixture text is pure ASCII, asserted by
-    octet_length == length), floor-rounded exactly like the Python side."""
+    """Mirror of multimodal._fake_feature + resize_media, joined on doc_id:
+    strided byte sums over the utf-8 blob (== ascii codes — the fixture text
+    is pure ASCII, asserted by octet_length == length), floor-rounded
+    exactly like the Python side, emitted as '|'-joined micro-units (the
+    floor(x*1e6 + 0.5) integers themselves, skipping the /1e6 round-trip)."""
     dim = multimodal.FEATURE_DIM
-    feats = ",\n         ".join(
-        "floor((CAST(coalesce(list_sum(list_transform("
+    feats = ",\n           ".join(
+        "CAST(floor((CAST(coalesce(list_sum(list_transform("
         f"range({j + 1}, length(text) + 1, {dim}), i -> ascii(substr(text, i, 1))"
-        ")), 0) AS DOUBLE) / length(text)) * 1000000.0 + 0.5) / 1000000.0"
+        ")), 0) AS DOUBLE) / length(text)) * 1000000.0 + 0.5) AS BIGINT)"
         for j in range(dim)
     )
+    rb = multimodal.RESIZE_BYTES
     return f"""
-SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS media_type,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       [{feats}] AS feature
-FROM documents ORDER BY doc_id
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         array_to_string([{feats}], '|') AS feature_ufp
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+         greatest(1, length(text) // {rb}) AS stride,
+         length(text) AS n FROM documents
+), r AS (
+  SELECT doc_id,
+         CAST(least({rb}, (n + stride - 1) // stride) AS BIGINT) AS resized_bytes,
+         md5(array_to_string(
+           list_transform(
+             range(0, least({rb}, (n + stride - 1) // stride)),
+             i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)),
+           '')) AS resized_md5
+  FROM s
+)
+SELECT f.doc_id, media_type, n_bytes, feature_ufp, resized_bytes, resized_md5
+FROM f JOIN r ON f.doc_id = r.doc_id
+ORDER BY f.doc_id
 """
 
 
@@ -1411,12 +1512,17 @@ ORDER BY query_id, rank
 
 
 def _oracle_ann_ivf() -> str:
-    """Mirror of similarity.ivf_topk: same hash-sampled centroids, same
-    argmax assignment with (cos desc, cent_id asc) tie-break, same nprobe
-    probe, same normalized-dot rerank."""
+    """Mirror of similarity.ivf_topk: same hash-sampled centroids (modulus
+    derived from the same corpus count / fixed target), same argmax
+    assignment with (cos desc, cent_id asc) tie-break, same nprobe probe,
+    same normalized-dot rerank."""
     norm = V.sql_normalize("embedding", EMBED_DIM)
+    modulus = (
+        f"greatest(1, CAST((SELECT count(*) FROM embeddings) AS BIGINT)"
+        f" // {IVF_TARGET_CENTROIDS})"
+    )
     cent_pred = (
-        f"({H.sql_h48(f'{IVF_SALT!r} || CAST(vec_id AS VARCHAR)')} % {IVF_RATIO}) = 0"
+        f"({H.sql_h48(f'{IVF_SALT!r} || CAST(vec_id AS VARCHAR)')} % {modulus}) = 0"
     )
     return f"""
 WITH nemb AS (
@@ -1537,7 +1643,32 @@ FROM ratios ORDER BY doc_id
 """
 
 
-def oracles() -> dict[str, str]:
+def _oracle_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len({_sql_toks('text')}) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(trim(lower(text)), '{text_analysis.BPE_TOKEN_RE}')) AS INTEGER) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def _oracle_text_profile() -> str:
+    """Join of the quality / token-count / lang-ID oracles on doc_id —
+    mirrors the one-pass Spark text_profile column for column.  (The Spark
+    side is a single projection; the oracle's joins are fine at oracle
+    scale.)"""
+    return f"""
+SELECT q.doc_id, q.n_chars, q.n_tokens, q.avg_token_len, q.punct_ratio,
+       q.stopword_ratio, q.quality, t.ws_tokens, t.bpe_tokens,
+       l.pred_lang, l.lang_score
+FROM ({_oracle_text_quality()}) q
+JOIN ({_oracle_token_counts()}) t USING (doc_id)
+JOIN ({_oracle_lang_id()}) l USING (doc_id)
+ORDER BY q.doc_id
+"""
+
+
+def _all_oracles() -> dict[str, str]:
     minhash_sql = _oracle_minhash_lsh()
     return {
         "extract_typed_events": """
@@ -1578,7 +1709,8 @@ SELECT user_id, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2)
 FROM events GROUP BY user_id ORDER BY user_id
 """,
         "type_user_stats": """
-SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type
 """,
         "entry_house_points": """
@@ -1679,8 +1811,12 @@ WITH marked AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
+  -- CAST: DuckDB types this windowed sum HUGEINT (int128), which pandas
+  -- degrades to float64 — the exact r02 hash-mismatch; BIGINT matches
+  -- Spark's long bit-for-bit through any canonicalization
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_idx
   FROM marked
 )
 SELECT user_id, session_idx, count(*) AS n_events,
@@ -1768,8 +1904,12 @@ ORDER BY event_id
 SELECT event_id, user_id, ts,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             6) AS cum_value
-FROM events WHERE event_type = 'purchase' ORDER BY event_id
+             6) AS cum_value,
+       epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS ms_since_prev,
+       lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS ms_to_next
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
 """,
         "value_histogram": """
 SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
@@ -1779,9 +1919,25 @@ FROM events GROUP BY bucket ORDER BY bucket
 """,
         "user_event_sequence": """
 SELECT user_id,
-       list(event_type ORDER BY ts, event_id) AS seq_types,
+       array_to_string(list(event_type ORDER BY ts, event_id), '|') AS seq_types,
        count(*) AS n_events
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "user_set_ops": """
+SELECT 'repeat' AS set_op, user_id FROM (
+  SELECT user_id FROM events WHERE date_part('day', ts) <= 7
+  INTERSECT
+  SELECT user_id FROM events WHERE date_part('day', ts) >= 22
+)
+UNION ALL
+SELECT 'churned' AS set_op, user_id FROM (
+  SELECT user_id FROM events
+  WHERE event_type = 'purchase' AND date_part('day', ts) <= 7
+  EXCEPT
+  SELECT user_id FROM events
+  WHERE event_type = 'purchase' AND date_part('day', ts) >= 22
+)
+ORDER BY set_op, user_id
 """,
         "daily_type_rollup": """
 SELECT CAST(ts AS DATE) AS day, event_type,
@@ -1853,7 +2009,9 @@ ORDER BY event_id
 SELECT doc_id,
        CASE WHEN ({H.sql_h48(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} % 100)
                  < {SPLIT_TRAIN_PCT}
-            THEN 'train' ELSE 'test' END AS split
+            THEN 'train' ELSE 'test' END AS split,
+       ({H.sql_h48(f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")} % 100)
+         < {SAMPLE_PCT} AS in_sample
 FROM documents ORDER BY doc_id
 """,
         "q10_returned_items": f"""
@@ -1893,12 +2051,6 @@ FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id
         "dedup_minhash_lsh": minhash_sql,
         "dedup_clusters": _oracle_dedup_clusters(),
         "event_type_matrix": _oracle_event_type_matrix(),
-        "uniq_users": """
-SELECT event_type,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
-       count(*) AS n_events
-FROM events GROUP BY event_type ORDER BY event_type
-""",
         "pii_scrub": """
 SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed
 FROM events ORDER BY event_id
@@ -1923,12 +2075,8 @@ ORDER BY id_a, id_b
         "ann_ivf_topk": _oracle_ann_ivf(),
         "lang_id": _oracle_lang_id(),
         "text_quality": _oracle_text_quality(),
-        "token_counts": f"""
-SELECT doc_id,
-       CAST(len({_sql_toks('text')}) AS INTEGER) AS ws_tokens,
-       CAST(len(regexp_extract_all(trim(lower(text)), '{text_analysis.BPE_TOKEN_RE}')) AS INTEGER) AS bpe_tokens
-FROM documents ORDER BY doc_id
-""",
+        "token_counts": _oracle_token_counts(),
+        "text_profile": _oracle_text_profile(),
         "doc_fingerprint": f"""
 WITH toks AS (
   SELECT doc_id, lower(trim(text)) AS t, {_sql_toks()} AS toks FROM documents
@@ -1972,3 +2120,18 @@ SELECT doc_id,
 FROM s ORDER BY doc_id
 """,
     }
+
+
+def oracles() -> dict[str, str]:
+    """DuckDB oracle for every GATE query (keys of QUERIES).  The only gate
+    key deliberately absent is `uniq_users_approx` (HLL sketch: no exact
+    oracle by design; rows-only check + tested error bound)."""
+    alls = _all_oracles()
+    return {k: alls[k] for k in QUERIES if k in alls}
+
+
+def extra_oracles() -> dict[str, str]:
+    """Oracles for the non-gate EXTRA_QUERIES (verified by
+    tools/oracle_check.py, not by the driver's 50-row gate)."""
+    alls = _all_oracles()
+    return {k: alls[k] for k in EXTRA_QUERIES if k in alls}

@@ -62,11 +62,20 @@ def kafka_record_producer(
     brokers: str,
     checkpoint: str,
     topic: str = DEFAULT_TOPIC,
-    records_per_second: int | None = None,
+    trigger_interval: str | None = None,
 ):
     """S3 — record-at-a-time producer (`send_data.sh:3-8`): a streaming
-    write of `message` values, optionally rate-limited to simulate live
-    flow.  `df` must be a streaming DataFrame with a `message` column."""
+    write of `message` values, optionally paced to simulate live flow.
+    `df` must be a streaming DataFrame with a `message` column.
+
+    Pacing contract (honest version): a sink cannot throttle per-record —
+    rate control in Structured Streaming lives at the SOURCE (set
+    `maxOffsetsPerTrigger` / `maxFilesPerTrigger` when building `df`) plus
+    the trigger cadence.  `trigger_interval` (e.g. "1 second") sets the
+    micro-batch cadence here, so source-limit / interval bounds the send
+    rate; for true send_data.sh-style one-record batches, configure the
+    source with maxFilesPerTrigger=1 and a 1-second interval.
+    """
     writer = (
         df.select(F.col("message").cast("string").alias("value"))
         .writeStream.format("kafka")
@@ -74,8 +83,6 @@ def kafka_record_producer(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
-    if records_per_second is not None:
-        writer = writer.option("kafka.max.request.size", "1048576").trigger(
-            processingTime="1 second"
-        )
+    if trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()

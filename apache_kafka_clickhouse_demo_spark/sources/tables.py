@@ -42,11 +42,24 @@ def _normalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{sf_dir.strip('/').replace('/', '_')}_{int(st.st_mtime)}_{st.st_size}"
     dest = os.path.join(_NORM_CACHE, key, "events.parquet")
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        # Fill the shared cache via a process-unique staging dir + atomic
+        # rename: two concurrent sessions (pytest + bench) that both miss
+        # would otherwise write the same parquet destination and delete each
+        # other's in-flight `_temporary/` task files.  rename() fails if a
+        # rival already renamed — then just read the winner's copy.
+        import shutil
+
+        tmp = f"{dest}.tmp.{os.getpid()}"
         try:
             # MergeTree ORDER BY timestamp analogue: sorted write -> tight
             # row-group stats -> range predicates prune like a sparse index
-            write_sorted(converted, dest, sort_cols=["ts"])
+            write_sorted(converted, tmp, sort_cols=["ts"])
+            try:
+                os.rename(tmp, dest)
+            except OSError:  # lost the race; the winner's copy is equivalent
+                shutil.rmtree(tmp, ignore_errors=True)
         except Exception:  # read-only tmp etc. — correctness over plan shape
+            shutil.rmtree(tmp, ignore_errors=True)
             return converted
     return spark.read.parquet(dest)
 

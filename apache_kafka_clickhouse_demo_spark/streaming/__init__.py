@@ -6,6 +6,7 @@ from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (  # noqa: F40
     MaterializedView,
     backfill_cutover,
     create_materialized_view,
+    jdbc_sink,
 )
 from apache_kafka_clickhouse_demo_spark.streaming.stateful import (  # noqa: F401
     running_totals,

@@ -65,6 +65,7 @@ def create_materialized_view(
     checkpoint: str,
     partition_cols: list[str] | None = None,
     available_now: bool = False,
+    sink: Callable[[DataFrame], None] | None = None,
 ) -> MaterializedView:
     """M1-M3 — `CREATE MATERIALIZED VIEW ... TO dest AS SELECT ...`.
 
@@ -72,12 +73,24 @@ def create_materialized_view(
     the MV's SELECT, applied to each insert block in isolation — stateless
     extraction (M1) and per-block aggregation producing partial rows
     (M2/M3) both run through the same path, exactly like the reference.
+
+    `sink` makes the destination pluggable: a callable receiving each
+    transformed block.  Default is the parquet append (`insert_into` at
+    `dest_path`); pass `jdbc_sink(...)` for the north star's JDBC
+    destination, or a Delta/Iceberg writer on a cluster where parquet's
+    non-atomic `_temporary/` staging is not acceptable (see
+    backfill_cutover's note below — the transactional-table path removes
+    that caveat entirely).
     """
     if not source.isStreaming:
         raise ValueError("source must be a streaming DataFrame (use spark.readStream)")
 
     def _per_block(block: DataFrame, _batch_id: int) -> None:
-        insert_into(transform(block), dest_path, partition_cols)
+        out = transform(block)
+        if sink is not None:
+            sink(out)
+        else:
+            insert_into(out, dest_path, partition_cols)
 
     writer = (
         source.writeStream.foreachBatch(_per_block)
@@ -87,6 +100,45 @@ def create_materialized_view(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return MaterializedView(writer.start(), dest_path, checkpoint)
+
+
+def jdbc_sink(
+    url: str,
+    table: str,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> Callable[[DataFrame], None]:
+    """JDBC destination for a materialized view — the sink half of the north
+    star ("Structured Streaming with Kafka source + JDBC sink",
+    BASELINE.json).  Returns a per-block writer for
+    `create_materialized_view(..., sink=...)`.
+
+    Each micro-batch appends through Spark's JDBC writer: every partition
+    opens its own connection and batch-inserts, so write parallelism scales
+    with the block's partitioning (tune `numPartitions` and `batchsize` via
+    `properties` against the database's connection budget — at cluster
+    scale an unbounded fan-in of executor connections is the classic way to
+    fall over a relational sink).  Exactly-once at the seam comes from the
+    MV's checkpointed source offsets + append idempotence of re-run blocks
+    being the caller's schema concern (add a unique key / upsert via a
+    staging table when the database must dedupe replays).
+    """
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
+
+    def _sink(block: DataFrame) -> None:
+        writer = (
+            block.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .mode("append")
+        )
+        for k, v in props.items():
+            writer = writer.option(k, v)
+        writer.save()
+
+    return _sink
 
 
 def backfill_cutover(

@@ -25,7 +25,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headliners: the reference-parity pipeline + the analytics and the
 # beyond-parity operators that matter at scale.  Every name must exist in
-# Q.QUERIES.
+# the combined registry (gate QUERIES or non-gate EXTRA_QUERIES) — names are
+# kept stable across rounds so per-query times stay comparable to the
+# BASELINE.md table.
+ALL_QUERIES = {**Q.QUERIES, **Q.EXTRA_QUERIES}
+
 HEADLINE = [
     "extract_typed_events",
     "attendance_granular",
@@ -55,7 +59,7 @@ HEADLINE = [
 
 def _run_one(spark, name: str) -> float:
     t0 = time.time()
-    df = Q.QUERIES[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     # Execute fully but keep the result on executors; count() after the
     # query's own plan forces every stage without a driver-side collect of
     # wide rows.
@@ -66,7 +70,7 @@ def _run_one(spark, name: str) -> float:
 def main() -> int:
     spark = get_spark(app_name="bench")
     # warm-up: session init + parquet footer reads outside the timed region
-    Q.QUERIES["count_events"](spark, SF_DIR).collect()
+    ALL_QUERIES["count_events"](spark, SF_DIR).collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

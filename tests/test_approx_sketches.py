@@ -11,8 +11,8 @@ from apache_kafka_clickhouse_demo_spark import queries as Q
 
 def test_approx_uniq_within_rsd_bound(spark, sf_dir):
     exact = {
-        r["event_type"]: r["uniq_users"]
-        for r in Q.q_uniq_users(spark, sf_dir).collect()
+        r["event_type"]: r["n_users"]
+        for r in Q.q_type_user_stats(spark, sf_dir).collect()
     }
     approx = {
         r["event_type"]: r["approx_uniq_users"]

@@ -79,6 +79,24 @@ def test_inner_drops_unmatched_left_rows(spark, tables):
     assert set(got) == {1, 2}
 
 
+def test_inner_keeps_matches_whose_payload_is_null(spark):
+    """A matched right row whose payload column is legitimately NULL must
+    survive how="inner" — the match marker, not the payload, decides."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts("2024-01-01 09:00:00"), None)],
+        "user_id long, ts timestamp, val double",
+    )
+    got = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        payload_cols=["val"], how="inner",
+    ).collect()
+    assert len(got) == 1 and got[0]["val"] is None
+
+
 def test_payload_collision_rejected(spark, tables):
     left, right = tables
     with pytest.raises(ValueError, match="collide"):

@@ -1,0 +1,89 @@
+"""Degenerate-document semantics for the hash/dedup operators (ADVICE r02):
+NULL-text and empty/short docs must produce exactly the rows the DuckDB
+oracles produce — no silently dropped documents from explode-based rewrites.
+
+These run the REAL oracle SQL from queries.py against a hand-built
+`documents` table containing the degenerate shapes the parquet fixtures
+don't contain, and compare row sets with the Spark operators.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from apache_kafka_clickhouse_demo_spark import queries as Q
+from apache_kafka_clickhouse_demo_spark.operators import dedup, text_analysis
+
+DOCS = [
+    (0, None),  # NULL text: NULL token array -> kept with NULL fingerprints
+    (1, ""),  # empty text: one "" token, real hashes
+    (2, "alpha"),  # short doc: single shingle
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 3
+    (5, "ducks and sparks compose entirely different sentences here"),
+]
+
+
+@pytest.fixture(scope="module")
+def sdocs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    return con
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _drows(con, sql):
+    return set(map(tuple, con.execute(sql).fetchall()))
+
+
+def test_doc_fingerprint_keeps_null_text_docs(sdocs, duck):
+    got = _rows(text_analysis.doc_fingerprint(sdocs))
+    want = _drows(duck, Q._all_oracles()["doc_fingerprint"])
+    assert {r[0] for r in got} == {d for d, _ in DOCS}  # every doc has a row
+    assert got == want
+
+
+def test_simhash_pairs_match_oracle_with_degenerate_docs(sdocs, duck):
+    got = _rows(dedup.simhash_pairs(sdocs, max_hamming=Q.SIMHASH_MAX_HAMMING))
+    want = _drows(duck, Q._all_oracles()["dedup_simhash"])
+    assert got == want
+    assert (3, 4, 0) in got  # the true dup pair is still found
+    assert not any(0 in (a, b) for a, b, *_ in got)  # NULL doc pairs nothing
+
+
+def test_simhash_null_text_yields_null_hash(sdocs):
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash(sdocs).collect()}
+    assert set(sims) == {d for d, _ in DOCS}
+    assert sims[0] is None
+    assert sims[1] is not None  # "" is a real (single-token) doc
+
+
+def test_minhash_pairs_match_oracle_with_degenerate_docs(sdocs, duck):
+    got = _rows(
+        dedup.minhash_lsh_pairs(
+            sdocs,
+            num_perm=Q.MINHASH_PERM,
+            bands=Q.MINHASH_BANDS,
+            shingle_n=Q.MINHASH_SHINGLE_N,
+            threshold=Q.MINHASH_THRESHOLD,
+        )
+    )
+    want = _drows(duck, Q._all_oracles()["dedup_minhash_lsh"])
+    assert got == want
+    assert any((a, b) == (3, 4) for a, b, *_ in got)
+
+
+def test_minhash_signatures_keep_every_doc(sdocs):
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(sdocs).collect()}
+    assert set(sigs) == {d for d, _ in DOCS}
+    assert all(v is None for v in sigs[0])  # NULL text -> all-NULL signature

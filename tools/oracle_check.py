@@ -1,8 +1,21 @@
 """Local replica of the driver's correctness gate.
 
-Runs every __spark_entry__ query against its DuckDB oracle at a given sf and
-reports row-count / schema / order-insensitive value-hash agreement, so
-mismatches are caught before the driver's per-round verify.
+Runs every gate query (__spark_entry__.queries()) AND every non-gate extra
+query (queries.EXTRA_QUERIES) against its DuckDB oracle at a given sf and
+reports row-count / schema / value-hash agreement, so mismatches are caught
+before the driver's per-round verify.
+
+Two hash modes, both always run:
+
+- fetchall mode (the original): canonicalizes Python values from
+  `.collect()` / `.fetchall()` — ints stay ints regardless of DuckDB's
+  internal width.
+- pandas mode (the driver's): materializes BOTH sides as pandas DataFrames,
+  sorts by all columns, and canonicalizes per-dtype.  This reproduces the
+  driver's failure classes that fetchall mode cannot see: DuckDB HUGEINT
+  results degrade to float64 in pandas (r02 `user_sessions`), and list
+  cells make pandas sort_values raise `unhashable type: 'list'`
+  (r02 `user_event_sequence`).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -20,6 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from apache_kafka_clickhouse_demo_spark.schemas import TESTDATA_TABLES
 from apache_kafka_clickhouse_demo_spark.session import get_spark
+from apache_kafka_clickhouse_demo_spark import queries as Q
 import __spark_entry__ as entrymod
 
 
@@ -52,6 +66,50 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def pandas_hash(pdf) -> str:
+    """The driver-style canonicalization: sort columns by name, sort rows by
+    all columns (this is where list cells explode, exactly like the driver),
+    then hash per-dtype canonical strings — float64 and int64 canonicalize
+    DIFFERENTLY, so a HUGEINT->float64 degradation flips the hash."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    h = hashlib.sha256()
+    for _, row in pdf.iterrows():
+        parts = []
+        for v in row:
+            if v is None or v is pd.NaT or (isinstance(v, float) and np.isnan(v)):
+                parts.append("NULL")
+            elif isinstance(v, (np.floating, float)):
+                parts.append(repr(float(v)))
+            elif isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+                parts.append(str(int(v)))
+            elif isinstance(v, pd.Timestamp):
+                v2 = v.tz_localize(None) if v.tzinfo else v
+                # DATE columns surface as date objects (Spark) vs midnight
+                # datetime64 (DuckDB .df()) — canonicalize both to the date
+                parts.append(
+                    v2.date().isoformat() if v2 == v2.normalize() else v2.isoformat()
+                )
+            elif isinstance(v, datetime.datetime):
+                vv = v.replace(tzinfo=None)
+                parts.append(
+                    vv.date().isoformat()
+                    if vv.time() == datetime.time() else vv.isoformat()
+                )
+            elif isinstance(v, datetime.date):
+                parts.append(v.isoformat())
+            else:
+                parts.append(str(v))
+        h.update("|".join(parts).encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,17 +119,22 @@ def main() -> int:
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    queries = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    extras = dict(Q.EXTRA_QUERIES)
+    queries.update({f"extra:{k}": v for k, v in extras.items()})
+    oracles.update({f"extra:{k}": v for k, v in Q.extra_oracles().items()})
+
     failures = []
     for name, fn in queries.items():
-        if only and name not in only:
+        if only and name not in only and name.removeprefix("extra:") not in only:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -84,6 +147,7 @@ def main() -> int:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
@@ -92,10 +156,18 @@ def main() -> int:
         ok_cols = sorted(scols) == sorted(dcols)
         sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
         ok_hash = sh == dh
-        status = "OK  " if (ok_count and ok_cols and ok_hash) else "FAIL"
+        # driver-style pandas canonicalization (reproduces HUGEINT/list bugs)
+        try:
+            sph, dph = pandas_hash(spdf), pandas_hash(dpdf)
+            ok_pd = sph == dph
+            pd_msg = "=" if ok_pd else f"{sph}!={dph}"
+        except Exception as e:  # noqa: BLE001 — the list-cell class
+            ok_pd = False
+            pd_msg = f"canon-error: {type(e).__name__}: {e}"
+        status = "OK  " if (ok_count and ok_cols and ok_hash and ok_pd) else "FAIL"
         print(
             f"{status}  {name}: rows {len(srows)}/{len(drows)} cols={'=' if ok_cols else 'DIFF'} "
-            f"hash={'=' if ok_hash else f'{sh}!={dh}'} [{spark_s:.1f}s]"
+            f"hash={'=' if ok_hash else f'{sh}!={dh}'} pd={pd_msg} [{spark_s:.1f}s]"
         )
         if status == "FAIL":
             failures.append(name)
@@ -108,6 +180,9 @@ def main() -> int:
                 for label, diff in (("spark-only", sset - dset), ("duck-only", dset - sset)):
                     for row in list(diff)[:3]:
                         print(f"      {label}: {row}")
+            if ok_cols and ok_hash and not ok_pd:
+                print(f"      spark dtypes: {dict(spdf.dtypes.astype(str))}")
+                print(f"      duck  dtypes: {dict(dpdf.dtypes.astype(str))}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
