@@ -32,9 +32,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.q_attendance_daily_merged(spark, SMOKE_SF_DIR)
 
 
+def _fresh_cache(fn: Callable[[SparkSession, str], DataFrame]):
+    """Drop cached DataFrames left by the PREVIOUS gate query before
+    building the next one.  Operators persist() intermediates that feed
+    multiple plan branches (signatures, prefix indexes, normalized vectors)
+    and cannot unpersist them before the caller's action runs; across a
+    50-query session those leftovers accumulate until the tail queries pay
+    for them (measured: corpus_curation 124s at the end of a full sweep vs
+    3.3s isolated).  Clearing at query BUILD time is safe — the previous
+    query's result is already collected."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cache hygiene must never fail a query
+            pass
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.7."""
-    return dict(Q.QUERIES)
+    return {name: _fresh_cache(fn) for name, fn in Q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -184,6 +184,53 @@ def sample_frames(media: DataFrame) -> DataFrame:
     return videos.mapInPandas(batches, schema=_FRAMES_OUT_SCHEMA)
 
 
+_PROFILE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def media_profile(media: DataFrame) -> DataFrame:
+    """Feature extraction AND fake resize in ONE mapInPandas pass.
+
+    A real 100 TB media pipeline wants every per-blob derivation computed
+    while the blob is in memory once: running extract_features and
+    resize_media separately would ship each blob across the Arrow boundary
+    twice and then pay a doc_id shuffle to join the outputs.  Same values
+    as the standalone operators (shared helpers), one blob scan, no join.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            n_out, md5_out = [], []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                stride = max(1, len(b) // RESIZE_BYTES)
+                resized = b[::stride][:RESIZE_BYTES]
+                n_out.append(len(resized))
+                md5_out.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "feature": [_fake_feature(b) for b in pdf["blob"]],
+                    "resized_bytes": n_out,
+                    "resized_md5": md5_out,
+                }
+            ).astype({"doc_id": "int64", "n_bytes": "int64", "resized_bytes": "int64"})
+
+    return media.mapInPandas(batches, schema=_PROFILE_OUT_SCHEMA)
+
+
 RESIZE_BYTES = 64  # target "resolution" of the fake resize
 
 

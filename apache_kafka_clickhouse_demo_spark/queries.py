@@ -1146,11 +1146,12 @@ def q_media_summary(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """mapInPandas feature extraction + fake resize over Arrow blob batches,
-    joined on doc_id — the gate query for both Python-side media operators.
-    The stub decode is a deterministic strided byte-sum with floor-based
-    rounding, so even this Python-side path is fully hash-checked against a
-    DuckDB oracle.
+    """SINGLE mapInPandas pass computing feature extraction + fake resize
+    over Arrow blob batches (multimodal.media_profile) — the gate query for
+    both Python-side media operators; each blob crosses the Arrow boundary
+    once and no doc_id join is needed.  The stub decode is a deterministic
+    strided byte-sum with floor-based rounding, so even this Python-side
+    path is fully hash-checked against a DuckDB oracle.
 
     The feature vector is emitted as `feature_ufp`: '|'-joined micro-units
     (round(x * 1e6) as long).  Integers format identically everywhere,
@@ -1158,16 +1159,20 @@ def q_media_features(spark, sf_dir):
     driver's list-cell canonicalization limit; no information is lost (the
     features are floor-quantized to 1e-6 by construction)."""
     media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
-    feats = multimodal.extract_features(media).select(
-        "doc_id",
-        "media_type",
-        "n_bytes",
-        F.concat_ws(
-            "|", F.transform("feature", lambda x: F.round(x * 1e6).cast("long"))
-        ).alias("feature_ufp"),
+    return (
+        multimodal.media_profile(media)
+        .select(
+            "doc_id",
+            "media_type",
+            "n_bytes",
+            F.concat_ws(
+                "|", F.transform("feature", lambda x: F.round(x * 1e6).cast("long"))
+            ).alias("feature_ufp"),
+            "resized_bytes",
+            "resized_md5",
+        )
+        .orderBy("doc_id")
     )
-    resized = multimodal.resize_media(media)
-    return feats.join(resized, "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

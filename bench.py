@@ -58,6 +58,8 @@ HEADLINE = [
 
 
 def _run_one(spark, name: str) -> float:
+    # leftover persists from earlier queries would tax this one's timing
+    spark.catalog.clearCache()
     t0 = time.time()
     df = ALL_QUERIES[name](spark, SF_DIR)
     # Execute fully but keep the result on executors; count() after the

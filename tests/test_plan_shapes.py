@@ -76,6 +76,32 @@ def test_asof_join_single_exchange_no_join(spark, sf_dir):
     assert n == 2, f"expected 2 hash exchanges, got {n}\n{plan}"
 
 
+def test_text_profile_is_single_pass_no_exchange(spark, sf_dir):
+    """text_profile folds lang-ID + quality + token counts into one
+    row-local projection: its plan must contain NO exchange and NO join —
+    the whole profile runs at scan throughput."""
+    plan = formatted_plan(Q.q_text_profile(spark, sf_dir).limit(10))
+    body = plan.split("AdaptiveSparkPlan")[0] if "AdaptiveSparkPlan" in plan else plan
+    assert "Exchange" not in body.replace("Exchange SinglePartition", ""), plan
+    assert "Join" not in plan, plan
+
+
+def test_user_cumulative_value_single_window_exchange(spark, sf_dir):
+    """Running sum + lag/lead share one (user_id; ts, event_id) partition
+    spec — the plan must carry exactly one hash exchange, not one per
+    analytic column."""
+    plan = formatted_plan(Q.q_user_cumulative_value(spark, sf_dir))
+    n = plan.count("Arguments: hashpartitioning")
+    assert n == 1, f"expected 1 hash exchange, got {n}\n{plan}"
+
+
+def test_ivf_centroid_table_broadcasts(spark, sf_dir):
+    """IVF assignment/probing must broadcast the (fixed-target-size)
+    centroid table; a shuffled centroid join would defeat the design."""
+    plan = formatted_plan(Q.q_ann_ivf_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_q17_broadcasts_both_small_sides(spark, sf_dir):
     """Q17 shape: the brand part-key list and the per-part threshold table
     must both broadcast — shuffling lineitem twice for them is the 100 TB

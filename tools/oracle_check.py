@@ -122,7 +122,7 @@ def main() -> int:
     queries = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
     extras = dict(Q.EXTRA_QUERIES)
-    queries.update({f"extra:{k}": v for k, v in extras.items()})
+    queries.update({f"extra:{k}": entrymod._fresh_cache(v) for k, v in extras.items()})
     oracles.update({f"extra:{k}": v for k, v in Q.extra_oracles().items()})
 
     failures = []
