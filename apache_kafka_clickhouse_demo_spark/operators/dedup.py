@@ -488,9 +488,13 @@ def connected_components(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    # lazy localCheckpoint: the convergence aggregate right below is the
+    # action that materializes it, so each round costs ONE job (an eager
+    # checkpoint would add a second materialization job per round — at
+    # dedup scale the fixed job overhead dominates the actual label work)
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev_sum = None
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.dst == labels.node).select(
@@ -500,7 +504,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         label_sum = labels.agg(F.sum("label")).first()[0]
         if label_sum == prev_sum:
