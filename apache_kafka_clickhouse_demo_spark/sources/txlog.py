@@ -1,0 +1,142 @@
+"""Transactional append-only table — atomic commits over plain parquet.
+
+Why this exists (VERDICT r02 / streaming/pipeline.py's backfill note): plain
+parquet appends stage task files under a SHARED `<table>/_temporary/`
+directory, so two concurrent writers (a streaming MV block + a backfill
+`INSERT ... SELECT`) can delete each other's in-flight files — the race that
+forces `backfill_cutover` to sequence its two phases.  Real clusters solve
+this with a transactional table format (Delta/Iceberg); this module is the
+same commit protocol reduced to its core, with no new dependencies:
+
+    <table>/
+      _txlog/
+        00000000000.json     # commit 0: {"files": ["<uuid>-part-...parquet", ...]}
+        00000000001.json     # commit 1: ...
+      <uuid>-part-0.parquet  # data files (immutable once committed)
+
+- A writer stages its parquet files in a PRIVATE scratch directory (its own
+  `_temporary/` — no sharing, no race), moves them into the table directory
+  under unique names, then publishes them by creating the next numbered
+  commit file with O_EXCL.  The exclusive create is the atomic commit
+  point: exactly one writer wins a version number; losers retry with the
+  next number.  Nothing a reader can observe is ever half-written.
+- Readers list `_txlog/*.json` (optionally up to a pinned version — free
+  snapshot/time-travel) and read exactly the files those commits name.
+  Uncommitted data files and leftover staging directories are invisible.
+
+Concurrency model: optimistic, append-only (the OCC loop every log-based
+table format uses).  On a shared filesystem/object store with atomic
+create-if-absent this protocol is correct for any number of concurrent
+writers; at 100 TB scale the log stays tiny (one small JSON per commit)
+and readers pay one listing, independent of data size.  Compaction of the
+log itself (checkpointing many JSONs into one) is the standard follow-on;
+at this log volume it is deliberately omitted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+_VERSION_DIGITS = 11
+
+
+class TransactionalTable:
+    """Handle for an atomic-append parquet table rooted at `path`."""
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+
+    # -- log helpers --------------------------------------------------------
+
+    def _commit_files(self, up_to_version: int | None = None) -> list[str]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        names = sorted(n for n in os.listdir(self.log_dir) if n.endswith(".json"))
+        if up_to_version is not None:
+            names = [n for n in names if int(n.split(".")[0]) <= up_to_version]
+        return [os.path.join(self.log_dir, n) for n in names]
+
+    def version(self) -> int:
+        """Latest committed version, -1 for an empty/new table."""
+        commits = self._commit_files()
+        if not commits:
+            return -1
+        return int(os.path.basename(commits[-1]).split(".")[0])
+
+    def data_files(self, up_to_version: int | None = None) -> list[str]:
+        files: list[str] = []
+        for commit in self._commit_files(up_to_version):
+            with open(commit) as fh:
+                files.extend(json.load(fh)["files"])
+        return [os.path.join(self.path, f) for f in files]
+
+    # -- write path ---------------------------------------------------------
+
+    def append(self, df: DataFrame, max_retries: int = 50) -> int:
+        """Atomically append `df`; returns the committed version.
+
+        Stage (private dir) -> move files in under unique names -> publish
+        via O_EXCL commit-file create, retrying the version number under
+        contention.  Readers never see the data until the commit lands.
+        """
+        os.makedirs(self.log_dir, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f".staging-{token}")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            moved: list[str] = []
+            for name in os.listdir(staging):
+                if not name.endswith(".parquet"):
+                    continue
+                unique = f"{token}-{name}"
+                os.rename(os.path.join(staging, name), os.path.join(self.path, unique))
+                moved.append(unique)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+        payload = json.dumps({"files": sorted(moved)}).encode()
+        version = self.version() + 1
+        for _ in range(max_retries):
+            commit_path = os.path.join(
+                self.log_dir, f"{version:0{_VERSION_DIGITS}d}.json"
+            )
+            try:
+                fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:  # lost the race for this version number
+                version += 1
+                continue
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+            return version
+        # data files remain unpublished (invisible to readers) on failure
+        raise RuntimeError(f"could not commit after {max_retries} attempts")
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the files committed up to `version`
+        (latest when None).  An empty table needs at least one commit to
+        infer a schema from — callers create tables by appending."""
+        files = self.data_files(version)
+        if not files:
+            raise FileNotFoundError(f"no committed data in {self.path}")
+        return spark.read.parquet(*files)
+
+
+def transactional_sink(table: TransactionalTable):
+    """Pluggable MV destination (create_materialized_view(sink=...)): each
+    insert block becomes one atomic commit, safe against ANY concurrent
+    writer — this removes the parquet `_temporary/` caveat that forces
+    backfill_cutover to sequence its backfill before the stream."""
+
+    def _sink(block: DataFrame) -> None:
+        table.append(block)
+
+    return _sink

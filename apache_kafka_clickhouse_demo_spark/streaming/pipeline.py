@@ -26,9 +26,11 @@ T, let the streaming MV handle rows `>= T`, and one-shot `INSERT ... SELECT`
 the history `< T` — exposed as one call for parity even though a single
 checkpointed stream from earliest offsets would be exactly-once on its own.
 
-On a real cluster the destinations would be Delta tables (atomic commits,
-compaction); plain parquet directories keep this sandbox-runnable and the
-semantics identical for availableNow triggers.
+Destinations are pluggable (`sink=`): plain parquet directories (default —
+sandbox-simple, semantics identical for availableNow triggers), a JDBC
+database (`jdbc_sink` — the north star's sink half), or the in-repo
+transactional table (`sources/txlog.TransactionalTable`, atomic manifest
+commits — the Delta-style option concurrent writers need).
 """
 
 from __future__ import annotations
@@ -167,11 +169,16 @@ def backfill_cutover(
     split is redundant — Spark's offsets already give exactly-once — but it
     is the reference's signature pattern, so it is a first-class API.)
 
-    The backfill runs BEFORE the stream starts: parquet appends stage under
-    a shared `_temporary/` inside dest, so two concurrent jobs writing the
-    same directory can delete each other's in-flight task files (a real
-    race observed under load — Delta-style committers lift this on a
-    cluster).  Sequencing them removes the only concurrent writer.
+    The backfill runs BEFORE the stream starts: plain-parquet appends stage
+    under a shared `_temporary/` inside dest, so two concurrent jobs
+    writing the same directory can delete each other's in-flight task
+    files (a real race observed under load).  Sequencing them removes the
+    only concurrent writer.  To run backfill and stream CONCURRENTLY, give
+    both a transactional destination instead
+    (`sources/txlog.TransactionalTable` + `transactional_sink` — atomic
+    manifest commits, private staging; concurrency-safety pinned in
+    tests/test_txlog.py), which is exactly what Delta/Iceberg provide on a
+    real cluster.
     """
     insert_into(transform(history.filter(~cutover_predicate)), dest_path, partition_cols)
     return create_materialized_view(
