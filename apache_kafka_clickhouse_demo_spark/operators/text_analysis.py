@@ -143,6 +143,41 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def doc_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking for training pipelines: split each document
+    into `chunk_tokens`-token windows starting every `stride` tokens
+    (overlap = chunk_tokens - stride), emitting one row per chunk with its
+    index, text, and token count.
+
+    Row-local sequence + posexplode — zero shuffles, scan throughput at
+    100 TB; the fan-out factor is ~n_tokens/stride.  The final (possibly
+    short) tail window is kept: training pipelines pad or pack it, they
+    don't silently drop document tails.  Deterministic, so re-chunking a
+    grown corpus reproduces all previous chunk ids.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = TX.tokens(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        F.size("chunk").alias("n_tokens"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: whole-text 48-bit hash + winnowed min-shingle
     hash (the minimum h48 over word 3-gram shingles — a 1-permutation

@@ -72,6 +72,9 @@ NEAR_DUP_TABLES = 8
 NEAR_DUP_PLANES = 8
 NEAR_DUP_SEED = 101
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
 SPLIT_SALT = "split:"
 SPLIT_TRAIN_PCT = 90
 SAMPLE_SALT = "sample:"
@@ -1130,6 +1133,16 @@ def q_token_counts(spark, sf_dir):
     return text_analysis.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (training-data prep): overlapping
+    fixed-token windows per document, row-local fan-out."""
+    return text_analysis.doc_chunks(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_text_profile(spark, sf_dir):
     """Language ID + quality features + token counts as ONE row-local pass
     (operators/text_analysis.text_profile) — the gate query for all three
@@ -1260,6 +1273,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,  # absorbed into text_profile
     "token_counts": q_token_counts,  # absorbed into text_profile
     "media_resize": q_media_resize,  # absorbed into media_features
+    "doc_chunks": q_doc_chunks,  # r03 addition; gate slots were full
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
 }
@@ -2082,6 +2096,20 @@ ORDER BY id_a, id_b
         "text_quality": _oracle_text_quality(),
         "token_counts": _oracle_token_counts(),
         "text_profile": _oracle_text_profile(),
+        "doc_chunks": f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks()} AS toks FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(toks[CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT)
+                            : CAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)],
+                       ' ') AS chunk_text,
+       CAST(len(toks[CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT)
+                     : CAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)]) AS INTEGER)
+         AS n_tokens
+FROM toks, UNNEST(range(0, greatest(len(toks) - 1, 0) // {CHUNK_STRIDE} + 1)) AS t(i)
+ORDER BY doc_id, chunk_idx
+""",
         "doc_fingerprint": f"""
 WITH toks AS (
   SELECT doc_id, lower(trim(text)) AS t, {_sql_toks()} AS toks FROM documents
