@@ -11,9 +11,11 @@ Spark-first design — union + ordered window, ZERO joins:
 1. tag each input (`_side` = 0 for right, 1 for left) and union them by
    name (payload columns null on the other side);
 2. one window per join key, ordered by (ts, _side), frame
-   UNBOUNDED PRECEDING..CURRENT ROW, carrying the most recent right-side
-   payload forward with `last(..., ignorenulls=True)` — a running frame
-   Spark evaluates incrementally in O(1) per row;
+   UNBOUNDED PRECEDING..CURRENT ROW, carrying the most recent right row's
+   payload forward as ONE struct with `last(..., ignorenulls=True)` — a
+   running frame Spark evaluates incrementally in O(1) per row, and the
+   struct keeps all payload columns from the SAME matched row (and doubles
+   as the inner-mode match marker);
 3. keep the left rows.
 
 At equal timestamps the right row sorts first (`_side` 0 < 1), giving
@@ -40,7 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "_asof_side"
-_MATCH = "_asof_match"
+_PAY = "_asof_payload"
 
 
 def asof_join(
@@ -87,18 +89,23 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in payload_cols:
-        u = u.withColumn(
-            c, F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    # Explicit always-non-null match marker for how="inner": filtering on a
-    # payload column would wrongly drop left rows whose matched right row
-    # legitimately carries NULL in that payload.
-    matched = F.last(
-        F.when(F.col(_SIDE) == 0, F.lit(1)), ignorenulls=True
+    # Carry ONE struct holding ALL payload columns of the most recent right
+    # row.  Carrying each column independently (last(when(...), ignorenulls)
+    # per column) is wrong twice over: a NULL payload value in the matched
+    # row would be skipped and silently replaced by a STALE value from an
+    # older right row (found by tests/test_asof_property.py), and inner-mode
+    # filtering would need a separate marker.  The struct is non-null for
+    # every right row — even one whose payload values are all NULL — so its
+    # fields are exactly the matched row's values, and its own nullness IS
+    # the match marker.  One window function instead of len(payload_cols).
+    pay = F.last(
+        F.when(F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in payload_cols])),
+        ignorenulls=True,
     ).over(w)
-    u = u.withColumn(_MATCH, matched)
-    out = u.filter(F.col(_SIDE) == 1).drop(_SIDE, *[t for t in tiebreak if t not in left.columns])
+    u = u.withColumn(_PAY, pay)
+    for c in payload_cols:
+        u = u.withColumn(c, F.col(_PAY)[c])
+    out = u.filter(F.col(_SIDE) == 1)
     if how == "inner":
-        out = out.filter(F.col(_MATCH).isNotNull())
-    return out.drop(_MATCH)
+        out = out.filter(F.col(_PAY).isNotNull())
+    return out.drop(_SIDE, _PAY, *[t for t in tiebreak if t not in left.columns])
