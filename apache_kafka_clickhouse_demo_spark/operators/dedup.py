@@ -469,46 +469,60 @@ def connected_components(
     through the pair graph — the step that turns pairwise near-dup output
     into "keep one doc per duplicate group".
 
-    Iterative min-label propagation: labels start as self; each round every
-    node takes the min of its own and its neighbors' labels; stop when a
-    round changes no label.  Rounds = graph diameter, and near-dup clusters
-    are shallow (cliques/stars around a canonical doc), so 2-3 rounds is
-    typical.  Each round is one edge-label equi-join + a min-aggregate —
-    both plain shuffles on node ids — and `localCheckpoint` cuts lineage so
-    the plan stays constant-size across rounds.  Convergence is detected by
-    the total label sum: labels only ever decrease, so an unchanged sum IS
-    the fixpoint — one cheap aggregate per round instead of a change-count
-    join.  For adversarial long-chain graphs, swap the propagation step for
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", 2014) — rounds drop to
-    O(log^2 n); same interface, not needed for dedup-shaped graphs.
+    Iterative min-label propagation WITH pointer jumping: labels start as
+    self; each round every node takes the min over {its own label, its
+    neighbors' labels, its label's label}.  The label-of-label (pointer
+    jumping) term doubles the propagation distance per round, so rounds =
+    O(log diameter) — a path graph of 1M nodes converges in ~20 rounds
+    where plain neighbor propagation would need 1M (this is the standard
+    Hash-to-Min-style shortcut; cf. Kiveris et al., "Connected Components
+    in MapReduce and Beyond", 2014).  Near-dup graphs are shallow
+    (cliques/stars), so 2-3 rounds is still the typical case and the jump
+    join is nearly free there.
+
+    Each round is two equi-joins + one min-aggregate — plain shuffles on
+    node ids — and a LAZY `localCheckpoint` cuts lineage while the
+    convergence aggregate right after it is the single action that
+    materializes the round.  Convergence is detected by the total label
+    sum: labels only ever decrease, so an unchanged sum IS the fixpoint.
+    Exhausting max_iter without convergence raises — a silently-partial
+    clustering must never reach a dedup decision.
     """
     half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # lazy localCheckpoint: the convergence aggregate right below is the
-    # action that materializes it, so each round costs ONE job (an eager
-    # checkpoint would add a second materialization job per round — at
-    # dedup scale the fixed job overhead dominates the actual label work)
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=False)
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
+        # pointer jumping: my label's current label (label of label)
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+        )
         labels = (
             labels.unionByName(nbr)
+            .unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
         label_sum = labels.agg(F.sum("label")).first()[0]
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
