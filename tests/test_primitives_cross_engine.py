@@ -1,0 +1,74 @@
+"""Property test: the text/hash primitives match DuckDB bit-for-bit on
+random inputs — these primitives are the foundation EVERY hash oracle
+(MinHash, SimHash, fingerprints, train/test split) is built on, so a
+divergence here would silently invalidate many gate checks at once.
+
+Input domain: printable ASCII (the fixture corpus domain).  Known edge
+outside it: Java regex \\s includes \\x0B (vertical tab), RE2's does not —
+documents containing control characters are outside the oracle contract.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+from apache_kafka_clickhouse_demo_spark.functions import text as TX
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_tokens_shingles_h48_match_duckdb(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = TX.tokens("text")
+    got = {
+        r["doc_id"]: (r["h"], r["toks"], r["sh"], r["sig"])
+        for r in sdf.select(
+            "doc_id",
+            H.h48(F.lower(F.trim(F.col("text")))).alias("h"),
+            toks.alias("toks"),
+            TX.word_shingles(toks, 3).alias("sh"),
+            H.minhash_signature(F.array_distinct(TX.word_shingles(toks, 3)), 6).alias("sig"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql_toks = TX.sql_tokens("text")
+    sql = f"""
+    WITH t AS (
+      SELECT doc_id, {H.sql_h48('lower(trim(text))')} AS h,
+             {sql_toks} AS toks,
+             {TX.sql_word_shingles(sql_toks, 3)} AS sh
+      FROM docs
+    ), hs AS (
+      SELECT doc_id, h, toks, sh,
+             {H.sql_hashed_shingles('list_distinct(sh)')} AS hashed
+      FROM t
+    )
+    SELECT doc_id, h, toks, sh, {H.sql_minhash_signature('hashed', 6)} AS sig
+    FROM hs
+    """
+    want = {
+        d: (h, list(tk), list(s), list(sg))
+        for d, h, tk, s, sg in con.execute(sql).fetchall()
+    }
+    assert got == want
