@@ -1,0 +1,43 @@
+"""Plan lint over the whole gate registry: no query may ACCIDENTALLY plan a
+cartesian product or a broadcast nested-loop join.
+
+Value checks at sf0.01 cannot see an O(n²) join shape; this sweep can, for
+every registered query at once.  Queries whose nested-loop is deliberate
+and bounded are allow-listed with the reason inline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_kafka_clickhouse_demo_spark import queries as Q
+from apache_kafka_clickhouse_demo_spark.plans.explain import formatted_plan
+
+# Queries that EXECUTE work at build time (streaming checkpoints, table
+# writes) — their plans are exercised by their own dedicated tests.
+_SKIP = {
+    "mv_cascade_attendance",
+    "attendance_daily_compacted",
+    "stream_dedup",
+}
+
+# Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
+_NESTED_LOOP_OK = {
+    "ann_topk",  # brute-force baseline: corpus x broadcast(bounded query set)
+    "ann_lsh_topk",  # same bounded query side for the probe comparison
+    "ann_ivf_topk",  # corpus x broadcast(fixed-target centroid table)
+    "daily_big_values_filled",  # calendar spine x broadcast(1-row bounds agg)
+}
+
+_ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}
+_LINTABLE = sorted(k for k in _ALL if k not in _SKIP)
+
+
+@pytest.mark.parametrize("name", _LINTABLE)
+def test_no_accidental_quadratic_join(spark, sf_dir, name):
+    plan = formatted_plan(_ALL[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    if name not in _NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin (not allow-listed)"
+        )
