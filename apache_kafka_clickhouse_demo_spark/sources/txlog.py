@@ -28,9 +28,10 @@ Concurrency model: optimistic, append-only (the OCC loop every log-based
 table format uses).  On a shared filesystem/object store with atomic
 create-if-absent this protocol is correct for any number of concurrent
 writers; at 100 TB scale the log stays tiny (one small JSON per commit)
-and readers pay one listing, independent of data size.  Compaction of the
-log itself (checkpointing many JSONs into one) is the standard follow-on;
-at this log volume it is deliberately omitted.
+and readers pay one listing, independent of data size.  A long-running
+streaming MV commits once per block, so the log does grow — `checkpoint()`
+collapses every commit up to a version into one summary file (readers then
+skip the per-commit JSONs), exactly Delta's log-checkpoint mechanism.
 """
 
 from __future__ import annotations
@@ -55,27 +56,73 @@ class TransactionalTable:
 
     # -- log helpers --------------------------------------------------------
 
-    def _commit_files(self, up_to_version: int | None = None) -> list[str]:
+    def _log_entries(self) -> tuple[int | None, list[tuple[int, str]]]:
+        """(latest checkpoint version or None, [(version, commit path)...])."""
         if not os.path.isdir(self.log_dir):
-            return []
-        names = sorted(n for n in os.listdir(self.log_dir) if n.endswith(".json"))
-        if up_to_version is not None:
-            names = [n for n in names if int(n.split(".")[0]) <= up_to_version]
-        return [os.path.join(self.log_dir, n) for n in names]
+            return None, []
+        ckpt_versions = sorted(
+            int(n.split(".")[0])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".checkpoint.json")
+        )
+        commits = sorted(
+            (int(n.split(".")[0]), os.path.join(self.log_dir, n))
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        )
+        return (ckpt_versions[-1] if ckpt_versions else None), commits
 
     def version(self) -> int:
         """Latest committed version, -1 for an empty/new table."""
-        commits = self._commit_files()
-        if not commits:
-            return -1
-        return int(os.path.basename(commits[-1]).split(".")[0])
+        ckpt, commits = self._log_entries()
+        latest = max([c for c, _ in commits], default=-1)
+        return max(latest, ckpt if ckpt is not None else -1)
 
     def data_files(self, up_to_version: int | None = None) -> list[str]:
+        ckpt, commits = self._log_entries()
         files: list[str] = []
-        for commit in self._commit_files(up_to_version):
+        # start from the newest checkpoint at or below the requested version
+        if ckpt is not None and (up_to_version is None or ckpt <= up_to_version):
+            with open(os.path.join(self.log_dir, self._ckpt_name(ckpt))) as fh:
+                files.extend(json.load(fh)["files"])
+            floor = ckpt
+        else:
+            floor = -1
+        for v, commit in commits:
+            if v <= floor:
+                continue
+            if up_to_version is not None and v > up_to_version:
+                continue
             with open(commit) as fh:
                 files.extend(json.load(fh)["files"])
         return [os.path.join(self.path, f) for f in files]
+
+    @staticmethod
+    def _ckpt_name(version: int) -> str:
+        return f"{version:0{_VERSION_DIGITS}d}.checkpoint.json"
+
+    def checkpoint(self) -> int:
+        """Collapse the log: write one summary file listing every data file
+        committed up to the current version.  Readers then open ONE file
+        plus any later commits instead of the whole commit history; older
+        commit JSONs become redundant (kept — they are tiny — so pinned
+        snapshot reads below the checkpoint keep working).  Concurrent
+        appends are safe: they only add commits NEWER than the version
+        being checkpointed, and the checkpoint file itself is published
+        with the same O_EXCL create."""
+        version = self.version()
+        if version < 0:
+            raise FileNotFoundError(f"nothing to checkpoint in {self.path}")
+        files = [os.path.relpath(f, self.path) for f in self.data_files(version)]
+        payload = json.dumps({"files": sorted(files)}).encode()
+        ckpt_path = os.path.join(self.log_dir, self._ckpt_name(version))
+        try:
+            fd = os.open(ckpt_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:  # an identical checkpoint already exists
+            return version
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return version
 
     # -- write path ---------------------------------------------------------
 

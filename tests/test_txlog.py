@@ -76,6 +76,25 @@ def test_concurrent_appends_lose_nothing(spark, tmp_path):
     assert t.version() == n_writers - 1  # every writer won some version
 
 
+def test_checkpoint_collapses_log_and_preserves_reads(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    v = t.checkpoint()
+    assert v == 1
+    t.append(_df(spark, 20, 30))  # post-checkpoint commit
+    assert t.read(spark).count() == 30
+    assert t.version() == 2
+    # snapshot pinned BELOW the checkpoint still resolves from raw commits
+    assert t.read(spark, version=0).count() == 10
+    # snapshot at the checkpoint version resolves through the checkpoint
+    assert t.read(spark, version=1).count() == 20
+    # checkpointing again at a new version is fine; at the same version, a no-op
+    assert t.checkpoint() == 2
+    assert t.checkpoint() == 2
+    assert t.read(spark).count() == 30
+
+
 def test_mv_with_transactional_sink(spark, sf_dir, tmp_path):
     """An MV writing through transactional commits produces exactly the
     batch answer — per-block appends, atomically published."""
