@@ -24,9 +24,7 @@ _SKIP = {
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
 _NESTED_LOOP_OK = {
     "ann_topk",  # brute-force baseline: corpus x broadcast(bounded query set)
-    "ann_lsh_topk",  # same bounded query side for the probe comparison
     "ann_ivf_topk",  # corpus x broadcast(fixed-target centroid table)
-    "daily_big_values_filled",  # calendar spine x broadcast(1-row bounds agg)
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}
