@@ -469,16 +469,16 @@ def connected_components(
     through the pair graph — the step that turns pairwise near-dup output
     into "keep one doc per duplicate group".
 
-    Iterative min-label propagation WITH pointer jumping: labels start as
-    self; each round every node takes the min over {its own label, its
-    neighbors' labels, its label's label}.  The label-of-label (pointer
-    jumping) term doubles the propagation distance per round, so rounds =
-    O(log diameter) — a path graph of 1M nodes converges in ~20 rounds
-    where plain neighbor propagation would need 1M (this is the standard
-    Hash-to-Min-style shortcut; cf. Kiveris et al., "Connected Components
-    in MapReduce and Beyond", 2014).  Near-dup graphs are shallow
-    (cliques/stars), so 2-3 rounds is still the typical case and the jump
-    join is nearly free there.
+    Iterative min-label propagation WITH adaptive pointer jumping: labels
+    start as self; each round every node takes the min over {its own label,
+    its neighbors' labels, and — from round 3 on — its label's label}.
+    The label-of-label (pointer jumping) term doubles the propagation
+    distance per round, so rounds = O(log diameter) — a path graph of 1M
+    nodes converges in ~20 rounds where plain neighbor propagation would
+    need 1M (the standard Hash-to-Min-style shortcut; cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014).  Near-dup
+    graphs are shallow (cliques/stars) and converge within the first
+    neighbor-only rounds, so the common case never pays the jump join.
 
     Each round is two equi-joins + one min-aggregate — plain shuffles on
     node ids — and a LAZY `localCheckpoint` cuts lineage while the
@@ -493,25 +493,37 @@ def connected_components(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=False)
+    # Iterate ONLY over nodes that appear in some pair: in a dedup graph
+    # nearly every document is isolated (its own cluster), so propagating
+    # labels across the full corpus would shuffle the corpus once per
+    # round for nothing.  Isolated nodes are attached back with
+    # label = self after the fixpoint.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
-        # pointer jumping: my label's current label (label of label)
-        jump = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
-            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
-        )
+        step = labels.unionByName(nbr)
+        # Pointer jumping only once plain propagation hasn't converged in
+        # the first rounds: dedup-shaped graphs (cliques/stars) finish in
+        # 2-3 neighbor rounds and never pay the extra join; deep graphs
+        # then start doubling their propagation distance per round.
+        if round_idx >= 2:
+            jump = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+                .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+            )
+            step = step.unionByName(jump)
         labels = (
-            labels.unionByName(nbr)
-            .unionByName(jump)
-            .groupBy("node")
+            step.groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
@@ -525,4 +537,11 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+    )
