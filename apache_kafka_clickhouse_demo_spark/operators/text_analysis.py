@@ -178,6 +178,50 @@ def doc_chunks(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by a TF-IDF-style score.
+
+    Score is EXACT integer arithmetic — `tf * 1_000_000 * (N + 1) div
+    (df + 1)` — monotone in tf/idf like the classic tf·log-idf but free of
+    cross-engine `ln` bit differences, so the operator stays hash-exact
+    against the DuckDB oracle.  Ties break on the term ascending.
+
+    Plan shape at 100 TB: explode tokens -> per-(doc, term) count (one
+    shuffle with map-side partials) -> per-term document frequency (second
+    shuffle, carries one row per distinct (doc, term)) -> corpus size N as
+    a 1-row aggregate broadcast -> per-doc top-k window.  The window
+    partitions by doc_id over per-term rows, orders of magnitude smaller
+    than the corpus text.
+    """
+    from pyspark.sql import Window as W
+
+    terms = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(TX.tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_micro",
+            F.expr("tf * 1000000 * (n_docs + 1) div (df + 1)").cast("long"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score_micro")
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: whole-text 48-bit hash + winnowed min-shingle
     hash (the minimum h48 over word 3-gram shingles — a 1-permutation

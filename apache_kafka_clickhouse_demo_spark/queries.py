@@ -1143,6 +1143,13 @@ def q_doc_chunks(spark, sf_dir):
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 characteristic terms, exact-integer TF-IDF."""
+    return text_analysis.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Language ID + quality features + token counts as ONE row-local pass
     (operators/text_analysis.text_profile) — the gate query for all three
@@ -1274,6 +1281,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,  # absorbed into text_profile
     "media_resize": q_media_resize,  # absorbed into media_features
     "doc_chunks": q_doc_chunks,  # r03 addition; gate slots were full
+    "tfidf_top_terms": q_tfidf_top_terms,  # r03 addition; gate slots were full
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
 }
@@ -2096,6 +2104,29 @@ ORDER BY id_a, id_b
         "text_quality": _oracle_text_quality(),
         "token_counts": _oracle_token_counts(),
         "text_profile": _oracle_text_profile(),
+        "tfidf_top_terms": f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_sql_toks()}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * 1000000 * (n.n_docs + 1) // (dfreq.df + 1) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score_micro
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""",
         "doc_chunks": f"""
 WITH toks AS (
   SELECT doc_id, {_sql_toks()} AS toks FROM documents
