@@ -111,10 +111,20 @@ def pandas_hash(pdf) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark(app_name="oracle-check")
+    if vanilla:
+        # the external driver's environment: a bare SparkSession with NONE
+        # of session.py's configs — catches any conf the library forgot to
+        # set at runtime (e.g. the nanos-timestamp legacy flag)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("oracle-check-vanilla").getOrCreate()
+    else:
+        spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
