@@ -95,6 +95,57 @@ def test_checkpoint_collapses_log_and_preserves_reads(spark, tmp_path):
     assert t.read(spark).count() == 30
 
 
+def test_concurrent_backfill_and_stream(spark, sf_dir, tmp_path):
+    """The reference's M4 cutover with the sequencing constraint REMOVED:
+    history backfill appends while the streaming MV is draining blocks into
+    the SAME transactional table.  With plain parquet this interleaving is
+    the `_temporary/` race backfill_cutover must serialize around; with
+    atomic commits both writers land safely and the union is exact."""
+    from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src_dir = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src_dir)
+
+    cutover = F.col("event_id") >= 500  # stream handles >=, backfill <
+
+    def transform(block):
+        return block.select("event_id", "event_type", (F.col("value") + 1).alias("v1"))
+
+    table = TransactionalTable(str(tmp_path / "dest"))
+    source = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    mv = create_materialized_view(
+        source,
+        lambda b: transform(b.filter(cutover)),
+        dest_path=table.path,
+        checkpoint=str(tmp_path / "ck"),
+        available_now=True,
+        sink=transactional_sink(table),
+    )
+    backfill_err: list[Exception] = []
+
+    def backfill():
+        try:
+            table.append(transform(events.filter(~cutover)))
+        except Exception as e:  # noqa: BLE001
+            backfill_err.append(e)
+
+    th = threading.Thread(target=backfill)
+    th.start()  # runs WHILE the stream drains its blocks
+    mv.process_available()
+    th.join()
+    mv.stop()
+    assert not backfill_err
+
+    got = {tuple(r) for r in table.read(spark).collect()}
+    want = {tuple(r) for r in transform(events).collect()}
+    assert got == want  # every row exactly once across both writers
+
+
 def test_mv_with_transactional_sink(spark, sf_dir, tmp_path):
     """An MV writing through transactional commits produces exactly the
     batch answer — per-block appends, atomically published."""
