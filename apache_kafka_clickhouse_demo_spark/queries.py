@@ -12,7 +12,14 @@ Mirroring rules (what makes the hashes match):
   (functions/hashing.py), so MinHash/SimHash oracles are exact, not
   approximate;
 - every ORDER BY carries a full deterministic tiebreak wherever a LIMIT
-  makes the *set* order-sensitive.
+  makes the *set* order-sensitive;
+- oracle sums over DuckDB integers are CAST to BIGINT (DuckDB widens to
+  HUGEINT, which pandas canonicalization degrades to float64 — the r02
+  `user_sessions` false negative);
+- no result column is array-typed: sequences are '|'-joined strings and
+  float vectors become micro-int strings (round(x*1e6) as long) — list
+  cells crash the driver's pandas canonicalization, and integer strings
+  sidestep cross-engine float formatting.
 """
 
 from __future__ import annotations
