@@ -236,20 +236,27 @@ def q_events_preview(spark, sf_dir):
 
 
 def q_mv_cascade_attendance(spark, sf_dir):
-    """M1+M2 through the REAL streaming path (not a batch stand-in): produce
-    NDJSON, run the checkpointed ingest MV and the cascaded aggregating MV
-    (multiple insert blocks -> partial rows), then merge-on-read.
+    """M1+M2+M4 through the REAL streaming path (not a batch stand-in):
+    produce NDJSON, run the checkpointed ingest MV, then drive the cascaded
+    aggregating MV through the reference's BACKFILL/STREAM CUTOVER — rows
+    before the cutover timestamp arrive via the one-shot `INSERT…SELECT`
+    backfill, rows at-or-after it via checkpointed stream blocks (multiple
+    insert blocks -> partial rows) — and finally merge-on-read.
 
-    This is the reference's core loop (README.rst:64-73, 95-103, 154-162,
-    254-272) executed inside the correctness gate: the oracle is the direct
-    batch aggregate, equal iff the streaming cascade loses/duplicates
-    nothing and the partial rows merge exactly.
+    This is the reference's core loop INCLUDING its signature M4 seam
+    (README.rst:64-73, 95-103, 121-123, 154-162, 178-185, 254-272) executed
+    inside the correctness gate: the oracle is the direct batch aggregate,
+    equal iff the cascade + cutover lose/duplicate nothing across the seam
+    and the partial rows merge exactly.
     """
     import tempfile
 
     from apache_kafka_clickhouse_demo_spark.operators import entry_pipeline as EP
     from apache_kafka_clickhouse_demo_spark.schemas import STUDENT_ENTRY_EVENTS_SCHEMA
-    from apache_kafka_clickhouse_demo_spark.streaming import create_materialized_view
+    from apache_kafka_clickhouse_demo_spark.streaming import (
+        backfill_cutover,
+        create_materialized_view,
+    )
 
     work = tempfile.mkdtemp(prefix="mv_cascade_")
     raw = f"{work}/raw"
@@ -264,15 +271,24 @@ def q_mv_cascade_attendance(spark, sf_dir):
     mv1.process_available()
     mv1.stop()
 
-    # MV #2: typed -> per-(timestamp, subject) PARTIAL counts, one block per
-    # file so the stored table really holds several partial rows per key
+    # MV #2 with M4 cutover: typed -> per-(timestamp, subject) PARTIAL
+    # counts.  History (< T) backfills in one shot; the stream handles
+    # >= T, one block per pair of files so the stored table really holds
+    # several partial rows per key.
     src2 = (
         spark.readStream.schema(STUDENT_ENTRY_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 2)
         .parquet(f"{work}/typed")
     )
-    mv2 = create_materialized_view(
-        src2, EP.class_attendance, f"{work}/counts", f"{work}/ck2", available_now=True
+    mv2 = backfill_cutover(
+        spark,
+        history=spark.read.parquet(f"{work}/typed"),
+        source=src2,
+        transform=EP.class_attendance,
+        cutover_predicate=F.col("timestamp") >= F.lit(EVENTS_CUTOFF).cast("timestamp"),
+        dest_path=f"{work}/counts",
+        checkpoint=f"{work}/ck2",
+        available_now=True,
     )
     mv2.process_available()
     mv2.stop()
