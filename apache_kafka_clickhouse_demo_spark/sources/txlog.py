@@ -165,6 +165,29 @@ class TransactionalTable:
         # data files remain unpublished (invisible to readers) on failure
         raise RuntimeError(f"could not commit after {max_retries} attempts")
 
+    def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Delete data files no commit references (debris from writers that
+        crashed between the move and the commit).  `grace_seconds` protects
+        in-flight appends: a file younger than the grace window may belong
+        to a writer that has moved it but not yet published its commit, so
+        it is kept.  Returns the deleted file names."""
+        import time
+
+        referenced = {os.path.basename(f) for f in self.data_files()}
+        now = time.time()
+        deleted: list[str] = []
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if not name.endswith(".parquet") or not os.path.isfile(full):
+                continue
+            if name in referenced:
+                continue
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            os.remove(full)
+            deleted.append(name)
+        return deleted
+
     # -- read path ----------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

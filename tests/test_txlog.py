@@ -49,6 +49,10 @@ def test_uncommitted_files_are_invisible(spark, tmp_path):
     os.rename(src, stray)
     os.makedirs(os.path.join(t.path, ".staging-crashed"), exist_ok=True)
     assert t.read(spark).count() == 5  # reader sees committed rows only
+    # vacuum with a grace window keeps the young stray; without it, deletes
+    assert t.vacuum(grace_seconds=3600) == []
+    assert t.vacuum(grace_seconds=0) == [os.path.basename(stray)]
+    assert t.read(spark).count() == 5  # committed data untouched
 
 
 def test_concurrent_appends_lose_nothing(spark, tmp_path):
