@@ -453,6 +453,51 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Train/test decontamination
+# ---------------------------------------------------------------------------
+
+
+def cross_split_contamination(
+    docs: DataFrame,
+    split_col: str = "split",
+    shingle_n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination check for a train/test split: every TEST document
+    that shares at least one `shingle_n`-gram with ANY train document, with
+    the count of shared distinct shingles.  13 words is the standard
+    contamination window for LLM eval decontamination.
+
+    `docs` must carry `split_col` with values 'train'/'test' (compose with
+    the deterministic hash split upstream).
+
+    Plan shape at 100 TB: explode distinct shingles -> h48 -> one
+    equi-join keyed on the 8-byte shingle hash between the test side and
+    the distinct-ed train side (shuffle on hash keys only, never
+    all-pairs).  When the test side is small relative to train — the usual
+    case — flip the join so the TEST shingle set broadcasts (or becomes a
+    bloom filter pushed into the train scan); the equi-join form here is
+    the general-case fallback.
+    """
+    sh = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(split_col).alias("split"),
+        F.explode(
+            F.array_distinct(TX.word_shingles(TX.tokens(text_col), shingle_n))
+        ).alias("s"),
+    ).select("doc_id", "split", H.h48("s").alias("h"))
+    train_h = sh.filter(F.col("split") == "train").select("h").distinct()
+    return (
+        sh.filter(F.col("split") == "test")
+        .join(train_h, "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster assignment (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 

@@ -178,6 +178,39 @@ def doc_chunks(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals: duplicate-token and duplicate
+    2-gram fractions per document.  Boilerplate, keyword-stuffed, or
+    generation-loop documents score high and get filtered before training.
+
+    Row-local (tokenize once per branch, distinct in-place) — scan
+    throughput at 100 TB.  The integer counts are the primary output (exact
+    cross-engine); the ratios are single-division doubles, bit-identical by
+    construction and rounded for safety.
+    """
+    toks = TX.tokens(text_col)
+    grams = TX.word_shingles(TX.tokens(text_col), 2)
+    n_tok = F.size(toks)
+    n_tok_d = F.size(F.array_distinct(toks))
+    n_2g = F.size(grams)
+    n_2g_d = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        n_tok_d.alias("n_distinct_tokens"),
+        n_2g.alias("n_2grams"),
+        n_2g_d.alias("n_distinct_2grams"),
+        F.round(1.0 - n_tok_d.cast("double") / F.greatest(n_tok, F.lit(1)), 4).alias(
+            "dup_token_ratio"
+        ),
+        F.round(1.0 - n_2g_d.cast("double") / F.greatest(n_2g, F.lit(1)), 4).alias(
+            "dup_2gram_ratio"
+        ),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

@@ -1166,6 +1166,26 @@ def q_doc_chunks(spark, sf_dir):
     ).orderBy("doc_id", "chunk_idx")
 
 
+DECON_SHINGLE_N = 13
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style duplicate-token / duplicate-2-gram fractions."""
+    return text_analysis.repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_decontaminate_split(spark, sf_dir):
+    """Eval decontamination: test docs sharing a 13-gram with any train doc
+    (split = the deterministic hash split of train_test_split)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = H.h48(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    with_split = docs.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train")).otherwise(F.lit("test")),
+    )
+    return dedup.cross_split_contamination(with_split, shingle_n=DECON_SHINGLE_N)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 characteristic terms, exact-integer TF-IDF."""
     return text_analysis.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3).orderBy(
@@ -1305,6 +1325,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,  # absorbed into media_features
     "doc_chunks": q_doc_chunks,  # r03 addition; gate slots were full
     "tfidf_top_terms": q_tfidf_top_terms,  # r03 addition; gate slots were full
+    "repetition_stats": q_repetition_stats,  # r03 addition; gate slots were full
+    "decontaminate_split": q_decontaminate_split,  # r03 addition; gate slots were full
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
 }
@@ -2127,6 +2149,42 @@ ORDER BY id_a, id_b
         "text_quality": _oracle_text_quality(),
         "token_counts": _oracle_token_counts(),
         "text_profile": _oracle_text_profile(),
+        "repetition_stats": f"""
+WITH t AS (
+  SELECT doc_id, {_sql_toks()} AS toks,
+         {TX.sql_word_shingles(_sql_toks(), 2)} AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+       CAST(len(grams) AS INTEGER) AS n_2grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_2grams,
+       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4)
+         AS dup_token_ratio,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1), 4)
+         AS dup_2gram_ratio
+FROM t ORDER BY doc_id
+""",
+        "decontaminate_split": f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN ({H.sql_h48(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} % 100)
+                   < {SPLIT_TRAIN_PCT}
+              THEN 'train' ELSE 'test' END AS split,
+         list_distinct({TX.sql_word_shingles(_sql_toks(), DECON_SHINGLE_N)}) AS sh
+  FROM documents
+), shingled AS (
+  SELECT doc_id, split, {H.sql_h48('s.s')} AS h
+  FROM base, UNNEST(sh) AS s(s)
+), tr AS (
+  SELECT DISTINCT h FROM shingled WHERE split = 'train'
+)
+SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shared_shingles
+FROM shingled JOIN tr USING (h)
+WHERE split = 'test'
+GROUP BY doc_id ORDER BY doc_id
+""",
         "tfidf_top_terms": f"""
 WITH terms AS (
   SELECT doc_id, unnest({_sql_toks()}) AS term FROM documents
