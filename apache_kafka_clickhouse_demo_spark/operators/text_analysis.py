@@ -191,7 +191,11 @@ def repetition_stats(
     construction and rounded for safety.
     """
     toks = TX.tokens(text_col)
-    grams = TX.word_shingles(TX.tokens(text_col), 2)
+    # NULL text -> NULL gram stats (without the guard, sequence/greatest
+    # NULL-ignoring semantics degenerate the shingle array to [NULL])
+    grams = F.when(
+        F.col(text_col).isNotNull(), TX.word_shingles(TX.tokens(text_col), 2)
+    )
     n_tok = F.size(toks)
     n_tok_d = F.size(F.array_distinct(toks))
     n_2g = F.size(grams)

@@ -2151,8 +2151,12 @@ ORDER BY id_a, id_b
         "text_profile": _oracle_text_profile(),
         "repetition_stats": f"""
 WITH t AS (
+  -- CASE: a NULL text must yield NULL gram stats like Spark's
+  -- size(NULL array); DuckDB's shingle expression over a NULL token list
+  -- degenerates to [NULL] and list_distinct drops NULLs, so guard here
   SELECT doc_id, {_sql_toks()} AS toks,
-         {TX.sql_word_shingles(_sql_toks(), 2)} AS grams
+         CASE WHEN text IS NULL THEN NULL
+              ELSE {TX.sql_word_shingles(_sql_toks(), 2)} END AS grams
   FROM documents
 )
 SELECT doc_id,

@@ -83,6 +83,13 @@ def test_minhash_pairs_match_oracle_with_degenerate_docs(sdocs, duck):
     assert any((a, b) == (3, 4) for a, b, *_ in got)
 
 
+def test_repetition_stats_match_oracle_with_degenerate_docs(sdocs, duck):
+    got = _rows(text_analysis.repetition_stats(sdocs))
+    want = _drows(duck, Q._all_oracles()["repetition_stats"])
+    assert got == want
+    assert {r[0] for r in got} == {d for d, _ in DOCS}
+
+
 def test_minhash_signatures_keep_every_doc(sdocs):
     sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(sdocs).collect()}
     assert set(sigs) == {d for d, _ in DOCS}
