@@ -16,10 +16,14 @@ same commit protocol reduced to its core, with no new dependencies:
 
 - A writer stages its parquet files in a PRIVATE scratch directory (its own
   `_temporary/` — no sharing, no race), moves them into the table directory
-  under unique names, then publishes them by creating the next numbered
-  commit file with O_EXCL.  The exclusive create is the atomic commit
-  point: exactly one writer wins a version number; losers retry with the
-  next number.  Nothing a reader can observe is ever half-written.
+  under unique names, then publishes them by writing the full commit JSON
+  to a hidden temp file and hard-linking it to the next numbered commit
+  name.  link(2) fails with EEXIST if the version is taken (same OCC loop
+  as an O_EXCL create) and — unlike create-then-write — publishes the
+  payload atomically: a commit file either does not exist or is complete,
+  so a reader listing the log mid-commit, or after a writer crashed between
+  create and write, can never open a truncated commit.  Nothing a reader
+  can observe is ever half-written.
 - Readers list `_txlog/*.json` (optionally up to a pinned version — free
   snapshot/time-travel) and read exactly the files those commits name.
   Uncommitted data files and leftover staging directories are invisible.
@@ -101,6 +105,28 @@ class TransactionalTable:
     def _ckpt_name(version: int) -> str:
         return f"{version:0{_VERSION_DIGITS}d}.checkpoint.json"
 
+    def _publish(self, payload: bytes, dest_path: str) -> bool:
+        """Atomically publish `payload` at `dest_path` (ADVICE r3): write a
+        uniquely-named temp file in the log dir, then hard-link it to the
+        final name.  link() is atomic and fails with FileExistsError when
+        the name is taken, which preserves the OCC version race; because the
+        payload is complete before the name exists, readers can never
+        observe a partially-written commit — even if this process dies at
+        any point (the leftover is an invisible `.tmp-*` file, not a
+        truncated commit).  Returns False if the name was already taken."""
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, dest_path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
     def checkpoint(self) -> int:
         """Collapse the log: write one summary file listing every data file
         committed up to the current version.  Readers then open ONE file
@@ -116,12 +142,8 @@ class TransactionalTable:
         files = [os.path.relpath(f, self.path) for f in self.data_files(version)]
         payload = json.dumps({"files": sorted(files)}).encode()
         ckpt_path = os.path.join(self.log_dir, self._ckpt_name(version))
-        try:
-            fd = os.open(ckpt_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:  # an identical checkpoint already exists
-            return version
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(payload)
+        # lost the race -> an identical checkpoint already exists: fine
+        self._publish(payload, ckpt_path)
         return version
 
     # -- write path ---------------------------------------------------------
@@ -154,23 +176,20 @@ class TransactionalTable:
             commit_path = os.path.join(
                 self.log_dir, f"{version:0{_VERSION_DIGITS}d}.json"
             )
-            try:
-                fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:  # lost the race for this version number
-                version += 1
-                continue
-            with os.fdopen(fd, "wb") as fh:
-                fh.write(payload)
-            return version
+            if self._publish(payload, commit_path):
+                return version
+            version += 1  # lost the race for this version number
         # data files remain unpublished (invisible to readers) on failure
         raise RuntimeError(f"could not commit after {max_retries} attempts")
 
     def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
-        """Delete data files no commit references (debris from writers that
-        crashed between the move and the commit).  `grace_seconds` protects
-        in-flight appends: a file younger than the grace window may belong
-        to a writer that has moved it but not yet published its commit, so
-        it is kept.  Returns the deleted file names."""
+        """Delete crash debris no commit references: unreferenced data
+        files (writers that crashed between the move and the commit) and
+        `.staging-*` scratch directories (writers killed mid-`df.write`,
+        before their finally-block cleanup ran — ADVICE r3).  `grace_seconds`
+        protects in-flight appends: anything younger than the grace window
+        may belong to a writer that has not yet published its commit, so it
+        is kept.  Returns the deleted file/directory names."""
         import time
 
         referenced = {os.path.basename(f) for f in self.data_files()}
@@ -178,6 +197,11 @@ class TransactionalTable:
         deleted: list[str] = []
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
+            if name.startswith(".staging-") and os.path.isdir(full):
+                if now - os.path.getmtime(full) >= grace_seconds:
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(name)
+                continue
             if not name.endswith(".parquet") or not os.path.isfile(full):
                 continue
             if name in referenced:

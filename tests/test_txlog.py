@@ -49,10 +49,49 @@ def test_uncommitted_files_are_invisible(spark, tmp_path):
     os.rename(src, stray)
     os.makedirs(os.path.join(t.path, ".staging-crashed"), exist_ok=True)
     assert t.read(spark).count() == 5  # reader sees committed rows only
-    # vacuum with a grace window keeps the young stray; without it, deletes
+    # vacuum with a grace window keeps the young stray AND the young staging
+    # dir (its writer may still be mid-append); without it, deletes both
     assert t.vacuum(grace_seconds=3600) == []
-    assert t.vacuum(grace_seconds=0) == [os.path.basename(stray)]
+    assert sorted(t.vacuum(grace_seconds=0)) == [
+        ".staging-crashed",
+        os.path.basename(stray),
+    ]
+    assert not os.path.exists(os.path.join(t.path, ".staging-crashed"))
     assert t.read(spark).count() == 5  # committed data untouched
+
+
+def test_commit_publication_is_atomic_for_readers(spark, tmp_path):
+    """ADVICE r3: a writer crashing mid-commit (payload written, link not
+    yet made — or any interleaving) must never leave a truncated commit a
+    reader would choke on.  With link-based publication the only possible
+    debris is an invisible `.tmp-*` file in _txlog."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+
+    # crash-mid-commit debris: a fully- and a partially-written temp file
+    with open(os.path.join(t.log_dir, ".tmp-deadbeefcafe"), "wb") as fh:
+        fh.write(b'{"files": ["never-published.parquet"]}')
+    with open(os.path.join(t.log_dir, ".tmp-0123456789ab"), "wb") as fh:
+        fh.write(b'{"files": [')  # truncated JSON
+    assert t.version() == 0
+    assert t.read(spark).count() == 5  # readers parse only *.json commits
+    assert t.append(_df(spark, 5, 8)) == 1  # next append unaffected
+    assert t.read(spark).count() == 8
+
+    # the publish helper itself: losing the version race leaves no temp file
+    taken = os.path.join(t.log_dir, "00000000001.json")
+    assert os.path.exists(taken)
+    assert t._publish(b'{"files": []}', taken) is False
+    leftovers = [n for n in os.listdir(t.log_dir) if n.startswith(".tmp-")]
+    assert leftovers == [n for n in (".tmp-deadbeefcafe", ".tmp-0123456789ab")
+                         if n in leftovers]  # only the fabricated debris remains
+    # every published commit file is complete, parseable JSON at all times
+    import json
+
+    for name in os.listdir(t.log_dir):
+        if name.endswith(".json"):
+            with open(os.path.join(t.log_dir, name)) as fh:
+                assert "files" in json.load(fh)
 
 
 def test_concurrent_appends_lose_nothing(spark, tmp_path):
