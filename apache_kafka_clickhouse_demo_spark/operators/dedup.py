@@ -463,21 +463,26 @@ def cross_split_contamination(
     shingle_n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
+    report_split: str = "test",
+    against_split: str = "train",
 ) -> DataFrame:
-    """Decontamination check for a train/test split: every TEST document
-    that shares at least one `shingle_n`-gram with ANY train document, with
-    the count of shared distinct shingles.  13 words is the standard
-    contamination window for LLM eval decontamination.
+    """Decontamination check for a train/test split: every `report_split`
+    document that shares at least one `shingle_n`-gram with ANY
+    `against_split` document, with the count of shared distinct shingles.
+    13 words is the standard contamination window for LLM eval
+    decontamination.  The default direction reports contaminated TEST docs
+    (eval-integrity audit); flipping to report_split='train' yields the
+    train docs to DROP before training (the corpus-prep direction).
 
-    `docs` must carry `split_col` with values 'train'/'test' (compose with
-    the deterministic hash split upstream).
+    `docs` must carry `split_col` with values covering both names (compose
+    with the deterministic hash split upstream).
 
     Plan shape at 100 TB: explode distinct shingles -> h48 -> one
-    equi-join keyed on the 8-byte shingle hash between the test side and
-    the distinct-ed train side (shuffle on hash keys only, never
-    all-pairs).  When the test side is small relative to train — the usual
-    case — flip the join so the TEST shingle set broadcasts (or becomes a
-    bloom filter pushed into the train scan); the equi-join form here is
+    equi-join keyed on the 8-byte shingle hash between the reported side
+    and the distinct-ed other side (shuffle on hash keys only, never
+    all-pairs).  When one side is small relative to the other — the usual
+    case — flip the join so the small shingle set broadcasts (or becomes a
+    bloom filter pushed into the big scan); the equi-join form here is
     the general-case fallback.
     """
     sh = spread_small(docs).select(
@@ -487,10 +492,10 @@ def cross_split_contamination(
             F.array_distinct(TX.word_shingles(TX.tokens(text_col), shingle_n))
         ).alias("s"),
     ).select("doc_id", "split", H.h48("s").alias("h"))
-    train_h = sh.filter(F.col("split") == "train").select("h").distinct()
+    against_h = sh.filter(F.col("split") == against_split).select("h").distinct()
     return (
-        sh.filter(F.col("split") == "test")
-        .join(train_h, "h")
+        sh.filter(F.col("split") == report_split)
+        .join(against_h, "h")
         .groupBy("doc_id")
         .agg(F.countDistinct("h").alias("n_shared_shingles"))
         .orderBy("doc_id")

@@ -124,12 +124,40 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return docs.select(F.col(id_col).alias("doc_id"), *_token_count_cols(text_col))
 
 
+def _repetition_cols(text_col: str) -> list[Column]:
+    """The Gopher/C4 repetition-signal columns minus n_tokens (aliased), for
+    reuse by both repetition_stats and the one-pass text_profile (which
+    already emits n_tokens from the quality features — same expression)."""
+    toks = TX.tokens(text_col)
+    # NULL text -> NULL gram stats (without the guard, sequence/greatest
+    # NULL-ignoring semantics degenerate the shingle array to [NULL])
+    grams = F.when(
+        F.col(text_col).isNotNull(), TX.word_shingles(TX.tokens(text_col), 2)
+    )
+    n_tok = F.size(toks)
+    n_tok_d = F.size(F.array_distinct(toks))
+    n_2g = F.size(grams)
+    n_2g_d = F.size(F.array_distinct(grams))
+    return [
+        n_tok_d.alias("n_distinct_tokens"),
+        n_2g.alias("n_2grams"),
+        n_2g_d.alias("n_distinct_2grams"),
+        F.round(1.0 - n_tok_d.cast("double") / F.greatest(n_tok, F.lit(1)), 4).alias(
+            "dup_token_ratio"
+        ),
+        F.round(1.0 - n_2g_d.cast("double") / F.greatest(n_2g, F.lit(1)), 4).alias(
+            "dup_2gram_ratio"
+        ),
+    ]
+
+
 def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document text profile: quality features + token counts +
-    language ID, all in a SINGLE row-local projection.
+    repetition (duplicate-token / duplicate-2-gram) signals + language ID,
+    all in a SINGLE row-local projection.
 
-    At 100 TB this matters: a curation pass needs all three signals, and
-    joining three separate per-doc outputs back on doc_id would add two
+    At 100 TB this matters: a curation pass needs all four signals, and
+    joining four separate per-doc outputs back on doc_id would add three
     data-sized shuffles for what is fundamentally one scan.  Every column
     here is a pure expression over the same row (the generator `inline`
     emits exactly one struct per input row), so the whole profile runs at
@@ -139,6 +167,7 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col).alias("doc_id"),
         *_quality_cols(text_col),
         *_token_count_cols(text_col),
+        *_repetition_cols(text_col),
         F.inline(_lang_struct(text_col)),
     )
 
@@ -190,28 +219,10 @@ def repetition_stats(
     cross-engine); the ratios are single-division doubles, bit-identical by
     construction and rounded for safety.
     """
-    toks = TX.tokens(text_col)
-    # NULL text -> NULL gram stats (without the guard, sequence/greatest
-    # NULL-ignoring semantics degenerate the shingle array to [NULL])
-    grams = F.when(
-        F.col(text_col).isNotNull(), TX.word_shingles(TX.tokens(text_col), 2)
-    )
-    n_tok = F.size(toks)
-    n_tok_d = F.size(F.array_distinct(toks))
-    n_2g = F.size(grams)
-    n_2g_d = F.size(F.array_distinct(grams))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_tok.alias("n_tokens"),
-        n_tok_d.alias("n_distinct_tokens"),
-        n_2g.alias("n_2grams"),
-        n_2g_d.alias("n_distinct_2grams"),
-        F.round(1.0 - n_tok_d.cast("double") / F.greatest(n_tok, F.lit(1)), 4).alias(
-            "dup_token_ratio"
-        ),
-        F.round(1.0 - n_2g_d.cast("double") / F.greatest(n_2g, F.lit(1)), 4).alias(
-            "dup_2gram_ratio"
-        ),
+        F.size(TX.tokens(text_col)).alias("n_tokens"),
+        *_repetition_cols(text_col),
     )
 
 

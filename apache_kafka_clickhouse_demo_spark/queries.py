@@ -1193,6 +1193,58 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_text_prep(spark, sf_dir):
+    """Training-corpus preparation — the text twin of corpus_curation's
+    composition: (1) deterministic hash split, (2) decontaminate the TRAIN
+    side (drop every train doc sharing a 13-gram with any test doc — the
+    corpus-prep direction of cross_split_contamination), (3) chunk the
+    surviving train docs into overlapping context windows, (4) annotate
+    every chunk with its document's top TF-IDF term computed over the CLEAN
+    train corpus (the statistics a tokenizer/filter pass would use).
+
+    One gate query driver-attests three operators' outputs at once:
+    doc_chunks (chunk_idx/chunk_text/n_tokens), tfidf_top_terms (term +
+    exact integer score), and cross_split_contamination (which docs
+    survive).  Plan shape at 100 TB: the shingle-hash equi-join of the
+    decontamination stage, the row-local chunk fan-out, tf/df's two linear
+    shuffles, and one doc_id equi-join chunks⋈top-term — no all-pairs
+    stage anywhere.  LEFT join for the term so degenerate (NULL-text) train
+    docs keep their single NULL chunk row instead of vanishing."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = H.h48(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    with_split = docs.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train")).otherwise(F.lit("test")),
+    )
+    contaminated = dedup.cross_split_contamination(
+        with_split,
+        shingle_n=DECON_SHINGLE_N,
+        report_split="train",
+        against_split="test",
+    ).select("doc_id")
+    clean_train = (
+        with_split.filter(F.col("split") == "train")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    chunks = text_analysis.doc_chunks(
+        clean_train, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    )
+    top1 = text_analysis.tfidf_top_terms(clean_train, k=1).select(
+        "doc_id",
+        F.col("term").alias("top_term"),
+        F.col("score_micro").alias("top_score_micro"),
+    )
+    return (
+        chunks.join(top1, "doc_id", "left")
+        .select(
+            "doc_id", "chunk_idx", "chunk_text", "n_tokens",
+            "top_term", "top_score_micro",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Language ID + quality features + token counts as ONE row-local pass
     (operators/text_analysis.text_profile) — the gate query for all three
@@ -1250,7 +1302,9 @@ def q_media_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-checked in r02 / changed in r03: front-loaded --
+    # -- new/changed in r04: front-loaded --
+    "text_prep": q_text_prep,
+    # -- never driver-checked in r02 / changed in r03 --
     "pii_scrub": q_pii_scrub,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1274,7 +1328,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_after": q_events_after,
     "attendance_granular": q_attendance_granular,
     "attendance_daily_merged": q_attendance_daily_merged,
-    "user_activity": q_user_activity,
     "entry_house_points": q_entry_house_points,
     "mv_cascade_attendance": q_mv_cascade_attendance,
     "attendance_daily_compacted": q_attendance_daily_compacted,
@@ -1310,6 +1363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (tools/oracle_check.py verifies QUERIES and EXTRA_QUERIES alike).
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_typed_events": q_extract_typed_events,  # M1 via mv_cascade_attendance
+    "user_activity": q_user_activity,  # A4+O3 covered by attendance_granular et al.; slot freed for text_prep (r04)
     "count_events": q_count_events,  # A1 via n_events in type_user_stats et al.
     "value_by_type": q_value_by_type,  # absorbed into type_user_stats
     "entry_attendance": q_entry_attendance,  # same oracle as mv_cascade_attendance
@@ -1724,17 +1778,104 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _oracle_repetition_stats() -> str:
+    return f"""
+WITH t AS (
+  -- CASE: a NULL text must yield NULL gram stats like Spark's
+  -- size(NULL array); DuckDB's shingle expression over a NULL token list
+  -- degenerates to [NULL] and list_distinct drops NULLs, so guard here
+  SELECT doc_id, {_sql_toks()} AS toks,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE {TX.sql_word_shingles(_sql_toks(), 2)} END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+       CAST(len(grams) AS INTEGER) AS n_2grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_2grams,
+       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4)
+         AS dup_token_ratio,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1), 4)
+         AS dup_2gram_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def _oracle_text_prep() -> str:
+    """Mirror of q_text_prep stage for stage: hash split -> train-side
+    13-gram decontamination -> chunking of clean train docs -> top-1
+    TF-IDF term over the clean train corpus, LEFT-joined onto the chunks."""
+    split_bucket = H.sql_h48(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN ({split_bucket} % 100) < {SPLIT_TRAIN_PCT}
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+), shingled AS (
+  SELECT doc_id, split, {H.sql_h48('s.s')} AS h
+  FROM (SELECT doc_id, split,
+               list_distinct({TX.sql_word_shingles(_sql_toks(), DECON_SHINGLE_N)}) AS sh
+        FROM base) b, UNNEST(sh) AS s(s)
+), test_h AS (
+  SELECT DISTINCT h FROM shingled WHERE split = 'test'
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM shingled JOIN test_h USING (h) WHERE split = 'train'
+), clean AS (
+  SELECT doc_id, text FROM base
+  WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), toks AS (
+  SELECT doc_id, {_sql_toks()} AS toks FROM clean
+), chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         array_to_string(toks[CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT)
+                              : CAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)],
+                         ' ') AS chunk_text,
+         CAST(len(toks[CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT)
+                       : CAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)]) AS INTEGER)
+           AS n_tokens
+  FROM toks, UNNEST(range(0, greatest(len(toks) - 1, 0) // {CHUNK_STRIDE} + 1)) AS t(i)
+), terms AS (
+  SELECT doc_id, unnest({_sql_toks()}) AS term FROM clean
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM clean
+), top1 AS (
+  SELECT doc_id, term AS top_term, score_micro AS top_score_micro FROM (
+    SELECT tf.doc_id, tf.term,
+           CAST(tf.tf * 1000000 * (n.n_docs + 1) // (dfreq.df + 1) AS BIGINT)
+             AS score_micro,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf * 1000000 * (n.n_docs + 1) // (dfreq.df + 1) DESC,
+                                       tf.term) AS rnk
+    FROM tf JOIN dfreq USING (term), n
+  ) WHERE rnk = 1
+)
+SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens,
+       t.top_term, t.top_score_micro
+FROM chunks c LEFT JOIN top1 t USING (doc_id)
+ORDER BY c.doc_id, c.chunk_idx
+"""
+
+
 def _oracle_text_profile() -> str:
-    """Join of the quality / token-count / lang-ID oracles on doc_id —
-    mirrors the one-pass Spark text_profile column for column.  (The Spark
-    side is a single projection; the oracle's joins are fine at oracle
-    scale.)"""
+    """Join of the quality / token-count / repetition / lang-ID oracles on
+    doc_id — mirrors the one-pass Spark text_profile column for column.
+    (The Spark side is a single projection; the oracle's joins are fine at
+    oracle scale.)"""
     return f"""
 SELECT q.doc_id, q.n_chars, q.n_tokens, q.avg_token_len, q.punct_ratio,
        q.stopword_ratio, q.quality, t.ws_tokens, t.bpe_tokens,
+       r.n_distinct_tokens, r.n_2grams, r.n_distinct_2grams,
+       r.dup_token_ratio, r.dup_2gram_ratio,
        l.pred_lang, l.lang_score
 FROM ({_oracle_text_quality()}) q
 JOIN ({_oracle_token_counts()}) t USING (doc_id)
+JOIN ({_oracle_repetition_stats()}) r USING (doc_id)
 JOIN ({_oracle_lang_id()}) l USING (doc_id)
 ORDER BY q.doc_id
 """
@@ -2149,27 +2290,8 @@ ORDER BY id_a, id_b
         "text_quality": _oracle_text_quality(),
         "token_counts": _oracle_token_counts(),
         "text_profile": _oracle_text_profile(),
-        "repetition_stats": f"""
-WITH t AS (
-  -- CASE: a NULL text must yield NULL gram stats like Spark's
-  -- size(NULL array); DuckDB's shingle expression over a NULL token list
-  -- degenerates to [NULL] and list_distinct drops NULLs, so guard here
-  SELECT doc_id, {_sql_toks()} AS toks,
-         CASE WHEN text IS NULL THEN NULL
-              ELSE {TX.sql_word_shingles(_sql_toks(), 2)} END AS grams
-  FROM documents
-)
-SELECT doc_id,
-       CAST(len(toks) AS INTEGER) AS n_tokens,
-       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
-       CAST(len(grams) AS INTEGER) AS n_2grams,
-       CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_2grams,
-       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4)
-         AS dup_token_ratio,
-       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1), 4)
-         AS dup_2gram_ratio
-FROM t ORDER BY doc_id
-""",
+        "text_prep": _oracle_text_prep(),
+        "repetition_stats": _oracle_repetition_stats(),
         "decontaminate_split": f"""
 WITH base AS (
   SELECT doc_id,

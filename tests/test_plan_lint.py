@@ -26,6 +26,7 @@ _NESTED_LOOP_OK = {
     "ann_topk",  # brute-force baseline: corpus x broadcast(bounded query set)
     "ann_ivf_topk",  # corpus x broadcast(fixed-target centroid table)
     "tfidf_top_terms",  # per-term rows x broadcast(1-row corpus-count agg)
+    "text_prep",  # same tfidf stage: per-term rows x broadcast(1-row count agg)
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}
