@@ -403,29 +403,56 @@ def q_show_tables(spark, sf_dir):
 
 
 def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 with integer-cents money arithmetic (VERDICT r3 #2).
+
+    The fixture's money columns carry at most 2 decimals, so every product
+    is EXACT in scaled-integer space: price in cents (1e-2), price*(1-disc)
+    in 1e-4 units, price*(1-disc)*(1+tax) in 1e-6 units.  Per-row work is
+    three double->long roundings plus long multiplies — all whole-stage
+    codegen — instead of r3's decimal(18,2) multiplications (37-precision
+    intermediates, BigDecimal path), which cost q1 a 1.73x regression.
+
+    The product sums accumulate as decimal(38,0), not long: a long sum of
+    1e-6-unit charges overflows around SF50 (9.2e18 / ~4e10 per row), and
+    this engine is sized for 100 TB.  decimal(38,0) of a long-valued input
+    keeps Spark's compact representation on the hot path while being exact
+    to 1e38.  The final doubles are nearest-double of the same exact
+    integer on both engines (DuckDB sums BIGINT into HUGEINT), so the gate
+    hash stays exact with no rounding step at all on the big sums."""
     li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    scaled = li.filter(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        price_c.alias("price_c"),
+        disc_c.alias("disc_c"),
+        (price_c * (100 - disc_c)).alias("disc_price_u4"),
+        (price_c * (100 - disc_c) * (100 + tax_c)).alias("charge_u6"),
+    )
+    n = F.count(F.lit(1))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        scaled.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _money_sum(_dec2("l_extendedprice")).alias("sum_base_price"),
-            _money_sum(
-                _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
-            ).alias("sum_disc_price"),
-            _money_sum(
-                _dec2("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
-                * (F.lit(1).cast("decimal(18,2)") + _dec2("l_tax"))
-            ).alias("sum_charge"),
+            (F.sum(F.col("price_c").cast("decimal(38,0)")).cast("double") / 100.0)
+            .alias("sum_base_price"),
+            (F.sum(F.col("disc_price_u4").cast("decimal(38,0)")).cast("double") / 10000.0)
+            .alias("sum_disc_price"),
+            (F.sum(F.col("charge_u6").cast("decimal(38,0)")).cast("double") / 1000000.0)
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(
-                F.sum(_dec2("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+                F.sum(F.col("price_c").cast("decimal(38,0)")).cast("double") / 100.0 / n, 4
             ).alias("avg_price"),
-            F.round(
-                F.sum(_dec2("l_discount")).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            # disc_c <= 100 per row: a plain long sum cannot overflow below
+            # ~1e14 rows, far past 100 TB
+            F.round(F.sum("disc_c").cast("double") / 100.0 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -1975,17 +2002,26 @@ FROM g GROUP BY 1, 2 ORDER BY day, event_type
         + ", ".join(f"('{t}')" for t in sorted(TESTDATA_TABLES))
         + ") AS t(name) ORDER BY name",
         "q1_pricing_summary": f"""
+-- integer-cents mirror of the Spark side: exact scaled-integer products,
+-- BIGINT sums widen to HUGEINT (exact), nearest-double of the same exact
+-- integer on both engines
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+)
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000.0 AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+       round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+       round(CAST(sum(disc_c) AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
        count(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
-GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+FROM c GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """,
         "q3_shipping_priority": f"""
 SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
