@@ -302,6 +302,112 @@ def q_mv_cascade_attendance(spark, sf_dir):
     )
 
 
+def q_mv_cascade_daily(spark, sf_dir):
+    """The reference's FULL three-MV cascade (README.rst:95-103, 154-162,
+    222-236, 264-272) executed end-to-end under checkpointed streams:
+
+      NDJSON -> [MV#1 stream] typed -> [MV#2 stream] granular partial
+      counts -> [S6 summing compaction] -> [MV#3 stream + M4 cutover]
+      daily partial max/min/avg states -> merge-on-read.
+
+    The S6 compaction between MV#2 and MV#3 is load-bearing, exactly as it
+    is in the reference: `class_attendance_granular` is a SummingMergeTree
+    (README.rst:129-136), and max/min/avgState over it are only correct
+    once same-key partial count rows have been collapsed — a maxState over
+    uncompacted partials under-counts no matter the engine.  Running the
+    compaction before MV#3 consumes the table makes every (hour, type) key
+    block-atomic, so MV#3's per-block states are over COMPLETE hourly
+    counts while still landing as several partial state rows per (day,
+    type) — the stored AggregateFunction-column shape.
+
+    MV#3 runs through the M4 backfill/stream cutover (history < T in one
+    INSERT…SELECT, stream handles >= T), matching README.rst:222-252's
+    future-timestamp pattern.  The oracle is the direct batch daily
+    aggregate — equal iff every seam (ingest, partial counts, compaction,
+    cutover, state merge) loses and duplicates nothing."""
+    import tempfile
+
+    from apache_kafka_clickhouse_demo_spark.sources.storage import (
+        compact_summing,
+        read_table,
+    )
+    from apache_kafka_clickhouse_demo_spark.streaming import (
+        backfill_cutover,
+        create_materialized_view,
+    )
+
+    work = tempfile.mkdtemp(prefix="mv_daily_")
+    events = _t(spark, sf_dir, "events")
+    ev_schema = events.schema
+
+    # producer hop: raw events as NDJSON messages, 4 arrival chunks
+    events.select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ).alias("value")
+    ).repartition(4).write.text(f"{work}/raw")
+
+    # MV#1: opaque message -> typed table (checkpointed stream)
+    src1 = (
+        spark.readStream.format("text").load(f"{work}/raw")
+        .withColumnRenamed("value", "message")
+    )
+    mv1 = create_materialized_view(
+        src1,
+        lambda b: b.select(F.from_json("message", ev_schema).alias("e")).select("e.*"),
+        f"{work}/typed",
+        f"{work}/ck1",
+        available_now=True,
+    )
+    mv1.process_available()
+    mv1.stop()
+
+    # MV#2: typed -> per-(hour, type) PARTIAL counts, one block per pair of
+    # files (several partial rows per key land in the granular table)
+    src2 = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{work}/typed")
+    )
+    mv2 = create_materialized_view(
+        src2, attendance.attendance_granular, f"{work}/granular", f"{work}/ck2",
+        available_now=True,
+    )
+    mv2.process_available()
+    mv2.stop()
+
+    # S6: SummingMergeTree background merge — collapse same-key partials
+    compact_summing(
+        spark,
+        f"{work}/granular",
+        keys=["ts_hour", "event_type"],
+        agg_exprs={"student_count": F.sum("student_count")},
+    )
+
+    # MV#3 with M4 cutover: granular -> per-(day, type) partial agg states
+    granular = read_table(spark, f"{work}/granular")
+    src3 = (
+        spark.readStream.schema(granular.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{work}/granular")
+    )
+    mv3 = backfill_cutover(
+        spark,
+        history=granular,
+        source=src3,
+        transform=attendance.attendance_daily_states,
+        cutover_predicate=F.col("ts_hour") >= F.lit(EVENTS_CUTOFF).cast("timestamp"),
+        dest_path=f"{work}/daily",
+        checkpoint=f"{work}/ck3",
+        available_now=True,
+    )
+    mv3.process_available()
+    mv3.stop()
+
+    # read path: maxMerge/minMerge/avgMerge over the stored partial states
+    return attendance.attendance_daily_merged(spark.read.parquet(f"{work}/daily"))
+
+
 def q_attendance_daily_compacted(spark, sf_dir):
     """S5-sink + S6/A8 in the gate: write per-block daily states to engine
     storage, run the SummingMergeTree-style compaction, and answer from the
@@ -1331,6 +1437,7 @@ def q_media_features(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new/changed in r04: front-loaded --
     "text_prep": q_text_prep,
+    "mv_cascade_daily": q_mv_cascade_daily,
     # -- never driver-checked in r02 / changed in r03 --
     "pii_scrub": q_pii_scrub,
     "dedup_simhash": q_dedup_simhash,
@@ -1354,7 +1461,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event": q_latest_event,
     "events_after": q_events_after,
     "attendance_granular": q_attendance_granular,
-    "attendance_daily_merged": q_attendance_daily_merged,
     "entry_house_points": q_entry_house_points,
     "mv_cascade_attendance": q_mv_cascade_attendance,
     "attendance_daily_compacted": q_attendance_daily_compacted,
@@ -1391,6 +1497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_typed_events": q_extract_typed_events,  # M1 via mv_cascade_attendance
     "user_activity": q_user_activity,  # A4+O3 covered by attendance_granular et al.; slot freed for text_prep (r04)
+    "attendance_daily_merged": q_attendance_daily_merged,  # M3/A6/A7 batch form; oracle identical to attendance_daily_compacted, streaming form gated by mv_cascade_daily (r04)
     "count_events": q_count_events,  # A1 via n_events in type_user_stats et al.
     "value_by_type": q_value_by_type,  # absorbed into type_user_stats
     "entry_attendance": q_entry_attendance,  # same oracle as mv_cascade_attendance
@@ -1988,6 +2095,17 @@ HAVING count(*) >= 50
 ORDER BY event_type, day
 """,
         "attendance_daily_compacted": """
+WITH g AS (
+  SELECT date_trunc('hour', ts) AS ts_hour, event_type, count(*) AS student_count
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', ts_hour) AS TIMESTAMP) AS day, event_type,
+       max(student_count) AS max_students,
+       min(student_count) AS min_students,
+       round(avg(student_count), 4) AS avg_students
+FROM g GROUP BY 1, 2 ORDER BY day, event_type
+""",
+        "mv_cascade_daily": """
 WITH g AS (
   SELECT date_trunc('hour', ts) AS ts_hour, event_type, count(*) AS student_count
   FROM events GROUP BY 1, 2

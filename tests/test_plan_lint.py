@@ -17,6 +17,7 @@ from apache_kafka_clickhouse_demo_spark.plans.explain import formatted_plan
 # writes) — their plans are exercised by their own dedicated tests.
 _SKIP = {
     "mv_cascade_attendance",
+    "mv_cascade_daily",
     "attendance_daily_compacted",
     "stream_dedup",
 }
