@@ -1,0 +1,71 @@
+"""Broker-less Kafka plan-construction tests (VERDICT r3 #6).
+
+The sandbox ships neither a broker nor (typically) the
+`spark-sql-kafka-0-10` connector jar, so these tests go exactly as far as
+physics allows: build the source/sink plans and assert the wiring — the
+`message String` contract, streaming-ness, and option plumbing.  Where the
+connector jar is absent the source test skips with a clear reason; the
+MV-cascade semantics behind the Kafka hop are gate-proven through file
+streams with the identical `message` contract (queries.q_mv_cascade_*).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.sources import kafka as K
+
+
+def _skip_unless_kafka_source(exc: Exception) -> None:
+    msg = str(exc)
+    if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
+        pytest.skip("spark-sql-kafka connector jar not on the classpath")
+    raise exc
+
+
+def test_kafka_message_stream_plan(spark):
+    """S1: the source plan yields exactly one opaque `message` string column
+    from a streaming relation (README.rst:64-73 JSONAsString contract)."""
+    try:
+        df = K.kafka_message_stream(
+            spark, "localhost:19092", topic="entry-events", group_id_prefix="group1"
+        )
+    except Exception as e:  # noqa: BLE001
+        _skip_unless_kafka_source(e)
+        return
+    assert df.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("message", "string")
+    ]
+
+
+def test_kafka_bulk_produce_wires_contract(spark, monkeypatch):
+    """S2: the bulk producer routes `message` -> kafka `value` with broker +
+    topic options on a batch kafka-format write (spied writer — no broker,
+    no jar needed: the chain is asserted before any save executes)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    calls: dict = {"options": {}}
+    monkeypatch.setattr(
+        DataFrameWriter, "format",
+        lambda self, f: calls.__setitem__("format", f) or self,
+    )
+    monkeypatch.setattr(
+        DataFrameWriter, "option",
+        lambda self, k, v: calls["options"].__setitem__(k, v) or self,
+    )
+    monkeypatch.setattr(
+        DataFrameWriter, "save",
+        lambda self, *a, **kw: calls.__setitem__("saved", True),
+    )
+
+    df = spark.range(2).select(F.lit('{"a":1}').alias("message"))
+    K.kafka_bulk_produce(df, "localhost:19092", topic="entry-events")
+
+    assert calls["format"] == "kafka"
+    assert calls["saved"] is True
+    assert calls["options"] == {
+        "kafka.bootstrap.servers": "localhost:19092",
+        "topic": "entry-events",
+    }
