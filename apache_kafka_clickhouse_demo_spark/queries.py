@@ -1179,16 +1179,29 @@ def q_hash_sample(spark, sf_dir):
 
 
 def q_uniq_users_approx(spark, sf_dir):
-    """`uniq` parity: HyperLogLog++ approximate count-distinct — the sketch
-    path a 100 TB pipeline actually uses (fixed ~KB state per group, pure
-    map-side mergeable, vs the shuffle-heavy exact expand).  Deliberately
-    NO oracle entry: Spark's HLL++ and DuckDB's HLL disagree by design, so
-    the driver records the rows-only check; the 2%-rsd accuracy contract is
-    asserted against the exact count in tests/test_approx_sketches.py."""
-    return (
+    """`uniq` parity through the PERSISTABLE state path (r04): per-(type,
+    day) HLL sketch states (`uniqState`, agg_state.uniq_state — the
+    AggregateFunction(uniq) column) merged on read per type (`uniqMerge`)
+    — the sketch pipeline a 100 TB deployment stores and rolls up, same
+    shape as the max/min/avg state cascade.  Each state is a fixed ~KB
+    binary, map-side mergeable; the sketch-union round-trip (merge of any
+    block split == whole-input sketch, exactly) and the SummingMergeTree
+    compaction path are property-tested in tests/test_agg_state.py.
+
+    Deliberately NO oracle entry: DataSketches HLL and DuckDB's HLL
+    disagree by design, so the driver records the rows-only check; the
+    accuracy contract vs the exact count is asserted in
+    tests/test_approx_sketches.py."""
+    from apache_kafka_clickhouse_demo_spark.functions import agg_state as S
+
+    states = (
         _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_uniq_users"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(S.uniq_state("user_id").alias("uniq_state"))
+    )
+    return (
+        states.groupBy("event_type")
+        .agg(S.uniq_merge("uniq_state").alias("approx_uniq_users"))
         .orderBy("event_type")
     )
 

@@ -26,6 +26,9 @@ from apache_kafka_clickhouse_demo_spark.functions.agg_state import (
     min_merge,
     min_state,
     sum_states,
+    uniq_merge,
+    uniq_merge_state,
+    uniq_state,
 )
 from apache_kafka_clickhouse_demo_spark.operators import attendance
 from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
@@ -131,6 +134,68 @@ def test_attendance_cascade_block_invariance(spark, sf_dir):
         assert a["max_students"] == b["max_students"]
         assert a["min_students"] == b["min_students"]
         assert a["avg_students"] == pytest.approx(b["avg_students"], abs=1e-4)
+
+
+@pytest.mark.parametrize("seed,n_blocks", [(5, 2), (6, 16), (7, 1)])
+def test_uniq_state_merge_round_trip(kv, seed, n_blocks):
+    """AggregateFunction(uniq) parity: for ANY block split, the merged
+    per-block HLL sketches reproduce the single whole-input sketch's
+    estimate EXACTLY (register-wise union is associative), and the estimate
+    is within the lg_k=12 HLL error bound of the exact count."""
+    direct = {
+        r["key"]: r["u"]
+        for r in kv.groupBy("key")
+        .agg(F.hll_sketch_estimate(uniq_state("v")).alias("u"))
+        .collect()
+    }
+    blocked = kv.withColumn(
+        "block", F.pmod(F.hash(F.col("v") + F.lit(seed)), F.lit(n_blocks))
+    )
+    states = blocked.groupBy("key", "block").agg(uniq_state("v").alias("uniq_state"))
+    merged = {
+        r["key"]: r["u"]
+        for r in states.groupBy("key").agg(uniq_merge("uniq_state").alias("u")).collect()
+    }
+    exact = {
+        r["key"]: r["n"]
+        for r in kv.groupBy("key").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert merged == direct  # block-split invariance, exact
+    for k, n in exact.items():
+        assert merged[k] == pytest.approx(n, rel=0.05)  # ~3x the 1.6% rsd
+
+
+def test_uniq_state_compaction_path(kv, tmp_path):
+    """The uniq sketch rides the SAME SummingMergeTree compaction as
+    max/min/avg states: write per-block sketch rows, compact_summing with
+    the sketch union, and the merged read answer is unchanged."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import (
+        compact_summing,
+        read_table,
+        write_sorted,
+    )
+
+    spark = kv.sparkSession
+    states = kv.withColumn("block", F.pmod(F.hash("v"), F.lit(8))).groupBy(
+        "key", "block"
+    ).agg(uniq_state("v").alias("uniq_state")).drop("block")
+    path = str(tmp_path / "t")
+    write_sorted(states, path, sort_cols=["key"])
+
+    def read(d):
+        return {
+            r["key"]: r["u"]
+            for r in d.groupBy("key").agg(uniq_merge("uniq_state").alias("u")).collect()
+        }
+
+    before = read(read_table(spark, path))
+    compact_summing(
+        spark, path, keys=["key"],
+        agg_exprs={"uniq_state": uniq_merge_state("uniq_state")},
+    )
+    compacted = read_table(spark, path)
+    assert compacted.count() == kv.select("key").distinct().count()
+    assert read(compacted) == before
 
 
 def test_uint16_domain_check(spark):
