@@ -27,18 +27,28 @@ from apache_kafka_clickhouse_demo_spark.functions import vectors as V
 from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
 
 
-#: (session id, plan semantic hash) -> row count.  Bounded: cleared when it
-#: grows past a handful of distinct corpora (a session queries few tables).
-_COUNT_CACHE: dict[tuple[int, int], int] = {}
+#: (app id, plan semantic hash, input-file fingerprint) -> row count.
+#: Bounded: cleared when it grows past a handful of distinct corpora (a
+#: session queries few tables).
+_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
 
 
 def _memoized_count(df: DataFrame) -> int:
-    """Scalar count memoized per (session, semantic plan): repeated builds
-    of the same query don't re-scan the corpus just to re-derive the IVF
-    sampling modulus (ADVICE r3).  Falls back to a plain count when the
-    plan has no stable semantic hash."""
+    """Scalar count memoized per (session, semantic plan, data version):
+    repeated builds of the same query don't re-scan the corpus just to
+    re-derive the IVF sampling modulus (ADVICE r3).  Falls back to a plain
+    count when the plan has no stable semantic hash.
+
+    Key design (VERDICT r4 #5 / ADVICE r4): `spark.app.id` — unique per
+    SparkSession lifetime — instead of `id(session)`, whose address a new
+    session can reuse after GC; plus the sorted `inputFiles()` list as a
+    data-version fingerprint, so appending files to a table (same semantic
+    plan, new data) invalidates the cached count instead of silently fixing
+    a stale IVF modulus.  Both are logical-plan/conf lookups — no job."""
     try:
-        key = (id(df.sparkSession), df.semanticHash())
+        app_id = df.sparkSession.conf.get("spark.app.id")
+        data_version = hash(tuple(sorted(df.inputFiles())))
+        key = (app_id, df.semanticHash(), data_version)
     except Exception:
         return df.count()
     if key not in _COUNT_CACHE:

@@ -59,6 +59,21 @@ class MaterializedView:
     def stop(self) -> None:
         self.query.stop()
 
+    def optimize(
+        self, spark: SparkSession, target_files: int = 1,
+        sort_cols: list[str] | None = None,
+    ) -> int:
+        """Post-cascade small-file compaction (VERDICT r4 #6): collapse the
+        one-file-per-block-per-partition debris a long-running MV leaves at
+        `dest_path` into `target_files` files, atomically (storage.
+        compact_files swap).  Call after `stop()` — or between blocks — on
+        parquet-sink MVs; transactional-sink MVs compact through
+        `TransactionalTable.optimize()` instead, which is safe under
+        concurrent writers.  Returns the resulting file count."""
+        from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
+
+        return compact_files(spark, self.dest_path, target_files, sort_cols)
+
 
 def create_materialized_view(
     source: DataFrame,

@@ -107,3 +107,40 @@ def test_q17_broadcasts_both_small_sides(spark, sf_dir):
     must both broadcast — shuffling lineitem twice for them is the 100 TB
     failure mode."""
     assert_broadcast_join(Q.q17_small_quantity_revenue(spark, sf_dir), expect=2)
+
+
+def test_spread_small_skips_already_shuffled_inputs(spark, sf_dir):
+    """VERDICT r4 #4: spread_small's scan-stage contract — a frame whose
+    plan already contains a repartition (or any shuffle-producing node) is
+    passed through untouched; `inputFiles()` on such a frame reports leaf
+    files and would otherwise trigger a redundant full exchange."""
+    from apache_kafka_clickhouse_demo_spark.sources.tables import load_table, spread_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+
+    pre_spread = docs.repartition(target)
+    assert spread_small(pre_spread) is pre_spread  # no new node at all
+
+    aggregated = docs.groupBy("lang").count()
+    assert spread_small(aggregated) is aggregated
+
+    # scan-stage single-file input still gets spread (the whole point)
+    spread = spread_small(docs)
+    assert spread is not docs
+    assert "Repartition" in spread._jdf.queryExecution().analyzed().toString()
+
+
+def test_spread_small_registry_plans_have_no_double_exchange(spark, sf_dir):
+    """No registered query stacks spread_small's repartition on an input
+    that was already exchanged: at most one round-robin Exchange per scan
+    leg means the guard held everywhere it is used."""
+    import re
+
+    for name in ("ann_topk", "dedup_minhash_lsh", "doc_fingerprint"):
+        plan = formatted_plan(Q.QUERIES[name](spark, sf_dir))
+        # RoundRobin exchanges stacked directly on one another would show as
+        # consecutive Exchange RoundRobinPartitioning nodes in the tree
+        assert not re.search(
+            r"Exchange RoundRobinPartitioning[^\n]*\n\s*\+- Exchange", plan
+        ), name

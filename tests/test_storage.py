@@ -84,3 +84,28 @@ def test_compact_summing_preserves_read(spark, tmp_path):
     assert before.keys() == after.keys()
     for k in before:
         assert abs(before[k] - after[k]) < 1e-12
+
+
+def test_compact_files_preserves_reads_and_drops_file_count(spark, sf_dir, tmp_path):
+    """VERDICT r4 #6 (plain-parquet half): a streaming-MV destination full
+    of per-block files compacts to few files with an identical read answer
+    and restored in-file sort order."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "mv_dest")
+    # simulate 8 insert blocks x 3 partitions of small-file debris
+    for _ in range(8):
+        events.limit(100).repartition(3).write.mode("append").parquet(path)
+
+    before_rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    n_before = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
+    assert n_before >= 24
+
+    n_after = compact_files(spark, path, target_files=1, sort_cols=["event_id"])
+    assert n_after < n_before and n_after <= 2
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before_rows
+
+    # in-file ordering restored (tight row-group stats for pruning)
+    ids = [r["event_id"] for r in spark.read.parquet(path).select("event_id").collect()]
+    assert ids == sorted(ids)

@@ -228,3 +228,95 @@ def test_mv_with_transactional_sink(spark, sf_dir, tmp_path):
         for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert merged == want
+
+
+# -- optimize (small-file compaction, VERDICT r4 #6) ------------------------
+
+
+def test_optimize_preserves_reads_and_drops_file_count(spark, tmp_path):
+    """Many small per-block commits -> one replace-commit: the read answer
+    is identical before and after, and the committed file count collapses."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    for i in range(6):
+        t.append(_df(spark, i * 10, (i + 1) * 10).repartition(3))
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    n_files_before = len(t.data_files())
+    assert n_files_before >= 6 * 3
+
+    v = t.optimize(spark, target_files=1)
+    assert v == t.version()
+    after = sorted(tuple(r) for r in t.read(spark).collect())
+    assert after == before
+    assert len(t.data_files()) < n_files_before
+    assert len(t.data_files()) <= 2  # coalesce(1) -> a file or two
+
+    # appends after an optimize keep working and stack on the compacted base
+    t.append(_df(spark, 60, 70))
+    assert t.read(spark).count() == 70
+
+
+def test_optimize_then_checkpoint_and_snapshot_reads(spark, tmp_path):
+    """A checkpoint taken after an optimize summarizes the REPLACED file
+    set; snapshot reads at the optimize version see compacted data."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    v_opt = t.optimize(spark, target_files=1)
+    t.append(_df(spark, 20, 30))
+    t.checkpoint()
+    assert t.read(spark).count() == 30
+    assert t.read(spark, version=v_opt).count() == 20
+
+
+def test_vacuum_reclaims_optimize_debris_and_tmp_commit_files(spark, tmp_path):
+    """After optimize, the superseded small files are unreferenced ->
+    vacuum deletes them (grace 0); orphaned `.tmp-*` commit payloads in the
+    log dir (crash between write and link — ADVICE r4) go too; committed
+    data and log files survive."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10).repartition(4))
+    t.optimize(spark, target_files=1)
+
+    # fabricate _publish crash debris: payload written, link never happened
+    orphan = os.path.join(t.log_dir, ".tmp-deadbeef0000")
+    with open(orphan, "wb") as fh:
+        fh.write(b'{"files": []}')
+
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    deleted = t.vacuum(grace_seconds=0.0)
+    assert any(n.endswith(".tmp-deadbeef0000") for n in deleted)
+    assert not os.path.exists(orphan)
+    # the pre-optimize small files were reclaimed
+    assert len(deleted) > 1
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+
+
+def test_vacuum_staging_age_uses_newest_mtime_in_tree(spark, tmp_path):
+    """ADVICE r4: a staging dir whose nested `_temporary/` files are FRESH
+    must survive vacuum even when the top-level dir's mtime looks old —
+    an in-flight long write is not debris."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+
+    staging = os.path.join(t.path, ".staging-inflight00")
+    nested = os.path.join(staging, "_temporary", "0")
+    os.makedirs(nested)
+    with open(os.path.join(nested, "task-file.parquet.inprogress"), "wb") as fh:
+        fh.write(b"x")
+    # age the top-level dir far past the grace window; the nested task file
+    # stays fresh (now)
+    old = 1_000_000_000
+    os.utime(staging, (old, old))
+
+    deleted = t.vacuum(grace_seconds=3600.0)
+    assert ".staging-inflight00" not in deleted
+    assert os.path.isdir(staging)
+
+    # once the WHOLE tree is old, it is debris and goes
+    for dirpath, _dn, fns in os.walk(staging):
+        os.utime(dirpath, (old, old))
+        for fn in fns:
+            os.utime(os.path.join(dirpath, fn), (old, old))
+    deleted = t.vacuum(grace_seconds=3600.0)
+    assert ".staging-inflight00" in deleted
+    assert not os.path.exists(staging)
