@@ -65,8 +65,15 @@ def _lang_struct(text_col: str) -> Column:
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """N-gram/stopword-overlap language heuristic (see _lang_struct)."""
-    return docs.select(F.col(id_col).alias("doc_id"), F.inline(_lang_struct(text_col)))
+    """N-gram/stopword-overlap language heuristic (see _lang_struct).
+
+    spread_small: the argmax runs in the interpreted HOF evaluator (12
+    array_intersects over the distinct-token array per row) — the most
+    CPU-expensive row-local expression in the engine — so a single-file
+    scan must not pin it to one core."""
+    return spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), F.inline(_lang_struct(text_col))
+    )
 
 
 def _quality_cols(text_col: str) -> list[Column]:
@@ -161,9 +168,15 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     data-sized shuffles for what is fundamentally one scan.  Every column
     here is a pure expression over the same row (the generator `inline`
     emits exactly one struct per input row), so the whole profile runs at
-    scan throughput with zero exchanges.
+    scan throughput with zero data-sized exchanges.
+
+    spread_small: the language-ID argmax and the shingle arrays evaluate in
+    the interpreted HOF evaluator — measured 13.2s single-task vs <1s
+    spread at sf0.1 — so the small-scan round-robin spread (a no-op on
+    many-file cluster inputs) is what lets the profile actually run at
+    scan throughput instead of on one core.
     """
-    return docs.select(
+    return spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
         *_quality_cols(text_col),
         *_token_count_cols(text_col),
