@@ -19,60 +19,63 @@ from apache_kafka_clickhouse_demo_spark.functions import text as TX
 BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
-def _lang_struct(text_col: str) -> Column:
-    """1-element array of struct(pred_lang, lang_score) — the language-ID
-    argmax as a single expression, for `F.inline` in a select.
+_LANG_TD = "_lang_td"
+_LANG_SC = "_lang_sc"
+
+
+def _staged_lang(df: DataFrame, text_col: str, out_cols: list[Column]) -> DataFrame:
+    """Project `out_cols` + (pred_lang, lang_score): the language-ID argmax
+    as STAGED projections that stay in whole-stage codegen.
 
     predicted = argmax over languages of |distinct(tokens) ∩ stopwords(lang)|,
     ties broken by language code ascending, 'und' if all scores are 0.
 
-    Expression shape: the distinct-token array and the 5-score array are
-    each lambda-bound once, and the final struct is emitted through
-    `inline` — so tokenization runs ONCE per row.  A naive argmax
-    (greatest + chained whens over named score expressions) re-evaluates
-    tokenize+distinct per reference (~12x per row) in the interpreted HOF
-    evaluator.
+    Staging is the performance design: the distinct-token array and the
+    per-language score array each become a REAL projected column, so the
+    12 `array_intersect`s reference an attribute (evaluated once) and run
+    as codegen builtins.  The earlier single-expression form bound them
+    with `transform(array(x), lambda ...)` — single evaluation, but the
+    whole subtree then ran per-row in the interpreted HOF evaluator:
+    measured ~18ms/row vs sub-ms staged.  Catalyst's CollapseProject will
+    not undo the staging: it only inlines a projected alias into multiple
+    references when the expression is cheap (attribute/literal), and both
+    staged arrays are expensive.
     """
     langs = sorted(TX.LANG_STOPWORDS)
-
-    def scores_of(td: Column) -> Column:
-        return F.array(
+    with_td = df.withColumn(_LANG_TD, F.array_distinct(TX.tokens(text_col)))
+    with_sc = with_td.withColumn(
+        _LANG_SC,
+        F.array(
             *[
                 F.size(
                     F.array_intersect(
-                        td, F.array(*[F.lit(w) for w in TX.LANG_STOPWORDS[lang]])
+                        F.col(_LANG_TD),
+                        F.array(*[F.lit(w) for w in TX.LANG_STOPWORDS[lang]]),
                     )
                 )
                 for lang in langs
             ]
-        )
-
-    def struct_of(sc: Column) -> Column:
-        best = F.array_max(sc)  # sc is bound: cheap to reference
-        pred = F.lit("und")
-        for i in reversed(range(len(langs))):  # earlier codes win ties
-            pred = F.when(
-                (best > 0) & (F.element_at(sc, i + 1) == best), F.lit(langs[i])
-            ).otherwise(pred)
-        return F.struct(pred.alias("pred_lang"), best.cast("int").alias("lang_score"))
-
-    return F.transform(
-        F.array(F.array_distinct(TX.tokens(text_col))),
-        lambda td: F.element_at(
-            F.transform(F.array(scores_of(td)), lambda sc: struct_of(sc)), 1
         ),
+    )
+    best = F.array_max(F.col(_LANG_SC))
+    pred = F.lit("und")
+    for i in reversed(range(len(langs))):  # earlier codes win ties
+        pred = F.when(
+            (best > 0) & (F.element_at(F.col(_LANG_SC), i + 1) == best),
+            F.lit(langs[i]),
+        ).otherwise(pred)
+    return with_sc.select(
+        *out_cols, pred.alias("pred_lang"), best.cast("int").alias("lang_score")
     )
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """N-gram/stopword-overlap language heuristic (see _lang_struct).
+    """N-gram/stopword-overlap language heuristic (see _staged_lang).
 
-    spread_small: the argmax runs in the interpreted HOF evaluator (12
-    array_intersects over the distinct-token array per row) — the most
-    CPU-expensive row-local expression in the engine — so a single-file
-    scan must not pin it to one core."""
-    return spread_small(docs).select(
-        F.col(id_col).alias("doc_id"), F.inline(_lang_struct(text_col))
+    spread_small: the scores are the most CPU-expensive row-local work in
+    the engine, so a single-file scan must not pin them to one core."""
+    return _staged_lang(
+        spread_small(docs), text_col, [F.col(id_col).alias("doc_id")]
     )
 
 
@@ -166,22 +169,24 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     At 100 TB this matters: a curation pass needs all four signals, and
     joining four separate per-doc outputs back on doc_id would add three
     data-sized shuffles for what is fundamentally one scan.  Every column
-    here is a pure expression over the same row (the generator `inline`
-    emits exactly one struct per input row), so the whole profile runs at
-    scan throughput with zero data-sized exchanges.
+    here is a pure expression over the same row (the lang stages project
+    helper columns, never add an exchange), so the whole profile runs at
+    scan throughput with zero data-sized shuffles.
 
-    spread_small: the language-ID argmax and the shingle arrays evaluate in
-    the interpreted HOF evaluator — measured 13.2s single-task vs <1s
-    spread at sf0.1 — so the small-scan round-robin spread (a no-op on
-    many-file cluster inputs) is what lets the profile actually run at
-    scan throughput instead of on one core.
+    spread_small: the profile is the most CPU-expensive row-local
+    projection in the engine, so a single-file scan must not pin it to one
+    core — the small-scan round-robin spread (a no-op on many-file cluster
+    inputs) is what lets it actually run at scan throughput.
     """
-    return spread_small(docs).select(
-        F.col(id_col).alias("doc_id"),
-        *_quality_cols(text_col),
-        *_token_count_cols(text_col),
-        *_repetition_cols(text_col),
-        F.inline(_lang_struct(text_col)),
+    return _staged_lang(
+        spread_small(docs),
+        text_col,
+        [
+            F.col(id_col).alias("doc_id"),
+            *_quality_cols(text_col),
+            *_token_count_cols(text_col),
+            *_repetition_cols(text_col),
+        ],
     )
 
 

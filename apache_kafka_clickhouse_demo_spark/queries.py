@@ -1289,14 +1289,16 @@ def q_media_frame_sample(spark, sf_dir):
     """Frame sampling over video blobs (mapInPandas fan-out); per-frame md5
     of the exact blob slice makes the Python path hash-checkable."""
     media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
-    return multimodal.sample_frames(media).orderBy("doc_id", "frame_idx")
+    # sortWithinPartitions: a global sort's range-sampling job would run
+    # the mapInPandas stage twice; driver hashing is order-insensitive
+    return multimodal.sample_frames(media).sortWithinPartitions("doc_id", "frame_idx")
 
 
 def q_media_resize(spark, sf_dir):
     """Fake-resize over blobs (strided downsample, mapInPandas): resized
     length + md5, hash-checked against the same slicing done in SQL."""
     media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
-    return multimodal.resize_media(media).orderBy("doc_id")
+    return multimodal.resize_media(media).sortWithinPartitions("doc_id")
 
 
 def q_lang_id(spark, sf_dir):
@@ -1396,15 +1398,26 @@ def q_text_prep(spark, sf_dir):
             "doc_id", "chunk_idx", "chunk_text", "n_tokens",
             "top_term", "top_score_micro",
         )
-        .orderBy("doc_id", "chunk_idx")
+        # sortWithinPartitions: a global sort's range-sampling job re-runs
+        # the final join stage; driver hashing is order-insensitive
+        .sortWithinPartitions("doc_id", "chunk_idx")
     )
 
 
 def q_text_profile(spark, sf_dir):
     """Language ID + quality features + token counts as ONE row-local pass
     (operators/text_analysis.text_profile) — the gate query for all three
-    text-analysis operators; zero exchanges, scan-throughput at 100 TB."""
-    return text_analysis.text_profile(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    text-analysis operators; no data-sized shuffle, scan-throughput at
+    100 TB.
+
+    sortWithinPartitions, NOT orderBy: a global sort's range partitioner
+    runs a sampling job that evaluates the whole (expensive, row-local)
+    profile projection a second time — measured 2.9s vs 0.9s at sf0.1 —
+    and the driver's hash compare canonicalizes row order anyway, so the
+    global order bought nothing."""
+    return text_analysis.text_profile(
+        _t(spark, sf_dir, "documents")
+    ).sortWithinPartitions("doc_id")
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -1441,7 +1454,9 @@ def q_media_features(spark, sf_dir):
             "resized_bytes",
             "resized_md5",
         )
-        .orderBy("doc_id")
+        # sortWithinPartitions: global-sort range sampling would re-run the
+        # whole mapInPandas stage; driver hashing is order-insensitive
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -20,7 +20,18 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    # Live-Kafka opt-in (VERDICT r4 #8): point SPARK_GRAFT_KAFKA_JAR at the
+    # spark-sql-kafka connector jar(s) (comma-separated) and the skip-marked
+    # Kafka source test runs for real; unset, it skips cleanly as before.
+    import os
+
+    extra = {}
+    kafka_jar = os.environ.get("SPARK_GRAFT_KAFKA_JAR")
+    if kafka_jar:
+        extra["spark.jars"] = kafka_jar
+    s = get_spark(
+        app_name="tests", master="local[4]", shuffle_partitions=4, extra_conf=extra
+    )
     yield s
     s.stop()
 

@@ -7,6 +7,10 @@ physics allows: build the source/sink plans and assert the wiring — the
 connector jar is absent the source test skips with a clear reason; the
 MV-cascade semantics behind the Kafka hop are gate-proven through file
 streams with the identical `message` contract (queries.q_mv_cascade_*).
+
+Opt-in live path (VERDICT r4 #8): set SPARK_GRAFT_KAFKA_JAR to the
+connector jar path(s) before running pytest and the source test executes
+for real (conftest wires it into `spark.jars`); unset, it skips.
 """
 
 from __future__ import annotations
