@@ -107,6 +107,13 @@ BASELINE_SEC = {
     "ann_ivf_topk": 2.206,
     "text_quality": 0.647,
     "doc_fingerprint": 1.025,
+    # r5 trend starts (BENCH_r05 series, same machine/methodology; seeded
+    # from the larger of two back-to-back record runs so the stall guard
+    # is not over-tight on these higher-variance pipeline queries)
+    "text_profile": 2.021,
+    "text_prep": 2.419,
+    "media_features": 0.501,
+    "mv_cascade_daily": 3.614,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
