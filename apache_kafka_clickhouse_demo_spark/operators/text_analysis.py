@@ -225,6 +225,59 @@ def doc_chunks(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    max_tokens: int = 64,
+    buckets: int = 8,
+    salt: str = "pack:",
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing for training batches: assign every chunk a
+    (bucket, pack_id, pack_pos) so that concatenating each bucket's chunk
+    stream in (doc_id, chunk_idx) order and cutting it at every
+    `max_tokens` tokens yields the packs — the concatenate-and-cut packing
+    GPT-style pretraining uses (a chunk belongs to the pack where its
+    first token lands).
+
+    Distributed design: packing is bucketed by a deterministic hash of the
+    document id, and each bucket packs independently — ONE shuffle on the
+    bucket key, then a per-bucket running-sum window.  A single global
+    pack stream would serialize 100 TB through one partition; per-bucket
+    streams are how distributed training prep actually packs (each bucket
+    becomes one data-loader shard).  All integer arithmetic, exact
+    cross-engine.
+
+    Output: (bucket, doc_id, chunk_idx, n_tokens, start_tok, pack_id,
+    pack_pos); pack_id is bucket-local, start_tok is the chunk's first
+    token offset in its bucket's stream.  NULL-token chunks (degenerate
+    NULL-text docs) keep NULL offsets rather than vanishing.
+    """
+    from pyspark.sql import Window
+
+    bucket = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % buckets
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(n_col).cast("long")).over(w) - F.col(n_col)).cast("long")
+    return (
+        chunks.withColumn("bucket", bucket)
+        .withColumn("start_tok", start)
+        .select(
+            "bucket",
+            F.col(id_col).alias("doc_id"),
+            F.col(idx_col).alias("chunk_idx"),
+            F.col(n_col).alias("n_tokens"),
+            "start_tok",
+            F.expr(f"start_tok div {max_tokens}").alias("pack_id"),
+            (F.col("start_tok") % max_tokens).alias("pack_pos"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

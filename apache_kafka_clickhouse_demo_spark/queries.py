@@ -1325,6 +1325,29 @@ def q_doc_chunks(spark, sf_dir):
 
 DECON_SHINGLE_N = 13
 
+PACK_MAX_TOKENS = 64
+PACK_BUCKETS = 8
+PACK_SALT = "pack:"
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (training-data prep, the step after chunking):
+    chunks hash-bucketed by document, each bucket's chunk stream
+    concatenated and cut every PACK_MAX_TOKENS tokens
+    (text_analysis.pack_chunks).  One shuffle on the bucket key; the
+    running-sum window runs per bucket, never globally."""
+    chunks = text_analysis.doc_chunks(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    ).select("doc_id", "chunk_idx", "n_tokens")
+    return text_analysis.pack_chunks(
+        chunks,
+        max_tokens=PACK_MAX_TOKENS,
+        buckets=PACK_BUCKETS,
+        salt=PACK_SALT,
+    ).sortWithinPartitions("bucket", "doc_id", "chunk_idx")
+
 
 def q_repetition_stats(spark, sf_dir):
     """Gopher/C4-style duplicate-token / duplicate-2-gram fractions."""
@@ -1554,6 +1577,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_split": q_decontaminate_split,  # r03 addition; gate slots were full
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
+    "pack_sequences": q_pack_sequences,  # r05 addition; gate slots were full
 }
 
 
@@ -2549,6 +2573,34 @@ SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          AS n_tokens
 FROM toks, UNNEST(range(0, greatest(len(toks) - 1, 0) // {CHUNK_STRIDE} + 1)) AS t(i)
 ORDER BY doc_id, chunk_idx
+""",
+        "pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks()} AS toks FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         CAST(len(toks[CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT)
+                       : CAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)])
+              AS INTEGER) AS n_tokens
+  FROM toks,
+       UNNEST(range(0, greatest(len(toks) - 1, 0) // {CHUNK_STRIDE} + 1)) AS t(i)
+), b AS (
+  SELECT CAST({H.sql_h48(f"'{PACK_SALT}' || CAST(doc_id AS VARCHAR)")}
+              % {PACK_BUCKETS} AS BIGINT) AS bucket,
+         doc_id, chunk_idx, n_tokens
+  FROM chunks
+), s AS (
+  SELECT bucket, doc_id, chunk_idx, n_tokens,
+         CAST(sum(CAST(n_tokens AS BIGINT))
+                OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_tok
+  FROM b
+)
+SELECT bucket, doc_id, chunk_idx, n_tokens, start_tok,
+       CAST(start_tok // {PACK_MAX_TOKENS} AS BIGINT) AS pack_id,
+       CAST(start_tok % {PACK_MAX_TOKENS} AS BIGINT) AS pack_pos
+FROM s ORDER BY bucket, doc_id, chunk_idx
 """,
         "doc_fingerprint": f"""
 WITH toks AS (
