@@ -284,6 +284,16 @@ def q_mv_cascade_attendance(spark, sf_dir):
     mv1.process_available()
     mv1.stop()
 
+    # S5 background-merge analogue, LOAD-BEARING in the gate (r05): collapse
+    # MV#1's per-block file debris before the next stage scans it — exactly
+    # where MergeTree's background merge sits in the reference
+    # (README.rst:88).  target_files=4 keeps >= 2 downstream insert blocks
+    # so the partial-row property below still holds; the oracle equality
+    # proves the compaction swap loses/duplicates nothing.
+    from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
+
+    compact_files(spark, f"{work}/typed", target_files=4, sort_cols=["timestamp"])
+
     # MV #2 with M4 cutover: typed -> per-(timestamp, subject) PARTIAL
     # counts.  History (< T) backfills in one shot; the stream handles
     # >= T, one block per pair of files so the stored table really holds
