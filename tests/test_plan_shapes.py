@@ -5,6 +5,8 @@ shuffle joins; these tests pin the physical plan (SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from apache_kafka_clickhouse_demo_spark import queries as Q
@@ -144,3 +146,14 @@ def test_spread_small_registry_plans_have_no_double_exchange(spark, sf_dir):
         assert not re.search(
             r"Exchange RoundRobinPartitioning[^\n]*\n\s*\+- Exchange", plan
         ), name
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Sequence packing must shuffle ONCE (on the bucket key): the
+    per-bucket running-sum window and the within-partition sort add no
+    further exchange — a second exchange would mean packing serializes
+    through a global stream."""
+    plan = formatted_plan(Q.EXTRA_QUERIES["pack_sequences"](spark, sf_dir))
+    # formatted plans list every node twice (tree + numbered details);
+    # count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

@@ -144,3 +144,46 @@ def test_backfill_cutover_no_loss_no_dup(spark, ndjson_dir, tmp_path):
     direct = entry_pipeline.class_attendance(typed)
     key = ["timestamp", "subject"]
     assert _sorted_rows(merged, *key) == _sorted_rows(direct, *key)
+
+
+def test_mv_optimize_compacts_dest_without_changing_reads(spark, sf_dir, tmp_path):
+    """MaterializedView.optimize(): per-block parquet debris at dest_path
+    collapses to few files; the merged read answer is unchanged."""
+    import os
+
+    from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src")
+    events.select("event_id", "event_type", "value").repartition(6).write.parquet(src_dir)
+
+    source = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    mv = create_materialized_view(
+        source,
+        lambda b: b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        dest_path=str(tmp_path / "dest"),
+        checkpoint=str(tmp_path / "ck"),
+        available_now=True,
+    )
+    mv.process_available()
+    mv.stop()
+
+    dest = str(tmp_path / "dest")
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(dest).groupBy("event_type").agg(F.sum("n").alias("n")).collect()
+    }
+    n_before = sum(1 for n in os.listdir(dest) if n.endswith(".parquet"))
+    assert n_before >= 6  # one-plus file per block
+
+    n_after = mv.optimize(spark, target_files=1)
+    assert n_after < n_before and n_after <= 2
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(dest).groupBy("event_type").agg(F.sum("n").alias("n")).collect()
+    }
+    assert after == before

@@ -320,3 +320,33 @@ def test_vacuum_staging_age_uses_newest_mtime_in_tree(spark, tmp_path):
     deleted = t.vacuum(grace_seconds=3600.0)
     assert ".staging-inflight00" in deleted
     assert not os.path.exists(staging)
+
+
+def test_optimize_retries_after_losing_commit_race(spark, tmp_path):
+    """OCC contract: a replace-commit may only land at snapshot_version + 1.
+    When a rival takes that version first (fabricated here by pre-planting
+    the next commit), optimize must NOT clobber it — it restarts from the
+    new snapshot and lands one version later, preserving the rival's rows."""
+    import json
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10).repartition(2))  # v0
+    t.append(_df(spark, 10, 20).repartition(2))  # v1
+
+    # rival appender's commit at v2, written outside the optimize call:
+    # stage a real data file for it so reads keep working
+    rival_df = _df(spark, 20, 25)
+    staging = str(tmp_path / "rival")
+    rival_df.write.mode("overwrite").parquet(staging)
+    rival_files = []
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(staging, name), os.path.join(t.path, f"rival-{name}"))
+            rival_files.append(f"rival-{name}")
+    with open(os.path.join(t.log_dir, f"{2:011d}.json"), "w") as fh:
+        json.dump({"files": sorted(rival_files)}, fh)
+
+    v = t.optimize(spark, target_files=1)
+    assert v == 3  # lost v2, recompacted the v2 snapshot, landed at v3
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == list(range(25))  # rival rows survived the compaction
