@@ -138,3 +138,37 @@ def test_asof_join_hot_key_stays_bounded(spark):
 
     assert n == HOT_ROWS + 100
     assert bad == 0
+
+
+def test_pack_chunks_stream_invariants(spark):
+    """Packing semantics pinned structurally (not just vs the oracle hash):
+    within every bucket, start_tok is the running sum of prior chunk
+    lengths (contiguous stream, no gaps/overlaps), pack_id/pack_pos are
+    exactly the cut of that stream at max_tokens boundaries, and buckets
+    are document-atomic (a doc's chunks never split across buckets)."""
+    from apache_kafka_clickhouse_demo_spark.operators.text_analysis import pack_chunks
+
+    chunks = (
+        spark.range(40)
+        .selectExpr(
+            "id % 8 AS doc_id",
+            "CAST(id / 8 AS INT) AS chunk_idx",
+            "CAST(id % 5 + 1 AS INT) AS n_tokens",
+        )
+    )
+    rows = pack_chunks(chunks, max_tokens=7, buckets=3).collect()
+
+    by_bucket: dict = {}
+    doc_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+        assert doc_bucket.setdefault(r["doc_id"], r["bucket"]) == r["bucket"]
+        assert r["pack_id"] == r["start_tok"] // 7
+        assert r["pack_pos"] == r["start_tok"] % 7
+
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        running = 0
+        for r in rs:
+            assert r["start_tok"] == running  # contiguous, gapless stream
+            running += r["n_tokens"]
