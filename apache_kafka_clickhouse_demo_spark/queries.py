@@ -1114,7 +1114,9 @@ def q_dedup_clusters(spark, sf_dir):
         shingle_n=MINHASH_SHINGLE_N,
         threshold=MINHASH_THRESHOLD,
     )
-    return dedup.connected_components(docs, pairs).orderBy("doc_id")
+    # sortWithinPartitions: global-sort range sampling would re-run the
+    # label join; driver hashing is order-insensitive
+    return dedup.connected_components(docs, pairs).sortWithinPartitions("doc_id")
 
 
 def q_event_type_matrix(spark, sf_dir):
@@ -1177,7 +1179,9 @@ def q_corpus_curation(spark, sf_dir):
             .otherwise(F.lit("test"))
             .alias("split"),
         )
-        .orderBy("doc_id")
+        # sortWithinPartitions: global-sort range sampling would re-run the
+        # curation join tree; driver hashing is order-insensitive
+        .sortWithinPartitions("doc_id")
     )
 
 
