@@ -51,6 +51,7 @@ class MaterializedView:
     query: StreamingQuery
     dest_path: str
     checkpoint: str
+    partition_cols: list[str] | None = None
 
     def process_available(self) -> None:
         """Drain everything currently available (test/backfill helper)."""
@@ -65,14 +66,17 @@ class MaterializedView:
     ) -> int:
         """Post-cascade small-file compaction (VERDICT r4 #6): collapse the
         one-file-per-block-per-partition debris a long-running MV leaves at
-        `dest_path` into `target_files` files, atomically (storage.
-        compact_files swap).  Call after `stop()` — or between blocks — on
-        parquet-sink MVs; transactional-sink MVs compact through
+        `dest_path` into few files, atomically (storage.compact_files
+        swap), preserving the MV's Hive-partitioned layout when it has one.
+        Call after `stop()` — or between blocks — on parquet-sink MVs;
+        transactional-sink MVs compact through
         `TransactionalTable.optimize()` instead, which is safe under
         concurrent writers.  Returns the resulting file count."""
         from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
 
-        return compact_files(spark, self.dest_path, target_files, sort_cols)
+        return compact_files(
+            spark, self.dest_path, target_files, sort_cols, self.partition_cols
+        )
 
 
 def create_materialized_view(
@@ -116,7 +120,7 @@ def create_materialized_view(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return MaterializedView(writer.start(), dest_path, checkpoint)
+    return MaterializedView(writer.start(), dest_path, checkpoint, partition_cols)
 
 
 def jdbc_sink(

@@ -109,3 +109,42 @@ def test_compact_files_preserves_reads_and_drops_file_count(spark, sf_dir, tmp_p
     # in-file ordering restored (tight row-group stats for pruning)
     ids = [r["event_id"] for r in spark.read.parquet(path).select("event_id").collect()]
     assert ids == sorted(ids)
+
+
+def test_compact_files_preserves_partitioned_layout(spark, sf_dir, tmp_path):
+    """Partition-aware compaction: a Hive-partitioned MV destination keeps
+    its day= directory layout (partition pruning survives), each directory
+    collapses to one file, and the read answer is unchanged."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.to_date("ts").alias("day")
+    )
+    path = str(tmp_path / "mv_by_day")
+    for _ in range(4):  # four insert blocks of per-day debris
+        events.limit(200).repartition(2).write.mode("append").partitionBy(
+            "day"
+        ).parquet(path)
+
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).select("event_id", "day").collect()
+    )
+    day_dirs = [d for d in os.listdir(path) if d.startswith("day=")]
+    n_before = sum(
+        1
+        for dirpath, _d, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    assert n_before > len(day_dirs)  # real debris: several files per dir
+
+    n_after = compact_files(
+        spark, path, sort_cols=["ts"], partition_cols=["day"]
+    )
+    after_dirs = [d for d in os.listdir(path) if d.startswith("day=")]
+    assert sorted(after_dirs) == sorted(day_dirs)  # layout preserved
+    assert n_after == len(day_dirs)  # one file per day directory
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).select("event_id", "day").collect()
+    )
+    assert after_rows == before_rows
