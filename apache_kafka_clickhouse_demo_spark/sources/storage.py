@@ -33,6 +33,36 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low `bits` bits of each column.
+
+    A single-column sort (`write_sorted`) gives perfect row-group pruning
+    on that column and none on any other; Z-ordering the sort key over k
+    columns makes every row group a small hyper-rectangle in all k
+    dimensions, so min/max stats prune selective predicates on ANY of them
+    — the multi-dimensional generalization of the MergeTree `ORDER BY`
+    analogue (what Delta's OPTIMIZE ZORDER BY does).
+
+    Inputs must be NON-NEGATIVE integers already normalized into
+    [0, 2^bits) — rank/bucket/scale upstream (day numbers, hash buckets,
+    quantized measures); values are masked to `bits` bits, so out-of-range
+    inputs wrap rather than error.  The key is k*bits bits and must fit a
+    long: k * bits <= 63.  Pure bit arithmetic — whole-stage codegen, no
+    shuffle beyond the write's own repartition.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if len(cs) * bits > 63:
+        raise ValueError(f"{len(cs)} cols x {bits} bits exceeds a long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            src_bit = c.cast("long").bitwiseAND(F.lit(1 << b).cast("long"))
+            # bit b of column i lands at position b*k + i
+            shift = b * (len(cs) - 1) + i
+            z = z + F.shiftleft(src_bit, shift)
+    return z
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

@@ -148,3 +148,53 @@ def test_compact_files_preserves_partitioned_layout(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.read.parquet(path).select("event_id", "day").collect()
     )
     assert after_rows == before_rows
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort: with a day-sorted layout every file
+    spans the FULL user range (user predicates prune nothing); with the
+    Morton key over (day, user) every file is a hyper-rectangle — per-file
+    min/max spans shrink in BOTH dimensions, which is exactly what makes
+    row-group/file stats prune selective predicates on either column."""
+    import glob
+
+    from apache_kafka_clickhouse_demo_spark.sources.storage import zorder_value
+
+    events = load_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    day0 = events.agg(F.min("d")).first()[0]
+    dims = events.select(
+        "user_id", F.datediff("d", F.lit(day0)).alias("day_num")
+    )
+
+    def spans(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            row = spark.read.parquet(f).agg(
+                F.max("user_id") - F.min("user_id"),
+                F.max("day_num") - F.min("day_num"),
+            ).first()
+            out.append((row[0], row[1]))
+        return out
+
+    by_day = str(tmp_path / "by_day")
+    dims.repartitionByRange(8, "day_num").sortWithinPartitions("day_num").write.parquet(by_day)
+
+    z = zorder_value(["day_num", "user_id"], bits=8)
+    by_z = str(tmp_path / "by_z")
+    dims.withColumn("_z", z).repartitionByRange(8, "_z").sortWithinPartitions(
+        "_z"
+    ).drop("_z").write.parquet(by_z)
+
+    day_spans = spans(by_day)
+    z_spans = spans(by_z)
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+
+    # single-dim layout: tight on day, blind on user (files span ~all users)
+    full_user = dims.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    assert avg([u for u, _ in day_spans]) > 0.9 * full_user
+    # z-order layout: user spans shrink decisively, day spans stay bounded
+    assert avg([u for u, _ in z_spans]) < 0.6 * avg([u for u, _ in day_spans])
+    full_day = dims.agg(F.max("day_num")).first()[0]
+    assert avg([d for _, d in z_spans]) <= full_day
+    # round-trip identity
+    assert spark.read.parquet(by_z).count() == dims.count()
