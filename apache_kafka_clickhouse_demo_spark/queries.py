@@ -265,10 +265,10 @@ def q_mv_cascade_attendance(spark, sf_dir):
     and the partial rows merge exactly.
     """
     from apache_kafka_clickhouse_demo_spark.operators import entry_pipeline as EP
-    from apache_kafka_clickhouse_demo_spark.schemas import STUDENT_ENTRY_EVENTS_SCHEMA
-    from apache_kafka_clickhouse_demo_spark.streaming import (
-        backfill_cutover,
-        create_materialized_view,
+    from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
+    from apache_kafka_clickhouse_demo_spark.streaming.cascade import (
+        CascadeStage,
+        run_cascade,
     )
 
     work = _workdir("mv_cascade_")
@@ -276,49 +276,42 @@ def q_mv_cascade_attendance(spark, sf_dir):
     # producer hop: NDJSON files on disk (4 arrival chunks)
     EP.synth_entry_messages(_t(spark, sf_dir, "events")).repartition(4).write.text(raw)
 
-    # MV #1: opaque message -> typed table (checkpointed stream)
     src1 = spark.readStream.format("text").load(raw).withColumnRenamed("value", "message")
-    mv1 = create_materialized_view(
-        src1, EP.typed_entry_events, f"{work}/typed", f"{work}/ck1", available_now=True
-    )
-    mv1.process_available()
-    mv1.stop()
-
-    # S5 background-merge analogue, LOAD-BEARING in the gate (r05): collapse
-    # MV#1's per-block file debris before the next stage scans it — exactly
-    # where MergeTree's background merge sits in the reference
-    # (README.rst:88).  target_files=4 keeps >= 2 downstream insert blocks
-    # so the partial-row property below still holds; the oracle equality
-    # proves the compaction swap loses/duplicates nothing.
-    from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
-
-    compact_files(spark, f"{work}/typed", target_files=4, sort_cols=["timestamp"])
-
-    # MV #2 with M4 cutover: typed -> per-(timestamp, subject) PARTIAL
-    # counts.  History (< T) backfills in one shot; the stream handles
-    # >= T, one block per pair of files so the stored table really holds
-    # several partial rows per key.
-    src2 = (
-        spark.readStream.schema(STUDENT_ENTRY_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(f"{work}/typed")
-    )
-    mv2 = backfill_cutover(
+    counts = run_cascade(
         spark,
-        history=spark.read.parquet(f"{work}/typed"),
-        source=src2,
-        transform=EP.class_attendance,
-        cutover_predicate=F.col("timestamp") >= F.lit(EVENTS_CUTOFF).cast("timestamp"),
-        dest_path=f"{work}/counts",
-        checkpoint=f"{work}/ck2",
-        available_now=True,
+        src1,
+        [
+            # MV#1: opaque message -> typed table; then the S5
+            # background-merge analogue LOAD-BEARING in the gate (r05):
+            # collapse MV#1's per-block file debris before the next stage
+            # scans it (README.rst:88).  target_files=4 keeps >= 2
+            # downstream insert blocks so the partial-row property holds;
+            # the oracle equality proves the swap loses/duplicates nothing.
+            CascadeStage(
+                "typed",
+                EP.typed_entry_events,
+                post_compact=lambda s, p: compact_files(
+                    s, p, target_files=4, sort_cols=["timestamp"]
+                ),
+            ),
+            # MV#2 with M4 cutover: typed -> per-(timestamp, subject)
+            # PARTIAL counts.  History (< T) backfills in one shot; the
+            # stream handles >= T, one block per pair of files so the
+            # stored table really holds several partial rows per key.
+            CascadeStage(
+                "counts",
+                EP.class_attendance,
+                max_files_per_trigger=2,
+                cutover_predicate=F.col("timestamp")
+                >= F.lit(EVENTS_CUTOFF).cast("timestamp"),
+            ),
+        ],
+        work,
     )
-    mv2.process_available()
-    mv2.stop()
 
     # read path: merge the stored partial rows
     return (
-        spark.read.parquet(f"{work}/counts")
+        spark.read.parquet(counts)
         .groupBy("timestamp", "subject")
         .agg(F.sum("n_students").alias("n_students"))
         .orderBy("timestamp", "subject")
@@ -348,13 +341,10 @@ def q_mv_cascade_daily(spark, sf_dir):
     future-timestamp pattern.  The oracle is the direct batch daily
     aggregate — equal iff every seam (ingest, partial counts, compaction,
     cutover, state merge) loses and duplicates nothing."""
-    from apache_kafka_clickhouse_demo_spark.sources.storage import (
-        compact_summing,
-        read_table,
-    )
-    from apache_kafka_clickhouse_demo_spark.streaming import (
-        backfill_cutover,
-        create_materialized_view,
+    from apache_kafka_clickhouse_demo_spark.sources.storage import compact_summing
+    from apache_kafka_clickhouse_demo_spark.streaming.cascade import (
+        CascadeStage,
+        run_cascade,
     )
 
     work = _workdir("mv_daily_")
@@ -368,65 +358,51 @@ def q_mv_cascade_daily(spark, sf_dir):
         ).alias("value")
     ).repartition(4).write.text(f"{work}/raw")
 
-    # MV#1: opaque message -> typed table (checkpointed stream)
     src1 = (
         spark.readStream.format("text").load(f"{work}/raw")
         .withColumnRenamed("value", "message")
     )
-    mv1 = create_materialized_view(
+    daily = run_cascade(
+        spark,
         src1,
-        lambda b: b.select(F.from_json("message", ev_schema).alias("e")).select("e.*"),
-        f"{work}/typed",
-        f"{work}/ck1",
-        available_now=True,
+        [
+            # MV#1: opaque message -> typed table (checkpointed stream)
+            CascadeStage(
+                "typed",
+                lambda b: b.select(
+                    F.from_json("message", ev_schema).alias("e")
+                ).select("e.*"),
+            ),
+            # MV#2: typed -> per-(hour, type) PARTIAL counts, one block per
+            # pair of files (several partial rows per key), then the S6
+            # SummingMergeTree background merge collapses same-key partials
+            # BEFORE MV#3 scans the table — load-bearing, see docstring.
+            CascadeStage(
+                "granular",
+                attendance.attendance_granular,
+                max_files_per_trigger=2,
+                post_compact=lambda s, p: compact_summing(
+                    s,
+                    p,
+                    keys=["ts_hour", "event_type"],
+                    agg_exprs={"student_count": F.sum("student_count")},
+                ),
+            ),
+            # MV#3 with M4 cutover: granular -> per-(day, type) partial
+            # aggregate states
+            CascadeStage(
+                "daily",
+                attendance.attendance_daily_states,
+                max_files_per_trigger=4,
+                cutover_predicate=F.col("ts_hour")
+                >= F.lit(EVENTS_CUTOFF).cast("timestamp"),
+            ),
+        ],
+        work,
     )
-    mv1.process_available()
-    mv1.stop()
-
-    # MV#2: typed -> per-(hour, type) PARTIAL counts, one block per pair of
-    # files (several partial rows per key land in the granular table)
-    src2 = (
-        spark.readStream.schema(ev_schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(f"{work}/typed")
-    )
-    mv2 = create_materialized_view(
-        src2, attendance.attendance_granular, f"{work}/granular", f"{work}/ck2",
-        available_now=True,
-    )
-    mv2.process_available()
-    mv2.stop()
-
-    # S6: SummingMergeTree background merge — collapse same-key partials
-    compact_summing(
-        spark,
-        f"{work}/granular",
-        keys=["ts_hour", "event_type"],
-        agg_exprs={"student_count": F.sum("student_count")},
-    )
-
-    # MV#3 with M4 cutover: granular -> per-(day, type) partial agg states
-    granular = read_table(spark, f"{work}/granular")
-    src3 = (
-        spark.readStream.schema(granular.schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(f"{work}/granular")
-    )
-    mv3 = backfill_cutover(
-        spark,
-        history=granular,
-        source=src3,
-        transform=attendance.attendance_daily_states,
-        cutover_predicate=F.col("ts_hour") >= F.lit(EVENTS_CUTOFF).cast("timestamp"),
-        dest_path=f"{work}/daily",
-        checkpoint=f"{work}/ck3",
-        available_now=True,
-    )
-    mv3.process_available()
-    mv3.stop()
 
     # read path: maxMerge/minMerge/avgMerge over the stored partial states
-    return attendance.attendance_daily_merged(spark.read.parquet(f"{work}/daily"))
+    return attendance.attendance_daily_merged(spark.read.parquet(daily))
 
 
 def q_attendance_daily_compacted(spark, sf_dir):

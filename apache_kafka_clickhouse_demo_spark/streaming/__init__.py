@@ -2,6 +2,10 @@
 backfill/stream cutover pattern (M4), and watermarked/custom-state
 operators.  See streaming.pipeline and streaming.stateful."""
 
+from apache_kafka_clickhouse_demo_spark.streaming.cascade import (  # noqa: F401
+    CascadeStage,
+    run_cascade,
+)
 from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (  # noqa: F401
     MaterializedView,
     backfill_cutover,

@@ -1,0 +1,106 @@
+"""Declarative MV-cascade runner — SURVEY.md §4's "thin MV-cascade
+manager": declare the stages (`source -> select -> dest`, README.rst's
+chained `CREATE MATERIALIZED VIEW ... TO` pattern, :95-103/:154-162/
+:222-236), and the engine wires the checkpointed streaming queries, the
+inter-stage file-stream plumbing, the optional M4 backfill/stream cutover
+per stage, and the optional post-stage background-merge compaction.
+
+Each stage is one `create_materialized_view` (or `backfill_cutover`) whose
+source is the previous stage's destination directory — the exact cascade
+the two streaming gate queries drive, factored so a user declares the
+pipeline instead of hand-wiring reader schemas, checkpoints, and drain
+calls per hop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (
+    backfill_cutover,
+    create_materialized_view,
+)
+
+
+@dataclass
+class CascadeStage:
+    """One MV hop.
+
+    name                  destination directory name under the work root
+    transform             the MV's SELECT, applied per insert block
+    max_files_per_trigger file-stream block sizing for this stage's source
+                          (controls how many partial rows per key land in
+                          the destination — None lets one block drain all)
+    cutover_predicate     M4: input rows satisfying it flow through the
+                          stream, the complement backfills in one
+                          `INSERT ... SELECT` (not valid on the first
+                          stage, which has no history table yet)
+    post_compact          background-merge hook run on the stage's OWN
+                          destination after it drains — e.g. a
+                          `compact_files` lambda (S5 merge) or
+                          `compact_summing` (S6 same-key collapse) —
+                          before the next stage scans it
+    """
+
+    name: str
+    transform: Callable[[DataFrame], DataFrame]
+    max_files_per_trigger: int | None = None
+    cutover_predicate: Column | None = None
+    post_compact: Callable[[SparkSession, str], object] | None = None
+
+
+def run_cascade(
+    spark: SparkSession,
+    source: DataFrame,
+    stages: Sequence[CascadeStage],
+    work_root: str,
+) -> str:
+    """Wire and drain an N-stage cascade; returns the final destination
+    path.  `source` is the first stage's streaming DataFrame (Kafka, file,
+    rate); every later stage file-streams from its predecessor's
+    destination with the predecessor's schema.  Stages drain fully
+    (availableNow) in order — the batch-test twin of a continuously-running
+    cascade, whose queries would instead stay started."""
+    if not stages:
+        raise ValueError("a cascade needs at least one stage")
+    path: str | None = None
+    for i, st in enumerate(stages):
+        dest = f"{work_root}/{st.name}"
+        ckpt = f"{work_root}/_ck_{st.name}"
+        if i == 0:
+            if st.cutover_predicate is not None:
+                raise ValueError("first stage has no history table to backfill")
+            src = source
+            history = None
+        else:
+            history = spark.read.parquet(path)
+            reader = spark.readStream.schema(history.schema)
+            if st.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", st.max_files_per_trigger
+                )
+            src = reader.parquet(path)
+        if st.cutover_predicate is not None:
+            mv = backfill_cutover(
+                spark,
+                history=history,
+                source=src,
+                transform=st.transform,
+                cutover_predicate=st.cutover_predicate,
+                dest_path=dest,
+                checkpoint=ckpt,
+                available_now=True,
+            )
+        else:
+            mv = create_materialized_view(
+                src, st.transform, dest, ckpt, available_now=True
+            )
+        mv.process_available()
+        mv.stop()
+        if st.post_compact is not None:
+            st.post_compact(spark, dest)
+        path = dest
+    return path
