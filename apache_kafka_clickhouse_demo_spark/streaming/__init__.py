@@ -5,6 +5,7 @@ operators.  See streaming.pipeline and streaming.stateful."""
 from apache_kafka_clickhouse_demo_spark.streaming.cascade import (  # noqa: F401
     CascadeStage,
     run_cascade,
+    run_cascade_live,
 )
 from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (  # noqa: F401
     MaterializedView,

@@ -104,3 +104,74 @@ def run_cascade(
             st.post_compact(spark, dest)
         path = dest
     return path
+
+
+def run_cascade_live(
+    spark: SparkSession,
+    source: DataFrame,
+    stages: Sequence[CascadeStage],
+    work_root: str,
+) -> str:
+    """ALL stages run CONCURRENTLY — the reference's actual deployment
+    shape, where every MV is live at once and a consumed Kafka block
+    propagates hop by hop (README.rst: the ingest MV and both aggregating
+    MVs are all attached simultaneously).
+
+    Two things make concurrent wiring possible without ever peeking at
+    data: (1) each stage's input schema is derived STATICALLY by pushing an
+    empty batch through the upstream transforms, so a downstream file
+    stream can start watching an empty destination directory before the
+    upstream has produced a single file; (2) plain parquet appends publish
+    whole files, and Spark's file-stream source only picks up files that
+    appear in a directory listing, so a half-written `_temporary/` staging
+    file is never consumed.
+
+    Draining: one `processAllAvailable` pass flushes one hop, so N passes
+    over all queries quiesce an N-stage cascade (in production the queries
+    simply stay started and this function would not stop them).
+    Unsupported in live mode: `cutover_predicate` (backfill targets an
+    EXISTING history table — with all stages starting empty there is no
+    history to cut over; use `run_cascade`) and `post_compact` (an atomic
+    swap would race the downstream file-stream's directory listing; run
+    compaction after the cascade stops, or use a transactional sink).
+    Returns the final destination path."""
+    import os
+
+    if not stages:
+        raise ValueError("a cascade needs at least one stage")
+    for st in stages:
+        if st.cutover_predicate is not None or st.post_compact is not None:
+            raise ValueError(
+                f"stage {st.name!r}: cutover/post_compact are sequential-mode "
+                "features (see docstring); use run_cascade"
+            )
+
+    # static schema chain: stage i's input schema = transform_{i-1} applied
+    # to an empty batch of its own input schema (no data, no execution)
+    in_schema = source.schema
+    mvs = []
+    path: str | None = None
+    for i, st in enumerate(stages):
+        dest = f"{work_root}/{st.name}"
+        ckpt = f"{work_root}/_ck_{st.name}"
+        if i == 0:
+            src = source
+        else:
+            os.makedirs(path, exist_ok=True)  # watchable before data lands
+            reader = spark.readStream.schema(in_schema)
+            if st.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", st.max_files_per_trigger
+                )
+            src = reader.parquet(path)
+        mvs.append(create_materialized_view(src, st.transform, dest, ckpt))
+        in_schema = st.transform(spark.createDataFrame([], in_schema)).schema
+        path = dest
+
+    # each full pass pushes every in-flight block one hop downstream
+    for _ in range(len(stages)):
+        for mv in mvs:
+            mv.process_available()
+    for mv in mvs:
+        mv.stop()
+    return path

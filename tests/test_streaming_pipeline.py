@@ -187,3 +187,70 @@ def test_mv_optimize_compacts_dest_without_changing_reads(spark, sf_dir, tmp_pat
         for r in spark.read.parquet(dest).groupBy("event_type").agg(F.sum("n").alias("n")).collect()
     }
     assert after == before
+
+
+def test_live_cascade_all_stages_concurrent(spark, sf_dir, tmp_path):
+    """run_cascade_live: every MV started BEFORE any data has flowed —
+    downstream file streams watch empty directories whose schemas were
+    derived statically — and the fully-propagated result equals the batch
+    computation.  This is the reference's deployment shape (all MVs
+    attached at once), proven end-to-end."""
+    from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+    from apache_kafka_clickhouse_demo_spark.streaming import CascadeStage
+    from apache_kafka_clickhouse_demo_spark.streaming.cascade import run_cascade_live
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src")
+    events.select("event_id", "event_type", "value").repartition(4).write.parquet(src_dir)
+
+    source = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    final = run_cascade_live(
+        spark,
+        source,
+        [
+            CascadeStage(
+                "typed",
+                lambda b: b.select(
+                    "event_id", F.upper("event_type").alias("t"), "value"
+                ),
+            ),
+            CascadeStage(
+                "per_type",
+                lambda b: b.groupBy("t").agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+                ),
+                max_files_per_trigger=2,
+            ),
+        ],
+        str(tmp_path / "work"),
+    )
+
+    got = {
+        r["t"]: (r["n"], round(r["v"], 6))
+        for r in spark.read.parquet(final)
+        .groupBy("t")
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+        .collect()
+    }
+    want = {
+        r["t"]: (r["n"], round(r["v"], 6))
+        for r in events.groupBy(F.upper("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want
+
+    # rejects sequential-only features
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_cascade_live(
+            spark,
+            source,
+            [CascadeStage("x", lambda b: b, cutover_predicate=F.lit(True))],
+            str(tmp_path / "work2"),
+        )
