@@ -172,6 +172,10 @@ def main() -> int:
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:  # machine-load snapshot: stall forensics for anomalous artifacts
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
     print(
         json.dumps(
             {
@@ -181,6 +185,7 @@ def main() -> int:
                 "queries": times,
                 "passes": passes,
                 "suspect": suspect,
+                "loadavg": loadavg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -198,3 +198,29 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     assert avg([d for _, d in z_spans]) <= full_day
     # round-trip identity
     assert spark.read.parquet(by_z).count() == dims.count()
+
+
+def test_zorder_value_matches_python_bit_interleave(spark):
+    """zorder_value is exact Morton interleaving: verify the codegen bit
+    arithmetic against a plain-Python mirror over random coordinate pairs
+    (masking included: out-of-range inputs wrap to the low bits)."""
+    import random
+
+    from apache_kafka_clickhouse_demo_spark.sources.storage import zorder_value
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(0, 1 << 10), rng.randrange(0, 1 << 10)) for _ in range(200)]
+
+    def morton(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "z", zorder_value(["x", "y"], bits=8)
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    for x, y in pts:
+        assert got[(x, y)] == morton(x & 0xFF, y & 0xFF)
