@@ -254,3 +254,52 @@ def test_live_cascade_all_stages_concurrent(spark, sf_dir, tmp_path):
             [CascadeStage("x", lambda b: b, cutover_predicate=F.lit(True))],
             str(tmp_path / "work2"),
         )
+
+
+def test_live_cascade_three_stage_propagation_depth(spark, sf_dir, tmp_path):
+    """Depth check for the live drain: a 3-hop cascade needs a block to
+    cross two downstream file-stream boundaries after the first drain pass
+    — exactly what the N-pass quiesce loop guarantees.  Result must equal
+    the batch composition of all three transforms."""
+    from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+    from apache_kafka_clickhouse_demo_spark.streaming import CascadeStage
+    from apache_kafka_clickhouse_demo_spark.streaming.cascade import run_cascade_live
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src")
+    events.select("event_id", "user_id", "value").repartition(3).write.parquet(src_dir)
+
+    source = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    final = run_cascade_live(
+        spark,
+        source,
+        [
+            CascadeStage("typed", lambda b: b.withColumn("bucket", F.col("user_id") % 10)),
+            CascadeStage(
+                "per_user",
+                lambda b: b.groupBy("bucket", "user_id").agg(F.count(F.lit(1)).alias("n")),
+                max_files_per_trigger=2,
+            ),
+            CascadeStage(
+                "per_bucket",
+                lambda b: b.groupBy("bucket").agg(F.sum("n").alias("n")),
+                max_files_per_trigger=2,
+            ),
+        ],
+        str(tmp_path / "work"),
+    )
+    got = {
+        r["bucket"]: r["n"]
+        for r in spark.read.parquet(final).groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    }
+    want = {
+        r["bucket"]: r["n"]
+        for r in events.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
