@@ -26,7 +26,7 @@ All hash arithmetic uses the engine-portable h48 family
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -108,6 +108,35 @@ def minhash_signatures(
     return base.join(mins, "doc_id").select("doc_id", "shingles", sig.alias("sig"))
 
 
+def band_key_rows(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_key): the LSH banding of a signature table —
+    shared by the batch pair-finder and the streaming dedup filter so both
+    bucket identically (and identically to the DuckDB oracle)."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws("-", F.slice("sig", j * rows_per_band + 1, rows_per_band))
+            for j in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+
+def jaccard_of(sa_shingles: str, sb_shingles: str) -> Column:
+    """Exact Jaccard between two distinct-shingle array columns, with the
+    intersect lambda-bound so it is evaluated once."""
+    inter = F.size(F.array_intersect(sa_shingles, sb_shingles)).cast("double")
+    return F.element_at(
+        F.transform(
+            F.array(inter),
+            lambda x: x / (F.size(sa_shingles) + F.size(sb_shingles) - x),
+        ),
+        1,
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -125,24 +154,13 @@ def minhash_lsh_pairs(
     shingle sets -> exact Jaccard filter.  Identical-document clusters make
     the band key skewed; AQE skew-join handles it (enabled in session.py).
     """
-    if num_perm % bands:
-        raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
-
     # The signature table feeds three plan branches (banding + both verify
     # sides); persist so the expensive row-local signature pass runs once.
     # At cluster scale this would be a checkpoint to engine storage instead.
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-
-    band_keys = F.array(
-        *[
-            F.concat_ws("-", F.slice("sig", j * rows_per_band + 1, rows_per_band))
-            for j in range(bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+    banded = band_key_rows(sigs, num_perm, bands)
 
     cand = (
         banded.alias("a")
@@ -159,20 +177,10 @@ def minhash_lsh_pairs(
     )
 
     sh = sigs.select("doc_id", "shingles")
-    # one intersect per pair; |union| = szA + szB - |intersect| (sets are
-    # distinct); lambda-bind the intersect so it is evaluated once
-    inter = F.size(F.array_intersect("sa.shingles", "sb.shingles")).cast("double")
-    jaccard = F.element_at(
-        F.transform(
-            F.array(inter),
-            lambda x: x / (F.size("sa.shingles") + F.size("sb.shingles") - x),
-        ),
-        1,
-    )
     verified = (
         cand.join(sh.alias("sa"), cand.id_a == F.col("sa.doc_id"))
         .join(sh.alias("sb"), cand.id_b == F.col("sb.doc_id"))
-        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .select("id_a", "id_b", jaccard_of("sa.shingles", "sb.shingles").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )

@@ -468,6 +468,57 @@ def q_stream_dedup(spark, sf_dir):
     return spark.read.parquet(f"{work}/out").orderBy("event_id")
 
 
+def q_stream_near_dup(spark, sf_dir):
+    """Streaming NEAR-dup dedup (streaming/stateful.minhash_dedup_stream):
+    the documents table arrives as four id-ordered insert blocks; each
+    block is MinHash-banded against the accumulating signature store and
+    verified-near-duplicates of ANY earlier document are dropped.  Oracle:
+    survivors = documents minus every `id_b` of the batch LSH pair set —
+    equal iff the continuous filter makes exactly the decisions the batch
+    pair-finder would."""
+    import time
+
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_dedup_stream,
+    )
+
+    work = _workdir("stream_neardup_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    lo = -1
+    for i in range(4):  # sequential id-ordered chunks; mtime = arrival order
+        b = (hi * (i + 1)) // 4 if i < 3 else hi
+        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= b)).coalesce(
+            1
+        ).write.mode("append").parquet(f"{work}/feed")
+        lo = b
+        time.sleep(0.05)  # distinct file mtimes -> deterministic block order
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = minhash_dedup_stream(
+        spark,
+        src,
+        out_dir=f"{work}/kept",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        num_perm=MINHASH_PERM,
+        bands=MINHASH_BANDS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(f"{work}/kept")
+        .select("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+
+
 def q_sql_busy_days(spark, sf_dir):
     """Pure `spark.sql()` text surface (the reference's native interface is
     SQL): aggregate + HAVING over the registered views."""
@@ -1568,6 +1619,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
     "pack_sequences": q_pack_sequences,  # r05 addition; gate slots were full
+    "stream_near_dup": q_stream_near_dup,  # r05 addition; gate slots were full
 }
 
 
@@ -2563,6 +2615,12 @@ SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          AS n_tokens
 FROM toks, UNNEST(range(0, greatest(len(toks) - 1, 0) // {CHUNK_STRIDE} + 1)) AS t(i)
 ORDER BY doc_id, chunk_idx
+""",
+        "stream_near_dup": f"""
+WITH pairs AS ({_oracle_minhash_lsh()})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY doc_id
 """,
         "pack_sequences": f"""
 WITH toks AS (

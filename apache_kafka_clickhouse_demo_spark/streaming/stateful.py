@@ -101,3 +101,108 @@ def running_totals(source: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def minhash_dedup_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+):
+    """Streaming NEAR-duplicate dedup: continuous MinHash-LSH filtering of
+    an unbounded document feed against an accumulating signature store —
+    the streaming twin of `dedup.minhash_lsh_pairs`, and the filter a
+    continuously-ingesting training-data pipeline actually runs (batch
+    dedup of a 100 TB corpus is a rebuild; this keeps the corpus clean as
+    it grows).
+
+    Per insert block (foreachBatch):
+      1. compute the block's signatures (doc_id, shingles, sig) — the same
+         codegen hash pipeline as batch;
+      2. candidate-join the block's band keys against the STORE's and
+         against in-block earlier docs (band equality + `earlier.doc_id <
+         doc.doc_id`);
+      3. exact-Jaccard verify candidates (same expression as batch); a doc
+         with any verified earlier partner is dropped;
+      4. append survivors to `out_dir` and the WHOLE block's signatures
+         (kept and dropped alike) to `store_dir`.
+
+    Semantics: a document survives iff NO earlier-id document anywhere in
+    the stream is a verified near-duplicate — "earlier" is the document id,
+    so feed blocks in id order for the cross-block decisions to be final
+    (the gate fixture does; out-of-order arrival would need a compaction
+    pass over `out_dir`, the same reconciliation any streaming dedup with
+    late data needs).
+
+    Scale notes: the store grows with the corpus, but each block touches it
+    through ONE band-key equi-join (8-byte keys) plus one shingles lookup
+    join for the candidate doc ids only — never a scan of store text.  At
+    100 TB the store would live in a transactional table with the band key
+    as the sort/bucket column so the per-block join prunes to matching
+    buckets; state never lives in executor memory.
+    """
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import (
+        band_key_rows,
+        jaccard_of,
+        minhash_signatures,
+    )
+
+    def _block(block: DataFrame, _batch_id: int) -> None:
+        sigs_b = minhash_signatures(
+            block, text_col, id_col, num_perm, shingle_n
+        ).persist()
+        try:
+            store = spark.read.parquet(store_dir)
+        except Exception:  # first block: empty store
+            store = sigs_b.limit(0)
+
+        # candidates: block docs vs earlier docs (store + earlier in-block)
+        earlier = store.unionByName(sigs_b)
+        cand = (
+            band_key_rows(sigs_b, num_perm, bands)
+            .alias("b")
+            .join(
+                band_key_rows(earlier, num_perm, bands).alias("a"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_key") == F.col("b.band_key"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        dropped = (
+            cand.join(
+                earlier.select("doc_id", "shingles").alias("sa"),
+                cand.id_a == F.col("sa.doc_id"),
+            )
+            .join(
+                sigs_b.select("doc_id", "shingles").alias("sb"),
+                cand.id_b == F.col("sb.doc_id"),
+            )
+            .filter(jaccard_of("sa.shingles", "sb.shingles") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = block.join(dropped, id_col, "left_anti")
+        survivors.write.mode("append").parquet(out_dir)
+        # store EVERY seen doc's signature — dropped docs still suppress
+        # future copies of their cluster
+        sigs_b.write.mode("append").parquet(store_dir)
+        sigs_b.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(_block)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

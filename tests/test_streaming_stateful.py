@@ -153,3 +153,57 @@ def test_running_totals_final_state_matches_batch(spark, events_dir, tmp_path):
     for k in b:
         assert f[k][0] == b[k][0]
         assert f[k][1] == pytest.approx(b[k][1], rel=1e-9)
+
+
+def test_minhash_dedup_stream_suppresses_across_blocks(spark, tmp_path):
+    """Cross-block semantics: a near-duplicate arriving in a LATER block is
+    dropped against the store, and a DROPPED document's signature still
+    suppresses further copies of its cluster (the store keeps every seen
+    doc, not just survivors)."""
+    import time as _time
+
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_dedup_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    blocks = [
+        [(1, base), (2, "totally different words entirely here now")],
+        [(3, base + " iota")],   # near-dup of 1 -> dropped
+        [(4, base + " kappa")],  # near-dup of 1 AND of dropped 3 -> dropped
+    ]
+    feed = str(tmp_path / "feed")
+    for rows in blocks:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _time.sleep(0.05)
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = minhash_dedup_stream(
+        spark,
+        src,
+        out_dir=str(tmp_path / "kept"),
+        store_dir=str(tmp_path / "store"),
+        checkpoint=str(tmp_path / "ck"),
+        num_perm=12,
+        bands=4,
+        shingle_n=3,
+        threshold=0.5,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    )
+    assert kept == [1, 2]
+    # the store remembers every seen doc, survivors and dropped alike
+    store_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "store")).collect()
+    )
+    assert store_ids == [1, 2, 3, 4]
