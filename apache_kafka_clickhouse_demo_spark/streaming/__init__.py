@@ -14,7 +14,9 @@ from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (  # noqa: F40
     jdbc_sink,
 )
 from apache_kafka_clickhouse_demo_spark.streaming.stateful import (  # noqa: F401
+    minhash_dedup_stream,
     running_totals,
     streaming_dedup,
+    streaming_sessions,
     windowed_counts,
 )

@@ -206,3 +206,40 @@ def minhash_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sessions(
+    source: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming sessionization: Spark's native
+    `session_window` merges a user's events whenever they arrive within
+    `gap` of the session's current end — the streaming twin of the batch
+    lag+running-sum sessionization (`queries.q_user_sessions`, same
+    inactivity-gap semantics).
+
+    Append mode emits each session exactly once, when the watermark passes
+    gap past its last event — which is what makes this viable on an
+    unbounded feed: state per user is one open session, closed sessions
+    leave the store.  `delay` bounds how late an event may arrive and
+    still extend its session; later ones are dropped (the watermark
+    contract every streaming aggregation makes)."""
+    return (
+        source.withWatermark(ts_col, delay)
+        .groupBy(F.col(user_col), F.session_window(ts_col, gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))
+            ).alias("duration_ms"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "duration_ms",
+        )
+    )

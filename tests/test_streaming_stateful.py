@@ -207,3 +207,66 @@ def test_minhash_dedup_stream_suppresses_across_blocks(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "store")).collect()
     )
     assert store_ids == [1, 2, 3, 4]
+
+
+def test_streaming_sessions_match_batch_gap_sessionization(spark, tmp_path):
+    """Native session_window streaming sessions == the batch lag+running-sum
+    gap sessions for the same rows: same session count per user, same
+    (n_events, duration) multiset.  A far-future flush event drives the
+    watermark past every real session so append mode emits them all."""
+    from pyspark.sql import Window as W
+
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        streaming_sessions,
+    )
+
+    base = 1_700_000_000_000  # ms
+    mins = lambda m: base + m * 60_000  # noqa: E731
+    rows = [
+        # user 1: two sessions (gap 31min splits), first has 3 events
+        (1, mins(0)), (1, mins(10)), (1, mins(20)), (1, mins(51)),
+        # user 2: one session of 2 events
+        (2, mins(5)), (2, mins(25)),
+        # flush: far-future dummy advances the watermark past everything
+        (99, mins(60 * 24 * 30)),
+    ]
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts_ms long"
+    ).select("user_id", F.timestamp_millis("ts_ms").alias("ts")).coalesce(1).write.parquet(feed)
+
+    src = spark.readStream.schema("user_id long, ts timestamp").parquet(feed)
+    q = (
+        streaming_sessions(src, gap="30 minutes", delay="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["n_events"], r["duration_ms"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+        if r["user_id"] != 99
+    }
+
+    # batch twin: identical gap rule over the same rows
+    w = W.partitionBy("user_id").orderBy("ts")
+    ev = spark.read.parquet(feed).filter(F.col("user_id") != 99)
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    sessions = ev.withColumn(
+        "is_new", F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), 1).otherwise(0)
+    ).withColumn("sid", F.sum("is_new").over(w))
+    want = {
+        (r["user_id"], r["n"], r["d"])
+        for r in sessions.groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("d"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 3
