@@ -20,6 +20,7 @@ _SKIP = {
     "mv_cascade_daily",
     "attendance_daily_compacted",
     "stream_dedup",
+    "stream_near_dup",  # streaming build; per-block plans linted via dedup ops
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
