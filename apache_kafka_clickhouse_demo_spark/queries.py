@@ -519,6 +519,56 @@ def q_stream_near_dup(spark, sf_dir):
     )
 
 
+def q_stream_embed_near_dup(spark, sf_dir):
+    """Streaming embedding near-dup dedup (stateful.embedding_dedup_stream):
+    the embeddings table arrives as four id-ordered blocks; each is RP-LSH
+    bucketed against the accumulating vector store and cosine-verified
+    near-duplicates of any earlier vector are dropped.  Oracle: survivors =
+    embeddings minus the batch LSH pair set's id_b side."""
+    import time
+
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        embedding_dedup_stream,
+    )
+
+    work = _workdir("stream_embdup_")
+    emb = _t(spark, sf_dir, "embeddings")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    lo = -1
+    for i in range(4):  # sequential id-ordered chunks; mtime = arrival order
+        b = (hi * (i + 1)) // 4 if i < 3 else hi
+        emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= b)).coalesce(
+            1
+        ).write.mode("append").parquet(f"{work}/feed")
+        lo = b
+        time.sleep(0.05)
+
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = embedding_dedup_stream(
+        spark,
+        src,
+        out_dir=f"{work}/kept",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        threshold=NEAR_DUP_COS,
+        dim=EMBED_DIM,
+        num_tables=NEAR_DUP_TABLES,
+        planes_per_table=NEAR_DUP_PLANES,
+        seed=NEAR_DUP_SEED,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(f"{work}/kept")
+        .select("vec_id")
+        .sortWithinPartitions("vec_id")
+    )
+
+
 def q_sql_busy_days(spark, sf_dir):
     """Pure `spark.sql()` text surface (the reference's native interface is
     SQL): aggregate + HAVING over the registered views."""
@@ -1620,6 +1670,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
     "pack_sequences": q_pack_sequences,  # r05 addition; gate slots were full
     "stream_near_dup": q_stream_near_dup,  # r05 addition; gate slots were full
+    "stream_embed_near_dup": q_stream_embed_near_dup,  # r05 addition; gate slots were full
 }
 
 
@@ -2615,6 +2666,12 @@ SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          AS n_tokens
 FROM toks, UNNEST(range(0, greatest(len(toks) - 1, 0) // {CHUNK_STRIDE} + 1)) AS t(i)
 ORDER BY doc_id, chunk_idx
+""",
+        "stream_embed_near_dup": f"""
+WITH pairs AS ({_oracle_embedding_near_dup()})
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY vec_id
 """,
         "stream_near_dup": f"""
 WITH pairs AS ({_oracle_minhash_lsh()})

@@ -243,3 +243,94 @@ def streaming_sessions(
             "duration_ms",
         )
     )
+
+
+def embedding_dedup_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    dim: int = 64,
+    num_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 101,
+):
+    """Streaming embedding near-dup dedup — the cosine sibling of
+    `minhash_dedup_stream`: each arriving block is multi-table RP-LSH
+    bucketed against an accumulating store of normalized vectors, bucket
+    collisions are verified with the exact cosine, and a vector with any
+    verified earlier-id partner is dropped.  Same LSH tables, hyperplanes,
+    and threshold as the batch `dedup.embedding_near_dup_pairs`, so the
+    stream makes exactly the batch pair-finder's decisions.
+
+    Store schema: (vid, nv, buckets) — the normalized vector plus its
+    num_tables bucket ids, both computed ONCE at arrival; later blocks
+    explode the store's bucket array for the candidate equi-join and touch
+    `nv` only for verified candidate ids.  At 100 TB the store would be
+    bucket-partitioned in a transactional table so the per-block join
+    prunes to colliding buckets.
+    """
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        rp_bucket,
+        rp_hyperplanes,
+    )
+
+    buckets_expr = F.array(
+        *[
+            rp_bucket(F.col(vec_col), rp_hyperplanes(planes_per_table, dim, seed + t))
+            for t in range(num_tables)
+        ]
+    )
+
+    def _tabled(sigs: DataFrame) -> DataFrame:
+        return sigs.select("vid", F.posexplode("buckets").alias("tbl", "bucket"))
+
+    def _block(block: DataFrame, _batch_id: int) -> None:
+        sigs_b = block.select(
+            F.col(id_col).alias("vid"),
+            V.normalize(vec_col).alias("nv"),
+            buckets_expr.alias("buckets"),
+        ).persist()
+        try:
+            store = spark.read.parquet(store_dir)
+        except Exception:  # first block: empty store
+            store = sigs_b.limit(0)
+
+        earlier = store.unionByName(sigs_b)
+        cand = (
+            _tabled(sigs_b)
+            .alias("b")
+            .join(
+                _tabled(earlier).alias("a"),
+                on=[
+                    F.col("a.tbl") == F.col("b.tbl"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col("a.vid") < F.col("b.vid"),
+                ],
+            )
+            .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+            .distinct()
+        )
+        dropped = (
+            cand.join(earlier.select("vid", "nv").alias("va"), cand.id_a == F.col("va.vid"))
+            .join(sigs_b.select("vid", "nv").alias("vb"), cand.id_b == F.col("vb.vid"))
+            .filter(V.dot("va.nv", "vb.nv") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        block.join(dropped, id_col, "left_anti").write.mode("append").parquet(out_dir)
+        sigs_b.write.mode("append").parquet(store_dir)
+        sigs_b.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(_block)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
