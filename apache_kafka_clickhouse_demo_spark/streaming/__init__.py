@@ -14,6 +14,7 @@ from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (  # noqa: F40
     jdbc_sink,
 )
 from apache_kafka_clickhouse_demo_spark.streaming.stateful import (  # noqa: F401
+    embedding_dedup_stream,
     minhash_dedup_stream,
     running_totals,
     streaming_dedup,

@@ -21,6 +21,7 @@ _SKIP = {
     "attendance_daily_compacted",
     "stream_dedup",
     "stream_near_dup",  # streaming build; per-block plans linted via dedup ops
+    "stream_embed_near_dup",  # streaming build, same rationale
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
