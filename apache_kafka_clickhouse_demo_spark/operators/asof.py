@@ -109,3 +109,110 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(_PAY).isNotNull())
     return out.drop(_SIDE, _PAY, *[t for t in tiebreak if t not in left.columns])
+
+
+_BKT = "_asof_bucket"
+_PREF = "_asof_pref"
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    *,
+    bucket_seconds: int = 86_400,
+    direction: str = "backward",
+    how: str = "left",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Hot-key-scalable as-of join: identical semantics to `asof_join`, but
+    each key's timeline is split into fixed `bucket_seconds` ranges so the
+    sort unit is (key, time-bucket) instead of (key) — a key owning a year
+    of 100 TB traffic becomes 365 independent daily sorts instead of one
+    giant partition (the one failure mode the plain operator documents).
+
+    Matches crossing a bucket boundary are preserved by CARRY-OVER rows:
+    per (key, bucket) the extreme right row (latest for backward, earliest
+    for forward) is reduced out — a tiny table, one row per non-empty
+    (key, bucket) — and for every left bucket the nearest such row from
+    earlier (backward) / later (forward) buckets is re-inserted as a
+    synthetic right row pinned to the bucket's boundary instant.  Synthetic
+    rows lose timestamp ties to real in-bucket rows via a hidden tiebreak,
+    so the carried match applies exactly when no in-bucket right row
+    precedes (backward) / follows (forward) the probe.  Equivalence with
+    the unbucketed operator is pinned in tests/test_asof_join.py.
+
+    Cost: two extra small shuffles over the per-bucket extremes (rows =
+    non-empty (key, bucket) pairs, independent of row counts) plus the
+    carry resolution — itself the union+window trick on that small table.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    width_us = bucket_seconds * 1_000_000
+    backward = direction == "backward"
+
+    lb = left.withColumn(_BKT, F.floor(F.unix_micros(F.col(ts_col)) / width_us))
+    rb = right.withColumn(_BKT, F.floor(F.unix_micros(F.col(ts_col)) / width_us))
+
+    # per (key, bucket) extreme right row — latest for backward (the only
+    # row earlier buckets can ever need), earliest for forward
+    row_struct = F.struct(
+        F.col(ts_col), *[F.col(c) for c in payload_cols], *[F.col(c) for c in tiebreak]
+    )
+    rank = F.struct(
+        F.unix_micros(F.col(ts_col)), *[F.col(c) for c in tiebreak]
+    )
+    pick = F.max_by(row_struct, rank) if backward else F.min_by(row_struct, rank)
+    extremes = rb.groupBy(*on, _BKT).agg(pick.alias("_row"))
+
+    # carry resolution: for every LEFT bucket, the nearest extreme from a
+    # strictly earlier (backward) / later (forward) bucket — the classic
+    # union+window asof applied to the tiny extremes table, keyed by the
+    # bucket index itself
+    left_buckets = lb.select(*on, _BKT).distinct().withColumn(_SIDE, F.lit(1))
+    ext_tagged = extremes.withColumn(_SIDE, F.lit(0))
+    u = left_buckets.unionByName(ext_tagged, allowMissingColumns=True)
+    order = [F.col(_BKT).asc() if backward else F.col(_BKT).desc(), F.col(_SIDE).desc()]
+    # _SIDE desc: an extreme IN bucket b must NOT serve bucket b itself
+    # (strictly-earlier contract) — left marker rows sort before same-bucket
+    # extremes, so the running last sees only prior buckets' extremes
+    wc = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        u.withColumn("_carry", F.last(F.when(F.col(_SIDE) == 0, F.col("_row")), ignorenulls=True).over(wc))
+        .filter((F.col(_SIDE) == 1) & F.col("_carry").isNotNull())
+    )
+    boundary_us = (
+        F.col(_BKT) * width_us if backward else (F.col(_BKT) + 1) * width_us - 1
+    )
+    synth = carried.select(
+        *on,
+        F.col(_BKT),
+        F.timestamp_micros(boundary_us.cast("long")).alias(ts_col),
+        *[F.col("_carry")[c].alias(c) for c in payload_cols],
+        *[F.col("_carry")[c].alias(c) for c in tiebreak],
+        F.lit(0 if backward else 1).alias(_PREF),
+    )
+    # real rows win timestamp ties against synthetic carries in BOTH
+    # directions: backward tiebreaks sort asc (bigger _PREF last -> wins),
+    # forward sorts desc (smaller _PREF last -> wins)
+    rb2 = rb.select(
+        *on, _BKT, ts_col, *payload_cols, *tiebreak
+    ).withColumn(_PREF, F.lit(1 if backward else 0))
+
+    out = asof_join(
+        lb,
+        rb2.unionByName(synth),
+        on=[*on, _BKT],
+        ts_col=ts_col,
+        payload_cols=payload_cols,
+        direction=direction,
+        how=how,
+        tiebreak=[*tiebreak, _PREF],
+    )
+    return out.drop(_BKT)

@@ -101,3 +101,52 @@ def test_payload_collision_rejected(spark, tables):
     left, right = tables
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on=["user_id"], ts_col="ts", payload_cols=["ts"])
+
+
+def test_bucketed_asof_equals_plain_asof_both_directions(spark):
+    """asof_join_bucketed must reproduce asof_join exactly — including
+    matches carried across many EMPTY buckets, boundary-timestamp ties,
+    and inner-mode filtering — while sorting (key, bucket) units instead
+    of whole keys."""
+    import random
+
+    from apache_kafka_clickhouse_demo_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    rng = random.Random(13)
+    base = 1_700_000_000_000_000  # us
+    # hot key 1: dense; key 2: sparse (long empty-bucket gaps); key 3: no
+    # right rows at all (left-join null path)
+    left_rows = (
+        [(1, base + rng.randrange(0, 3_000_000_000)) for _ in range(2000)]
+        + [(2, base + rng.randrange(0, 3_000_000_000)) for _ in range(50)]
+        + [(3, base + rng.randrange(0, 3_000_000_000)) for _ in range(20)]
+    )
+    right_rows = [(1, base + rng.randrange(0, 3_000_000_000), rng.randrange(100)) for _ in range(300)] + [
+        (2, base + i * 997_000_000, i) for i in range(3)  # sparse: ~16min apart
+    ]
+    # boundary collisions: right rows exactly at bucket starts
+    right_rows += [(1, base + k * 60_000_000, 999) for k in range(3)]
+
+    left = spark.createDataFrame(left_rows, "k long, us long").select(
+        "k", F.timestamp_micros("us").alias("ts"), F.col("us").alias("probe_us")
+    )
+    right = spark.createDataFrame(right_rows, "k long, us long, quote long").select(
+        "k", F.timestamp_micros("us").alias("ts"), "quote"
+    )
+
+    for direction in ("backward", "forward"):
+        for how in ("left", "inner"):
+            plain = asof_join(
+                left, right, on=["k"], ts_col="ts", payload_cols=["quote"],
+                direction=direction, how=how,
+            )
+            bucketed = asof_join_bucketed(
+                left, right, on=["k"], ts_col="ts", payload_cols=["quote"],
+                bucket_seconds=60, direction=direction, how=how,
+            )
+            a = sorted(map(tuple, plain.select("k", "probe_us", "quote").collect()))
+            b = sorted(map(tuple, bucketed.select("k", "probe_us", "quote").collect()))
+            assert a == b, f"{direction}/{how}: {len(a)} vs {len(b)} rows"
