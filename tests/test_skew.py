@@ -172,3 +172,39 @@ def test_pack_chunks_stream_invariants(spark):
         for r in rs:
             assert r["start_tok"] == running  # contiguous, gapless stream
             running += r["n_tokens"]
+
+
+def test_bucketed_asof_matches_plain_on_hot_key(spark):
+    """The mitigation the plain operator's docstring points to, executed at
+    the hot-key fixture's scale: the time-bucketed as-of answers 100k
+    probes on one key identically to the plain operator while sorting
+    ~bucket-sized units instead of the whole key."""
+    from apache_kafka_clickhouse_demo_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    left = spark.range(HOT_ROWS).select(
+        F.lit(1).alias("k"),
+        F.timestamp_millis(F.col("id") * 1000).alias("ts"),
+        F.col("id").alias("probe_s"),
+    )
+    right = (
+        spark.range(HOT_ROWS // 10)
+        .select(
+            F.lit(1).alias("k"),
+            F.timestamp_millis(F.col("id") * 10_000).alias("ts"),
+            (F.col("id") * 10).alias("quote_s"),
+        )
+    )
+    t0 = time.time()
+    bucketed = asof_join_bucketed(
+        left, right, on=["k"], ts_col="ts", payload_cols=["quote_s"],
+        bucket_seconds=3600,  # ~28 one-hour sort units instead of one key
+    )
+    bad = bucketed.filter(
+        F.col("quote_s") != (F.col("probe_s") - F.col("probe_s") % 10)
+    ).count()
+    n = bucketed.count()
+    print(f"bucketed hot-key asof: {n} rows, {time.time() - t0:.1f}s")
+    assert n == HOT_ROWS and bad == 0
