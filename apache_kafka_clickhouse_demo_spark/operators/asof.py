@@ -114,6 +114,46 @@ def asof_join(
 _BKT = "_asof_bucket"
 _PREF = "_asof_pref"
 
+#: (app id, plan semantic hash, input-file fingerprint, ts col) -> derived
+#: bucket width.  Same bounded memo design as similarity._memoized_count:
+#: repeated builds of the same query don't re-scan the right table just to
+#: re-derive the bucket width, and appended data self-invalidates.
+_SPAN_CACHE: dict[tuple, int] = {}
+
+
+def _derived_bucket_seconds(right: DataFrame, ts_col: str) -> int:
+    """Default bucket width for `asof_join_bucketed` (VERDICT r5 #6): the
+    right table's observed time span divided by (cores x 4) — enough
+    (key, bucket) sort units to spread even ONE key's timeline across
+    every core with headroom, while keeping the per-bucket extremes table
+    small.  One 1-row min/max aggregate, memoized per (session, semantic
+    plan, data version); degenerate spans (empty table, single instant)
+    fall back to a day."""
+    spark = right.sparkSession
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    try:
+        key = (
+            spark.conf.get("spark.app.id"),
+            right.semanticHash(),
+            hash(tuple(sorted(right.inputFiles()))),
+            ts_col,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _SPAN_CACHE:
+        return _SPAN_CACHE[key]
+    row = right.agg(
+        F.unix_micros(F.min(ts_col)).alias("lo"),
+        F.unix_micros(F.max(ts_col)).alias("hi"),
+    ).first()
+    span_sec = 0 if row["lo"] is None else (row["hi"] - row["lo"]) // 1_000_000
+    val = max(1, int(span_sec // (cores * 4))) if span_sec > 0 else 86_400
+    if key is not None:
+        if len(_SPAN_CACHE) > 64:
+            _SPAN_CACHE.clear()
+        _SPAN_CACHE[key] = val
+    return val
+
 
 def asof_join_bucketed(
     left: DataFrame,
@@ -122,7 +162,7 @@ def asof_join_bucketed(
     ts_col: str,
     payload_cols: Sequence[str],
     *,
-    bucket_seconds: int = 86_400,
+    bucket_seconds: int | None = None,
     direction: str = "backward",
     how: str = "left",
     tiebreak: Sequence[str] = (),
@@ -147,9 +187,15 @@ def asof_join_bucketed(
     Cost: two extra small shuffles over the per-bucket extremes (rows =
     non-empty (key, bucket) pairs, independent of row counts) plus the
     carry resolution — itself the union+window trick on that small table.
+
+    `bucket_seconds=None` (the default) derives the width from the right
+    table's observed span and the session's core count — see
+    `_derived_bucket_seconds`; pass an explicit width to override.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if bucket_seconds is None:
+        bucket_seconds = _derived_bucket_seconds(right, ts_col)
     width_us = bucket_seconds * 1_000_000
     backward = direction == "backward"
 
@@ -205,6 +251,12 @@ def asof_join_bucketed(
         *on, _BKT, ts_col, *payload_cols, *tiebreak
     ).withColumn(_PREF, F.lit(1 if backward else 0))
 
+    # _PREF FIRST (ADVICE r5): real-vs-synthetic must be decided before any
+    # user tiebreak — a carried row pinned to the boundary instant has a
+    # strictly EARLIER true timestamp than a real row sharing the pinned
+    # timestamp, so the unbucketed operator would always prefer the real
+    # row regardless of tiebreak values.  Real rows all share one _PREF, so
+    # their relative (user-tiebreak) ordering is unchanged.
     out = asof_join(
         lb,
         rb2.unionByName(synth),
@@ -213,6 +265,6 @@ def asof_join_bucketed(
         payload_cols=payload_cols,
         direction=direction,
         how=how,
-        tiebreak=[*tiebreak, _PREF],
+        tiebreak=[_PREF, *tiebreak],
     )
     return out.drop(_BKT)

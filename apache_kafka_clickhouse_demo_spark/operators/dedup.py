@@ -108,20 +108,29 @@ def minhash_signatures(
     return base.join(mins, "doc_id").select("doc_id", "shingles", sig.alias("sig"))
 
 
-def band_key_rows(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
-    """(doc_id, band, band_key): the LSH banding of a signature table —
-    shared by the batch pair-finder and the streaming dedup filter so both
-    bucket identically (and identically to the DuckDB oracle)."""
+def band_keys_array(num_perm: int, bands: int) -> Column:
+    """Array expression of the `bands` LSH band keys of a `sig` column —
+    the ONE banding definition shared by the batch pair-finder, the
+    streaming dedup store, and (mirrored) the DuckDB oracle, so all three
+    bucket identically."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    band_keys = F.array(
+    return F.array(
         *[
             F.concat_ws("-", F.slice("sig", j * rows_per_band + 1, rows_per_band))
             for j in range(bands)
         ]
     )
-    return sigs.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+
+def band_key_rows(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_key): the LSH banding of a signature table —
+    shared by the batch pair-finder and the streaming dedup filter so both
+    bucket identically (and identically to the DuckDB oracle)."""
+    return sigs.select(
+        "doc_id", F.posexplode(band_keys_array(num_perm, bands)).alias("band", "band_key")
+    )
 
 
 def jaccard_of(sa_shingles: str, sb_shingles: str) -> Column:

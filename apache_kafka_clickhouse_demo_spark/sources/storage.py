@@ -122,8 +122,17 @@ def compact_files(
     scan long before the bytes do.  This is the background-merge half of
     MergeTree the reference gets for free (README.rst:88 "background
     merges"), applied to row-preserving tables; `compact_summing` below is
-    the same swap for same-key-collapsing tables.  Readers never see a half
-    table: same sibling-temp-dir + rename swap as `compact_summing`.
+    the same swap for same-key-collapsing tables.
+
+    Concurrency contract (ADVICE r5): readers never see a HALF table — each
+    rename is atomic — but the swap is TWO renames (path -> _old, tmp ->
+    path), so a reader listing the directory in the window between them
+    sees NO table; like `compact_summing`, this requires a single writer
+    and no concurrent readers (the sequential `run_cascade` usage;
+    `run_cascade_live` rejects post_compact for exactly this reason).
+    Concurrent-reader compaction belongs to the transactional table
+    (`txlog.TransactionalTable.optimize`), whose commit-log swap is one
+    atomic publish.
 
     Pass `partition_cols` for a Hive-partitioned layout: the rewrite then
     shuffles onto the partition columns (each output directory produced by

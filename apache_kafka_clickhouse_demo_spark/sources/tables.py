@@ -9,6 +9,7 @@ primary index (/root/reference/README.rst:88-89; SURVEY.md §4).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -136,14 +137,15 @@ def spread_small(df: DataFrame) -> DataFrame:
 
 
 #: Logical-plan node names that imply the frame's partitioning was already
-#: set by a shuffle (exchange) rather than by the file scan.
-_SHUFFLE_NODES = (
-    "Repartition",  # covers Repartition and RepartitionByExpression
-    "Aggregate",
-    "Join",
-    "Window",
-    "Sort",
-    "Deduplicate",
+#: set by a shuffle (exchange) rather than by the file scan, matched at
+#: TREE-PREFIX boundaries (ADVICE r5): each plan line is `<indent/branch
+#: chars>NodeName args...`, so anchoring at line start + tree-drawing
+#: characters means a column alias, view name, or string literal containing
+#: "Sort"/"Join"/... in the args can no longer false-positive and silently
+#: skip the spread.
+_SHUFFLE_NODE_RE = re.compile(
+    r"(?m)^[\s+:\-]*(?:Repartition|RepartitionByExpression|Aggregate|Join"
+    r"|Window|Sort|Deduplicate)\b"
 )
 
 
@@ -154,4 +156,4 @@ def _plan_already_shuffled(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return False
-    return any(node in plan for node in _SHUFFLE_NODES)
+    return _SHUFFLE_NODE_RE.search(plan) is not None

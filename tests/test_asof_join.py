@@ -133,20 +133,50 @@ def test_bucketed_asof_equals_plain_asof_both_directions(spark):
     left = spark.createDataFrame(left_rows, "k long, us long").select(
         "k", F.timestamp_micros("us").alias("ts"), F.col("us").alias("probe_us")
     )
+    # user tiebreak column built to be ADVERSARIAL for the synthetic-row
+    # path (ADVICE r5): boundary-pinned REAL rows (quote 999) get seq=0,
+    # every other right row seq>=500 — a carried synthetic row (seq>=500)
+    # tying a real boundary row would WIN under a [user_tiebreak, _PREF]
+    # ordering and lose (correctly) under [_PREF, user_tiebreak]
     right = spark.createDataFrame(right_rows, "k long, us long, quote long").select(
-        "k", F.timestamp_micros("us").alias("ts"), "quote"
+        "k",
+        F.timestamp_micros("us").alias("ts"),
+        "quote",
+        F.when(F.col("quote") == 999, F.lit(0)).otherwise(
+            (F.col("us") % 400) + 500
+        ).alias("seq"),
     )
 
     for direction in ("backward", "forward"):
         for how in ("left", "inner"):
-            plain = asof_join(
-                left, right, on=["k"], ts_col="ts", payload_cols=["quote"],
-                direction=direction, how=how,
-            )
-            bucketed = asof_join_bucketed(
-                left, right, on=["k"], ts_col="ts", payload_cols=["quote"],
-                bucket_seconds=60, direction=direction, how=how,
-            )
-            a = sorted(map(tuple, plain.select("k", "probe_us", "quote").collect()))
-            b = sorted(map(tuple, bucketed.select("k", "probe_us", "quote").collect()))
-            assert a == b, f"{direction}/{how}: {len(a)} vs {len(b)} rows"
+            for tiebreak in ((), ("seq",)):
+                plain = asof_join(
+                    left, right, on=["k"], ts_col="ts", payload_cols=["quote"],
+                    direction=direction, how=how, tiebreak=tiebreak,
+                )
+                bucketed = asof_join_bucketed(
+                    left, right, on=["k"], ts_col="ts", payload_cols=["quote"],
+                    bucket_seconds=60, direction=direction, how=how,
+                    tiebreak=tiebreak,
+                )
+                a = sorted(map(tuple, plain.select("k", "probe_us", "quote").collect()))
+                b = sorted(map(tuple, bucketed.select("k", "probe_us", "quote").collect()))
+                assert a == b, f"{direction}/{how}/tb={tiebreak}: {len(a)} vs {len(b)} rows"
+
+    # derived default width (VERDICT r5 #6): bucket_seconds=None must give
+    # the same answer, with the width coming from the right table's span
+    from apache_kafka_clickhouse_demo_spark.operators.asof import (
+        _derived_bucket_seconds,
+    )
+
+    derived = _derived_bucket_seconds(right, "ts")
+    assert 1 <= derived < 3_000  # strictly narrower than the ~50min span
+    plain = asof_join(
+        left, right, on=["k"], ts_col="ts", payload_cols=["quote"], tiebreak=("seq",)
+    )
+    auto = asof_join_bucketed(
+        left, right, on=["k"], ts_col="ts", payload_cols=["quote"], tiebreak=("seq",)
+    )
+    a = sorted(map(tuple, plain.select("k", "probe_us", "quote").collect()))
+    b = sorted(map(tuple, auto.select("k", "probe_us", "quote").collect()))
+    assert a == b

@@ -132,6 +132,15 @@ def test_spread_small_skips_already_shuffled_inputs(spark, sf_dir):
     assert spread is not docs
     assert "Repartition" in spread._jdf.queryExecution().analyzed().toString()
 
+    # ADVICE r5: shuffle-node WORDS in aliases/literals must not suppress
+    # the spread — node names count only at tree-prefix position
+    from pyspark.sql import functions as F
+
+    aliased = docs.select(
+        F.col("text").alias("Sort"), F.col("doc_id").alias("Join_key")
+    )
+    assert spread_small(aliased) is not aliased
+
 
 def test_spread_small_registry_plans_have_no_double_exchange(spark, sf_dir):
     """No registered query stacks spread_small's repartition on an input
