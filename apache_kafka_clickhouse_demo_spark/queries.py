@@ -1586,6 +1586,11 @@ def q_media_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated into the gate in r06 (landed r05 after slots filled;
+    #    never driver-checked): front-loaded --
+    "pack_sequences": q_pack_sequences,
+    "stream_near_dup": q_stream_near_dup,
+    "stream_embed_near_dup": q_stream_embed_near_dup,
     # -- new/changed in r04: front-loaded --
     "text_prep": q_text_prep,
     "mv_cascade_daily": q_mv_cascade_daily,
@@ -1610,8 +1615,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_split": q_train_test_split,
     # -- stable green rows from CORRECTNESS_r02 --
     "latest_event": q_latest_event,
-    "events_after": q_events_after,
-    "attendance_granular": q_attendance_granular,
     "entry_house_points": q_entry_house_points,
     "mv_cascade_attendance": q_mv_cascade_attendance,
     "attendance_daily_compacted": q_attendance_daily_compacted,
@@ -1630,7 +1633,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_next_error": q_asof_next_error,
     "latest_value_per_user": q_latest_value_per_user,
     "value_percentiles": q_value_percentiles,
-    "value_histogram": q_value_histogram,
     "daily_big_values_filled": q_daily_big_values_filled,
     "click_purchase_users": q_click_purchase_users,
     "dedup_exact": q_dedup_exact,
@@ -1668,9 +1670,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_split": q_decontaminate_split,  # r03 addition; gate slots were full
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
-    "pack_sequences": q_pack_sequences,  # r05 addition; gate slots were full
-    "stream_near_dup": q_stream_near_dup,  # r05 addition; gate slots were full
-    "stream_embed_near_dup": q_stream_embed_near_dup,  # r05 addition; gate slots were full
+    # rotated OUT of the gate in r06 to make room for the r05 newcomers
+    # (VERDICT r5 #2); every §2 operator they carried keeps ≥1 green gate row:
+    "attendance_granular": q_attendance_granular,  # M2 via both cascades; A5 via daily_type_rollup
+    "events_after": q_events_after,  # P3 pushdown plan-tested + date ranges in q6/sql_busy_days
+    "value_histogram": q_value_histogram,  # A-family via value_percentiles
 }
 
 
