@@ -75,6 +75,11 @@ HEADLINE = [
     "text_prep",
     "media_features",
     "mv_cascade_daily",
+    # added r6 (VERDICT r5 #4) — the r5 newcomers, so the bucket-pruned
+    # store rewrite has a before/after trend; names stable from r6 on
+    "pack_sequences",
+    "stream_near_dup",
+    "stream_embed_near_dup",
 ]
 
 
@@ -114,6 +119,12 @@ BASELINE_SEC = {
     "text_prep": 2.419,
     "media_features": 0.501,
     "mv_cascade_daily": 3.614,
+    # r6 trend starts (same larger-of-two-records seeding; the streaming
+    # drains are end-to-end 4-block checkpointed pipelines, so their cost
+    # is dominated by fixed per-micro-batch machinery, not data volume)
+    "pack_sequences": 0.693,
+    "stream_near_dup": 28.848,
+    "stream_embed_near_dup": 18.298,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
