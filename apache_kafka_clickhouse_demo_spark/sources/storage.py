@@ -63,6 +63,57 @@ def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
     return z
 
 
+def zorder_cluster_key(df: DataFrame, cluster_cols: list[str], bits: int = 8) -> Column:
+    """Morton clustering key over ARBITRARY columns — the normalization
+    front-end `zorder_value` deliberately leaves to the caller, packaged
+    for the compaction hooks (VERDICT r5 #7).
+
+    Per-column mapping into the required non-negative [0, 2^bits) domain:
+
+    - numeric / timestamp / date: min/max-scaled onto the grid.  The
+      min/max pairs come from ONE aggregate over `df` — a bounded driver
+      action (2k scalars), the same class as the IVF memoized count.
+      Min/max scaling is skew-sensitive (a single outlier compresses the
+      rest of the range onto few grid cells); for heavily skewed measures
+      pre-bucket upstream and pass the bucket column instead.
+    - string / binary / anything else: `xxhash64` masked to `bits` bits.
+      Equal values land in the same cell (file stats still prune equality
+      predicates); range locality is not preserved, which string
+      predicates rarely want.
+
+    Compaction runs offline, so the extra scan for min/max is paid once
+    per OPTIMIZE, not per query.
+    """
+    scaled: list[Column] = []
+    need_stats: list[tuple[int, Column]] = []  # (slot, raw double expr)
+    for c in cluster_cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt == "date":
+            raw = F.col(c).cast("timestamp").cast("double")
+        elif dt.startswith(("int", "bigint", "smallint", "tinyint", "float", "double", "decimal", "timestamp")):
+            raw = F.col(c).cast("double")
+        else:
+            scaled.append(F.pmod(F.xxhash64(F.col(c)), F.lit(1 << bits)))
+            continue
+        need_stats.append((len(scaled), raw))
+        scaled.append(raw)  # placeholder, replaced below
+    if need_stats:
+        stats = df.agg(
+            *[F.min(raw).alias(f"lo{i}") for i, (_, raw) in enumerate(need_stats)],
+            *[F.max(raw).alias(f"hi{i}") for i, (_, raw) in enumerate(need_stats)],
+        ).first()
+        for i, (slot, raw) in enumerate(need_stats):
+            lo, hi = stats[f"lo{i}"], stats[f"hi{i}"]
+            if lo is None or hi is None or hi <= lo:
+                scaled[slot] = F.lit(0)
+            else:
+                grid = float((1 << bits) - 1)
+                scaled[slot] = F.floor(
+                    (F.coalesce(raw, F.lit(lo)) - F.lit(lo)) / F.lit(hi - lo) * F.lit(grid)
+                )
+    return zorder_value(scaled, bits=bits)
+
+
 def write_sorted(
     df: DataFrame,
     path: str,
@@ -111,6 +162,8 @@ def compact_files(
     target_files: int = 1,
     sort_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """Small-file compaction for a plain-parquet table directory (VERDICT
     r4 #6): rewrite the table into `target_files` files (optionally
@@ -138,17 +191,38 @@ def compact_files(
     shuffles onto the partition columns (each output directory produced by
     one task -> one file per directory, the write_sorted shape) and keeps
     the directory structure — without it a partitioned table would compact
-    into a flat layout and lose partition pruning.  Returns the resulting
+    into a flat layout and lose partition pruning.
+
+    Pass `cluster_cols` (VERDICT r5 #7; mutually exclusive with
+    `sort_cols`) to lay the rewrite out along the Morton key over those
+    columns (`zorder_cluster_key`): files become small hyper-rectangles in
+    EVERY cluster dimension, so min/max stats prune selective predicates
+    on any of them — multi-dimensional pruning that survives compaction
+    instead of collapsing back to one sort column.  With `partition_cols`
+    the clustering applies within each directory.  Returns the resulting
     data-file count (recursive when partitioned)."""
+    if sort_cols and cluster_cols:
+        raise ValueError("sort_cols and cluster_cols are mutually exclusive")
     df = spark.read.parquet(path)
+    zc = "_zcluster"
+    if cluster_cols:
+        df = df.withColumn(zc, zorder_cluster_key(df, cluster_cols, bits=zorder_bits))
+        sort_cols = [zc]
     if partition_cols:
         out = df.repartition(*[F.col(c) for c in partition_cols])
         if sort_cols:
             out = out.sortWithinPartitions(*[*partition_cols, *sort_cols])
+    elif cluster_cols:
+        # range-partition on the Morton key: each task owns one contiguous
+        # z-range -> each FILE is a bounded hyper-rectangle, not just each
+        # row group
+        out = df.repartitionByRange(max(1, target_files), zc).sortWithinPartitions(zc)
     else:
         out = df.coalesce(max(1, target_files))
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
+    if cluster_cols:
+        out = out.drop(zc)
     tmp = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/")) or ".", prefix="_compact_")
     try:
         writer = out.write.mode("overwrite")

@@ -63,19 +63,23 @@ class MaterializedView:
     def optimize(
         self, spark: SparkSession, target_files: int = 1,
         sort_cols: list[str] | None = None,
+        cluster_cols: list[str] | None = None,
     ) -> int:
         """Post-cascade small-file compaction (VERDICT r4 #6): collapse the
         one-file-per-block-per-partition debris a long-running MV leaves at
         `dest_path` into few files, atomically (storage.compact_files
         swap), preserving the MV's Hive-partitioned layout when it has one.
-        Call after `stop()` — or between blocks — on parquet-sink MVs;
-        transactional-sink MVs compact through
+        `cluster_cols` (VERDICT r5 #7) Z-orders the rewrite instead of
+        plain-sorting it, so file stats prune predicates on every cluster
+        dimension.  Call after `stop()` — or between blocks — on
+        parquet-sink MVs; transactional-sink MVs compact through
         `TransactionalTable.optimize()` instead, which is safe under
         concurrent writers.  Returns the resulting file count."""
         from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
 
         return compact_files(
-            spark, self.dest_path, target_files, sort_cols, self.partition_cols
+            spark, self.dest_path, target_files, sort_cols, self.partition_cols,
+            cluster_cols=cluster_cols,
         )
 
 
