@@ -1,0 +1,172 @@
+"""10x scale rehearsal (VERDICT r5 #5): measure, don't extrapolate.
+
+Every >sf0.1 scale claim in the repo rests on plan shape (no cartesian, no
+collect, bucketed joins).  This tool turns those claims into measured
+curves: blow `documents`/`embeddings` up ~10x locally, run the dedup / ANN
+/ text families at both scales, and report sec + time ratio per query so
+super-linear growth is visible as a number, not an argument.
+
+Blow-up construction (replicate + perturb, DETERMINISTIC, and chosen so
+the workload's OUTPUT scales linearly too — naive replication would make
+every copy of a document a near-duplicate of its 9 siblings and grow the
+pair set quadratically in the replication factor, measuring a different
+problem):
+
+- documents copy k: doc_id += k * (max_id + 1); every word gets the
+  copy-specific suffix `c{k}` — a consistent token remap, so WITHIN-copy
+  shingle overlap (and thus each copy's near-dup pair structure) is
+  preserved exactly while CROSS-copy Jaccard is 0.
+- embeddings copy k: vec_id += k * (max_id + 1); dimension i's sign flips
+  when hash(i, k) is odd — sign patterns cancel within a copy
+  (dot(s*a, s*b) = dot(a, b): within-copy cosines exact), while
+  cross-copy dots average to ~0, far under every near-dup threshold.
+
+Usage:
+    python tools/scale_rehearsal.py [--build-only] [query ...]
+
+Output dir: .scale10x/ at the repo root (gitignored; ~60 MB).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from apache_kafka_clickhouse_demo_spark import queries as Q  # noqa: E402
+from apache_kafka_clickhouse_demo_spark.session import get_spark  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+SCALE_DIR = str(REPO / ".scale10x")
+COPIES = 10
+
+#: The families whose 100 TB designs the rehearsal is meant to check.
+FAMILIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "embedding_near_dup",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_profile",
+    "text_prep",
+    "doc_fingerprint",
+    "pack_sequences",
+]
+
+PASSES = 2
+
+
+def build(spark) -> None:
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    copies = []
+    for k in range(COPIES):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * max_doc))
+        if k > 0:
+            # consistent token remap: within-copy shingle sets isomorphic,
+            # cross-copy overlap zero
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"(\w+)", rf"$1c{k}")
+            )
+        copies.append(c.withColumn("n_chars", F.length("text")))
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = []
+    for k in range(COPIES):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * max_vec))
+        if k > 0:
+
+            def make_flip(kk: int):
+                def flip(x, i):
+                    return F.when(
+                        F.pmod(F.xxhash64(i.cast("string"), F.lit(kk)), F.lit(2)) == 0,
+                        x,
+                    ).otherwise(-x)
+
+                return flip
+
+            c = c.withColumn("embedding", F.transform("embedding", make_flip(k)))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(16).write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet")
+
+    # remaining tables: symlink the sf0.1 originals so any query that
+    # touches them still loads
+    for f in os.listdir(BASE_SF):
+        dst = os.path.join(SCALE_DIR, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f), dst)
+
+
+def measure(spark, names: list[str]) -> None:
+    rows = []
+    for name in names:
+        fn = {**Q.QUERIES, **Q.EXTRA_QUERIES}[name]
+        secs = {}
+        out_rows = {}
+        for label, sf in (("1x", BASE_SF), ("10x", SCALE_DIR)):
+            best = float("inf")
+            for _ in range(PASSES):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = fn(spark, sf)
+                n = df.count()
+                best = min(best, time.time() - t0)
+            secs[label] = best
+            out_rows[label] = n
+        rows.append(
+            (
+                name,
+                secs["1x"],
+                secs["10x"],
+                secs["10x"] / secs["1x"],
+                out_rows["1x"],
+                out_rows["10x"],
+            )
+        )
+        print(
+            f"{name:24s} 1x {secs['1x']:7.2f}s ({out_rows['1x']:>7} rows)   "
+            f"10x {secs['10x']:7.2f}s ({out_rows['10x']:>7} rows)   "
+            f"ratio {secs['10x'] / secs['1x']:5.2f}x",
+            flush=True,
+        )
+    print("\n| query | 1x sec | 10x sec | time ratio | 1x rows | 10x rows |")
+    print("|---|---|---|---|---|---|")
+    for name, s1, s10, r, n1, n10 in rows:
+        print(f"| {name} | {s1:.2f} | {s10:.2f} | {r:.2f}x | {n1} | {n10} |")
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    build_only = "--build-only" in args
+    names = [a for a in args if not a.startswith("--")] or FAMILIES
+    spark = get_spark(app_name="scale_rehearsal")
+    if not os.path.exists(f"{SCALE_DIR}/documents.parquet"):
+        print("building 10x blow-up ...", flush=True)
+        build(spark)
+    if not build_only:
+        measure(spark, names)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    main()
