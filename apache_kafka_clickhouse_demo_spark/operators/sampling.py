@@ -1,0 +1,108 @@
+"""Deterministic corpus sampling / sharding for training-data export
+(SURVEY.md §2.7 beyond-parity layer).
+
+Two operators a large-scale training pipeline runs between curation and
+the dataloader:
+
+- `stratified_sample` : exact per-group quota sampling (N docs per
+  source/language), deterministic by content-independent hash — how eval
+  and ablation sets are cut so re-runs on a grown corpus keep the same
+  members for unchanged groups.
+- `shuffle_shards`    : deterministic global shuffle + sharding — the
+  step that turns a curated corpus into dataloader shards whose
+  within-shard order is pseudorandom but bit-stable across runs,
+  engines, and cluster sizes (h48-keyed, like `train_test_split`).
+
+Both are built on the engine-portable h48 hash family
+(`functions/hashing.py`), so their DuckDB oracles are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Keep the `n_per_group` rows with the smallest h48(salt || id) in
+    each group — an exact, reproducible quota sample.
+
+    Scale shape: a single window partitioned by `group_col` would funnel
+    every row of the group's 100 TB worth through ONE task (the skewed-
+    group hotspot).  Instead this is the same two-phase reduction as the
+    ANN top-k (`similarity._two_phase_topk`): partition-local top-N per
+    (group, input partition) as a map-side `collect_list` + sorted slice,
+    then a merge of the short per-partition lists — shuffle volume is
+    O(groups x N x partitions), never O(rows), and no task ever holds
+    more than N x (partitions of one group) entries.
+
+    Output: (group_col, id_col, strat_rank), rank 1..N by (hash, id) —
+    ties on the 48-bit hash are broken by id so the sample is total-order
+    deterministic.
+    """
+    hkey = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    entry = F.struct(hkey.alias("hkey"), F.col(id_col).cast("long").alias("rid"))
+    scored = df.select(F.col(group_col).alias("grp"), entry.alias("entry"))
+
+    partial = scored.groupBy("grp", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list("entry")), 1, n_per_group).alias("top")
+    )
+    merged = partial.groupBy("grp").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("top"))), 1, n_per_group
+        ).alias("top")
+    )
+    return (
+        merged.select("grp", F.posexplode("top").alias("_pos", "e"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("e.rid").alias(id_col),
+            (F.col("_pos") + 1).alias("strat_rank"),
+        )
+        .orderBy(group_col, "strat_rank")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "shuf:",
+) -> DataFrame:
+    """Deterministic global shuffle into `num_shards` dataloader shards.
+
+    Each row gets a pseudorandom position `pos = h48(salt || id)`;
+    `shard = pos % num_shards` balances rows across shards (hash-uniform,
+    no hot shard), and `seq` numbers the rows within each shard by
+    (pos, id) — the within-shard order IS the shuffled order, bit-stable
+    across runs and cluster sizes because nothing depends on input
+    partitioning or arrival order.
+
+    One shuffle (the window's hash partitioning on `shard`); per-task
+    state is one shard's rows, so scale `num_shards` with the corpus
+    (100 TB -> tens of thousands of shards of a few GB — which is also
+    the file granularity a dataloader wants).  Ties on the 48-bit hash
+    are broken by id, so `seq` is total-order deterministic.
+
+    Output: (id_col, shard, seq).
+    """
+    pos = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    with_pos = df.select(
+        F.col(id_col),
+        pos.alias("_pos"),
+        F.pmod(pos, F.lit(num_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_pos", id_col)
+    return (
+        with_pos.withColumn("seq", F.row_number().over(w))
+        .select(id_col, "shard", "seq")
+        .orderBy("shard", "seq")
+    )

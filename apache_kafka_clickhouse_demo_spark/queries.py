@@ -86,6 +86,10 @@ SPLIT_SALT = "split:"
 SPLIT_TRAIN_PCT = 90
 SAMPLE_SALT = "sample:"
 SAMPLE_PCT = 10
+STRAT_SALT = "strat:"
+STRAT_N = 10
+SHUFFLE_SALT = "shuf:"
+SHUFFLE_SHARDS = 8
 FILL_MIN_VALUE = 300.0
 CURATION_MIN_QUALITY = 0.5
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -1440,6 +1444,36 @@ def q_pack_sequences(spark, sf_dir):
     ).sortWithinPartitions("bucket", "doc_id", "chunk_idx")
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Exact per-source quota sample (N smallest h48 per source) via the
+    two-phase partition-local reduction — no per-group window funnel, so
+    a 100 TB group costs one map-side slice per partition, not one task
+    (operators/sampling.stratified_sample)."""
+    from apache_kafka_clickhouse_demo_spark.operators import sampling
+
+    return sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        n_per_group=STRAT_N,
+        id_col="doc_id",
+        salt=STRAT_SALT,
+    )
+
+
+def q_shuffle_export(spark, sf_dir):
+    """Deterministic global shuffle into dataloader shards: h48 position,
+    hash-balanced shard, bit-stable within-shard order
+    (operators/sampling.shuffle_shards)."""
+    from apache_kafka_clickhouse_demo_spark.operators import sampling
+
+    return sampling.shuffle_shards(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        num_shards=SHUFFLE_SHARDS,
+        salt=SHUFFLE_SALT,
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/C4-style duplicate-token / duplicate-2-gram fractions."""
     return text_analysis.repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
@@ -1670,6 +1704,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_split": q_decontaminate_split,  # r03 addition; gate slots were full
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
+    "sample_stratified": q_sample_stratified,  # r06 addition; gate slots full
+    "shuffle_export": q_shuffle_export,  # r06 addition; gate slots full
     # rotated OUT of the gate in r06 to make room for the r05 newcomers
     # (VERDICT r5 #2); every §2 operator they carried keeps ≥1 green gate row:
     "attendance_granular": q_attendance_granular,  # M2 via both cascades; A5 via daily_type_rollup
@@ -2710,6 +2746,29 @@ SELECT bucket, doc_id, chunk_idx, n_tokens, start_tok,
        CAST(start_tok // {PACK_MAX_TOKENS} AS BIGINT) AS pack_id,
        CAST(start_tok % {PACK_MAX_TOKENS} AS BIGINT) AS pack_pos
 FROM s ORDER BY bucket, doc_id, chunk_idx
+""",
+        "sample_stratified": f"""
+SELECT source, doc_id, strat_rank FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {H.sql_h48(f"'{STRAT_SALT}' || CAST(doc_id AS VARCHAR)")},
+                    doc_id
+         ) AS strat_rank
+  FROM documents) t
+WHERE strat_rank <= {STRAT_N}
+ORDER BY source, strat_rank
+""",
+        "shuffle_export": f"""
+WITH pos AS (
+  SELECT doc_id,
+         {H.sql_h48(f"'{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)")} AS p
+  FROM documents
+)
+SELECT doc_id, p % {SHUFFLE_SHARDS} AS shard,
+       ROW_NUMBER() OVER (PARTITION BY p % {SHUFFLE_SHARDS}
+                          ORDER BY p, doc_id) AS seq
+FROM pos ORDER BY shard, seq
 """,
         "doc_fingerprint": f"""
 WITH toks AS (

@@ -1,0 +1,101 @@
+"""Deterministic sampling/sharding operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+    shuffle_shards,
+    stratified_sample,
+)
+from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+
+def test_stratified_two_phase_equals_window_reference(spark, sf_dir):
+    """The partition-local reduction is EXACT: same rows and ranks as the
+    single-window formulation, regardless of input partitioning."""
+    docs = _docs(spark, sf_dir)
+    n = 7
+    hkey = H.h48(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(hkey, "doc_id")
+    ref = sorted(
+        tuple(r)
+        for r in docs.withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= n)
+        .select("source", "doc_id", "strat_rank")
+        .collect()
+    )
+    for parts in (1, 13):
+        got = sorted(
+            tuple(r)
+            for r in stratified_sample(
+                docs.repartition(parts), "source", n, "doc_id"
+            ).collect()
+        )
+        assert got == ref
+
+
+def test_stratified_quota_exceeding_group_keeps_whole_group(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    group_sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    big_n = max(group_sizes.values()) + 5
+    out = stratified_sample(docs, "source", big_n, "doc_id")
+    got_sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_sizes == group_sizes
+    # ranks are dense 1..size within each group
+    assert (
+        out.groupBy("source").agg(F.max("strat_rank").alias("m"), F.count("*").alias("n"))
+        .filter(F.col("m") != F.col("n"))
+        .count()
+        == 0
+    )
+
+
+def test_stratified_plan_has_no_per_group_window(spark, sf_dir):
+    """Scale contract: the plan is two hash aggregates (partial + merge),
+    never a Window funneling a whole group through one task."""
+    plan = stratified_sample(_docs(spark, sf_dir), "source", 5, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_shuffle_shards_deterministic_balanced_dense(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = sorted(tuple(r) for r in shuffle_shards(docs.repartition(3), "doc_id", 8).collect())
+    b = sorted(tuple(r) for r in shuffle_shards(docs.repartition(17), "doc_id", 8).collect())
+    assert a == b  # bit-stable across input partitionings
+    n = docs.count()
+    out = shuffle_shards(docs, "doc_id", 8)
+    sizes = [r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8 and sum(sizes) == n
+    assert max(sizes) < 2.5 * min(sizes)  # hash-uniform, no hot shard
+    # seq dense 1..count per shard
+    assert (
+        out.groupBy("shard").agg(F.max("seq").alias("m"), F.count("*").alias("n"))
+        .filter(F.col("m") != F.col("n"))
+        .count()
+        == 0
+    )
+
+
+def test_shuffle_order_is_not_id_order(spark, sf_dir):
+    """The within-shard order is actually shuffled: for at least one shard
+    the id sequence is non-monotonic (h48 decorrelates ids)."""
+    out = shuffle_shards(_docs(spark, sf_dir).select("doc_id"), "doc_id", 4)
+    rows = out.collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])  # seq-ordered
+    assert any(ids != sorted(ids) for ids in by_shard.values())
