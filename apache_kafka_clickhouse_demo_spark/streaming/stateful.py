@@ -233,14 +233,25 @@ class _NearDupStreamWriter:
         # idempotent per-batch commits: a retried batch no-ops each sink.
         # Store EVERY seen id's rows — dropped docs still suppress future
         # copies of their cluster.
+        #
+        # Align the writes' task partitioning with the shard layout first:
+        # without it, every one of the block's N tasks writes a sliver into
+        # every shard directory (N x shards tiny files PER BLOCK — measured
+        # 512/block on the gate fixture), and each later block's pruned
+        # read pays for all of them.  Hash-partitioning on the shard column
+        # lands each shard in exactly one task -> one file per touched
+        # shard per commit, the file granularity the store's O(colliding
+        # buckets) read contract assumes.
         txn = str(batch_id)
         self.bands.append_once(
-            banded_b.select("id", "bkey", "bshard"), txn=txn, partition_by="bshard"
+            banded_b.select("id", "bkey", "bshard").repartition(F.col("bshard")),
+            txn=txn,
+            partition_by="bshard",
         )
         self.payloads.append_once(
             sigs_b.select(
                 "id", "payload", self._shard("id", self.id_shards).alias("pshard")
-            ),
+            ).repartition(F.col("pshard")),
             txn=txn,
             partition_by="pshard",
         )
