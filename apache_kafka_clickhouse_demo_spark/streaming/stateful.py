@@ -159,6 +159,7 @@ class _NearDupStreamWriter:
         verify,
         band_shards: int = 16,
         id_shards: int = 8,
+        compact_every: int | None = None,
     ):
         from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
 
@@ -168,9 +169,23 @@ class _NearDupStreamWriter:
         self.verify = verify  # (payload_col_a, payload_col_b) -> bool Column
         self.band_shards = band_shards
         self.id_shards = id_shards
+        self.compact_every = compact_every
         self.out = TransactionalTable(out_dir)
         self.bands = TransactionalTable(os.path.join(store_dir, "bands"))
         self.payloads = TransactionalTable(os.path.join(store_dir, "payloads"))
+
+    def maintain(self) -> None:
+        """Store maintenance: rewrite both store tables back to ONE file
+        per shard directory (`TransactionalTable.optimize(partition_by=…)`
+        — the layout-preserving form, so `read_where` pruning survives).
+        A forever-running stream otherwise accumulates one file per
+        touched shard per block, and each block's pruned read degrades
+        from O(colliding buckets) to O(colliding buckets x commits).
+        Safe mid-stream between blocks: optimize publishes one atomic
+        replace commit, and re-running it (a retried maintenance batch)
+        just replaces the snapshot with identical content."""
+        self.bands.optimize(self.spark, partition_by="bshard")
+        self.payloads.optimize(self.spark, partition_by="pshard")
 
     def _shard(self, col: str, n: int):
         return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
@@ -258,6 +273,8 @@ class _NearDupStreamWriter:
         self.out.append_once(survivors, txn=txn)
         cand.unpersist()
         sigs_b.unpersist()
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            self.maintain()
 
 
 def minhash_stream_writer(
@@ -272,6 +289,7 @@ def minhash_stream_writer(
     threshold: float = 0.5,
     band_shards: int = 16,
     id_shards: int = 8,
+    compact_every: int | None = None,
 ) -> _NearDupStreamWriter:
     """The MinHash-LSH near-dup stream's foreachBatch writer — exposed so
     tests can drive `writer.process(block, batch_id)` directly (retry
@@ -305,6 +323,7 @@ def minhash_stream_writer(
         lambda a, b: jaccard_of(a, b) >= threshold,
         band_shards=band_shards,
         id_shards=id_shards,
+        compact_every=compact_every,
     )
 
 
@@ -322,6 +341,7 @@ def minhash_dedup_stream(
     threshold: float = 0.5,
     band_shards: int = 16,
     id_shards: int = 8,
+    compact_every: int | None = None,
 ):
     """Streaming NEAR-duplicate dedup: continuous MinHash-LSH filtering of
     an unbounded document feed against an accumulating signature store —
@@ -352,6 +372,7 @@ def minhash_dedup_stream(
         threshold=threshold,
         band_shards=band_shards,
         id_shards=id_shards,
+        compact_every=compact_every,
     )
     return (
         source.writeStream.foreachBatch(writer.process)
@@ -412,6 +433,7 @@ def embedding_stream_writer(
     seed: int = 101,
     band_shards: int = 16,
     id_shards: int = 8,
+    compact_every: int | None = None,
 ) -> _NearDupStreamWriter:
     """The embedding near-dup stream's foreachBatch writer — exposed for
     direct `writer.process(block, batch_id)` testing, like
@@ -449,6 +471,7 @@ def embedding_stream_writer(
         lambda a, b: V.dot(a, b) >= threshold,
         band_shards=band_shards,
         id_shards=id_shards,
+        compact_every=compact_every,
     )
 
 
@@ -467,6 +490,7 @@ def embedding_dedup_stream(
     seed: int = 101,
     band_shards: int = 16,
     id_shards: int = 8,
+    compact_every: int | None = None,
 ):
     """Streaming embedding near-dup dedup — the cosine sibling of
     `minhash_dedup_stream`: each arriving block is multi-table RP-LSH
@@ -492,6 +516,7 @@ def embedding_dedup_stream(
         seed=seed,
         band_shards=band_shards,
         id_shards=id_shards,
+        compact_every=compact_every,
     )
     return (
         source.writeStream.foreachBatch(writer.process)

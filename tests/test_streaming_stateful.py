@@ -418,3 +418,56 @@ def test_streaming_sessions_match_batch_gap_sessionization(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_compact_every_keeps_decisions_and_bounds_store_files(spark, tmp_path):
+    """Periodic store maintenance (compact_every) must not change any
+    dedup decision, and must collapse each store shard back to ONE file
+    (the read_where cost bound for a forever-running stream)."""
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_stream_writer,
+    )
+
+    texts = _distinct_texts(30, "cmp")
+    blocks = [
+        list(enumerate(texts[:10])),
+        [(100, texts[3] + " extra")] + list(enumerate(texts[10:20], start=10)),
+        [(200, texts[14] + " extra")] + list(enumerate(texts[20:30], start=20)),
+        [(300, texts[3] + " also")],
+    ]
+
+    kept = {}
+    for label, every in (("off", None), ("on", 1)):
+        w = minhash_stream_writer(
+            spark,
+            out_dir=str(tmp_path / label / "kept"),
+            store_dir=str(tmp_path / label / "store"),
+            num_perm=12,
+            bands=4,
+            shingle_n=3,
+            threshold=0.5,
+            compact_every=every,
+        )
+        for i, rows in enumerate(blocks):
+            w.process(_docs_df(spark, rows), i)
+        kept[label] = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / label / "kept")).collect()
+        )
+    assert kept["on"] == kept["off"]
+    assert 100 not in kept["on"] and 200 not in kept["on"] and 300 not in kept["on"]
+
+    # after the final maintain, every store shard dir holds exactly 1 file
+    for sub, col in (("bands", "bshard"), ("payloads", "pshard")):
+        files = TransactionalTable(str(tmp_path / "on" / "store" / sub)).data_files()
+        by_shard: dict[str, int] = {}
+        for f in files:
+            shard = f.split(f"{col}=")[1].split("/")[0]
+            by_shard[shard] = by_shard.get(shard, 0) + 1
+        assert by_shard and all(n == 1 for n in by_shard.values()), by_shard
+        # and the uncompacted twin really had more files (the thing bounded)
+        files_off = TransactionalTable(
+            str(tmp_path / "off" / "store" / sub)
+        ).data_files()
+        assert len(files_off) > len(files)

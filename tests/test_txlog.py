@@ -350,3 +350,39 @@ def test_optimize_retries_after_losing_commit_race(spark, tmp_path):
     assert v == 3  # lost v2, recompacted the v2 snapshot, landed at v3
     got = sorted(r["id"] for r in t.read(spark).collect())
     assert got == list(range(25))  # rival rows survived the compaction
+
+
+def test_optimize_partition_by_preserves_layout_and_pruning(spark, tmp_path):
+    """OPTIMIZE of a read_where-pruned (partition_by) table must keep the
+    <col>=<value>/ layout — one file per value — so driver-side pruning
+    survives compaction instead of silently degrading to full scans."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(200).select(
+        F.col("id"), F.pmod("id", F.lit(4)).cast("int").alias("shard")
+    )
+    # several appends -> O(commits) files per shard dir
+    for i in range(3):
+        t.append(
+            df.filter(F.pmod("id", F.lit(3)) == i).repartition(4),
+            partition_by="shard",
+        )
+    before = sorted(r["id"] for r in t.read(spark).collect())
+    files_before = t.data_files()
+    assert len(files_before) > 4
+
+    t.optimize(spark, partition_by="shard")
+
+    files_after = t.data_files()
+    # one file per shard value, still under shard=<v>/ dirs
+    assert len(files_after) == 4
+    assert all("shard=" in f for f in files_after)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before
+    # read_where still prunes to exactly the named shard's file
+    pruned = t.read_where(spark, "shard", [2])
+    assert sorted(r["id"] for r in pruned.collect()) == [
+        i for i in range(200) if i % 4 == 2
+    ]
+    from urllib.parse import urlparse
+
+    touched = {urlparse(f).path for f in pruned.inputFiles()}
+    assert len(touched) == 1 and all("shard=2/" in f for f in touched)
