@@ -323,3 +323,37 @@ def test_txlog_optimize_cluster_cols_prunes_both_dimensions(spark, sf_dir, tmp_p
     full_day = dims.agg(F.max("day_num")).first()[0]
     assert _avg([u for u, _ in spans]) < 0.6 * full_user
     assert _avg([d for _, d in spans]) < 0.6 * full_day
+
+
+def test_zorder_cluster_key_normalization_edges(spark):
+    """zorder_cluster_key must accept arbitrary column types and edge
+    shapes: negatives (min/max scaling shifts them), NULLs (mapped to the
+    column min), constant columns (degenerate range -> 0), strings
+    (hash-bucketed), and dates (scaled via timestamp)."""
+    import datetime
+
+    from apache_kafka_clickhouse_demo_spark.sources.storage import zorder_cluster_key
+
+    rows = [
+        (-100, None, "alpha", datetime.date(2020, 1, 1), 7),
+        (0, 2.5, "beta", datetime.date(2021, 6, 15), 7),
+        (50, -3.25, None, None, 7),
+        (999, 0.0, "alpha", datetime.date(2022, 12, 31), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, x double, s string, d date, const int"
+    )
+    z = zorder_cluster_key(df, ["i", "x", "s", "d", "const"], bits=8)
+    vals = [r["z"] for r in df.withColumn("z", z).collect()]
+    assert all(v is not None and 0 <= v < (1 << 40) for v in vals)
+    # deterministic: same input -> same key
+    vals2 = [r["z"] for r in df.withColumn("z", z).collect()]
+    assert vals == vals2
+    # equal string values land in the same cell: rows 0 and 3 share s='alpha';
+    # check by clustering on the string alone
+    zs = zorder_cluster_key(df, ["s"], bits=8)
+    got = {r["i"]: r["z"] for r in df.withColumn("z", zs).collect()}
+    assert got[-100] == got[999]
+    # constant column contributes 0 bits (all rows same cell on it)
+    zc = zorder_cluster_key(df, ["const"], bits=8)
+    assert {r["z"] for r in df.withColumn("z", zc).collect()} == {0}
