@@ -162,7 +162,7 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     per-bucket running-sum window and the within-partition sort add no
     further exchange — a second exchange would mean packing serializes
     through a global stream."""
-    plan = formatted_plan(Q.EXTRA_QUERIES["pack_sequences"](spark, sf_dir))
+    plan = formatted_plan(Q.QUERIES["pack_sequences"](spark, sf_dir))
     # formatted plans list every node twice (tree + numbered details);
     # count the numbered detail entries
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
