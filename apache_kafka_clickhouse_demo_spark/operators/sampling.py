@@ -12,14 +12,17 @@ the dataloader:
   step that turns a curated corpus into dataloader shards whose
   within-shard order is pseudorandom but bit-stable across runs,
   engines, and cluster sizes (h48-keyed, like `train_test_split`).
+- `mixture_sample`    : deterministic per-group RATE sampling — the
+  data-mixture primitive (up-weight curated sources, down-weight crawl)
+  as a pure row-local scan filter.
 
-Both are built on the engine-portable h48 hash family
+All are built on the engine-portable h48 hash family
 (`functions/hashing.py`), so their DuckDB oracles are exact.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from apache_kafka_clickhouse_demo_spark.functions import hashing as H
@@ -106,3 +109,41 @@ def shuffle_shards(
         .select(id_col, "shard", "seq")
         .orderBy("shard", "seq")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "mix:",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group RATE sampling — the data-mixture primitive
+    (keep ~rate_g of each source/language/domain, e.g. up-weight curated
+    sources and down-weight crawl):
+
+        keep(row) <=> h48(salt || id) % 1e6  <  round(rate_g * 1e6)
+
+    Entirely row-local (one `when`-free map lookup, no shuffle, no join):
+    the rates dict becomes a literal map expression, so at 100 TB this is
+    a pure scan-side filter that combines with pushdown and costs nothing
+    beyond the scan.  Membership is content-independent and bit-stable:
+    re-running on a grown corpus keeps exactly the previously-kept rows
+    of unchanged groups (monotone thresholds: raising a group's rate only
+    ADDS members, never swaps them) — the property that makes mixture
+    re-weighting between training runs reproducible.
+
+    `rates` keys are group values; anything absent gets `default_rate`
+    (0.0 = drop unknown groups, 1.0 = pass them through).
+    """
+    pairs: list[Column] = []
+    for k, v in sorted(rates.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(int(round(v * 1_000_000))))
+    thresh = F.coalesce(
+        F.create_map(*pairs)[F.col(group_col)] if pairs else F.lit(None),
+        F.lit(int(round(default_rate * 1_000_000))),
+    )
+    bucket = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    return df.filter(bucket < thresh)

@@ -90,6 +90,9 @@ STRAT_SALT = "strat:"
 STRAT_N = 10
 SHUFFLE_SALT = "shuf:"
 SHUFFLE_SHARDS = 8
+MIX_SALT = "mix:"
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+MIX_DEFAULT_RATE = 0.25
 FILL_MIN_VALUE = 300.0
 CURATION_MIN_QUALITY = 0.5
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -1474,6 +1477,22 @@ def q_shuffle_export(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling: per-source keep rates applied
+    as one row-local hash filter (operators/sampling.mixture_sample) —
+    src0/src1/src2 at distinct rates, everything else at the default."""
+    from apache_kafka_clickhouse_demo_spark.operators import sampling
+
+    return sampling.mixture_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        group_col="source",
+        rates=MIX_RATES,
+        id_col="doc_id",
+        salt=MIX_SALT,
+        default_rate=MIX_DEFAULT_RATE,
+    ).orderBy("doc_id")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/C4-style duplicate-token / duplicate-2-gram fractions."""
     return text_analysis.repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
@@ -1706,6 +1725,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
     "sample_stratified": q_sample_stratified,  # r06 addition; gate slots full
     "shuffle_export": q_shuffle_export,  # r06 addition; gate slots full
+    "mixture_sample": q_mixture_sample,  # r06 addition; gate slots full
     # rotated OUT of the gate in r06 to make room for the r05 newcomers
     # (VERDICT r5 #2); every §2 operator they carried keeps ≥1 green gate row:
     "attendance_granular": q_attendance_granular,  # M2 via both cascades; A5 via daily_type_rollup
@@ -2758,6 +2778,14 @@ SELECT source, doc_id, strat_rank FROM (
   FROM documents) t
 WHERE strat_rank <= {STRAT_N}
 ORDER BY source, strat_rank
+""",
+        "mixture_sample": f"""
+SELECT doc_id, source FROM documents
+WHERE ({H.sql_h48(f"'{MIX_SALT}' || CAST(doc_id AS VARCHAR)")} % 1000000)
+      < (CASE source
+           {" ".join(f"WHEN '{k}' THEN {int(round(v * 1_000_000))}" for k, v in sorted(MIX_RATES.items()))}
+           ELSE {int(round(MIX_DEFAULT_RATE * 1_000_000))} END)
+ORDER BY doc_id
 """,
         "shuffle_export": f"""
 WITH pos AS (

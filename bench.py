@@ -80,6 +80,9 @@ HEADLINE = [
     "pack_sequences",
     "stream_near_dup",
     "stream_embed_near_dup",
+    # added r6 — the one dedup-family gate query that had no trend, and
+    # the worst (still sub-linear) 10x ratio in SCALING.md
+    "dedup_ngram_jaccard",
 ]
 
 
@@ -125,6 +128,7 @@ BASELINE_SEC = {
     "pack_sequences": 0.693,
     "stream_near_dup": 28.848,
     "stream_embed_near_dup": 18.298,
+    "dedup_ngram_jaccard": 5.119,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -99,3 +99,54 @@ def test_shuffle_order_is_not_id_order(spark, sf_dir):
     for r in rows:
         by_shard.setdefault(r["shard"], []).append(r["doc_id"])  # seq-ordered
     assert any(ids != sorted(ids) for ids in by_shard.values())
+
+
+def test_mixture_sample_rates_default_and_monotonicity(spark, sf_dir):
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {"src0": 1.0, "src1": 0.4, "src2": 0.0}
+    out = mixture_sample(docs, "source", rates, "doc_id", default_rate=0.25)
+    kept = {(r["doc_id"], r["source"]) for r in out.collect()}
+
+    by_src_total = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    by_src_kept: dict[str, int] = {}
+    for _id, s in kept:
+        by_src_kept[s] = by_src_kept.get(s, 0) + 1
+    # rate 1.0 keeps everything, rate 0.0 keeps nothing
+    assert by_src_kept.get("src0", 0) == by_src_total["src0"]
+    assert "src2" not in by_src_kept
+    # intermediate and default rates land near target (hash-uniform; the
+    # fixture groups are small, so allow wide-but-meaningful bounds)
+    frac1 = by_src_kept.get("src1", 0) / by_src_total["src1"]
+    assert 0.1 < frac1 < 0.75
+    other = [s for s in by_src_total if s not in rates]
+    frac_def = sum(by_src_kept.get(s, 0) for s in other) / sum(
+        by_src_total[s] for s in other
+    )
+    assert 0.1 < frac_def < 0.45
+
+    # monotonicity: raising one rate only ADDS members, never swaps
+    out2 = mixture_sample(
+        docs, "source", {**rates, "src1": 0.8}, "doc_id", default_rate=0.25
+    )
+    kept2 = {(r["doc_id"], r["source"]) for r in out2.collect()}
+    assert kept <= kept2
+    assert {k for k in kept2 - kept if k[1] != "src1"} == set()
+
+
+def test_mixture_sample_is_scan_side_filter(spark, sf_dir):
+    """Plan contract: a pure row-local filter — zero exchanges."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    plan = (
+        mixture_sample(docs, "source", {"src0": 0.5}, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Window" not in plan

@@ -208,3 +208,48 @@ def test_bucketed_asof_matches_plain_on_hot_key(spark):
     n = bucketed.count()
     print(f"bucketed hot-key asof: {n} rows, {time.time() - t0:.1f}s")
     assert n == HOT_ROWS and bad == 0
+
+
+def test_stratified_sample_giant_group_no_window_funnel(spark):
+    """A single group owning ~all rows is the hazard stratified_sample's
+    two-phase reduction exists for: a per-group window would sort the
+    whole group in ONE task.  Execute at 500k rows on one group (+ small
+    groups) and pin exactness against the window reference computed on
+    the small groups plus a spot-check of the giant group's members."""
+    from pyspark.sql import Window as W
+
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    giant = spark.range(500_000).select(
+        F.lit("giant").alias("g"), F.col("id").alias("rid")
+    )
+    small = spark.range(500_000, 500_300).select(
+        F.concat(F.lit("s"), F.pmod("id", F.lit(3)).cast("string")).alias("g"),
+        F.col("id").alias("rid"),
+    )
+    df = giant.unionByName(small).repartition(32)
+
+    n = 25
+    t0 = time.time()
+    out = stratified_sample(df, "g", n, "rid", salt="sk:").persist()
+    sizes = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    elapsed = time.time() - t0
+    print(f"stratified 500k giant group: {elapsed:.1f}s sizes={sizes}")
+    assert sizes["giant"] == n and all(v == n for k, v in sizes.items() if k != "giant" or True)
+
+    # exactness: same members+ranks as the window formulation
+    hkey = H.h48(F.concat(F.lit("sk:"), F.col("rid").cast("string")))
+    w = W.partitionBy("g").orderBy(hkey, "rid")
+    ref = sorted(
+        tuple(r)
+        for r in df.withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= n)
+        .select("g", "rid", "strat_rank")
+        .collect()
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    out.unpersist()
+    assert got == ref
