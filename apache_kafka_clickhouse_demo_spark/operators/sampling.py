@@ -52,7 +52,9 @@ def stratified_sample(
     deterministic.
     """
     hkey = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    entry = F.struct(hkey.alias("hkey"), F.col(id_col).cast("long").alias("rid"))
+    # keep the id's own type (string doc ids stay strings); struct sort
+    # orders by (hkey, id) for any orderable id type
+    entry = F.struct(hkey.alias("hkey"), F.col(id_col).alias("rid"))
     scored = df.select(F.col(group_col).alias("grp"), entry.alias("entry"))
 
     partial = scored.groupBy("grp", F.spark_partition_id().alias("_pid")).agg(

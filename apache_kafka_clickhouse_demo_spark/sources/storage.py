@@ -90,7 +90,9 @@ def zorder_cluster_key(df: DataFrame, cluster_cols: list[str], bits: int = 8) ->
         dt = df.schema[c].dataType.simpleString()
         if dt == "date":
             raw = F.col(c).cast("timestamp").cast("double")
-        elif dt.startswith(("int", "bigint", "smallint", "tinyint", "float", "double", "decimal", "timestamp")):
+        elif dt in ("int", "bigint", "smallint", "tinyint", "float", "double") or dt.startswith(("decimal", "timestamp")):
+            # exact names, not startswith("int") — that would also match
+            # interval types, which cannot cast to double
             raw = F.col(c).cast("double")
         else:
             scaled.append(F.pmod(F.xxhash64(F.col(c)), F.lit(1 << bits)))

@@ -150,3 +150,20 @@ def test_mixture_sample_is_scan_side_filter(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_stratified_sample_string_ids(spark):
+    """Non-numeric id columns must keep their own type and ordering."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(f"doc-{i:03d}", "g1" if i % 2 else "g2") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc string, g string")
+    out = stratified_sample(df, "g", 5, "doc")
+    got = out.collect()
+    assert len(got) == 10
+    assert all(isinstance(r["doc"], str) and r["doc"].startswith("doc-") for r in got)
+    # deterministic under repartitioning
+    got2 = stratified_sample(df.repartition(7), "g", 5, "doc").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
