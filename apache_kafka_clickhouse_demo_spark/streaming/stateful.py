@@ -183,7 +183,14 @@ class _NearDupStreamWriter:
         from O(colliding buckets) to O(colliding buckets x commits).
         Safe mid-stream between blocks: optimize publishes one atomic
         replace commit, and re-running it (a retried maintenance batch)
-        just replaces the snapshot with identical content."""
+        just replaces the snapshot with identical content; the replaced
+        commits stay in the log, so batch-id idempotence survives
+        maintenance (pinned by test).  The OUT table is deliberately not
+        rewritten here — it is the pipeline's product and grows with the
+        corpus, so rewriting it per maintenance would be the O(corpus)
+        pattern this store design removed; compact it on the consumer's
+        schedule via `TransactionalTable.optimize()` like any streaming
+        MV destination."""
         self.bands.optimize(self.spark, partition_by="bshard")
         self.payloads.optimize(self.spark, partition_by="pshard")
 

@@ -471,3 +471,49 @@ def test_compact_every_keeps_decisions_and_bounds_store_files(spark, tmp_path):
             str(tmp_path / "off" / "store" / sub)
         ).data_files()
         assert len(files_off) > len(files)
+
+
+def test_batch_replay_after_maintenance_is_still_idempotent(spark, tmp_path):
+    """The exactly-once guarantee must survive store maintenance: optimize
+    publishes a replace-commit, but the old batches' txn ids stay in the
+    log, so a post-restart replay of an already-committed batch is still
+    a no-op — not a duplicate append into the compacted store."""
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_stream_writer,
+    )
+
+    texts = _distinct_texts(20, "rep")
+    w = minhash_stream_writer(
+        spark,
+        out_dir=str(tmp_path / "kept"),
+        store_dir=str(tmp_path / "store"),
+        num_perm=12,
+        bands=4,
+        shingle_n=3,
+        threshold=0.5,
+        compact_every=1,  # maintenance after EVERY batch
+    )
+    blocks = [
+        list(enumerate(texts[:10])),
+        list(enumerate(texts[10:20], start=10)),
+    ]
+    for i, rows in enumerate(blocks):
+        w.process(_docs_df(spark, rows), i)
+
+    def snapshot():
+        out = sorted(
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+        )
+        bands = TransactionalTable(str(tmp_path / "store" / "bands"))
+        pays = TransactionalTable(str(tmp_path / "store" / "payloads"))
+        return (
+            out,
+            sorted(map(tuple, bands.read(spark).collect())),
+            sorted(map(tuple, pays.read(spark).collect())),
+        )
+
+    before = snapshot()
+    # post-restart replay of batch 0 (foreachBatch redelivers it)
+    w.process(_docs_df(spark, blocks[0]), 0)
+    assert snapshot() == before
