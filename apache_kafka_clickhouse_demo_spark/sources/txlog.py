@@ -143,15 +143,21 @@ class TransactionalTable:
 
     def committed_txns(self) -> set[str]:
         """Application transaction ids recorded by `append(txn=...)` commits
-        (plus any folded into a checkpoint).  One log listing — independent
-        of data size — so an idempotence check costs O(commits), not
-        O(table)."""
+        (plus any folded into a checkpoint).  Commits at or below the
+        newest checkpoint are NOT reopened — their txns are already in the
+        checkpoint's summary — so after a `checkpoint()` an idempotence
+        check costs O(commits since checkpoint), not O(stream lifetime);
+        a maintenance pass that checkpoints keeps this bounded forever."""
         ckpt, commits = self._log_entries()
         txns: set[str] = set()
+        floor = -1
         if ckpt is not None:
             with open(os.path.join(self.log_dir, self._ckpt_name(ckpt))) as fh:
                 txns.update(json.load(fh).get("txns", []))
-        for _v, commit in commits:
+            floor = ckpt
+        for v, commit in commits:
+            if v <= floor:
+                continue
             with open(commit) as fh:
                 txn = json.load(fh).get("txn")
             if txn is not None:

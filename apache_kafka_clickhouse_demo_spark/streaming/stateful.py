@@ -193,6 +193,11 @@ class _NearDupStreamWriter:
         MV destination."""
         self.bands.optimize(self.spark, partition_by="bshard")
         self.payloads.optimize(self.spark, partition_by="pshard")
+        # collapse the commit logs too: per-batch idempotence checks and
+        # file-list reads then cost O(commits since maintenance), not
+        # O(stream lifetime)
+        self.bands.checkpoint()
+        self.payloads.checkpoint()
 
     def _shard(self, col: str, n: int):
         return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")

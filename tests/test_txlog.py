@@ -386,3 +386,21 @@ def test_optimize_partition_by_preserves_layout_and_pruning(spark, tmp_path):
 
     touched = {urlparse(f).path for f in pruned.inputFiles()}
     assert len(touched) == 1 and all("shard=2/" in f for f in touched)
+
+
+def test_committed_txns_survive_checkpoint_without_reopening_old_commits(
+    spark, tmp_path
+):
+    """Idempotence must survive log collapse: txns at or below a
+    checkpoint come from its summary (old commit files are not reopened),
+    and txns after it still read from their commits."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(5)
+    t.append(df, txn="b0")
+    t.append(df, txn="b1")
+    t.checkpoint()
+    t.append(df, txn="b2")
+    assert t.committed_txns() == {"b0", "b1", "b2"}
+    # replay of a pre-checkpoint txn is still a no-op
+    assert t.append_once(df, txn="b0") is None
+    assert t.read(spark).count() == 15
