@@ -198,6 +198,11 @@ class _NearDupStreamWriter:
         # O(stream lifetime)
         self.bands.checkpoint()
         self.payloads.checkpoint()
+        # and reclaim the replaced pre-optimize files once they age out of
+        # the in-flight-writer grace window — disk stays bounded as well
+        # (nothing pins old store snapshots; the stream owns these tables)
+        self.bands.vacuum()
+        self.payloads.vacuum()
 
     def _shard(self, col: str, n: int):
         return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
