@@ -1,0 +1,35 @@
+"""Registry/bench/oracle wiring invariants — the drift class that broke
+test_plan_shapes when a query moved between QUERIES and EXTRA_QUERIES.
+Pure static checks; no Spark session needed."""
+
+from __future__ import annotations
+
+import bench
+from apache_kafka_clickhouse_demo_spark import queries as Q
+
+
+def test_gate_registry_is_exactly_50_and_fully_oracled():
+    assert len(Q.QUERIES) == 50  # driver records at most 50 rows
+    missing = [k for k in Q.QUERIES if k not in Q.oracles()]
+    assert missing == [], f"gate queries without oracle SQL: {missing}"
+
+
+def test_gate_and_extras_do_not_overlap():
+    dupes = set(Q.QUERIES) & set(Q.EXTRA_QUERIES)
+    assert dupes == set(), f"registered in both gate and extras: {dupes}"
+
+
+def test_bench_headline_exists_and_baselines_point_at_headliners():
+    all_queries = {**Q.QUERIES, **Q.EXTRA_QUERIES}
+    missing = [n for n in bench.HEADLINE if n not in all_queries]
+    assert missing == [], f"HEADLINE names not in any registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    stray = [n for n in bench.BASELINE_SEC if n not in bench.HEADLINE]
+    assert stray == [], f"stall-guard baselines for non-headline queries: {stray}"
+
+
+def test_every_headliner_has_a_stall_guard_entry():
+    """A headliner without a baseline entry silently disables its stall
+    guard (bound = inf); every name must carry its trend start."""
+    missing = [n for n in bench.HEADLINE if n not in bench.BASELINE_SEC]
+    assert missing == [], f"headliners without a baseline/trend entry: {missing}"
