@@ -61,6 +61,10 @@ FAMILIES = [
     "text_prep",
     "doc_fingerprint",
     "pack_sequences",
+    # training-export family (r6)
+    "sample_stratified",
+    "shuffle_export",
+    "mixture_sample",
 ]
 
 PASSES = 2
