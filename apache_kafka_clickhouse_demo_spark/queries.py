@@ -93,6 +93,11 @@ SHUFFLE_SHARDS = 8
 MIX_SALT = "mix:"
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
 MIX_DEFAULT_RATE = 0.25
+#: approx_percentile accuracy — far above any gate-scale group size, so
+#: the GK sketch stays uncompressed and the oracle is exact (coupon-mode
+#: analogue); production would use ~1e4 (rank error n/1e4) for bounded
+#: memory
+GK_ACCURACY = 1_000_000
 FILL_MIN_VALUE = 300.0
 CURATION_MIN_QUALITY = 0.5
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -799,6 +804,36 @@ def q_value_percentiles(spark, sf_dir):
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("ps"))
+        .select(
+            "event_type",
+            F.round(F.element_at("ps", 1), 6).alias("p25"),
+            F.round(F.element_at("ps", 2), 6).alias("p50"),
+            F.round(F.element_at("ps", 3), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_value_percentiles_approx(spark, sf_dir):
+    """The 100 TB quantile path: `approx_percentile` (Greenwald-Khanna
+    sketch — bounded memory per group, MERGEABLE map-side partials,
+    unlike exact `percentile` which buffers every value in one
+    aggregation task).  Same HLL-style oracle trick as
+    `uniq_users_approx`: at gate scale the accuracy parameter exceeds
+    the group sizes, the sketch never compresses, and the answer is the
+    exact discrete quantile — bit-equal to DuckDB's `quantile_disc`
+    (convention verified: element at rank ceil(p*n)).  The
+    production-scale accuracy contract (rank error <= n/accuracy at
+    compressing accuracies) is asserted in
+    tests/test_approx_sketches.py."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_percentile(value, array(0.25, 0.5, 0.75), {GK_ACCURACY})"
+            ).alias("ps")
+        )
         .select(
             "event_type",
             F.round(F.element_at("ps", 1), 6).alias("p25"),
@@ -1726,6 +1761,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,  # r06 addition; gate slots full
     "shuffle_export": q_shuffle_export,  # r06 addition; gate slots full
     "mixture_sample": q_mixture_sample,  # r06 addition; gate slots full
+    "value_percentiles_approx": q_value_percentiles_approx,  # r06; GK-sketch scale path of value_percentiles
     # rotated OUT of the gate in r06 to make room for the r05 newcomers
     # (VERDICT r5 #2); every §2 operator they carried keeps ≥1 green gate row:
     "attendance_granular": q_attendance_granular,  # M2 via both cascades; A5 via daily_type_rollup
@@ -2778,6 +2814,13 @@ SELECT source, doc_id, strat_rank FROM (
   FROM documents) t
 WHERE strat_rank <= {STRAT_N}
 ORDER BY source, strat_rank
+""",
+        "value_percentiles_approx": """
+SELECT event_type,
+       round(quantile_disc(value, 0.25), 6) AS p25,
+       round(quantile_disc(value, 0.50), 6) AS p50,
+       round(quantile_disc(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "mixture_sample": f"""
 SELECT doc_id, source FROM documents
