@@ -167,3 +167,21 @@ def test_stratified_sample_string_ids(spark):
     # deterministic under repartitioning
     got2 = stratified_sample(df.repartition(7), "g", 5, "doc").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_sampling_ops_on_empty_input(spark):
+    """Empty tables must produce empty, correctly-shaped results — the
+    degenerate first-run of any pipeline stage."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        mixture_sample,
+        shuffle_shards,
+        stratified_sample,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    s = stratified_sample(empty, "source", 5, "doc_id")
+    assert s.columns == ["source", "doc_id", "strat_rank"] and s.count() == 0
+    sh = shuffle_shards(empty, "doc_id", 4)
+    assert sh.columns == ["doc_id", "shard", "seq"] and sh.count() == 0
+    m = mixture_sample(empty, "source", {"a": 0.5}, "doc_id")
+    assert m.columns == ["doc_id", "source"] and m.count() == 0

@@ -357,3 +357,13 @@ def test_zorder_cluster_key_normalization_edges(spark):
     # constant column contributes 0 bits (all rows same cell on it)
     zc = zorder_cluster_key(df, ["const"], bits=8)
     assert {r["z"] for r in df.withColumn("z", zc).collect()} == {0}
+
+
+def test_zorder_cluster_key_on_empty_table(spark):
+    """An empty table's min/max stats are NULL — the key must degrade to
+    a constant instead of raising."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import zorder_cluster_key
+
+    empty = spark.createDataFrame([], "i long, s string")
+    z = zorder_cluster_key(empty, ["i", "s"], bits=8)
+    assert empty.withColumn("z", z).count() == 0
