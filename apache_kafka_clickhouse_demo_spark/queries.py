@@ -815,8 +815,9 @@ def q_value_percentiles(spark, sf_dir):
 
 
 def q_value_percentiles_approx(spark, sf_dir):
-    """The 100 TB quantile path: `approx_percentile` (Greenwald-Khanna
-    sketch — bounded memory per group, MERGEABLE map-side partials,
+    """The 100 TB quantile path: `approx_percentile` (the Greenwald-
+    Khanna summary, SIGMOD'01, as implemented by Spark — bounded memory
+    per group, MERGEABLE map-side partials,
     unlike exact `percentile` which buffers every value in one
     aggregation task).  Same HLL-style oracle trick as
     `uniq_users_approx`: at gate scale the accuracy parameter exceeds
