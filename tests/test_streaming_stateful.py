@@ -517,3 +517,36 @@ def test_batch_replay_after_maintenance_is_still_idempotent(spark, tmp_path):
     # post-restart replay of batch 0 (foreachBatch redelivers it)
     w.process(_docs_df(spark, blocks[0]), 0)
     assert snapshot() == before
+
+
+def test_out_table_consumer_compaction_preserves_survivors(spark, tmp_path):
+    """The survivors table accumulates one commit per batch by design
+    (maintain() deliberately leaves it alone); the consumer compacts it
+    like any streaming MV destination — and that rewrite must change the
+    file count, not the answer."""
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_stream_writer,
+    )
+
+    texts = _distinct_texts(24, "outc")
+    w = minhash_stream_writer(
+        spark,
+        out_dir=str(tmp_path / "kept"),
+        store_dir=str(tmp_path / "store"),
+        num_perm=12,
+        bands=4,
+        shingle_n=3,
+        threshold=0.5,
+    )
+    for i in range(4):
+        w.process(_docs_df(spark, list(enumerate(texts[i * 6 : (i + 1) * 6], start=i * 6))), i)
+
+    out = TransactionalTable(str(tmp_path / "kept"))
+    before_rows = sorted(r["doc_id"] for r in out.read(spark).collect())
+    files_before = len(out.data_files())
+    assert files_before > 4  # one commit (several files) per batch
+
+    out.optimize(spark, target_files=2)
+    assert len(out.data_files()) == 2
+    assert sorted(r["doc_id"] for r in out.read(spark).collect()) == before_rows
