@@ -65,6 +65,14 @@ FAMILIES = [
     "sample_stratified",
     "shuffle_export",
     "mixture_sample",
+    # events families (r6): sessions / as-of / windows / sketches
+    "user_sessions",
+    "asof_last_purchase",
+    "user_cumulative_value",
+    "daily_type_rollup",
+    "latest_value_per_user",
+    "uniq_users_approx",
+    "value_percentiles",
 ]
 
 PASSES = 2
@@ -111,6 +119,29 @@ def build(spark) -> None:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.repartition(16).write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet")
+
+    # events x10: copy k shifts user_id and event_id into disjoint ranges
+    # (per-user event streams are preserved exactly per copy, so session /
+    # as-of / cumulative outputs scale linearly); timestamps unchanged
+    # read through load_table so ts comes out TIMESTAMP_LTZ (the engine's
+    # canonical type) and the rewritten parquet stays LTZ-annotated — a
+    # plain spark.read would infer NTZ from the fixture and bake that
+    # into the blow-up, breaking unix_millis in every timed query
+    from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+
+    ev = load_table(spark, BASE_SF, "events")
+    max_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    max_u = ev.agg(F.max("user_id")).first()[0] + 1
+    copies = []
+    for k in range(COPIES):
+        copies.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(k * max_ev))
+            .withColumn("user_id", F.col("user_id") + F.lit(k * max_u))
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/events.parquet")
 
     # remaining tables: symlink the sf0.1 originals so any query that
     # touches them still loads
