@@ -12,6 +12,7 @@ from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (  # noqa: F40
     backfill_cutover,
     create_materialized_view,
     jdbc_sink,
+    jdbc_sink_exactly_once,
 )
 from apache_kafka_clickhouse_demo_spark.streaming.stateful import (  # noqa: F401
     embedding_dedup_stream,

@@ -105,15 +105,30 @@ def create_materialized_view(
     destination, or a Delta/Iceberg writer on a cluster where parquet's
     non-atomic `_temporary/` staging is not acceptable (see
     backfill_cutover's note below — the transactional-table path removes
-    that caveat entirely).
+    that caveat entirely).  A sink that declares TWO parameters receives
+    `(block, batch_id)` — the hook an idempotent destination needs to
+    make foreachBatch's at-least-once delivery exactly-once
+    (`jdbc_sink_exactly_once`, `sources/txlog.append_once`).
     """
     if not source.isStreaming:
         raise ValueError("source must be a streaming DataFrame (use spark.readStream)")
 
+    import inspect
+
+    sink_wants_batch_id = False
+    if sink is not None:
+        try:
+            sink_wants_batch_id = len(inspect.signature(sink).parameters) >= 2
+        except (TypeError, ValueError):  # builtins/partials without signatures
+            sink_wants_batch_id = False
+
     def _per_block(block: DataFrame, _batch_id: int) -> None:
         out = transform(block)
         if sink is not None:
-            sink(out)
+            if sink_wants_batch_id:
+                sink(out, _batch_id)
+            else:
+                sink(out)
         else:
             insert_into(out, dest_path, partition_cols)
 
@@ -162,6 +177,107 @@ def jdbc_sink(
         for k, v in props.items():
             writer = writer.option(k, v)
         writer.save()
+
+    return _sink
+
+
+def jdbc_sink_exactly_once(
+    url: str,
+    table: str,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+    batch_table: str | None = None,
+    staging_table: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once JDBC destination: `jdbc_sink` + a batch ledger.
+
+    foreachBatch is at-least-once; a plain JDBC append duplicates rows on
+    every replayed block.  This sink makes the relational side idempotent
+    with the standard staging-table pattern:
+
+      0. replay check — if `batch_table` already records this batch id,
+         the whole block is a no-op;
+      1. stage — Spark writes the block to `staging_table` in OVERWRITE
+         mode (parallel, one connection per partition; a crashed earlier
+         attempt's partial staging is simply overwritten);
+      2. publish — ONE driver-side connection runs
+         `INSERT INTO table SELECT * FROM staging` and
+         `INSERT INTO batch_table VALUES (batch_id)` in a single
+         transaction, so the data and the ledger entry land atomically.
+
+    Crash anywhere before the commit -> the replayed batch re-stages and
+    re-publishes; crash after -> the ledger short-circuits it.  This is
+    the same txn-keyed idempotence the engine's own tables get from
+    `txlog.append_once`, expressed in the database's transaction.
+
+    The publish transaction is single-connection by design — the scale
+    knob is the STAGING write's parallelism (`numPartitions`/`batchsize`
+    via `properties`); the publish itself is a server-side INSERT-SELECT,
+    no data moves through the driver.
+    """
+    from pyspark.sql import SparkSession
+
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
+    ledger = batch_table or f"{table}_batches"
+    staging = staging_table or f"{table}_staging"
+
+    def _connect():
+        jvm = SparkSession.getActiveSession()._jvm
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        return jvm.java.sql.DriverManager.getConnection(url)
+
+    def _sink(block: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        conn = _connect()
+        try:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(
+                    f"CREATE TABLE {ledger} (batch_id BIGINT PRIMARY KEY)"
+                )
+            except Exception:  # noqa: BLE001 — exists already (no IF NOT EXISTS in Derby)
+                pass
+            rs = st.executeQuery(f"SELECT 1 FROM {ledger} WHERE batch_id = {bid}")
+            if rs.next():
+                return  # replayed batch: already published
+        finally:
+            conn.close()
+
+        writer = (
+            block.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", staging)
+            .mode("overwrite")
+        )
+        for k, v in props.items():
+            writer = writer.option(k, v)
+        writer.save()
+
+        conn = _connect()
+        try:
+            st = conn.createStatement()
+            try:  # first batch: clone the staged schema (no IF NOT EXISTS in Derby)
+                st.executeUpdate(
+                    f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA"
+                )
+            except Exception:  # noqa: BLE001 — table already exists
+                pass
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            cols = ", ".join(f'"{c}"' for c in block.columns)
+            st.executeUpdate(
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
+            )
+            st.executeUpdate(f"INSERT INTO {ledger} VALUES ({bid})")
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
 
     return _sink
 

@@ -170,3 +170,74 @@ def test_jdbc_partitioned_source_roundtrip_and_pushdown(spark, sf_dir):
     # bounds args must travel together
     with pytest.raises(ValueError):
         jdbc_table(spark, url, "events_jdbc", partition_column="event_id")
+
+
+def test_jdbc_sink_exactly_once_survives_replay_and_partial_staging(
+    spark, sf_dir, tmp_path
+):
+    """The exactly-once JDBC sink: a real MV drain lands each block once;
+    a replayed batch (foreachBatch redelivery) is a no-op via the batch
+    ledger; a crashed attempt that staged data but never published is
+    cleanly overwritten by the retry."""
+    if not _derby_available(spark):
+        pytest.skip("derby jdbc driver not on the classpath")
+    from apache_kafka_clickhouse_demo_spark.streaming import jdbc_sink_exactly_once
+
+    url = "jdbc:derby:memory:mv_jdbc_e1;create=true"
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src")
+    events.select("event_id", "event_type", "value").repartition(3).write.parquet(src_dir)
+
+    def transform(block):
+        return block.select("event_id", "event_type", "value")
+
+    sink = jdbc_sink_exactly_once(url, "mv_out", driver=DERBY_DRIVER)
+    source = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    mv = create_materialized_view(
+        source,
+        transform,
+        dest_path=url + "#mv_out",
+        checkpoint=str(tmp_path / "ck"),
+        available_now=True,
+        sink=sink,
+    )
+    mv.process_available()
+    mv.stop()
+
+    def read_back():
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "mv_out")
+            .option("driver", DERBY_DRIVER)
+            .load()
+        )
+
+    want = {tuple(r) for r in events.select("event_id", "event_type", "value").collect()}
+    assert {tuple(r) for r in read_back().collect()} == want
+
+    one_block = events.select("event_id", "event_type", "value").limit(7)
+    # replayed batch id -> no-op (ledger short-circuit)
+    sink(one_block, 0)
+    assert read_back().count() == len(want)
+
+    # crash simulation: an attempt staged its block but died before the
+    # publish transaction; the retry must overwrite the leftover staging
+    # and publish exactly once
+    (
+        one_block.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "mv_out_staging")
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    sink(one_block, 999)
+    assert read_back().count() == len(want) + 7
+    # and replaying THAT batch is again a no-op
+    sink(one_block, 999)
+    assert read_back().count() == len(want) + 7
