@@ -491,13 +491,29 @@ class TransactionalTable:
         return spark.read.option("basePath", self.path).parquet(*picked)
 
 
-def transactional_sink(table: TransactionalTable):
+def transactional_sink(table: TransactionalTable, exactly_once_id: str | None = None):
     """Pluggable MV destination (create_materialized_view(sink=...)): each
     insert block becomes one atomic commit, safe against ANY concurrent
     writer — this removes the parquet `_temporary/` caveat that forces
-    backfill_cutover to sequence its backfill before the stream."""
+    backfill_cutover to sequence its backfill before the stream.
 
-    def _sink(block: DataFrame) -> None:
-        table.append(block)
+    Pass `exactly_once_id` (a stable per-writer name, e.g. the MV's
+    checkpoint path) to upgrade delivery from at-least-once to
+    EXACTLY-once: the sink then takes `(block, batch_id)` from the MV
+    seam and commits via `append_once(txn=f"{id}:{batch_id}")`, so a
+    replayed block no-ops.  The id scopes the ledger per writer —
+    keying on the bare batch id would wrongly dedupe ACROSS two
+    different MVs appending to one table (both streams count batches
+    from 0)."""
 
-    return _sink
+    if exactly_once_id is None:
+
+        def _sink(block: DataFrame) -> None:
+            table.append(block)
+
+        return _sink
+
+    def _sink_once(block: DataFrame, batch_id: int) -> None:
+        table.append_once(block, txn=f"{exactly_once_id}:{int(batch_id)}")
+
+    return _sink_once

@@ -404,3 +404,45 @@ def test_committed_txns_survive_checkpoint_without_reopening_old_commits(
     # replay of a pre-checkpoint txn is still a no-op
     assert t.append_once(df, txn="b0") is None
     assert t.read(spark).count() == 15
+
+
+def test_transactional_sink_exactly_once_mode(spark, sf_dir, tmp_path):
+    """With exactly_once_id, the MV's transactional destination no-ops on
+    replayed blocks, and two writers with the same batch numbering do NOT
+    dedupe each other (the id scopes the ledger per writer)."""
+    from apache_kafka_clickhouse_demo_spark.sources.tables import load_table
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    sink_a = transactional_sink(t, exactly_once_id="mv-a")
+    sink_b = transactional_sink(t, exactly_once_id="mv-b")
+    block = spark.range(10)
+
+    sink_a(block, 0)
+    sink_a(block, 0)  # replay: no-op
+    assert t.read(spark).count() == 10
+    sink_b(block, 0)  # different writer, same batch number: must land
+    assert t.read(spark).count() == 20
+    sink_a(block, 1)
+    assert t.read(spark).count() == 30
+
+    # end-to-end through the MV seam: the 2-arg sink receives batch ids
+    src_dir = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").select("event_id").repartition(
+        2
+    ).write.parquet(src_dir)
+    t2 = TransactionalTable(str(tmp_path / "t2"))
+    mv = create_materialized_view(
+        spark.readStream.schema("event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        lambda b: b,
+        dest_path=str(tmp_path / "t2"),
+        checkpoint=str(tmp_path / "ck"),
+        available_now=True,
+        sink=transactional_sink(t2, exactly_once_id=str(tmp_path / "ck")),
+    )
+    mv.process_available()
+    mv.stop()
+    n = load_table(spark, sf_dir, "events").count()
+    assert t2.read(spark).count() == n
+    assert len(t2.committed_txns()) >= 2  # one txn per block, writer-scoped
