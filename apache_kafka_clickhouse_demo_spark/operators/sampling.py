@@ -44,8 +44,14 @@ def stratified_sample(
     ANN top-k (`similarity._two_phase_topk`): partition-local top-N per
     (group, input partition) as a map-side `collect_list` + sorted slice,
     then a merge of the short per-partition lists — shuffle volume is
-    O(groups x N x partitions), never O(rows), and no task ever holds
-    more than N x (partitions of one group) entries.
+    O(groups x N x partitions), never O(rows).  Memory: phase 2's tasks
+    hold at most N x (partitions of one group) entries; phase 1's
+    aggregation buffer holds one (group, input-partition) slice before
+    the cut, so its bound is the INPUT partition size — governed by the
+    scan split (`files.maxPartitionBytes`), NOT by group size.  Feed the
+    natural scan partitioning; repartitioning BY GROUP first would
+    reconcentrate a hot group into one task, the funnel this shape
+    exists to avoid.
 
     Output: (group_col, id_col, strat_rank), rank 1..N by (hash, id) —
     ties on the 48-bit hash are broken by id so the sample is total-order

@@ -478,17 +478,50 @@ class TransactionalTable:
 
         Returns an empty frame (with the table's schema) when no committed
         file matches; raises FileNotFoundError only when the table has no
-        commits at all (indistinguishable from a missing table)."""
+        commits at all (indistinguishable from a missing table).
+
+        Values are matched against the directory names Spark actually
+        writes: Hive path-escaping (`:` -> `%3A` etc.), lowercase
+        booleans, `__HIVE_DEFAULT_PARTITION__` for NULL — a plain
+        f-string would silently return the empty frame for any value
+        Spark escapes, and a dedup-store caller would then dedupe
+        against nothing (code-review r6)."""
         files = self.data_files(version)
         if not files:
             raise FileNotFoundError(f"no committed data in {self.path}")
-        prefixes = tuple(f"{os.sep}{partition_col}={v}{os.sep}" for v in values)
+        prefixes = tuple(
+            f"{os.sep}{partition_col}={_partition_path_value(v)}{os.sep}"
+            for v in values
+        )
         picked = [f for f in files if any(p in f for p in prefixes)]
         if not picked:
             return (
                 spark.read.option("basePath", self.path).parquet(*files).limit(0)
             )
         return spark.read.option("basePath", self.path).parquet(*picked)
+
+
+#: Characters Hive/Spark escape in partition-directory names
+#: (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName):
+#: ASCII control chars plus this literal set.
+_PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _partition_path_value(v) -> str:
+    """Render a partition value exactly as Spark's writer names the
+    directory: None -> __HIVE_DEFAULT_PARTITION__, booleans lowercase,
+    everything else str() with Hive %XX escaping of special characters."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    out = []
+    for ch in str(v):
+        if ch < " " or ch in _PATH_ESCAPE_CHARS:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def transactional_sink(table: TransactionalTable, exactly_once_id: str | None = None):

@@ -118,7 +118,19 @@ def create_materialized_view(
     sink_wants_batch_id = False
     if sink is not None:
         try:
-            sink_wants_batch_id = len(inspect.signature(sink).parameters) >= 2
+            # count only parameters callable positionally — a 1-arg sink
+            # with **kwargs or keyword-only extras must NOT be handed a
+            # second positional argument (code-review r6)
+            params = inspect.signature(sink).parameters.values()
+            positional = [
+                p
+                for p in params
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+            ]
+            sink_wants_batch_id = any(
+                p.kind == p.VAR_POSITIONAL for p in positional
+            ) or len(positional) >= 2
         except (TypeError, ValueError):  # builtins/partials without signatures
             sink_wants_batch_id = False
 
@@ -181,6 +193,15 @@ def jdbc_sink(
     return _sink
 
 
+#: JDBC options consumed by Spark's writer, not by the database driver —
+#: these must NOT be forwarded to DriverManager.getConnection.
+_SPARK_JDBC_OPTIONS = {
+    "driver", "numpartitions", "batchsize", "truncate", "isolationlevel",
+    "fetchsize", "querytimeout", "createtableoptions",
+    "createtablecolumntypes", "partitioncolumn", "lowerbound", "upperbound",
+}
+
+
 def jdbc_sink_exactly_once(
     url: str,
     table: str,
@@ -188,6 +209,7 @@ def jdbc_sink_exactly_once(
     properties: dict[str, str] | None = None,
     batch_table: str | None = None,
     staging_table: str | None = None,
+    writer_id: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """Exactly-once JDBC destination: `jdbc_sink` + a batch ledger.
 
@@ -214,20 +236,37 @@ def jdbc_sink_exactly_once(
     knob is the STAGING write's parallelism (`numPartitions`/`batchsize`
     via `properties`); the publish itself is a server-side INSERT-SELECT,
     no data moves through the driver.
+
+    `writer_id` scopes the ledger rows and the staging table per writer
+    (pass the MV's checkpoint path): two MVs appending to one table both
+    count batches from 0, so an unscoped ledger would silently drop the
+    second stream's early batches as "replays", and a shared staging
+    table could publish the wrong writer's rows (code-review r6).
+    Connection credentials (`user`/`password` and any other driver
+    properties) are forwarded to the driver-side connections too, not
+    just to Spark's staging writer.
     """
+    import zlib
+
     from pyspark.sql import SparkSession
 
     props = dict(properties or {})
     if driver:
         props["driver"] = driver
+    suffix = f"_{zlib.crc32(writer_id.encode()):08x}" if writer_id else ""
     ledger = batch_table or f"{table}_batches"
-    staging = staging_table or f"{table}_staging"
+    staging = staging_table or f"{table}_staging{suffix}"
+    wid = writer_id.replace("'", "''")
 
     def _connect():
         jvm = SparkSession.getActiveSession()._jvm
         if driver:
             jvm.java.lang.Class.forName(driver)
-        return jvm.java.sql.DriverManager.getConnection(url)
+        info = jvm.java.util.Properties()
+        for k, v in props.items():
+            if k.lower() not in _SPARK_JDBC_OPTIONS:
+                info.setProperty(k, v)
+        return jvm.java.sql.DriverManager.getConnection(url, info)
 
     def _sink(block: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
@@ -236,11 +275,14 @@ def jdbc_sink_exactly_once(
             st = conn.createStatement()
             try:
                 st.executeUpdate(
-                    f"CREATE TABLE {ledger} (batch_id BIGINT PRIMARY KEY)"
+                    f"CREATE TABLE {ledger} (writer VARCHAR(512) NOT NULL,"
+                    " batch_id BIGINT NOT NULL, PRIMARY KEY (writer, batch_id))"
                 )
             except Exception:  # noqa: BLE001 — exists already (no IF NOT EXISTS in Derby)
                 pass
-            rs = st.executeQuery(f"SELECT 1 FROM {ledger} WHERE batch_id = {bid}")
+            rs = st.executeQuery(
+                f"SELECT 1 FROM {ledger} WHERE writer = '{wid}' AND batch_id = {bid}"
+            )
             if rs.next():
                 return  # replayed batch: already published
         finally:
@@ -271,7 +313,7 @@ def jdbc_sink_exactly_once(
             st.executeUpdate(
                 f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
             )
-            st.executeUpdate(f"INSERT INTO {ledger} VALUES ({bid})")
+            st.executeUpdate(f"INSERT INTO {ledger} VALUES ('{wid}', {bid})")
             conn.commit()
         except Exception:
             conn.rollback()

@@ -160,11 +160,19 @@ class _NearDupStreamWriter:
         band_shards: int = 16,
         id_shards: int = 8,
         compact_every: int | None = None,
+        writer_id: str = "",
     ):
         from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
 
         self.spark = spark
         self.id_col = id_col
+        #: scopes the per-batch txn ids.  A BARE batch id would make a NEW
+        #: stream run (fresh checkpoint -> ids restart at 0) over an
+        #: existing durable store silently swallow its first batches as
+        #: "replays"; the stream entry points pass the checkpoint path,
+        #: which is stable across restarts of the SAME stream and distinct
+        #: for a new one (code-review r6).
+        self.writer_id = writer_id
         self.prepare = prepare  # block -> (id, payload, bkeys array<string>)
         self.verify = verify  # (payload_col_a, payload_col_b) -> bool Column
         self.band_shards = band_shards
@@ -274,7 +282,7 @@ class _NearDupStreamWriter:
         # lands each shard in exactly one task -> one file per touched
         # shard per commit, the file granularity the store's O(colliding
         # buckets) read contract assumes.
-        txn = str(batch_id)
+        txn = f"{self.writer_id}:{batch_id}"
         self.bands.append_once(
             banded_b.select("id", "bkey", "bshard").repartition(F.col("bshard")),
             txn=txn,
@@ -307,6 +315,7 @@ def minhash_stream_writer(
     band_shards: int = 16,
     id_shards: int = 8,
     compact_every: int | None = None,
+    writer_id: str = "",
 ) -> _NearDupStreamWriter:
     """The MinHash-LSH near-dup stream's foreachBatch writer — exposed so
     tests can drive `writer.process(block, batch_id)` directly (retry
@@ -341,6 +350,7 @@ def minhash_stream_writer(
         band_shards=band_shards,
         id_shards=id_shards,
         compact_every=compact_every,
+        writer_id=writer_id,
     )
 
 
@@ -390,6 +400,7 @@ def minhash_dedup_stream(
         band_shards=band_shards,
         id_shards=id_shards,
         compact_every=compact_every,
+        writer_id=checkpoint,
     )
     return (
         source.writeStream.foreachBatch(writer.process)
@@ -451,6 +462,7 @@ def embedding_stream_writer(
     band_shards: int = 16,
     id_shards: int = 8,
     compact_every: int | None = None,
+    writer_id: str = "",
 ) -> _NearDupStreamWriter:
     """The embedding near-dup stream's foreachBatch writer — exposed for
     direct `writer.process(block, batch_id)` testing, like
@@ -489,6 +501,7 @@ def embedding_stream_writer(
         band_shards=band_shards,
         id_shards=id_shards,
         compact_every=compact_every,
+        writer_id=writer_id,
     )
 
 
@@ -534,6 +547,7 @@ def embedding_dedup_stream(
         band_shards=band_shards,
         id_shards=id_shards,
         compact_every=compact_every,
+        writer_id=checkpoint,
     )
     return (
         source.writeStream.foreachBatch(writer.process)

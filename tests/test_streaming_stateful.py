@@ -550,3 +550,39 @@ def test_out_table_consumer_compaction_preserves_survivors(spark, tmp_path):
     out.optimize(spark, target_files=2)
     assert len(out.data_files()) == 2
     assert sorted(r["doc_id"] for r in out.read(spark).collect()) == before_rows
+
+
+def test_new_stream_run_over_existing_store_is_not_swallowed(spark, tmp_path):
+    """A NEW stream (fresh checkpoint -> batch ids restart at 0) pointed
+    at an existing durable store must process its batches, not skip them
+    as replays — txn ids are writer-scoped, not bare batch ids."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_stream_writer,
+    )
+
+    texts = _distinct_texts(12, "wid")
+    common = dict(
+        out_dir=str(tmp_path / "kept"),
+        store_dir=str(tmp_path / "store"),
+        num_perm=12,
+        bands=4,
+        shingle_n=3,
+        threshold=0.5,
+    )
+    run1 = minhash_stream_writer(spark, writer_id="ck-run1", **common)
+    run1.process(_docs_df(spark, list(enumerate(texts[:6]))), 0)
+
+    # second run: batch id 0 again, DIFFERENT writer id, new docs
+    run2 = minhash_stream_writer(spark, writer_id="ck-run2", **common)
+    run2.process(_docs_df(spark, list(enumerate(texts[6:12], start=6))), 0)
+
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    )
+    assert kept == list(range(12))  # nothing swallowed, nothing duplicated
+    # and a genuine replay within run2 is still a no-op
+    run2.process(_docs_df(spark, list(enumerate(texts[6:12], start=6))), 0)
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    )
+    assert kept2 == kept

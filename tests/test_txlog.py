@@ -446,3 +446,21 @@ def test_transactional_sink_exactly_once_mode(spark, sf_dir, tmp_path):
     n = load_table(spark, sf_dir, "events").count()
     assert t2.read(spark).count() == n
     assert len(t2.committed_txns()) >= 2  # one txn per block, writer-scoped
+
+
+def test_read_where_matches_spark_escaped_partition_values(spark, tmp_path):
+    """read_where must match the directory names Spark actually writes:
+    Hive %XX escaping for special characters (a plain f-string prefix
+    returns the silent empty frame instead)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "pt:BR"), (2, "en"), (3, "weird key"), (4, None)],
+        "id long, lang string",
+    )
+    t.append(df, partition_by="lang")
+    got = {r["id"] for r in t.read_where(spark, "lang", ["pt:BR"]).collect()}
+    assert got == {1}
+    got = {r["id"] for r in t.read_where(spark, "lang", ["weird key", "en"]).collect()}
+    assert got == {2, 3}
+    got = {r["id"] for r in t.read_where(spark, "lang", [None]).collect()}
+    assert got == {4}

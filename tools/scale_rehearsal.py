@@ -194,9 +194,13 @@ def main() -> int:
     build_only = "--build-only" in args
     names = [a for a in args if not a.startswith("--")] or FAMILIES
     spark = get_spark(app_name="scale_rehearsal")
-    if not os.path.exists(f"{SCALE_DIR}/documents.parquet"):
+    # sentinel written after the LAST build step — checking only the first
+    # output would leave a crashed half-build permanently skipped
+    if not os.path.exists(f"{SCALE_DIR}/_BUILT"):
         print("building 10x blow-up ...", flush=True)
         build(spark)
+        with open(f"{SCALE_DIR}/_BUILT", "w") as fh:
+            fh.write("ok\n")
     if not build_only:
         measure(spark, names)
     spark.stop()
