@@ -74,8 +74,16 @@ _VERSION_DIGITS = 11
 def _newest_mtime(root: str) -> float:
     """Newest mtime anywhere under `root` (the dir itself included): the
     liveness signal for staging trees whose writes happen in nested
-    `_temporary/` dirs that never touch the top-level mtime."""
-    newest = os.path.getmtime(root)
+    `_temporary/` dirs that never touch the top-level mtime.  A root that
+    vanishes mid-check (its writer finished concurrently) reads as
+    brand-new — the caller must then SKIP it, never abort (code-review
+    r6: the unguarded getmtime crashed a concurrent vacuum)."""
+    import time
+
+    try:
+        newest = os.path.getmtime(root)
+    except OSError:  # vanished: treat as young so the caller leaves it alone
+        return time.time()
     for dirpath, _dirnames, filenames in os.walk(root):
         try:
             newest = max(newest, os.path.getmtime(dirpath))
@@ -84,6 +92,24 @@ def _newest_mtime(root: str) -> float:
         except OSError:  # entry vanished mid-walk (concurrent cleanup)
             continue
     return newest
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-created/renamed entry survives power
+    loss (a process crash never loses it — the entry is in the page
+    cache — but an acknowledged commit must also survive the machine
+    dying; code-review r6).  Best-effort: some filesystems refuse
+    directory fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 class TransactionalTable:
@@ -141,19 +167,21 @@ class TransactionalTable:
                 files.extend(payload["files"])
         return [os.path.join(self.path, f) for f in files]
 
-    def committed_txns(self) -> set[str]:
-        """Application transaction ids recorded by `append(txn=...)` commits
-        (plus any folded into a checkpoint).  Commits at or below the
-        newest checkpoint are NOT reopened — their txns are already in the
-        checkpoint's summary — so after a `checkpoint()` an idempotence
-        check costs O(commits since checkpoint), not O(stream lifetime);
-        a maintenance pass that checkpoints keeps this bounded forever."""
+    def _txn_state(self) -> tuple[set[str], dict[str, int]]:
+        """(explicit txn ids, per-writer batch watermarks).  Commits at or
+        below the newest checkpoint are NOT reopened — their txns are in
+        the checkpoint's summary (verbatim, or compacted to watermarks) —
+        so after a `checkpoint()` this costs O(commits since checkpoint),
+        not O(stream lifetime)."""
         ckpt, commits = self._log_entries()
         txns: set[str] = set()
+        marks: dict[str, int] = {}
         floor = -1
         if ckpt is not None:
             with open(os.path.join(self.log_dir, self._ckpt_name(ckpt))) as fh:
-                txns.update(json.load(fh).get("txns", []))
+                payload = json.load(fh)
+            txns.update(payload.get("txns", []))
+            marks.update(payload.get("txn_watermarks", {}))
             floor = ckpt
         for v, commit in commits:
             if v <= floor:
@@ -162,7 +190,26 @@ class TransactionalTable:
                 txn = json.load(fh).get("txn")
             if txn is not None:
                 txns.add(txn)
+        return txns, marks
+
+    def committed_txns(self) -> set[str]:
+        """The EXPLICITLY recorded txn ids (commit `txn` fields plus a
+        checkpoint's verbatim `txns` list).  Watermark-compacted ids (see
+        `checkpoint(compact_txn_watermarks=True)`) are not enumerated here
+        — membership for those goes through `txn_committed`, which
+        `append_once` uses."""
+        txns, _marks = self._txn_state()
         return txns
+
+    def txn_committed(self, txn: str) -> bool:
+        """True iff `txn` was committed: an explicit id match, or — for
+        `<writer>:<batch>` ids — batch at or below the writer's
+        checkpointed watermark."""
+        txns, marks = self._txn_state()
+        if txn in txns:
+            return True
+        writer, sep, num = txn.rpartition(":")
+        return bool(sep) and num.isdigit() and marks.get(writer, -1) >= int(num)
 
     @staticmethod
     def _ckpt_name(version: int) -> str:
@@ -184,32 +231,96 @@ class TransactionalTable:
             os.fsync(fh.fileno())
         try:
             os.link(tmp, dest_path)
+            _fsync_dir(self.log_dir)  # the commit must survive power loss
             return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
 
-    def checkpoint(self) -> int:
+    def checkpoint(self, compact_txn_watermarks: bool = False) -> int:
         """Collapse the log: write one summary file listing every data file
         committed up to the current version.  Readers then open ONE file
         plus any later commits instead of the whole commit history; older
-        commit JSONs become redundant (kept — they are tiny — so pinned
-        snapshot reads below the checkpoint keep working).  Concurrent
-        appends are safe: they only add commits NEWER than the version
-        being checkpointed, and the checkpoint file itself is published
-        with the same O_EXCL create."""
+        commit JSONs become redundant (kept by default — so pinned
+        snapshot reads below the checkpoint keep working; `prune_log`
+        reclaims them when that trade is acceptable).  Concurrent appends
+        are safe: they only add commits NEWER than the version being
+        checkpointed, and the checkpoint file itself is published with
+        the same O_EXCL create.
+
+        `compact_txn_watermarks=True` folds `<writer>:<batch>` txn ids
+        into one per-writer high-water mark instead of carrying every id
+        ever seen — the Delta appId->version model, bounding the
+        checkpoint and every idempotence check at O(writers) instead of
+        O(stream lifetime) (code-review r6).  ONLY sound when each
+        writer's batch numbers are monotonic with sequential retries
+        (foreachBatch's contract: a watermark claims every batch at or
+        below it committed); leave it off for arbitrary txn id schemes.
+        The table's partition layout (`append(partition_by=...)`) is
+        carried into the summary either way, so `optimize()` can default
+        to it."""
         version = self.version()
         if version < 0:
             raise FileNotFoundError(f"nothing to checkpoint in {self.path}")
         files = [os.path.relpath(f, self.path) for f in self.data_files(version)]
-        payload = json.dumps(
-            {"files": sorted(files), "txns": sorted(self.committed_txns())}
-        ).encode()
+        txns, marks = self._txn_state()
+        if compact_txn_watermarks:
+            keep: set[str] = set()
+            for t in txns:
+                writer, sep, num = t.rpartition(":")
+                if sep and num.isdigit():
+                    marks[writer] = max(marks.get(writer, -1), int(num))
+                else:
+                    keep.add(t)
+            txns = keep
+        summary: dict = {"files": sorted(files), "txns": sorted(txns)}
+        if marks:
+            summary["txn_watermarks"] = marks
+        pcol = self.partition_column()
+        if pcol:
+            summary["partition_by"] = pcol
+        payload = json.dumps(summary).encode()
         ckpt_path = os.path.join(self.log_dir, self._ckpt_name(version))
         # lost the race -> an identical checkpoint already exists: fine
         self._publish(payload, ckpt_path)
         return version
+
+    def partition_column(self) -> str | None:
+        """The partition column this table's appends declared, read from
+        the newest commit that recorded one (or the newest checkpoint's
+        summary).  None for an unpartitioned table."""
+        ckpt, commits = self._log_entries()
+        for _v, commit in sorted(commits, reverse=True):
+            with open(commit) as fh:
+                pcol = json.load(fh).get("partition_by")
+            if pcol:
+                return pcol
+        if ckpt is not None:
+            with open(os.path.join(self.log_dir, self._ckpt_name(ckpt))) as fh:
+                return json.load(fh).get("partition_by")
+        return None
+
+    def prune_log(self) -> list[str]:
+        """Delete commit JSONs at or below the newest checkpoint — their
+        content is folded into the summary.  Bounds the log-dir listing
+        cost (`_log_entries` is called several times per batch) at
+        O(commits since checkpoint) for a forever-stream; the trade is
+        that snapshot reads pinned BELOW the checkpoint stop resolving,
+        same as `vacuum()`'s trade for pre-optimize data files.  Returns
+        the deleted file names."""
+        ckpt, commits = self._log_entries()
+        if ckpt is None:
+            return []
+        deleted = []
+        for v, commit in commits:
+            if v <= ckpt:
+                try:
+                    os.remove(commit)
+                    deleted.append(os.path.basename(commit))
+                except OSError:  # concurrent prune
+                    pass
+        return deleted
 
     # -- write path ---------------------------------------------------------
 
@@ -247,10 +358,21 @@ class TransactionalTable:
                         os.path.dirname(os.path.join(self.path, unique)) or self.path,
                         exist_ok=True,
                     )
-                    os.rename(
-                        os.path.join(staging, rel), os.path.join(self.path, unique)
-                    )
+                    dest = os.path.join(self.path, unique)
+                    os.rename(os.path.join(staging, rel), dest)
+                    # rename PRESERVES the staging-phase mtime: a write
+                    # phase longer than vacuum's grace window would land
+                    # files that already look expired, and a concurrent
+                    # vacuum could delete them before the commit publishes
+                    # (code-review r6).  Stamp move time so age is
+                    # measured from here.
+                    try:
+                        os.utime(dest)
+                    except OSError:
+                        pass
                     moved.append(unique)
+            for d in {os.path.dirname(os.path.join(self.path, u)) or self.path for u in moved}:
+                _fsync_dir(d)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return moved
@@ -274,6 +396,10 @@ class TransactionalTable:
         os.makedirs(self.log_dir, exist_ok=True)
         moved = self._stage(df, partition_by)
         commit: dict = {"files": sorted(moved)}
+        if partition_by:
+            # recorded so optimize() can default to the table's layout
+            # instead of relying on the caller remembering it
+            commit["partition_by"] = partition_by
         if txn is not None:
             commit["txn"] = txn
         payload = json.dumps(commit).encode()
@@ -300,7 +426,7 @@ class TransactionalTable:
         duplicates.  Retries of one txn must be sequential (foreachBatch
         guarantees this); CONCURRENT writers with distinct txns remain safe
         through the normal OCC commit loop."""
-        if txn in self.committed_txns():
+        if self.txn_committed(txn):
             return None
         return self.append(df, partition_by=partition_by, txn=txn)
 
@@ -337,18 +463,25 @@ class TransactionalTable:
         hyper-rectangle in every cluster dimension — multi-dimensional
         stats pruning that survives the rewrite.
 
-        `partition_by` MUST be passed for a table whose appends used
-        `partition_by` (the `read_where`-pruned layout): the rewrite then
-        keeps the `<col>=<value>/` directory structure with one task per
-        partition value (one file per value), so driver-side pruning
-        survives compaction — without it the rewrite would flatten the
-        layout and every later `read_where` would silently read the whole
-        table.  This is the maintenance pass a continuously-appending
-        store needs: per-partition file count drops from O(commits) back
-        to 1.  Returns the committed version."""
+        For a table whose appends used `partition_by` (the
+        `read_where`-pruned layout) the rewrite keeps the
+        `<col>=<value>/` directory structure with one task per partition
+        value (one file per value), so driver-side pruning survives
+        compaction.  The column DEFAULTS to the layout the appends
+        recorded (`partition_column()`), so a caller can no longer
+        forget it and silently flatten the layout — which would make
+        every later `read_where` prefix match nothing and return the
+        empty frame, i.e. a dedup store would dedupe against nothing
+        (code-review r6).  This is the maintenance pass a
+        continuously-appending store needs: per-partition file count
+        drops from O(commits) back to 1.  Returns the committed
+        version."""
         from apache_kafka_clickhouse_demo_spark.sources.storage import (
             zorder_cluster_key,
         )
+
+        if partition_by is None:
+            partition_by = self.partition_column()
 
         for _ in range(max_retries):
             snapshot = self.version()
@@ -379,7 +512,10 @@ class TransactionalTable:
             else:
                 df = df.coalesce(max(1, target_files))
             moved = self._stage(df, partition_by)
-            payload = json.dumps({"files": sorted(moved), "replaces": snapshot}).encode()
+            replace: dict = {"files": sorted(moved), "replaces": snapshot}
+            if partition_by:
+                replace["partition_by"] = partition_by  # layout survives prune_log
+            payload = json.dumps(replace).encode()
             commit_path = os.path.join(
                 self.log_dir, f"{snapshot + 1:0{_VERSION_DIGITS}d}.json"
             )
@@ -434,9 +570,12 @@ class TransactionalTable:
                 fpath = os.path.join(self.path, rel)
                 if not rel.endswith(".parquet") or rel in referenced:
                     continue
-                if now - os.path.getmtime(fpath) < grace_seconds:
+                try:  # a rival vacuum may reclaim the entry concurrently
+                    if now - os.path.getmtime(fpath) < grace_seconds:
+                        continue
+                    os.remove(fpath)
+                except OSError:
                     continue
-                os.remove(fpath)
                 deleted.append(rel)
         if os.path.isdir(self.log_dir):
             for name in os.listdir(self.log_dir):
@@ -489,14 +628,22 @@ class TransactionalTable:
         files = self.data_files(version)
         if not files:
             raise FileNotFoundError(f"no committed data in {self.path}")
+        # match TABLE-RELATIVE paths: a table whose own root happens to
+        # live under a directory named `<col>=<value>` must not match
+        # every file (code-review r6)
         prefixes = tuple(
-            f"{os.sep}{partition_col}={_partition_path_value(v)}{os.sep}"
-            for v in values
+            f"{partition_col}={_partition_path_value(v)}{os.sep}" for v in values
         )
-        picked = [f for f in files if any(p in f for p in prefixes)]
+        picked = [
+            f
+            for f in files
+            if os.path.relpath(f, self.path).startswith(prefixes)
+        ]
         if not picked:
+            # schema-only empty frame: ONE committed file suffices — a
+            # reader over the whole list costs O(table) for nothing
             return (
-                spark.read.option("basePath", self.path).parquet(*files).limit(0)
+                spark.read.option("basePath", self.path).parquet(files[0]).limit(0)
             )
         return spark.read.option("basePath", self.path).parquet(*picked)
 

@@ -203,9 +203,16 @@ class _NearDupStreamWriter:
         self.payloads.optimize(self.spark, partition_by="pshard")
         # collapse the commit logs too: per-batch idempotence checks and
         # file-list reads then cost O(commits since maintenance), not
-        # O(stream lifetime)
-        self.bands.checkpoint()
-        self.payloads.checkpoint()
+        # O(stream lifetime).  Watermark compaction is sound here — batch
+        # ids are monotonic with sequential retries (foreachBatch's
+        # contract) — and bounds the checkpoint itself at O(writers)
+        # instead of carrying every txn id ever seen; prune_log then
+        # reclaims the folded commit files (nothing pins old store
+        # snapshots; the stream owns these tables).
+        self.bands.checkpoint(compact_txn_watermarks=True)
+        self.payloads.checkpoint(compact_txn_watermarks=True)
+        self.bands.prune_log()
+        self.payloads.prune_log()
         # and reclaim the replaced pre-optimize files once they age out of
         # the in-flight-writer grace window — disk stays bounded as well
         # (nothing pins old store snapshots; the stream owns these tables)

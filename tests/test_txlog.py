@@ -464,3 +464,74 @@ def test_read_where_matches_spark_escaped_partition_values(spark, tmp_path):
     assert got == {2, 3}
     got = {r["id"] for r in t.read_where(spark, "lang", [None]).collect()}
     assert got == {4}
+
+
+def test_optimize_defaults_to_recorded_partition_layout(spark, tmp_path):
+    """Appends record their partition column, so an optimize() WITHOUT
+    partition_by keeps the pruned layout instead of silently flattening
+    it (which would turn every later read_where into an empty frame)."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id"), F.pmod("id", F.lit(4)).cast("int").alias("shard")
+    )
+    for i in range(2):
+        t.append(df.filter(F.pmod("id", F.lit(2)) == i), partition_by="shard")
+    assert t.partition_column() == "shard"
+
+    t.optimize(spark)  # note: no partition_by argument
+    files = t.data_files()
+    assert len(files) == 4 and all("shard=" in f for f in files)
+    got = sorted(r["id"] for r in t.read_where(spark, "shard", [1]).collect())
+    assert got == [i for i in range(100) if i % 4 == 1]
+
+
+def test_txn_watermark_compaction_bounds_ledger(spark, tmp_path):
+    """checkpoint(compact_txn_watermarks=True) folds <writer>:<batch> ids
+    into one per-writer high-water mark: replays of folded batches still
+    no-op, later batches land, and non-pattern ids stay explicit."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(5)
+    t.append_once(df, txn="ck-a:0")
+    t.append_once(df, txn="ck-a:1")
+    t.append_once(df, txn="manual-backfill")
+    t.checkpoint(compact_txn_watermarks=True)
+
+    # folded ids answer through the watermark, not the explicit set
+    assert "ck-a:0" not in t.committed_txns()
+    assert t.txn_committed("ck-a:0") and t.txn_committed("ck-a:1")
+    assert not t.txn_committed("ck-a:2")
+    assert "manual-backfill" in t.committed_txns()
+
+    # replay of a folded batch no-ops; the next batch lands
+    assert t.append_once(df, txn="ck-a:1") is None
+    assert t.append_once(df, txn="ck-a:2") is not None
+    assert t.read(spark).count() == 20
+    # a different writer's batch 0 is NOT claimed by ck-a's watermark
+    assert not t.txn_committed("ck-b:0")
+
+
+def test_prune_log_bounds_listing_and_preserves_reads(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, i * 10, i * 10 + 10), txn=f"w:{i}")
+    t.checkpoint(compact_txn_watermarks=True)
+    deleted = t.prune_log()
+    assert len(deleted) == 5  # every folded commit reclaimed
+    assert t.read(spark).count() == 50
+    assert t.version() == 4
+    assert t.txn_committed("w:3") and not t.txn_committed("w:5")
+    # appends continue normally after the prune
+    t.append(_df(spark, 100, 110), txn="w:5")
+    assert t.read(spark).count() == 60 and t.version() == 5
+
+
+def test_read_where_is_immune_to_partition_like_table_root(spark, tmp_path):
+    """A table whose own path contains a '<col>=<value>' segment must not
+    match every file when that value is probed."""
+    t = TransactionalTable(str(tmp_path / "bshard=3" / "t"))
+    df = spark.range(20).select(
+        F.col("id"), F.pmod("id", F.lit(2)).cast("int").alias("bshard")
+    )
+    t.append(df, partition_by="bshard")
+    assert t.read_where(spark, "bshard", [3]).count() == 0
+    assert t.read_where(spark, "bshard", [1]).count() == 10
