@@ -22,6 +22,15 @@ Five dedup families, each DataFrame-native and shuffle-frugal:
 
 All hash arithmetic uses the engine-portable h48 family
 (functions/hashing.py) so every operator here has an exact DuckDB oracle.
+
+Cache contract: the pair-finding operators persist() intermediates that
+feed multiple branches of the RETURNED lazy plan (signatures, prefix
+indexes, normalized vectors), and so cannot unpersist before the
+caller's action runs.  The caller owns cache hygiene between operator
+builds — `spark.catalog.clearCache()`, which the gate wrapper
+(__spark_entry__._fresh_cache) and bench harness already do per query;
+a long-lived session composing many operators should do the same or the
+spilled blocks accumulate for its lifetime.
 """
 
 from __future__ import annotations
@@ -45,8 +54,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     One shuffle on md5(normalized text) — constant-width key regardless of
     document size, so the shuffle volume is rows x ~50B even at 100 TB.
+
+    NULL text never matches anything (the repo-wide degenerate-doc
+    contract the other dedup operators share): each NULL-text document
+    keys on its own id, so a corpus of extraction failures does not
+    collapse into one giant bogus duplicate group (code-review r6).
     """
-    key = F.md5(F.lower(F.trim(F.col(text_col))))
+    key = F.coalesce(
+        F.md5(F.lower(F.trim(F.col(text_col)))),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
     return (
         docs.groupBy(key.alias("text_hash"))
         .agg(
@@ -332,8 +349,23 @@ def ngram_jaccard_pairs(
     freq = tokens.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
 
     # rank each doc's grams rarest-first; prefix length = sz - ceil(t*sz) + 1
+    #
+    # FLOAT-BOUNDARY GUARD (code-review r6): the three prune bounds below
+    # are rational in exact arithmetic but computed in doubles, and IEEE
+    # error can push a product a hair ABOVE an integer it exactly equals
+    # (e.g. ceil(0.4/1.4 * 7) = 3 in doubles vs exactly 2), silently
+    # TIGHTENING a necessary-condition filter and dropping a pair whose
+    # Jaccard sits exactly at the threshold.  Subtracting _EPS before
+    # each ceil / comparison makes every prune err only LOOSER (a few
+    # extra candidates for the exact verifier), never stricter — which is
+    # what keeps the operator's EXACT contract against the naive oracle.
+    # _EPS far exceeds double rounding error at these magnitudes while
+    # staying below any genuine gap a 2-decimal threshold can produce.
+    _EPS = 1e-9
     w = W.partitionBy("doc_id").orderBy("df", "g")
-    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1).cast("int")
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(_EPS)) + 1
+    ).cast("int")
     pref = (
         tokens.join(freq, "g")
         .withColumn("pos", F.row_number().over(w))
@@ -352,6 +384,7 @@ def ngram_jaccard_pairs(
     # what keeps the candidate set near-linear.
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+        - F.lit(_EPS)
     )
     ubound = 1 + F.least(
         F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
@@ -363,8 +396,8 @@ def ngram_jaccard_pairs(
             on=[
                 F.col("a.g") == F.col("b.g"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
-                F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"),
-                F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"),
+                F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(_EPS),
+                F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(_EPS),
                 ubound >= alpha,
             ],
         )
@@ -372,23 +405,12 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    # verify: |union| = szA + szB - |intersect| (sets are distinct), so the
-    # hot loop is ONE array_intersect per pair instead of intersect + a
-    # concat+distinct union build.  The lambda binds the intersect size
-    # once; naming it via withColumn would let CollapseProject inline (and
-    # re-evaluate) the intersect at each reference.
-    inter = F.size(F.array_intersect("sa.grams", "sb.grams")).cast("double")
-    jaccard = F.element_at(
-        F.transform(
-            F.array(inter),
-            lambda x: x / (F.size("sa.grams") + F.size("sb.grams") - x),
-        ),
-        1,
-    )
+    # verify with the module's shared exact-Jaccard helper (one lambda-
+    # bound array_intersect per pair; |union| = szA + szB - |intersect|)
     return (
         cand.join(sets.alias("sa"), cand.id_a == F.col("sa.doc_id"))
         .join(sets.alias("sb"), cand.id_b == F.col("sb.doc_id"))
-        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .select("id_a", "id_b", jaccard_of("sa.grams", "sb.grams").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )

@@ -1,11 +1,16 @@
 """Similarity search over embedding columns (SURVEY.md §2.7).
 
-- brute_force_topk : exact cosine top-k with TWO-PHASE partial top-k
-  aggregation: each scan partition reduces to k candidates per query before
-  any shuffle, so the shuffle volume is O(#queries x k x #partitions)
-  instead of O(corpus) — the property that keeps this viable at 100 TB.
-  (A window row_number() would shuffle the whole scored corpus to #query
-  partitions — a hotspot; we deliberately avoid it.)
+- brute_force_topk : exact cosine top-k with TWO-PHASE top-k
+  aggregation keyed on (query, partition).  What this removes is the
+  per-QUERY hotspot: a window row_number() funnels the whole scored
+  corpus into #query sorted partitions, while here every (query,
+  partition) group reduces independently and the final merge handles
+  only k-length lists.  Honest cost note (code-review r6): the slice is
+  a post-aggregation expression, so the exchange between the phases
+  still carries the grouped entries — O(scored rows), not O(q x k x
+  partitions).  That is acceptable by design: brute force is the
+  BASELINE; the scale paths (rp_lsh_ann_topk, ivf_topk) bucket-prune
+  BEFORE scoring, so their scored sets — and this exchange — are small.
 - rp_lsh_ann_topk  : approximate variant — random-hyperplane LSH buckets
   (sign bits of dot(v, r_j) for fixed pseudo-random hyperplanes), exact
   rerank within the query's bucket.  Hyperplanes come from the same
@@ -112,7 +117,8 @@ def brute_force_topk(
 
 
 def rp_hyperplanes(num_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim.
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim
+    (both endpoints reachable: the LCG draws 2_000_001 grid values).
 
     Components are exact 6-decimal values from the shared LCG so both Spark
     literals and DuckDB SQL literals parse to identical doubles.
@@ -153,8 +159,9 @@ def rp_lsh_ann_topk(
     bucket.  Join key is the bucket id, so the shuffle partitions the corpus
     once by bucket instead of replicating it per query.
 
-    `dim` is the embedding dimensionality; when None it is read from the
-    corpus schema metadata if present — never via a driver-side collect."""
+    `dim` is the embedding dimensionality and must be passed explicitly
+    (no driver-side inference — the hyperplane literals are built at plan
+    time)."""
     if dim is None:
         raise ValueError("pass dim explicitly (no driver-side inference)")
     planes = rp_hyperplanes(num_planes, dim, seed)
@@ -190,8 +197,11 @@ def rp_lsh_ann_topk(
 
 def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     """(query_id, entry) -> ranked top-k rows without windowing the scored
-    set: partition-local top-k (map-side reduction), then merge the short
-    per-partition lists.  Shuffle volume is O(queries * k * partitions)."""
+    set: per-(query, partition) top-k groups, then a merge of k-length
+    lists — removes the per-query window funnel.  The inter-phase
+    exchange still carries the grouped entries (O(scored rows)); see the
+    module docstring's honest cost note — the bucketed scale paths feed
+    this helper small pre-pruned scored sets."""
     partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
         _topk_sorted_slice(F.collect_list("entry"), k).alias("topk")
     )
@@ -257,7 +267,6 @@ def ivf_topk(
     if dim is None:
         raise ValueError("pass dim explicitly (no driver-side inference)")
     from apache_kafka_clickhouse_demo_spark.functions import hashing as H
-    from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
     from pyspark.sql import Window
 
     n = corpus_count if corpus_count is not None else _memoized_count(corpus)

@@ -2675,7 +2675,9 @@ FROM (
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id
+FROM documents
+GROUP BY COALESCE(md5(lower(trim(text))), 'null:' || CAST(doc_id AS VARCHAR))
+ORDER BY keep_id
 """,
         "dedup_minhash_lsh": minhash_sql,
         "dedup_clusters": _oracle_dedup_clusters(),

@@ -94,3 +94,35 @@ def test_minhash_signatures_keep_every_doc(sdocs):
     sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(sdocs).collect()}
     assert set(sigs) == {d for d, _ in DOCS}
     assert all(v is None for v in sigs[0])  # NULL text -> all-NULL signature
+
+
+def test_exact_dedup_null_texts_stay_distinct(spark):
+    """NULL-text documents (extraction failures) must NOT collapse into
+    one duplicate group — each keys on its own id, matching the repo-wide
+    'NULL pairs nothing' contract the other dedup operators enforce."""
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same text"), (4, "same text"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 5: 1}
+
+
+def test_ngram_jaccard_pair_exact_at_threshold_boundary(spark):
+    """The float-boundary guard: with threshold 0.4 and sets {x,g,h} vs
+    {y,z,g,h}, Jaccard is exactly 2/5 = 0.4 and the exact positional
+    bound (ceil(0.4/1.4 * 7) = 2) admits the pair — but IEEE doubles
+    compute ceil(2.0000000000000004) = 3 and a naive filter silently
+    drops it.  The operator must agree with the naive oracle here."""
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x g h"), (2, "y z g h")], "doc_id long, text string"
+    )
+    got = ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert abs(got[0]["jaccard"] - 0.4) < 1e-12
