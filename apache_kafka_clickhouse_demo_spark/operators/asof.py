@@ -74,11 +74,23 @@ def asof_join(
 
     keep = list(on) + [ts_col] + list(payload_cols) + list(tiebreak)
     l_tag = left.withColumn(_SIDE, F.lit(1))
-    r_tag = right.select(*keep).withColumn(_SIDE, F.lit(0))
+    # a NULL-ts right row has no defined as-of relation to anything —
+    # unfiltered it sorts to an end of the window and becomes a spurious
+    # match (code-review r6)
+    r_tag = (
+        right.select(*keep)
+        .filter(F.col(ts_col).isNotNull())
+        .withColumn(_SIDE, F.lit(0))
+    )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     asc = direction == "backward"
-    order = [F.col(ts_col).asc() if asc else F.col(ts_col).desc()]
+    # NULLS FIRST in BOTH directions: a NULL-ts LEFT row then always
+    # precedes every right row, so its running `last` sees nothing ->
+    # NULL payload (unmatched), symmetrically for backward and forward
+    order = [
+        F.col(ts_col).asc_nulls_first() if asc else F.col(ts_col).desc_nulls_first()
+    ]
     # right rows at the boundary timestamp must precede left rows so the
     # running `last` sees them (<= / >= inclusive semantics)
     order.append(F.col(_SIDE).asc())
@@ -196,11 +208,20 @@ def asof_join_bucketed(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if bucket_seconds is None:
         bucket_seconds = _derived_bucket_seconds(right, ts_col)
+    if bucket_seconds <= 0:
+        # non-ANSI division by zero yields NULL buckets, which would pin
+        # every key to one carried extreme — silently wrong output, not an
+        # error (code-review r6)
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     width_us = bucket_seconds * 1_000_000
     backward = direction == "backward"
 
     lb = left.withColumn(_BKT, F.floor(F.unix_micros(F.col(ts_col)) / width_us))
-    rb = right.withColumn(_BKT, F.floor(F.unix_micros(F.col(ts_col)) / width_us))
+    # NULL-ts right rows: same no-defined-relation contract as asof_join
+    # (they would otherwise form a NULL bucket feeding the carry pass)
+    rb = right.filter(F.col(ts_col).isNotNull()).withColumn(
+        _BKT, F.floor(F.unix_micros(F.col(ts_col)) / width_us)
+    )
 
     # per (key, bucket) extreme right row — latest for backward (the only
     # row earlier buckets can ever need), earliest for forward

@@ -83,7 +83,9 @@ def _fake_feature(blob: bytes) -> list[float]:
 
     import numpy as np
 
-    if blob is None or len(blob) == 0:
+    if blob is None:
+        return None  # NULL blob -> NULL feature, mirrored by the oracle
+    if len(blob) == 0:
         return [0.0] * FEATURE_DIM
     a = np.frombuffer(blob, dtype=np.uint8)
     n = len(a)
@@ -164,6 +166,8 @@ def sample_frames(media: DataFrame) -> DataFrame:
                 "doc_id": [], "frame_idx": [], "frame_offset": [], "frame_md5": []
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if blob is None:
+                    continue  # oracle: NULL length fails the stripe filter
                 n = len(blob)
                 for j in range(FRAME_MAX):
                     idx = j * FRAME_SAMPLE_EVERY
@@ -207,31 +211,39 @@ def media_profile(media: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
-            n_out, md5_out = [], []
-            for blob in pdf["blob"]:
-                b = bytes(blob)
-                stride = max(1, len(b) // RESIZE_BYTES)
-                resized = b[::stride][:RESIZE_BYTES]
-                n_out.append(len(resized))
-                md5_out.append(hashlib.md5(resized).hexdigest())
+            resized = [_fake_resize(b) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": [m["media_type"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
                     "feature": [_fake_feature(b) for b in pdf["blob"]],
-                    "resized_bytes": n_out,
-                    "resized_md5": md5_out,
+                    "resized_bytes": [n for n, _ in resized],
+                    "resized_md5": [h for _, h in resized],
                 }
-            ).astype({"doc_id": "int64", "n_bytes": "int64", "resized_bytes": "int64"})
+            ).astype({"doc_id": "int64"})
 
     return media.mapInPandas(batches, schema=_PROFILE_OUT_SCHEMA)
 
 
 RESIZE_BYTES = 64  # target "resolution" of the fake resize
+
+
+def _fake_resize(blob) -> tuple:
+    """Deterministic fake resize shared by resize_media and media_profile
+    (code-review r6: the two copies could drift and double-converted the
+    blob): strided downsample to <= RESIZE_BYTES bytes, returning
+    (resized_len, resized_md5) — (None, None) for a NULL blob, matching
+    the oracle's NULL propagation."""
+    import hashlib
+
+    if blob is None:
+        return None, None
+    b = bytes(blob)
+    stride = max(1, len(b) // RESIZE_BYTES)
+    resized = b[::stride][:RESIZE_BYTES]
+    return len(resized), hashlib.md5(resized).hexdigest()
 
 
 def resize_media(media: DataFrame) -> DataFrame:
@@ -244,19 +256,15 @@ def resize_media(media: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
-            n_out, md5_out = [], []
-            for blob in pdf["blob"]:
-                b = bytes(blob)
-                stride = max(1, len(b) // RESIZE_BYTES)
-                resized = b[::stride][:RESIZE_BYTES]
-                n_out.append(len(resized))
-                md5_out.append(hashlib.md5(resized).hexdigest())
+            resized = [_fake_resize(b) for b in pdf["blob"]]
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "resized_bytes": n_out, "resized_md5": md5_out}
-            ).astype({"doc_id": "int64", "resized_bytes": "int64"})
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_bytes": [n for n, _ in resized],
+                    "resized_md5": [h for _, h in resized],
+                }
+            ).astype({"doc_id": "int64"})
 
     return media.select("doc_id", "blob").mapInPandas(
         batches,

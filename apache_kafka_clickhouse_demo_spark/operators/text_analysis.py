@@ -64,6 +64,9 @@ def _staged_lang(df: DataFrame, text_col: str, out_cols: list[Column]) -> DataFr
             (best > 0) & (F.element_at(F.col(_LANG_SC), i + 1) == best),
             F.lit(langs[i]),
         ).otherwise(pred)
+    # NULL text -> NULL prediction (the oracle's CASE has no ELSE); the
+    # bare when-chain fell through to 'und' for NULL scores (code-review r6)
+    pred = F.when(best.isNull(), F.lit(None).cast("string")).otherwise(pred)
     return with_sc.select(
         *out_cols, pred.alias("pred_lang"), best.cast("int").alias("lang_score")
     )
@@ -141,9 +144,7 @@ def _repetition_cols(text_col: str) -> list[Column]:
     toks = TX.tokens(text_col)
     # NULL text -> NULL gram stats (without the guard, sequence/greatest
     # NULL-ignoring semantics degenerate the shingle array to [NULL])
-    grams = F.when(
-        F.col(text_col).isNotNull(), TX.word_shingles(TX.tokens(text_col), 2)
-    )
+    grams = F.when(F.col(text_col).isNotNull(), TX.word_shingles(toks, 2))
     n_tok = F.size(toks)
     n_tok_d = F.size(F.array_distinct(toks))
     n_2g = F.size(grams)
@@ -256,6 +257,10 @@ def pack_chunks(
     """
     from pyspark.sql import Window
 
+    if max_tokens <= 0 or buckets <= 0:
+        # non-ANSI Spark turns % 0 / div 0 into NULL buckets and pack ids
+        # — silent corruption, not an error (code-review r6)
+        raise ValueError("max_tokens and buckets must be positive")
     bucket = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % buckets
     w = (
         Window.partitionBy("bucket")
@@ -328,16 +333,26 @@ def tfidf_top_terms(
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
+        # DECIMAL(38,0) keeps the product exact at any corpus size —
+        # tf * 1e6 * (n_docs+1) overflows int64 around n_docs ~ 1e9 with
+        # tf >= ~900 and non-ANSI Spark would silently WRAP, corrupting
+        # the ranking (code-review r6).  Values identical to the old
+        # int64 form wherever that form didn't overflow, so gate hashes
+        # are unchanged; ranking uses the untruncated decimal, and the
+        # emitted long is NULL (not garbage) in the overflow regime.
         .withColumn(
-            "score_micro",
-            F.expr("tf * 1000000 * (n_docs + 1) div (df + 1)").cast("long"),
+            "score_dec",
+            F.expr("CAST(tf AS DECIMAL(38,0)) * 1000000 * (n_docs + 1) div (df + 1)"),
         )
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), F.col("term"))
+    w = W.partitionBy("doc_id").orderBy(F.col("score_dec").desc(), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("doc_id", "rank", "term", "tf", "df", "score_micro")
+        .select(
+            "doc_id", "rank", "term", "tf", "df",
+            F.col("score_dec").cast("long").alias("score_micro"),
+        )
     )
 
 

@@ -1651,8 +1651,13 @@ def q_media_features(spark, sf_dir):
             "doc_id",
             "media_type",
             "n_bytes",
-            F.concat_ws(
-                "|", F.transform("feature", lambda x: F.round(x * 1e6).cast("long"))
+            # concat_ws would silently turn a NULL feature array into '' —
+            # keep NULL NULL to match the oracle's degenerate contract
+            F.when(
+                F.col("feature").isNotNull(),
+                F.concat_ws(
+                    "|", F.transform("feature", lambda x: F.round(x * 1e6).cast("long"))
+                ),
             ).alias("feature_ufp"),
             "resized_bytes",
             "resized_md5",
@@ -1856,10 +1861,13 @@ def _oracle_media_features() -> str:
     exactly like the Python side, emitted as '|'-joined micro-units (the
     floor(x*1e6 + 0.5) integers themselves, skipping the /1e6 round-trip)."""
     dim = multimodal.FEATURE_DIM
+    # degenerate contract (code-review r6, mirrored by _fake_feature):
+    # empty text -> all-zero features; NULL text -> NULL feature_ufp
     feats = ",\n           ".join(
+        "CASE WHEN length(text) = 0 THEN 0 ELSE "
         "CAST(floor((CAST(coalesce(list_sum(list_transform("
         f"range({j + 1}, length(text) + 1, {dim}), i -> ascii(substr(text, i, 1))"
-        ")), 0) AS DOUBLE) / length(text)) * 1000000.0 + 0.5) AS BIGINT)"
+        ")), 0) AS DOUBLE) / length(text)) * 1000000.0 + 0.5) AS BIGINT) END"
         for j in range(dim)
     )
     rb = multimodal.RESIZE_BYTES
@@ -1870,20 +1878,29 @@ WITH f AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          CAST(length(text) AS BIGINT) AS n_bytes,
-         array_to_string([{feats}], '|') AS feature_ufp
+         CASE WHEN text IS NULL THEN NULL
+              ELSE array_to_string([{feats}], '|') END AS feature_ufp
   FROM documents
 ), s AS (
   SELECT doc_id, text,
          greatest(1, length(text) // {rb}) AS stride,
          length(text) AS n FROM documents
 ), r AS (
+  -- degenerate contract (mirrors _fake_resize): NULL text -> (NULL, NULL)
+  -- (DuckDB's least() IGNORES NULLs, so the bare expression would give
+  -- {rb}); empty text -> (0, md5('')) (array_to_string of an empty list
+  -- is NULL, so coalesce to '')
   SELECT doc_id,
-         CAST(least({rb}, (n + stride - 1) // stride) AS BIGINT) AS resized_bytes,
-         md5(array_to_string(
-           list_transform(
-             range(0, least({rb}, (n + stride - 1) // stride)),
-             i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)),
-           '')) AS resized_md5
+         CASE WHEN n IS NULL THEN NULL
+              ELSE CAST(least({rb}, (n + stride - 1) // stride) AS BIGINT)
+         END AS resized_bytes,
+         CASE WHEN n IS NULL THEN NULL
+              ELSE md5(coalesce(array_to_string(
+                list_transform(
+                  range(0, least({rb}, (n + stride - 1) // stride)),
+                  i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)),
+                ''), ''))
+         END AS resized_md5
   FROM s
 )
 SELECT f.doc_id, media_type, n_bytes, feature_ufp, resized_bytes, resized_md5

@@ -180,3 +180,61 @@ def test_bucketed_asof_equals_plain_asof_both_directions(spark):
     a = sorted(map(tuple, plain.select("k", "probe_us", "quote").collect()))
     b = sorted(map(tuple, auto.select("k", "probe_us", "quote").collect()))
     assert a == b
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL-ts right rows have no defined as-of relation (must not become
+    spurious matches), and NULL-ts left rows are unmatched — symmetric in
+    both directions."""
+    import datetime
+
+    from apache_kafka_clickhouse_demo_spark.operators.asof import asof_join
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(9), "l9"), (1, None, "lnull")], "k long, ts timestamp, who string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "Rnull"), (1, t(10), "R10"), (1, t(8), "R8")],
+        "k long, ts timestamp, pay string",
+    )
+    back = {
+        r["who"]: r["pay"]
+        for r in asof_join(left, right, on=["k"], ts_col="ts", payload_cols=["pay"]).collect()
+    }
+    # 09:00 matches the 08:00 real row, never the NULL-ts row; NULL left unmatched
+    assert back == {"l9": "R8", "lnull": None}
+    fwd = {
+        r["who"]: r["pay"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", payload_cols=["pay"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"l9": "R10", "lnull": None}
+    # inner mode drops both unmatched shapes
+    inner = asof_join(
+        left, right, on=["k"], ts_col="ts", payload_cols=["pay"], how="inner"
+    ).collect()
+    assert [r["who"] for r in inner] == ["l9"]
+
+
+def test_asof_bucketed_rejects_nonpositive_width_and_skips_null_ts(spark):
+    import datetime
+
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.operators.asof import asof_join_bucketed
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame([(1, t(9), "l9")], "k long, ts timestamp, who string")
+    right = spark.createDataFrame(
+        [(1, None, "Rnull"), (1, t(8), "R8")], "k long, ts timestamp, pay string"
+    )
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        asof_join_bucketed(
+            left, right, on=["k"], ts_col="ts", payload_cols=["pay"], bucket_seconds=0
+        )
+    got = asof_join_bucketed(
+        left, right, on=["k"], ts_col="ts", payload_cols=["pay"], bucket_seconds=3600
+    ).collect()
+    assert [(r["who"], r["pay"]) for r in got] == [("l9", "R8")]

@@ -12,6 +12,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from apache_kafka_clickhouse_demo_spark import queries as Q
 from apache_kafka_clickhouse_demo_spark.operators import dedup, text_analysis
@@ -126,3 +127,47 @@ def test_ngram_jaccard_pair_exact_at_threshold_boundary(spark):
     got = ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.4).collect()
     assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
     assert abs(got[0]["jaccard"] - 0.4) < 1e-12
+
+
+def test_media_operators_match_oracle_on_degenerate_docs(sdocs, duck, spark):
+    """NULL/empty-text documents flowing into the media plumbing: NULL
+    blobs must not crash the Python stages (len(None)/bytes(None)) and
+    must produce exactly the oracle's rows — NULL features/resize for
+    NULL, zero-features and md5('') resize for empty, no sampled frames
+    for either."""
+    from apache_kafka_clickhouse_demo_spark.operators import multimodal
+
+    media = multimodal.attach_media(sdocs)
+
+    # media_features shape (the gate query's combination)
+    got = {
+        tuple(r)
+        for r in multimodal.media_profile(media)
+        .select(
+            "doc_id",
+            "media_type",
+            "n_bytes",
+            F.when(
+                F.col("feature").isNotNull(),
+                F.concat_ws(
+                    "|",
+                    F.transform("feature", lambda x: F.round(x * 1e6).cast("long")),
+                ),
+            ).alias("feature_ufp"),
+            "resized_bytes",
+            "resized_md5",
+        )
+        .collect()
+    }
+    want = _drows(duck, Q._all_oracles()["media_features"])
+    assert got == want
+
+    got_frames = {
+        tuple(r) for r in multimodal.sample_frames(media).collect()
+    }
+    want_frames = _drows(duck, Q._all_oracles()["media_frame_sample"])
+    assert got_frames == want_frames
+    # the NULL-text doc (id 0, image) and empty doc (id 1, audio) are not
+    # videos here; pin the null-video case directly too
+    null_video = spark.createDataFrame([(2, None)], "doc_id long, text string")
+    assert multimodal.sample_frames(multimodal.attach_media(null_video)).count() == 0
