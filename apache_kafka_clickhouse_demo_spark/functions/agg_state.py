@@ -124,9 +124,14 @@ def check_uint16_domain(df: DataFrame, column: str) -> DataFrame:
     Spark has no unsigned types (SURVEY.md §1.3); the engine stores UInt16
     as int and enforces the domain at write time.  Raises ValueError with
     the offending count if violated; returns df unchanged otherwise.
+    NULL is a violation too — ClickHouse UInt16 is non-nullable, and a
+    bare range predicate would let NULLs slip through as unknowns
+    (code-review r6).
     """
     n_bad = df.filter(
-        (F.col(column) < UINT16_MIN) | (F.col(column) > UINT16_MAX)
+        (F.col(column) < UINT16_MIN)
+        | (F.col(column) > UINT16_MAX)
+        | F.col(column).isNull()
     ).count()
     if n_bad:
         raise ValueError(

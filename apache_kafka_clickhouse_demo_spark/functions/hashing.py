@@ -130,8 +130,13 @@ def sql_minhash_signature(shingles_expr: str, num_perm: int, seed: int = 42) -> 
     given in `shingles_expr` (pass e.g. 'hashed') to avoid recomputing md5
     per permutation.
     """
+    # coalesce to the prime: Spark's F.aggregate returns its INIT array
+    # [P, P, ...] for an empty shingle set, while DuckDB's list_min over
+    # an empty list is NULL — the sentinel keeps the mirrors bit-identical
+    # on degenerate docs (code-review r6)
     parts = [
-        f"list_min(list_transform({shingles_expr}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        f"coalesce(list_min(list_transform({shingles_expr}, "
+        f"h -> ({a} * h + {b}) % {MINHASH_PRIME})), {MINHASH_PRIME})"
         for a, b in minhash_params(num_perm, seed)
     ]
     return "[" + ", ".join(parts) + "]"

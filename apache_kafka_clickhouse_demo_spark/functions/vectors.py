@@ -62,7 +62,13 @@ def normalize(a: Column | str) -> Column:
 
 
 def sql_dot(a: str, b: str, dim: int) -> str:
-    """list_sum is a left fold over the products, matching F.aggregate."""
+    """list_sum is a left fold over the products, matching F.aggregate.
+
+    Contract: both lists must have exactly `dim` elements.  On ragged
+    input the mirrors intentionally diverge (DuckDB's list_sum skips the
+    NULL products of out-of-range indexing; Spark's fold propagates
+    NULL) — a wrong-dimension embedding is malformed data the caller
+    must filter, not a value either engine defines."""
     return (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"

@@ -158,6 +158,41 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _atomic_swap(path: str, write_fn) -> None:
+    """Shared swap for the compaction rewrites (code-review r6: the two
+    inline copies had drifted AND shared a crash hole): write the new
+    table via `write_fn(tmp)`, then path -> _old, tmp -> path, drop _old.
+
+    Failure handling the inline copies lacked:
+    - a stale `<path>_old` left by an earlier failed/interrupted swap is
+      cleared first, instead of making every later compaction die with
+      ENOTEMPTY at the first rename;
+    - if the second rename fails after the first succeeded, the ORIGINAL
+      table is restored from `_old` before re-raising — previously the
+      handler deleted the newly written data while `path` no longer
+      existed, leaving NO table at all;
+    - a failed cleanup of `_old` is non-fatal (the next swap clears it).
+
+    The single-writer/no-concurrent-reader window between the two renames
+    remains (see compact_files' concurrency contract)."""
+    p = path.rstrip("/")
+    old = p + "_old"
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(p) or ".", prefix="_compact_")
+    try:
+        write_fn(tmp)
+        shutil.rmtree(old, ignore_errors=True)  # stale debris from a crash
+        os.rename(p, old)
+        try:
+            os.rename(tmp, p)
+        except BaseException:
+            os.rename(old, p)  # restore the live table before surfacing
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 def compact_files(
     spark: SparkSession,
     path: str,
@@ -225,19 +260,13 @@ def compact_files(
             out = out.sortWithinPartitions(*sort_cols)
     if cluster_cols:
         out = out.drop(zc)
-    tmp = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/")) or ".", prefix="_compact_")
-    try:
+    def _write(tmp: str) -> None:
         writer = out.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)
-        old = path.rstrip("/") + "_old"
-        os.rename(path.rstrip("/"), old)
-        os.rename(tmp, path.rstrip("/"))
-        shutil.rmtree(old)
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+
+    _atomic_swap(path, _write)
     root = path.rstrip("/")
     return sum(
         1
@@ -252,26 +281,36 @@ def compact_summing(
     path: str,
     keys: list[str],
     agg_exprs: dict[str, Column],
+    partition_cols: list[str] | None = None,
 ) -> None:
     """S6/A8 — SummingMergeTree same-key collapse (README.rst:214-216).
 
     Reads the table, combines all partial rows per key with the given
     aggregate expressions (e.g. `agg_state.sum_states` for avg states,
     max/min for max/min states), and atomically replaces the table with the
-    compacted form.  The read-path result is identical before and after —
-    compaction only reduces stored row count, exactly like a background
-    merge.
+    compacted form (`_atomic_swap`).  The read-path result is identical
+    before and after — compaction only reduces stored row count, exactly
+    like a background merge.
+
+    For a Hive-partitioned destination pass `partition_cols` (they must
+    be part of `keys` — a column absent from the grouping would be
+    DROPPED from the data): the rewrite then keeps the directory layout
+    and its partition pruning, like compact_files (code-review r6: the
+    bare groupBy silently flattened partitioned tables).
     """
+    if partition_cols and not set(partition_cols) <= set(keys):
+        raise ValueError(
+            f"partition_cols {partition_cols} must be a subset of keys {keys}"
+        )
     df = spark.read.parquet(path)
     compacted = df.groupBy(*keys).agg(*[expr.alias(name) for name, expr in agg_exprs.items()])
-    # write to a sibling temp dir, then swap — readers never see a half table
-    tmp = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/")) or ".", prefix="_compact_")
-    try:
-        compacted.write.mode("overwrite").parquet(tmp)
-        old = path.rstrip("/") + "_old"
-        os.rename(path.rstrip("/"), old)
-        os.rename(tmp, path.rstrip("/"))
-        shutil.rmtree(old)
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+    if partition_cols:
+        compacted = compacted.repartition(*[F.col(c) for c in partition_cols])
+
+    def _write(tmp: str) -> None:
+        writer = compacted.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+
+    _atomic_swap(path, _write)

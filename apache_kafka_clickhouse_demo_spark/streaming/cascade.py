@@ -33,7 +33,10 @@ class CascadeStage:
     transform             the MV's SELECT, applied per insert block
     max_files_per_trigger file-stream block sizing for this stage's source
                           (controls how many partial rows per key land in
-                          the destination — None lets one block drain all)
+                          the destination — None lets one block drain all).
+                          Not valid on the FIRST stage, whose source the
+                          caller builds (set the option there); the runner
+                          rejects it rather than silently ignore it
     cutover_predicate     M4: input rows satisfying it flow through the
                           stream, the complement backfills in one
                           `INSERT ... SELECT` (not valid on the first
@@ -64,8 +67,15 @@ def run_cascade(
     destination with the predecessor's schema.  Stages drain fully
     (availableNow) in order — the batch-test twin of a continuously-running
     cascade, whose queries would instead stay started."""
-    if not stages:
-        raise ValueError("a cascade needs at least one stage")
+    import os
+
+    _validate_stages(stages)
+    # static schema chain (same trick as live mode): stage i's input schema
+    # is derived by pushing an empty batch through the upstream transforms,
+    # so an EMPTY source (zero batches -> destination never created) drains
+    # cleanly instead of crashing the next stage's eager parquet read
+    # (code-review r6)
+    in_schema = source.schema
     path: str | None = None
     for i, st in enumerate(stages):
         dest = f"{work_root}/{st.name}"
@@ -76,8 +86,18 @@ def run_cascade(
             src = source
             history = None
         else:
-            history = spark.read.parquet(path)
-            reader = spark.readStream.schema(history.schema)
+            os.makedirs(path, exist_ok=True)
+            has_data = any(
+                n.endswith(".parquet")
+                for _d, _s, names in os.walk(path)
+                for n in names
+            )
+            history = (
+                spark.read.parquet(path)
+                if has_data
+                else spark.createDataFrame([], in_schema)
+            )
+            reader = spark.readStream.schema(in_schema)
             if st.max_files_per_trigger:
                 reader = reader.option(
                     "maxFilesPerTrigger", st.max_files_per_trigger
@@ -98,12 +118,33 @@ def run_cascade(
             mv = create_materialized_view(
                 src, st.transform, dest, ckpt, available_now=True
             )
-        mv.process_available()
-        mv.stop()
+        try:
+            mv.process_available()
+        finally:
+            # a transform failing at execution time must not leak a
+            # started query holding the checkpoint (code-review r6)
+            mv.stop()
         if st.post_compact is not None:
             st.post_compact(spark, dest)
+        in_schema = st.transform(spark.createDataFrame([], in_schema)).schema
         path = dest
     return path
+
+
+def _validate_stages(stages: Sequence[CascadeStage]) -> None:
+    if not stages:
+        raise ValueError("a cascade needs at least one stage")
+    names = [st.name for st in stages]
+    if len(set(names)) != len(names):
+        # duplicate names would make a stage file-stream its own output
+        # directory — silent row compounding, not an error (code-review r6)
+        raise ValueError(f"duplicate stage names: {sorted(names)}")
+    if stages[0].max_files_per_trigger is not None:
+        raise ValueError(
+            "first stage's source is caller-built; its block sizing "
+            "(maxFilesPerTrigger etc.) belongs on that source, not the "
+            "stage — the field would be silently ignored"
+        )
 
 
 def run_cascade_live(
@@ -137,8 +178,7 @@ def run_cascade_live(
     Returns the final destination path."""
     import os
 
-    if not stages:
-        raise ValueError("a cascade needs at least one stage")
+    _validate_stages(stages)
     for st in stages:
         if st.cutover_predicate is not None or st.post_compact is not None:
             raise ValueError(
@@ -168,10 +208,18 @@ def run_cascade_live(
         in_schema = st.transform(spark.createDataFrame([], in_schema)).schema
         path = dest
 
-    # each full pass pushes every in-flight block one hop downstream
-    for _ in range(len(stages)):
+    # each full pass pushes every in-flight block one hop downstream;
+    # stop EVERY started query even when a drain fails mid-pass — leaked
+    # queries keep consuming and hold the checkpoints against any retry
+    # (code-review r6)
+    try:
+        for _ in range(len(stages)):
+            for mv in mvs:
+                mv.process_available()
+    finally:
         for mv in mvs:
-            mv.process_available()
-    for mv in mvs:
-        mv.stop()
+            try:
+                mv.stop()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
     return path

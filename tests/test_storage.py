@@ -367,3 +367,43 @@ def test_zorder_cluster_key_on_empty_table(spark):
     empty = spark.createDataFrame([], "i long, s string")
     z = zorder_cluster_key(empty, ["i", "s"], bits=8)
     assert empty.withColumn("z", z).count() == 0
+
+
+def test_atomic_swap_tolerates_stale_old_and_restores_on_failure(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-recovery contract of the compaction swap (code-review r6):
+    a stale <path>_old from an interrupted run must not fail the next
+    compaction, and a failure of the second rename must RESTORE the
+    original table instead of leaving no table at all."""
+    import os as _os
+
+    from apache_kafka_clickhouse_demo_spark.sources.storage import compact_files
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    _os.makedirs(path + "_old")  # stale debris from an interrupted swap
+    with open(path + "_old/junk", "w") as fh:
+        fh.write("x")
+    n = compact_files(spark, path, target_files=1)
+    assert n == 1 and spark.read.parquet(path).count() == 100
+    assert not _os.path.exists(path + "_old")
+
+    # inject a failure into the SECOND rename (tmp -> path)
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky(srcp, dstp):
+        if dstp.rstrip("/") == path and calls["n"] == 0:
+            calls["n"] += 1
+            raise OSError("injected failure on tmp -> path")
+        return real_rename(srcp, dstp)
+
+    monkeypatch.setattr(_os, "rename", flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        compact_files(spark, path, target_files=2)
+    monkeypatch.undo()
+    # the ORIGINAL table was restored — readers still see every row
+    assert spark.read.parquet(path).count() == 100
