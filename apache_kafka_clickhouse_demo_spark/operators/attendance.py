@@ -92,7 +92,9 @@ def attendance_daily_merged(daily_states: DataFrame) -> DataFrame:
 def attendance_rollup(events: DataFrame, block_col_expr=None) -> DataFrame:
     """Full cascade: events -> granular -> per-block states -> merged.
 
-    When `block_col_expr` is given (any Column), states are first built per
+    When `block_col_expr` is given — a Column over the GRANULAR schema
+    (ts_hour / event_type / student_count), since it is resolved against
+    the aggregated frame, not `events` — states are first built per
     block and then merged — the stored-partial-state path.  The result is
     identical either way (the round-trip invariant, tests/test_agg_state.py).
     """

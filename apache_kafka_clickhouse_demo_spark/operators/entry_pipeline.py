@@ -43,13 +43,20 @@ def synth_entry_messages(events: DataFrame) -> DataFrame:
     epoch-ms timestamp, subject = event_type, teacher/room/house keyed off
     user_id, points folded into the reference's -5..5 Int8 domain.
     """
-    house = F.element_at(F.array(*[F.lit(h) for h in HOUSES]), (F.col("user_id") % 4 + 1).cast("int"))
+    # pmod, not signed %: a negative user_id would make the signed form
+    # index element_at with 0 (runtime crash) and a negative value would
+    # escape the -5..5 points domain (code-review r6); the oracle mirrors
+    # with ((x % k) + k) % k.  Identical on the non-negative fixtures.
+    house = F.element_at(
+        F.array(*[F.lit(h) for h in HOUSES]),
+        (F.pmod(F.col("user_id"), F.lit(4)) + 1).cast("int"),
+    )
     payload = F.struct(
         F.unix_millis("ts").alias("timestamp"),
         F.col("event_type").alias("subject"),
-        F.concat(F.lit("t_"), (F.col("user_id") % 7).cast("string")).alias("teacher"),
-        F.concat(F.lit("r_"), (F.col("user_id") % 5).cast("string")).alias("room"),
-        (F.floor("value").cast("long") % 11 - 5).cast("int").alias("points"),
+        F.concat(F.lit("t_"), F.pmod(F.col("user_id"), F.lit(7)).cast("string")).alias("teacher"),
+        F.concat(F.lit("r_"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")).alias("room"),
+        (F.pmod(F.floor("value").cast("long"), F.lit(11)) - 5).cast("int").alias("points"),
         F.struct(
             F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("name"),
             house.alias("house"),
@@ -77,9 +84,13 @@ def house_points(typed: DataFrame) -> DataFrame:
 
 
 def class_attendance(typed: DataFrame) -> DataFrame:
-    """M2 — per-(timestamp, subject) attendance (README.rst:154-162)."""
-    return (
-        typed.groupBy("timestamp", "subject")
-        .agg(F.count("student").alias("n_students"))
-        .orderBy("timestamp", "subject")
+    """M2 — per-(timestamp, subject) attendance (README.rst:154-162).
+
+    No presentation orderBy here: this function is also the cascade's
+    per-block MV transform, where a global sort would add a range
+    exchange to EVERY micro-batch before an append write that preserves
+    nothing (code-review r6).  Readers sort on the query side, exactly
+    like attendance_granular."""
+    return typed.groupBy("timestamp", "subject").agg(
+        F.count("student").alias("n_students")
     )

@@ -2341,9 +2341,11 @@ FROM events GROUP BY event_type ORDER BY event_type
 """,
         "entry_house_points": """
 WITH e AS (
-  SELECT CASE user_id % 4 WHEN 0 THEN 'Gryffindor' WHEN 1 THEN 'Hufflepuff'
+  -- pmod mirror of the synth producer (total on negative inputs too)
+  SELECT CASE ((user_id % 4) + 4) % 4
+              WHEN 0 THEN 'Gryffindor' WHEN 1 THEN 'Hufflepuff'
               WHEN 2 THEN 'Ravenclaw' ELSE 'Slytherin' END AS house,
-         CAST(floor(value) AS BIGINT) % 11 - 5 AS points
+         ((CAST(floor(value) AS BIGINT) % 11) + 11) % 11 - 5 AS points
   FROM events
 )
 SELECT house, CAST(sum(points) AS BIGINT) AS house_points, count(*) AS n_entries

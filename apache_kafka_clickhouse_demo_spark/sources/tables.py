@@ -57,11 +57,37 @@ def _normalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_sorted(converted, tmp, sort_cols=["ts"])
             try:
                 os.rename(tmp, dest)
-            except OSError:  # lost the race; the winner's copy is equivalent
-                shutil.rmtree(tmp, ignore_errors=True)
+            except OSError:
+                # EITHER a rival won the race (its complete copy carries
+                # _SUCCESS) OR the dest is POISONED debris — e.g. a /tmp
+                # aging cleaner deleted _SUCCESS/data files but left the
+                # dir.  The old assume-rival handling read the mutilated
+                # copy forever (code-review r6); repair it instead.
+                if os.path.exists(os.path.join(dest, "_SUCCESS")):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    shutil.rmtree(dest, ignore_errors=True)
+                    try:
+                        os.rename(tmp, dest)
+                    except OSError:  # rival repaired it concurrently
+                        shutil.rmtree(tmp, ignore_errors=True)
+            # evict superseded cache keys for this fixture (old
+            # mtime/size generations) — without it every fixture rebuild
+            # leaks one full normalized events copy in /tmp
+            prefix = f"{sf_dir.strip('/').replace('/', '_')}_"
+            try:
+                for name in os.listdir(_NORM_CACHE):
+                    if name.startswith(prefix) and name != key:
+                        shutil.rmtree(
+                            os.path.join(_NORM_CACHE, name), ignore_errors=True
+                        )
+            except OSError:
+                pass
         except Exception:  # read-only tmp etc. — correctness over plan shape
             shutil.rmtree(tmp, ignore_errors=True)
             return converted
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return converted  # cache unusable this round; stay correct
     return spark.read.parquet(dest)
 
 
@@ -143,9 +169,17 @@ def spread_small(df: DataFrame) -> DataFrame:
 #: characters means a column alias, view name, or string literal containing
 #: "Sort"/"Join"/... in the args can no longer false-positive and silently
 #: skip the spread.
+#: `Sort [...], true` is a GLOBAL sort (range exchange); `..., false` is
+#: sortWithinPartitions, which adds no exchange and must not suppress the
+#: spread.  SQL-path set ops (Distinct/Intersect/Except) shuffle like
+#: their DataFrame twins (code-review r6).  Known conservative skip: a
+#: `Join` that later plans as broadcast-only keeps the probe side's scan
+#: partitioning, but join strategy is unknowable from the ANALYZED plan —
+#: the guard stays job-free by design and errs toward not re-shuffling.
 _SHUFFLE_NODE_RE = re.compile(
-    r"(?m)^[\s+:\-]*(?:Repartition|RepartitionByExpression|Aggregate|Join"
-    r"|Window|Sort|Deduplicate)\b"
+    r"(?m)(?:^[\s+:\-]*(?:Repartition|RepartitionByExpression|Aggregate|Join"
+    r"|Window|Deduplicate|Distinct|Intersect|Except)\b"
+    r"|^[\s+:\-]*Sort\b.*, true$)"
 )
 
 
