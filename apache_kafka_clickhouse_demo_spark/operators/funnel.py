@@ -1,0 +1,203 @@
+"""Behavioral-sequence analytics: windowFunnel and retention.
+
+ClickHouse ships funnel/cohort analysis as first-class aggregate functions
+(`windowFunnel(window)(ts, cond1, ..., condN)`, `retention(cond1, ...,
+condN)`) — the canonical event-analytics workload the reference's events
+pipeline feeds.  Spark has no built-in; the re-expression here keeps the
+whole computation JVM-side:
+
+- `window_funnel`: per-key max funnel depth via ONE hash aggregate
+  (`collect_list` of compact encoded ticks) followed by a codegen
+  `aggregate` (fold) over the sorted array — no joins, no window sorts,
+  no Python.  The shuffle carries one array per key whose length is the
+  key's MATCHING event count (funnel steps only, not all events) — the
+  same per-group memory contract as ClickHouse's own windowFunnel, which
+  also buffers each key's (ts, step) pairs in the aggregate state.
+
+- `retention`: cohort day-N retention as pure conditional aggregation —
+  two hash aggregates (per-user flags, then one global roll-up), both
+  map-side combinable; nothing per-row leaves codegen.
+
+Semantics (deterministic, cross-engine reproducible — the design
+constraint ClickHouse's "non-strict by insertion order" form cannot
+satisfy on a distributed table):
+
+Each event is assigned its FIRST matching funnel step (steps are usually
+disjoint predicates anyway).  Events are totally ordered per key by the
+encoded tick `unix_micros(ts) * 8 + step` and de-duplicated on it, so two
+events with equal (ts, step) count once and equal-ts events at different
+steps chain in step order (the non-strict ClickHouse mode).  The funnel
+fires on a chain e1 < e2 < ... < ek (tick order) with
+`ts(ek) - ts(e1) <= window` — the window anchored at the chain's FIRST
+event, as in ClickHouse.  The fold keeps, per reached depth, the MAXIMAL
+chain-start time; a later start dominates an earlier one for every
+possible extension (any event within window of the older start is within
+window of the fresher), so the greedy fold decides exactly the
+exists-a-chain predicate the SQL oracle states with joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tick = unix_micros * _TICK_BASE + step — step lives in the low bits so
+#: equal-timestamp events order by funnel step; supports up to 8 steps.
+_TICK_BASE = 8
+
+
+def window_funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: Sequence[Column],
+    window_seconds: int,
+) -> DataFrame:
+    """Max funnel depth per key: (key, funnel_level) with funnel_level in
+    [1, len(steps)] — keys matching no step are absent (level-0 rows carry
+    no information and at 100 TB would be most keys).
+
+    `steps[i]` is the boolean predicate for funnel step i (ordered).
+    See the module docstring for the exact chain semantics.
+    """
+    n = len(steps)
+    if not 1 <= n <= _TICK_BASE:
+        raise ValueError(f"1..{_TICK_BASE} steps supported, got {n}")
+    window_us = int(window_seconds) * 1_000_000
+
+    step_of = F.coalesce(
+        *[F.when(cond, F.lit(i).cast("long")) for i, cond in enumerate(steps)]
+    )
+    ticks = (
+        df.select(
+            F.col(key_col).alias("k"),
+            (F.unix_micros(F.col(ts_col)) * _TICK_BASE + step_of).alias("tick"),
+        )
+        .filter(F.col("tick").isNotNull())
+        # one vote per (key, ts, step): dedup on the encoded tick keeps the
+        # fold's strict total order AND the oracle's DISTINCT cheap
+        .groupBy("k", "tick")
+        .agg(F.lit(1))
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("tick")).alias("ticks"))
+    )
+
+    def fold(acc: Column, t: Column) -> Column:
+        step = t % _TICK_BASE
+        t_us = (t / _TICK_BASE).cast("long")  # ticks are non-negative here
+        slots = []
+        for j in range(n):
+            if j == 0:
+                upd = F.when(step == 0, F.greatest(acc[0], t_us)).otherwise(acc[0])
+            else:
+                ok = (
+                    (step == j)
+                    & (acc[j - 1] >= 0)
+                    & (t_us - acc[j - 1] <= F.lit(window_us))
+                )
+                upd = F.when(ok, F.greatest(acc[j], acc[j - 1])).otherwise(acc[j])
+            slots.append(upd)
+        return F.array(*slots)
+
+    init = F.array_repeat(F.lit(-1).cast("long"), n)
+    depth = F.aggregate(
+        "ticks",
+        init,
+        fold,
+        # deepest slot with a live chain start
+        lambda a: F.greatest(
+            *[F.when(a[j] >= 0, F.lit(j + 1)).otherwise(F.lit(0)) for j in range(n)]
+        ).cast("int"),
+    )
+    return ticks.select(F.col("k"), depth.alias("funnel_level"))
+
+
+def funnel_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: Sequence[Column],
+    window_seconds: int,
+) -> DataFrame:
+    """The funnel report: for each level L in [1, len(steps)], how many
+    keys reached level >= L (the cumulative form dashboards plot).
+
+    One conditional global aggregate over `window_funnel`'s per-key rows —
+    the cumulative counts come out of a single reduce as a constant-width
+    row, then a row-local `inline` turns them into (funnel_level,
+    n_reached) rows; no window, no self-join, no second shuffle."""
+    n = len(steps)
+    per_key = window_funnel(df, key_col, ts_col, steps, window_seconds)
+    totals = per_key.agg(
+        *[
+            F.sum(
+                F.when(F.col("funnel_level") >= j, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"n{j}")
+            for j in range(1, n + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("funnel_level"),
+                F.coalesce(F.col(f"n{j}"), F.lit(0)).cast("long").alias("n_reached"),
+            )
+            for j in range(1, n + 1)
+        ]
+    )
+    return totals.select(F.inline(rows)).orderBy("funnel_level")
+
+
+def retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cohort_day: str,
+    offsets: Sequence[int],
+) -> DataFrame:
+    """Cohort retention (ClickHouse `retention`): among keys active on
+    `cohort_day` (the cohort), how many were also active on
+    cohort_day + offset, for each offset.
+
+    Output: (day_offset int, retained bigint, cohort_size bigint), one row
+    per offset, ordered.  Offset 0 rows report the cohort against itself.
+
+    Shape: per-key boolean flags via conditional aggregation (hash agg,
+    map-side combinable), then ONE global roll-up and a row-local explode
+    of the constant-width result — no joins, no windows, no second scan.
+    """
+    day = F.to_date(F.col(ts_col))
+    d0 = F.lit(cohort_day).cast("date")
+    flags = df.groupBy(F.col(key_col).alias("k")).agg(
+        *[
+            F.max(
+                F.when(day == F.date_add(d0, int(o)), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"a{i}")
+            for i, o in enumerate(offsets)
+        ]
+    )
+    in_cohort = None
+    for i, o in enumerate(offsets):
+        if int(o) == 0:
+            in_cohort = F.col(f"a{i}") == 1
+    if in_cohort is None:
+        raise ValueError("offsets must include 0 (the cohort day itself)")
+    totals = flags.filter(in_cohort).agg(
+        F.count(F.lit(1)).alias("cohort_size"),
+        *[F.sum(f"a{i}").alias(f"r{i}") for i in range(len(offsets))],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(o)).alias("day_offset"),
+                F.col(f"r{i}").cast("long").alias("retained"),
+            )
+            for i, o in enumerate(offsets)
+        ]
+    )
+    return (
+        totals.select(F.inline(pairs), F.col("cohort_size").cast("long"))
+        .orderBy("day_offset")
+    )

@@ -1,0 +1,126 @@
+"""Frequent-items (heavy hitters) sketch — the `topK` aggregate.
+
+ClickHouse's `topK(k)(col)` answers "the k most frequent values" with a
+bounded-memory frequent-items sketch instead of a full `GROUP BY` when the
+value domain is too large to count exactly.  Spark has no built-in; this
+is the Misra-Gries / SpaceSaving family re-expressed for Spark's two-level
+aggregation model, per the mergeable-summaries result (Agarwal, Cormode,
+Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012): a
+Misra-Gries summary of capacity C can be merged by adding counters and
+subtracting the (C+1)-th largest merged count, preserving the error bound
+`undercount <= n / (C+1)`.
+
+Plan shape (the 100 TB contract):
+
+1. `mapInPandas` over the raw column: each task folds its Arrow batches
+   into a capacity-C Misra-Gries summary (vectorized `value_counts` per
+   batch, then the merge-and-trim step above — never a per-row Python
+   loop).  Memory per task is O(C); output is <= C+1 rows per task however
+   many billions of rows it scanned.
+2. One shuffle of the tiny summaries: `groupBy(value).sum` adds the
+   per-task lower-bound counters (map-side combinable).
+3. The total possible undercount — sum of every task's trim error — is a
+   1-row aggregate broadcast onto the survivors; top-k orders by the
+   summed lower bound.
+
+Exactness contract (what makes the sketch gate-able): every trim error is
+ZERO while each task's observed distinct values fit in C, so with
+C >= distinct(col) the sketch IS the exact top-k — the same
+coupon-collector-style exactness regime the HLL gate query uses.  The
+output carries both bounds (`count_lb`, `count_ub`); `count_lb == count_ub`
+certifies the exact regime, and production keeps C at e.g. 2^14 for a
+guaranteed n/C error on arbitrary domains.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType()),  # NULL on the error sentinel row
+        T.StructField("count_lb", T.LongType()),
+        T.StructField("trim_err", T.LongType()),
+    ]
+)
+
+
+def _mg_trim(counts: pd.Series, capacity: int) -> tuple[pd.Series, int]:
+    """Misra-Gries merge step: keep <= capacity counters by subtracting the
+    (capacity+1)-th largest count from every counter and dropping the
+    non-positive ones.  Returns (trimmed counters, subtracted amount)."""
+    if len(counts) <= capacity:
+        return counts, 0
+    # kth largest (0-indexed capacity) — the subtrahend
+    sub = int(counts.nlargest(capacity + 1).iloc[capacity])
+    trimmed = counts - sub
+    return trimmed[trimmed > 0], sub
+
+
+def _mg_partition(capacity: int):
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = pd.Series(dtype="int64")
+        err = 0
+        for pdf in batches:
+            vc = pdf["value"].dropna().value_counts()
+            if vc.empty:
+                continue
+            acc = acc.add(vc, fill_value=0).astype("int64")
+            acc, sub = _mg_trim(acc, capacity)
+            err += sub
+        out = pd.DataFrame(
+            {
+                "value": acc.index.astype(str),
+                "count_lb": acc.to_numpy(dtype="int64"),
+                "trim_err": 0,
+            }
+        )
+        sentinel = pd.DataFrame(
+            {"value": [None], "count_lb": [0], "trim_err": [err]}
+        )
+        yield pd.concat([out, sentinel], ignore_index=True)
+
+    return fold
+
+
+def heavy_hitters_topk(
+    df: DataFrame,
+    col: str,
+    k: int,
+    capacity: int = 1 << 14,
+) -> DataFrame:
+    """`topK(k)(col)` — the k most frequent values of `col` with
+    frequency bounds: (value string, count_lb, count_ub), ordered by
+    count_lb desc then value asc (full deterministic tiebreak).
+
+    `count_lb <= true_count <= count_ub`; the spread is the summed
+    Misra-Gries trim error, zero (exact) while per-task distincts fit in
+    `capacity`.  Values are compared as strings (cast once, JVM-side) so
+    one operator serves any input type.
+    """
+    src = df.select(F.col(col).cast("string").alias("value"))
+    summaries = src.mapInPandas(_mg_partition(capacity), _SUMMARY_SCHEMA)
+
+    counters = (
+        summaries.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("count_lb").alias("count_lb"))
+    )
+    total_err = summaries.agg(
+        F.coalesce(F.sum("trim_err"), F.lit(0)).cast("long").alias("_err")
+    )
+    return (
+        counters.crossJoin(F.broadcast(total_err))
+        .select(
+            "value",
+            F.col("count_lb").cast("long").alias("count_lb"),
+            (F.col("count_lb") + F.col("_err")).cast("long").alias("count_ub"),
+        )
+        .orderBy(F.desc("count_lb"), F.asc("value"))
+        .limit(k)
+    )

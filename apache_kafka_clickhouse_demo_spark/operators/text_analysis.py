@@ -389,3 +389,70 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         )
         .select("doc_id", "text_fp", "min_shingle_fp")
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-passage removal (the CCNet / C4 / RefinedWeb line-dedup
+    rule): split each document into consecutive NON-overlapping
+    `chunk_words`-token passages, keep only the globally FIRST occurrence
+    of each distinct passage (first = smallest (doc_id, position)), and
+    rebuild every document from its surviving passages.  Boilerplate that
+    recurs across a crawl — headers, footers, license blocks — survives
+    exactly once, in the earliest document that carried it; documents left
+    with zero surviving passages drop out entirely.
+
+    Output: (doc_id, n_chunks, n_kept, kept_text), one row per surviving
+    document, with `kept_text` the order-preserving concatenation.
+
+    Plan shape at 100 TB: chunking is row-local (sequence + posexplode in
+    codegen); occurrences shuffle ONCE keyed by the 6-byte portable
+    `h48(chunk)` — never the chunk text — for the global first-occurrence
+    aggregate (map-side combinable `min` of an encoded (doc_id, pos)
+    int64); survivors join back on the same key (AQE handles the skewed
+    boilerplate chunks — millions of copies of one footer hash); the
+    rebuild groupBy(doc_id) is the third and last exchange.  Occurrence
+    encoding `doc_id * 2^20 + pos` is exact while documents stay under
+    2^20 chunks (a 100 TB crawl shard is, by orders of magnitude) and
+    doc_ids stay below 2^43.
+    """
+    if chunk_words <= 0:
+        raise ValueError("chunk_words must be positive")
+    toks = TX.tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(chunk_words)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_words))
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(chunks).alias("n_chunks"),
+        F.posexplode(chunks).alias("cpos", "chunk"),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        "cpos",
+        H.h48(F.array_join("chunk", " ")).alias("chash"),
+        F.array_join("chunk", " ").alias("ctext"),
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("cpos")).alias("occ_key"),
+    )
+    firsts = occ.groupBy("chash").agg(F.min("occ_key").alias("first_key"))
+    kept = occ.join(firsts, "chash").filter(F.col("occ_key") == F.col("first_key"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.max("n_chunks").cast("int").alias("n_chunks"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cpos", "ctext"))),
+                    lambda s: s["ctext"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )

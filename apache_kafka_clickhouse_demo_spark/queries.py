@@ -37,8 +37,10 @@ from apache_kafka_clickhouse_demo_spark.operators import (
     attendance,
     dedup,
     entry_pipeline,
+    funnel,
     multimodal,
     similarity,
+    sketches,
     text_analysis,
 )
 from apache_kafka_clickhouse_demo_spark.schemas import TESTDATA_TABLES
@@ -101,6 +103,21 @@ GK_ACCURACY = 1_000_000
 FILL_MIN_VALUE = 300.0
 CURATION_MIN_QUALITY = 0.5
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+#: funnel steps (ordered) and chain window; 6h makes the sf0.01 fixture
+#: discriminating (150/118/11 users reach levels 1/2/3) instead of saturated
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_S = 21600
+#: cohort day + day offsets for the retention report; activity = purchases
+#: (user-day coverage ~36% at sf0.01, so retained < cohort is non-trivial)
+RETENTION_DAY0 = "2024-01-02"
+RETENTION_OFFSETS = [0, 1, 2, 3, 4, 5, 6]
+TOPK_K = 10
+TOPK_CAPACITY = 1 << 14
+PASSAGE_WORDS = 8
+#: mid-day TTL cutoff: exercises BOTH apply_ttl paths (whole-day partition
+#: drops AND the boundary-day filter rewrite)
+TTL_CUTOFF = "2024-01-15 12:00:00"
 
 EVENTS_CUTOFF = "2024-01-15 00:00:00"
 Q1_CUTOFF = "1998-09-02 00:00:00"
@@ -1679,6 +1696,166 @@ def q_media_features(spark, sf_dir):
 # round) come FIRST, so even a truncated gate records them.
 # ---------------------------------------------------------------------------
 
+# ===========================================================================
+# r06 additions: MergeTree engine family (Replacing / VersionedCollapsing /
+# TTL), funnel + retention analytics, heavy-hitters sketch, passage dedup
+# ===========================================================================
+
+
+def q_replacing_latest(spark, sf_dir):
+    """ReplacingMergeTree round trip (the upsert/CDC engine): treat each
+    user's events as versioned upserts of one state row (version = ts,
+    tiebreak = event_id), write them as a table, run the background merge
+    (`compact_replacing`), and answer through the `FINAL` read
+    (`read_replacing_final`) — which must equal the plain latest-row-per-key
+    query whether or not the merge already ran."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import (
+        compact_replacing,
+        read_replacing_final,
+        read_table,
+        write_sorted,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    path = _workdir("replacing_") + "/t"
+    write_sorted(ev, path, sort_cols=["user_id", "ts"])
+    compact_replacing(
+        spark, path, keys=["user_id"], version_col="ts", tiebreak=["event_id"]
+    )
+    return (
+        read_replacing_final(
+            read_table(spark, path), ["user_id"], "ts", ["event_id"]
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "event_type",
+            "value_cents",
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_collapsing_balance(spark, sf_dir):
+    """VersionedCollapsingMergeTree round trip (the mutable-state engine):
+    each user's running balance is kept as a collapsing change log — every
+    event appends a cancel (-1) of the previous state row and a new state
+    (+1) at the next version — then the background merge
+    (`compact_collapsing`) annihilates all matched pairs.  Exactly the
+    final state row per user must survive, so the compacted table read IS
+    the per-user (n_events, balance); the oracle states that directly as
+    count/sum over the raw events."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import (
+        compact_collapsing,
+        read_table,
+    )
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    log = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        cents.alias("_cents"),
+        F.sum(cents).over(wsum).alias("balance_cents"),
+    )
+    states = log.select(
+        "user_id", "version", F.lit(1).alias("sign"), "balance_cents"
+    )
+    cancels = log.filter(F.col("version") > 1).select(
+        "user_id",
+        (F.col("version") - 1).alias("version"),
+        F.lit(-1).alias("sign"),
+        (F.col("balance_cents") - F.col("_cents")).alias("balance_cents"),
+    )
+    path = _workdir("collapsing_") + "/t"
+    states.unionByName(cancels).write.parquet(path)
+    compact_collapsing(
+        spark, path, keys=["user_id"], sign_col="sign", version_col="version"
+    )
+    return (
+        read_table(spark, path)
+        .select(
+            "user_id", F.col("version").alias("n_events"), "balance_cents"
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_ttl_cleanup(spark, sf_dir):
+    """Row TTL on a day-partitioned table: write events partitioned by day,
+    expire everything before a MID-day cutoff (`apply_ttl` — whole expired
+    days are unlinked from partition values alone, only the boundary day is
+    filter-rewritten), and report the surviving per-day counts/sums."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import (
+        apply_ttl,
+        read_table,
+        write_sorted,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = _workdir("ttl_") + "/t"
+    write_sorted(ev, path, sort_cols=["ts"], partition_cols=["day"])
+    apply_ttl(spark, path, "ts", TTL_CUTOFF, partition_day_col="day")
+    return (
+        read_table(spark, path)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def q_funnel_levels(spark, sf_dir):
+    """windowFunnel parity: how many users complete each prefix of the
+    view -> click -> purchase journey within a 6h window of the chain's
+    first event (operators/funnel.py; chain semantics in its docstring)."""
+    steps = [F.col("event_type") == s for s in FUNNEL_STEPS]
+    return funnel.funnel_counts(
+        _t(spark, sf_dir, "events"), "user_id", "ts", steps, FUNNEL_WINDOW_S
+    )
+
+
+def q_retention_cohort(spark, sf_dir):
+    """retention() parity: of the users who purchased on the cohort day,
+    how many purchased again k days later, for k in 0..6."""
+    purchases = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return funnel.retention(
+        purchases, "user_id", "ts", RETENTION_DAY0, RETENTION_OFFSETS
+    )
+
+
+def q_top_users_sketch(spark, sf_dir):
+    """topK parity via the mergeable Misra-Gries sketch
+    (operators/sketches.py): 10 most active users with frequency bounds.
+    capacity >> distinct users here, so the sketch is in its EXACT regime
+    (count_lb == count_ub) and the oracle is the plain exact top-k."""
+    return sketches.heavy_hitters_topk(
+        _t(spark, sf_dir, "events"), "user_id", TOPK_K, TOPK_CAPACITY
+    )
+
+
+def q_passage_dedup(spark, sf_dir):
+    """Passage-level dedup (CCNet/C4 line-dedup rule) over the documents
+    table: 8-word passages, first global occurrence survives, documents
+    rebuilt from their surviving passages (text_analysis.chunk_dedup)."""
+    return text_analysis.chunk_dedup(
+        _t(spark, sf_dir, "documents"), PASSAGE_WORDS
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated into the gate in r06 (landed r05 after slots filled;
     #    never driver-checked): front-loaded --
@@ -1773,6 +1950,15 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attendance_granular": q_attendance_granular,  # M2 via both cascades; A5 via daily_type_rollup
     "events_after": q_events_after,  # P3 pushdown plan-tested + date ranges in q6/sql_busy_days
     "value_histogram": q_value_histogram,  # A-family via value_percentiles
+    # r06 late additions (MergeTree engine family + behavioral analytics +
+    # sketch top-k + passage dedup); gate slots full — local oracle checks
+    "replacing_latest": q_replacing_latest,
+    "collapsing_balance": q_collapsing_balance,
+    "ttl_cleanup": q_ttl_cleanup,
+    "funnel_levels": q_funnel_levels,
+    "retention_cohort": q_retention_cohort,
+    "top_users_sketch": q_top_users_sketch,
+    "passage_dedup": q_passage_dedup,
 }
 
 
@@ -2283,9 +2469,139 @@ ORDER BY q.doc_id
 """
 
 
+def _funnel_oracle() -> str:
+    """Window-function mirror of the funnel fold: v_start / c_start are the
+    DP's acc[0] / acc[1] (max chain-start among already-processed rows —
+    the ROWS ... 1 PRECEDING frame over the same tick order), so the flags
+    are exactly the fold's firing conditions.  No joins: one sort per user
+    inside DuckDB's window executor."""
+    w_us = FUNNEL_WINDOW_S * 1_000_000
+    step_case = (
+        "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) * 8 + {step_case} AS tick
+  FROM events WHERE event_type IN ('view','click','purchase')
+), w1 AS (
+  SELECT u, tick, tick % 8 AS step, tick // 8 AS us,
+         max(CASE WHEN tick % 8 = 0 THEN tick // 8 END)
+           OVER (PARTITION BY u ORDER BY tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_start
+  FROM ev
+), w2 AS (
+  SELECT u, step, us, v_start,
+         max(CASE WHEN step = 1 AND v_start IS NOT NULL
+                       AND us - v_start <= {w_us} THEN v_start END)
+           OVER (PARTITION BY u ORDER BY tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_start
+  FROM w1
+), per_user AS (
+  SELECT u,
+         max(CASE WHEN step = 0 THEN 1 ELSE 0 END) AS l1,
+         max(CASE WHEN step = 1 AND v_start IS NOT NULL
+                       AND us - v_start <= {w_us} THEN 1 ELSE 0 END) AS l2,
+         max(CASE WHEN step = 2 AND c_start IS NOT NULL
+                       AND us - c_start <= {w_us} THEN 1 ELSE 0 END) AS l3
+  FROM w2 GROUP BY u
+)
+SELECT funnel_level, n_reached FROM (
+  SELECT 1 AS funnel_level, CAST(coalesce(sum(l1), 0) AS BIGINT) AS n_reached FROM per_user
+  UNION ALL
+  SELECT 2, CAST(coalesce(sum(l2), 0) AS BIGINT) FROM per_user
+  UNION ALL
+  SELECT 3, CAST(coalesce(sum(l3), 0) AS BIGINT) FROM per_user
+) ORDER BY funnel_level
+"""
+
+
+def _retention_oracle() -> str:
+    flags = ",\n         ".join(
+        f"max(CASE WHEN CAST(ts AS DATE) = DATE '{RETENTION_DAY0}' + {o} "
+        f"THEN 1 ELSE 0 END) AS a{i}"
+        for i, o in enumerate(RETENTION_OFFSETS)
+    )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {o} AS day_offset, CAST(coalesce(sum(a{i}), 0) AS BIGINT) AS retained,"
+        f" CAST(count(*) AS BIGINT) AS cohort_size FROM cohort"
+        for i, o in enumerate(RETENTION_OFFSETS)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         {flags}
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), cohort AS (
+  SELECT * FROM per_user WHERE a0 = 1
+)
+SELECT day_offset, retained, cohort_size FROM (
+  {rows}
+) ORDER BY day_offset
+"""
+
+
+def _passage_dedup_oracle() -> str:
+    n = PASSAGE_WORDS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks()} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS cpos,
+         array_to_string(toks[CAST(i * {n} + 1 AS BIGINT)
+                              : CAST(i * {n} + {n} AS BIGINT)], ' ') AS ctext
+  FROM toks, UNNEST(range(0, greatest(len(toks) - 1, 0) // {n} + 1)) AS t(i)
+), h AS (
+  SELECT doc_id, cpos, ctext,
+         {H.sql_h48("ctext")} AS chash,
+         doc_id * 1048576 + cpos AS occ_key
+  FROM occ
+), firsts AS (
+  SELECT chash, min(occ_key) AS first_key FROM h GROUP BY chash
+), kept AS (
+  SELECT h.* FROM h JOIN firsts USING (chash) WHERE occ_key = first_key
+), nch AS (
+  SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY doc_id
+)
+SELECT k.doc_id, CAST(n.n_chunks AS INTEGER) AS n_chunks,
+       CAST(count(*) AS INTEGER) AS n_kept,
+       string_agg(ctext, ' ' ORDER BY cpos) AS kept_text
+FROM kept k JOIN nch n USING (doc_id)
+GROUP BY k.doc_id, n.n_chunks ORDER BY doc_id
+"""
+
+
 def _all_oracles() -> dict[str, str]:
     minhash_sql = _oracle_minhash_lsh()
     return {
+        "replacing_latest": """
+SELECT user_id, event_id AS last_event_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""",
+        "collapsing_balance": """
+SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS balance_cents
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "ttl_cleanup": f"""
+SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events WHERE ts >= TIMESTAMP '{TTL_CUTOFF}'
+GROUP BY day ORDER BY day
+""",
+        "funnel_levels": _funnel_oracle(),
+        "retention_cohort": _retention_oracle(),
+        "top_users_sketch": f"""
+SELECT CAST(user_id AS VARCHAR) AS value,
+       count(*) AS count_lb, count(*) AS count_ub
+FROM events GROUP BY user_id
+ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
+""",
+        "passage_dedup": _passage_dedup_oracle(),
         "extract_typed_events": """
 SELECT event_id, ts, user_id, event_type, value,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

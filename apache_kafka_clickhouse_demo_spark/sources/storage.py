@@ -314,3 +314,249 @@ def compact_summing(
         writer.parquet(tmp)
 
     _atomic_swap(path, _write)
+
+
+def final_rows(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """One row per `keys` — the row with the LEXICOGRAPHICALLY LARGEST
+    `order_cols` tuple (the ReplacingMergeTree `FINAL` read semantics,
+    shared by `read_replacing_final` and `compact_replacing`).
+
+    Spark-first shape: ONE hash aggregate with `max_by` over a struct
+    ordering key — map-side partials reduce each task's rows to one
+    candidate per key before the shuffle, so the exchange carries
+    O(distinct keys), not O(rows).  A window `row_number` would instead
+    shuffle every row and sort each key group; at 100 TB of upsert
+    history that is the difference between a merge and a global sort.
+
+    Determinism contract: `order_cols` must totally order the rows within
+    a key (ClickHouse's "keeps the last inserted" is not reproducible on
+    a distributed table, which is why callers pass an explicit version +
+    tiebreak instead).
+    """
+    payload = [c for c in df.columns if c not in keys]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("_r")
+        )
+        .select(*keys, "_r.*")
+    )
+
+
+def read_replacing_final(
+    df: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """ReplacingMergeTree read path — `SELECT ... FINAL`: collapse the
+    upsert history to the max-version row per key at READ time, before (or
+    without) any background merge.  `tiebreak` breaks version ties
+    deterministically; (version, *tiebreak) must totally order each key's
+    rows (see `final_rows`)."""
+    return final_rows(df, keys, [version_col, *(tiebreak or [])])
+
+
+def compact_replacing(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    version_col: str,
+    tiebreak: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """ReplacingMergeTree background merge (the upsert/CDC storage engine:
+    `ENGINE = ReplacingMergeTree(ver) ORDER BY key`): atomically rewrite
+    the table keeping only the max-(version, tiebreak) row per key.  The
+    read answer through `read_replacing_final` is identical before and
+    after — compaction only discards superseded versions, exactly like
+    ClickHouse's merge-time collapse.
+
+    Like `compact_summing`, `partition_cols` (subset of `keys`) preserves
+    a Hive-partitioned layout and its pruning.  Same single-writer /
+    no-concurrent-reader swap contract as `compact_files`.
+    """
+    if partition_cols and not set(partition_cols) <= set(keys):
+        raise ValueError(
+            f"partition_cols {partition_cols} must be a subset of keys {keys}"
+        )
+    df = spark.read.parquet(path)
+    compacted = final_rows(df, keys, [version_col, *(tiebreak or [])])
+    if partition_cols:
+        compacted = compacted.repartition(*[F.col(c) for c in partition_cols])
+
+    def _write(tmp: str) -> None:
+        writer = compacted.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+
+    _atomic_swap(path, _write)
+
+
+def collapse_versioned(
+    df: DataFrame,
+    keys: list[str],
+    sign_col: str,
+    version_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """VersionedCollapsingMergeTree merge semantics, as a transformation:
+    within each (`keys`, `version_col`) group, +1 "state" rows and -1
+    "cancel" rows annihilate pairwise; a group whose signs sum to zero
+    vanishes, otherwise ONE representative row of the majority sign
+    survives, carrying `multiplicity = |net|` (unmatched identical rows
+    collapse into a counted representative rather than being replayed).
+
+    We implement the VERSIONED engine deliberately: plain
+    CollapsingMergeTree resolves odd groups by insertion order, which a
+    distributed table cannot reproduce; keying the cancellation on an
+    explicit version makes the collapse order-independent — ClickHouse's
+    own rationale for the versioned variant.  The representative is the
+    max-`tiebreak` row of the winning sign (deterministic under the same
+    total-order contract as `final_rows`).
+
+    One hash aggregate, map-side combinable: the shuffle carries one
+    candidate pair per (key, version) per task, never the raw change log.
+
+    Re-entrant: an input `multiplicity` column (a previous collapse's
+    output) is treated as a ROW WEIGHT — each collapsed row stands for
+    `multiplicity` identical rows — so collapsing a collapsed table is a
+    no-op rather than a column collision or a double count.
+    """
+    tb = [F.col(c) for c in (tiebreak or [])]
+    payload = [
+        c
+        for c in df.columns
+        if c not in (*keys, version_col, sign_col, "multiplicity")
+    ]
+    sign = F.col(sign_col)
+    weight = (
+        F.col("multiplicity").cast("long")
+        if "multiplicity" in df.columns
+        else F.lit(1).cast("long")
+    )
+    g = (
+        df.groupBy(*keys, version_col)
+        .agg(
+            F.sum(sign.cast("long") * weight).alias("_net"),
+            F.max_by(
+                F.struct(*payload), F.when(sign > 0, F.struct(*tb, F.lit(0)))
+            ).alias("_pos"),
+            F.max_by(
+                F.struct(*payload), F.when(sign < 0, F.struct(*tb, F.lit(0)))
+            ).alias("_neg"),
+        )
+        .filter(F.col("_net") != 0)
+    )
+    win = F.when(F.col("_net") > 0, F.col("_pos")).otherwise(F.col("_neg"))
+    return g.select(
+        *keys,
+        version_col,
+        F.signum("_net").cast("int").alias(sign_col),
+        F.abs("_net").alias("multiplicity"),
+        *[win[c].alias(c) for c in payload],
+    )
+
+
+def compact_collapsing(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    sign_col: str,
+    version_col: str,
+    tiebreak: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """VersionedCollapsingMergeTree background merge: atomically rewrite
+    the change-log table in its collapsed form (`collapse_versioned`).
+    Sign-weighted reads (`sum(sign * metric)` style) are identical before
+    and after — the merge only removes annihilated pairs.  The rewritten
+    table gains the `multiplicity` column; re-compaction treats it as
+    payload (each surviving (key, version) group is already a single row,
+    so a second collapse is a no-op on the survivors).
+
+    `partition_cols` / swap contract: as `compact_replacing`."""
+    if partition_cols and not set(partition_cols) <= set(keys):
+        raise ValueError(
+            f"partition_cols {partition_cols} must be a subset of keys {keys}"
+        )
+    df = spark.read.parquet(path)
+    collapsed = collapse_versioned(df, keys, sign_col, version_col, tiebreak)
+    if partition_cols:
+        collapsed = collapsed.repartition(*[F.col(c) for c in partition_cols])
+
+    def _write(tmp: str) -> None:
+        writer = collapsed.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+
+    _atomic_swap(path, _write)
+
+
+def apply_ttl(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    expire_before: str,
+    partition_day_col: str | None = None,
+) -> dict:
+    """Row TTL on compaction (`TTL ts + INTERVAL n DAY` analogue): delete
+    every row with `ts_col` < `expire_before` (an explicit cutoff, not
+    wall-clock — deterministic and replayable by construction).
+
+    The 100 TB path is the PARTITION-DROP fast path: when the table is
+    Hive-partitioned by the day of `ts_col` (pass `partition_day_col`),
+    directories are classified driver-side from their partition VALUES
+    alone — a directory whose whole day range [d, d+1) lies before the
+    cutoff is unlinked without reading a byte, fully-live days are never
+    touched, and only the single boundary day (a mid-day cutoff) is
+    rewritten with a row filter.  TTL on a day-partitioned 100 TB table
+    is then metadata work + one day's rewrite, not a full-table scan —
+    which is exactly how MergeTree drops whole expired parts.
+
+    Without `partition_day_col` the whole table is rewritten filtered
+    (`_atomic_swap`).  Returns counts: `{"dropped_dirs": n, "rewritten":
+    m}` (rewritten = 1 for the unpartitioned full rewrite).
+
+    Swap contract: single writer, no concurrent readers (`compact_files`).
+    """
+    import datetime as _dt
+
+    cutoff = _dt.datetime.fromisoformat(expire_before)
+    if partition_day_col is None:
+        df = spark.read.parquet(path).filter(
+            F.col(ts_col) >= F.lit(expire_before).cast("timestamp")
+        )
+
+        def _write(tmp: str) -> None:
+            df.write.mode("overwrite").parquet(tmp)
+
+        _atomic_swap(path, _write)
+        return {"dropped_dirs": 0, "rewritten": 1}
+
+    root = path.rstrip("/")
+    prefix = partition_day_col + "="
+    dropped, rewritten = 0, 0
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith(prefix):
+            continue
+        day = _dt.datetime.fromisoformat(entry[len(prefix):])
+        sub = os.path.join(root, entry)
+        if day + _dt.timedelta(days=1) <= cutoff:  # whole day expired
+            shutil.rmtree(sub)
+            dropped += 1
+        elif day < cutoff:  # boundary day: filter-rewrite this dir only
+            df = spark.read.parquet(sub).filter(
+                F.col(ts_col) >= F.lit(expire_before).cast("timestamp")
+            )
+
+            def _write(tmp: str) -> None:
+                df.write.mode("overwrite").parquet(tmp)
+
+            _atomic_swap(sub, _write)
+            rewritten += 1
+    return {"dropped_dirs": dropped, "rewritten": rewritten}

@@ -1,0 +1,55 @@
+"""Passage-level (line) dedup semantics (text_analysis.chunk_dedup)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_kafka_clickhouse_demo_spark.operators.text_analysis import chunk_dedup
+
+
+def _run(spark, docs, chunk_words=2):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+        for r in chunk_dedup(df, chunk_words).collect()
+    }
+
+
+def test_first_occurrence_wins_across_docs(spark):
+    got = _run(
+        spark,
+        [
+            (1, "a b c d"),  # chunks: "a b", "c d"
+            (2, "a b x y"),  # "a b" already seen in doc 1 -> dropped
+        ],
+    )
+    assert got[1] == (2, 2, "a b c d")
+    assert got[2] == (2, 1, "x y")
+
+
+def test_fully_duplicated_doc_disappears(spark):
+    got = _run(spark, [(1, "a b c d"), (2, "a b c d")])
+    assert 2 not in got and got[1] == (2, 2, "a b c d")
+
+
+def test_within_doc_repeat_dropped_and_order_preserved(spark):
+    got = _run(spark, [(1, "a b z w a b c d")])
+    # chunks: "a b", "z w", "a b"(dup), "c d" -> order preserved in rebuild
+    assert got[1] == (4, 3, "a b z w c d")
+
+
+def test_short_doc_single_partial_chunk(spark):
+    got = _run(spark, [(1, "solo")])
+    assert got[1] == (1, 1, "solo")
+
+
+def test_doc_id_ordering_defines_first(spark):
+    # the SMALLER doc_id keeps the passage regardless of input row order
+    got = _run(spark, [(9, "p q"), (3, "p q")])
+    assert got == {3: (1, 1, "p q")}
+
+
+def test_invalid_chunk_words(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_dedup(df, 0)

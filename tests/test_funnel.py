@@ -1,0 +1,124 @@
+"""windowFunnel / retention semantics (operators/funnel.py) on hand-built
+fixtures with known chains and boundary cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.operators import funnel
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "u long, s string, t string").select(
+        "u", F.col("t").cast("timestamp").alias("ts"), F.col("s").alias("et")
+    )
+
+
+def _steps():
+    # built lazily: Column construction needs an active SparkContext
+    return [F.col("et") == s for s in ("view", "click", "buy")]
+
+
+def _levels(spark, rows, window_s=3600):
+    df = _events(spark, rows)
+    return {
+        r["k"]: r["funnel_level"]
+        for r in funnel.window_funnel(df, "u", "ts", _steps(), window_s).collect()
+    }
+
+
+def test_basic_chain_and_window_boundary(spark):
+    rows = [
+        # u1: full chain inside the window
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:10:00"),
+        (1, "buy", "2024-01-01 10:59:00"),
+        # u2: buy lands EXACTLY window past the chain start -> still counts
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "click", "2024-01-01 10:30:00"),
+        (2, "buy", "2024-01-01 11:00:00"),
+        # u3: buy one microsecond past the window -> level 2
+        (3, "view", "2024-01-01 10:00:00"),
+        (3, "click", "2024-01-01 10:30:00"),
+        (3, "buy", "2024-01-01 11:00:00.000001"),
+        # u4: steps out of order -> only level 1
+        (4, "buy", "2024-01-01 10:00:00"),
+        (4, "click", "2024-01-01 10:10:00"),
+        (4, "view", "2024-01-01 10:20:00"),
+        # u5: no funnel step events at all -> absent from output
+        (5, "other", "2024-01-01 10:00:00"),
+    ]
+    got = _levels(spark, rows)
+    assert got == {1: 3, 2: 3, 3: 2, 4: 1}
+
+
+def test_window_anchored_at_chain_start_not_previous_step(spark):
+    # click is within window of view, buy within window of CLICK but not of
+    # the view that started the chain -> level 2, not 3
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:50:00"),
+        (1, "buy", "2024-01-01 11:30:00"),
+    ]
+    assert _levels(spark, rows) == {1: 2}
+    # ...but a FRESHER view restarts the chain and rescues the buy
+    rows.append((1, "view", "2024-01-01 10:45:00"))
+    rows.append((1, "click", "2024-01-01 10:55:00"))
+    assert _levels(spark, rows) == {1: 3}
+
+
+def test_equal_timestamp_chains_in_step_order_and_dedup(spark):
+    rows = [
+        # equal-ts view+click chain in step order (non-strict mode)
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:00:00"),
+        # duplicate (ts, step) events count once (no self-chaining)
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+    ]
+    assert _levels(spark, rows) == {1: 2, 2: 1}
+
+
+def test_funnel_counts_cumulative(spark):
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:10:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+    ]
+    out = funnel.funnel_counts(_events(spark, rows), "u", "ts", _steps(), 3600)
+    assert [(r["funnel_level"], r["n_reached"]) for r in out.collect()] == [
+        (1, 2),
+        (2, 1),
+        (3, 0),
+    ]
+
+
+def test_retention_flags_and_cohort(spark):
+    rows = [
+        # u1 in cohort, returns day 1
+        (1, "view", "2024-01-01 09:00:00"),
+        (1, "view", "2024-01-02 09:00:00"),
+        # u2 in cohort, never returns
+        (2, "view", "2024-01-01 23:59:59"),
+        # u3 NOT in cohort (active only day 1) -> excluded everywhere
+        (3, "view", "2024-01-02 10:00:00"),
+    ]
+    out = funnel.retention(_events(spark, rows), "u", "ts", "2024-01-01", [0, 1, 2])
+    assert [tuple(r) for r in out.collect()] == [
+        (0, 2, 2),
+        (1, 1, 2),
+        (2, 0, 2),
+    ]
+
+
+def test_retention_requires_offset_zero(spark):
+    with pytest.raises(ValueError):
+        funnel.retention(_events(spark, []), "u", "ts", "2024-01-01", [1, 2])
+
+
+def test_too_many_steps_rejected(spark):
+    with pytest.raises(ValueError):
+        funnel.window_funnel(
+            _events(spark, []), "u", "ts", [F.lit(True)] * 9, 60
+        )

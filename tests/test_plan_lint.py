@@ -22,6 +22,9 @@ _SKIP = {
     "stream_dedup",
     "stream_near_dup",  # streaming build; per-block plans linted via dedup ops
     "stream_embed_near_dup",  # streaming build, same rationale
+    "replacing_latest",  # writes+compacts a table at build; op plans in tests/test_mergetree_engines.py
+    "collapsing_balance",  # same (VersionedCollapsing round trip)
+    "ttl_cleanup",  # same (TTL partition-drop round trip)
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
@@ -30,6 +33,7 @@ _NESTED_LOOP_OK = {
     "ann_ivf_topk",  # corpus x broadcast(fixed-target centroid table)
     "tfidf_top_terms",  # per-term rows x broadcast(1-row corpus-count agg)
     "text_prep",  # same tfidf stage: per-term rows x broadcast(1-row count agg)
+    "top_users_sketch",  # survivor counters x broadcast(1-row total-error agg)
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

@@ -1,0 +1,59 @@
+"""Heavy-hitters (Misra-Gries / topK) sketch: exact regime equals the exact
+top-k; trimmed regime keeps guarantees (operators/sketches.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+    _mg_trim,
+    heavy_hitters_topk,
+)
+
+
+def test_exact_regime_matches_exact_topk(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = heavy_hitters_topk(ev, "user_id", 5, capacity=1 << 14).collect()
+    exact = (
+        ev.groupBy(F.col("user_id").cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r["value"], r["count_lb"], r["count_ub"]) for r in got] == [
+        (r["value"], r["n"], r["n"]) for r in exact
+    ]
+
+
+def test_trimmed_regime_keeps_bounds_and_heavy_hitter(spark):
+    # one dominant value + a long tail, forced through a tiny capacity;
+    # single partition so the trim path actually runs
+    rows = [("hot",)] * 500 + [(f"tail{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string").coalesce(1)
+    out = {r["value"]: r for r in heavy_hitters_topk(df, "v", 3, capacity=8).collect()}
+    assert "hot" in out  # n/ (C+1) error can never evict a 500/700 hitter
+    hot = out["hot"]
+    assert hot["count_lb"] <= 500 <= hot["count_ub"]
+    # MG undercount bound: n / (capacity + 1)
+    assert 500 - hot["count_lb"] <= 700 // 9
+
+
+def test_mg_trim_invariants():
+    counts = pd.Series({"a": 10, "b": 7, "c": 3, "d": 1})
+    trimmed, sub = _mg_trim(counts, 2)
+    assert sub == 3  # the (C+1)-th largest
+    assert trimmed.to_dict() == {"a": 7, "b": 4}
+    # under capacity: untouched
+    same, sub0 = _mg_trim(counts, 10)
+    assert sub0 == 0 and same.equals(counts)
+
+
+def test_null_and_empty_inputs(spark):
+    df = spark.createDataFrame([(None,), ("x",), (None,)], "v string")
+    out = heavy_hitters_topk(df, "v", 5, capacity=4).collect()
+    assert [(r["value"], r["count_lb"]) for r in out] == [("x", 1)]
+
+    empty = spark.createDataFrame([], "v string")
+    assert heavy_hitters_topk(empty, "v", 5, capacity=4).collect() == []
