@@ -407,7 +407,8 @@ def chunk_dedup(
     with zero surviving passages drop out entirely.
 
     Output: (doc_id, n_chunks, n_kept, kept_text), one row per surviving
-    document, with `kept_text` the order-preserving concatenation.
+    document, with `kept_text` the order-preserving concatenation; rows are
+    unordered (a corpus-sized global sort is the caller's decision).
 
     Plan shape at 100 TB: chunking is row-local (sequence + posexplode in
     codegen); occurrences shuffle ONCE keyed by the 6-byte portable
@@ -427,7 +428,10 @@ def chunk_dedup(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(chunk_words)
     )
     chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_words))
-    occ = docs.select(
+    # the tokenize + per-chunk md5 projection is the expensive stage; a
+    # single-file local scan must not pin it to one core (spread_small is a
+    # no-op on many-file cluster inputs)
+    occ = spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
         F.size(chunks).alias("n_chunks"),
         F.posexplode(chunks).alias("cpos", "chunk"),
@@ -454,5 +458,4 @@ def chunk_dedup(
                 " ",
             ).alias("kept_text"),
         )
-        .orderBy("doc_id")
     )

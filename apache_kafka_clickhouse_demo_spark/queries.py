@@ -1853,7 +1853,7 @@ def q_passage_dedup(spark, sf_dir):
     rebuilt from their surviving passages (text_analysis.chunk_dedup)."""
     return text_analysis.chunk_dedup(
         _t(spark, sf_dir, "documents"), PASSAGE_WORDS
-    )
+    ).orderBy("doc_id")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1862,6 +1862,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "stream_near_dup": q_stream_near_dup,
     "stream_embed_near_dup": q_stream_embed_near_dup,
+    # -- r06 in-round additions, one per new family (MergeTree engines /
+    #    behavioral analytics / passage-level dedup): front-loaded --
+    "replacing_latest": q_replacing_latest,
+    "funnel_levels": q_funnel_levels,
+    "passage_dedup": q_passage_dedup,
     # -- new/changed in r04: front-loaded --
     "text_prep": q_text_prep,
     "mv_cascade_daily": q_mv_cascade_daily,
@@ -1875,7 +1880,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_profile": q_text_profile,
     "doc_fingerprint": q_doc_fingerprint,
-    "media_summary": q_media_summary,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "user_sessions": q_user_sessions,
@@ -1901,8 +1905,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "daily_type_rollup": q_daily_type_rollup,
     "asof_last_purchase": q_asof_last_purchase,
-    "asof_next_error": q_asof_next_error,
-    "latest_value_per_user": q_latest_value_per_user,
     "value_percentiles": q_value_percentiles,
     "daily_big_values_filled": q_daily_big_values_filled,
     "click_purchase_users": q_click_purchase_users,
@@ -1952,13 +1954,15 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,  # A-family via value_percentiles
     # r06 late additions (MergeTree engine family + behavioral analytics +
     # sketch top-k + passage dedup); gate slots full — local oracle checks
-    "replacing_latest": q_replacing_latest,
-    "collapsing_balance": q_collapsing_balance,
-    "ttl_cleanup": q_ttl_cleanup,
-    "funnel_levels": q_funnel_levels,
-    "retention_cohort": q_retention_cohort,
-    "top_users_sketch": q_top_users_sketch,
-    "passage_dedup": q_passage_dedup,
+    "collapsing_balance": q_collapsing_balance,  # S-engine family: gate rows via replacing_latest + attendance_daily_compacted
+    "ttl_cleanup": q_ttl_cleanup,  # same engine family; partition-drop path pinned in tests/test_mergetree_engines.py
+    "retention_cohort": q_retention_cohort,  # behavioral family: gate row via funnel_levels
+    "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
+    # rotated OUT of the gate mid-r06 for the three family representatives
+    # above; their operator coverage stays gated elsewhere:
+    "asof_next_error": q_asof_next_error,  # forward as-of == backward + direction flip; asof_last_purchase gated, equivalence in tests/test_asof_*
+    "latest_value_per_user": q_latest_value_per_user,  # max_by/argMax mechanism now gated THROUGH replacing_latest's FINAL read
+    "media_summary": q_media_summary,  # multimodal family keeps media_features + media_frame_sample gate rows
 }
 
 

@@ -83,6 +83,11 @@ HEADLINE = [
     # added r6 — the one dedup-family gate query that had no trend, and
     # the worst (still sub-linear) 10x ratio in SCALING.md
     "dedup_ngram_jaccard",
+    # added mid-r6 with the three new gate families (MergeTree engine round
+    # trip / behavioral funnel / passage dedup); names stable from r6 on
+    "replacing_latest",
+    "funnel_levels",
+    "passage_dedup",
 ]
 
 
@@ -129,6 +134,11 @@ BASELINE_SEC = {
     "stream_near_dup": 28.848,
     "stream_embed_near_dup": 18.298,
     "dedup_ngram_jaccard": 5.119,
+    # mid-r6 trend starts for the three new gate families (same
+    # larger-of-two-record-runs seeding, stall-contaminated runs excluded)
+    "replacing_latest": 1.325,
+    "funnel_levels": 0.655,
+    "passage_dedup": 1.586,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
