@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 
 #: tick = unix_micros * _TICK_BASE + step — step lives in the low bits so
 #: equal-timestamp events order by funnel step; supports up to 8 steps.
+#: Power of two so the fold un-encodes with an EXACT shift (see `fold`).
 _TICK_BASE = 8
+_TICK_SHIFT = 3
+assert 1 << _TICK_SHIFT == _TICK_BASE
 
 
 def window_funnel(
@@ -86,7 +89,12 @@ def window_funnel(
 
     def fold(acc: Column, t: Column) -> Column:
         step = t % _TICK_BASE
-        t_us = (t / _TICK_BASE).cast("long")  # ticks are non-negative here
+        # exact integer un-encode: a double division (t / 8) loses ulp=2
+        # precision at epoch-microsecond tick magnitudes (~1.4e16) and can
+        # round high step indices into the NEXT microsecond, diverging
+        # from the oracle's integer `tick // 8`; ticks are non-negative
+        # (post-1970 data), so the shift is the exact quotient
+        t_us = F.shiftright(t, _TICK_SHIFT)
         slots = []
         for j in range(n):
             if j == 0:

@@ -73,6 +73,14 @@ FAMILIES = [
     "latest_value_per_user",
     "uniq_users_approx",
     "value_percentiles",
+    # mid-r6 families: MergeTree engines / behavioral / sketch / passage dedup
+    "replacing_latest",
+    "collapsing_balance",
+    "ttl_cleanup",
+    "funnel_levels",
+    "retention_cohort",
+    "top_users_sketch",
+    "passage_dedup",
 ]
 
 PASSES = 2
