@@ -79,12 +79,12 @@ def window_funnel(
             (F.unix_micros(F.col(ts_col)) * _TICK_BASE + step_of).alias("tick"),
         )
         .filter(F.col("tick").isNotNull())
-        # one vote per (key, ts, step): dedup on the encoded tick keeps the
-        # fold's strict total order AND the oracle's DISTINCT cheap
-        .groupBy("k", "tick")
-        .agg(F.lit(1))
+        # one vote per (key, ts, step) AND one exchange total: collect_set
+        # dedups the encoded ticks inside the aggregate (map-side partial
+        # sets shrink before the shuffle), where a separate distinct would
+        # cost a second exchange; sorting restores the fold's total order
         .groupBy("k")
-        .agg(F.sort_array(F.collect_list("tick")).alias("ticks"))
+        .agg(F.sort_array(F.collect_set("tick")).alias("ticks"))
     )
 
     def fold(acc: Column, t: Column) -> Column:

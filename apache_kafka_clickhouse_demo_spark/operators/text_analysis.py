@@ -443,6 +443,16 @@ def chunk_dedup(
         F.array_join("chunk", " ").alias("ctext"),
         (F.col("doc_id") * F.lit(1 << 20) + F.col("cpos")).alias("occ_key"),
     )
+    # persist: both the first-occurrence aggregate AND the join probe side
+    # read `occ`, and without materialization Spark recomputes the dominant
+    # tokenize+md5 scan once per consumer (measured 1.5s -> 0.9s at sf0.1).
+    # A window-min over chash would be single-scan too but concentrates
+    # each chunk hash in ONE task — boilerplate skew (millions of copies of
+    # one footer) is this operator's expected case at 100 TB, and the
+    # groupBy(+map-side combine) / AQE-skew-join pair handles it where a
+    # window cannot.  Cache lifetime: freed by the registry's per-query
+    # clearCache (same contract as the dedup operators' persists).
+    occ = occ.persist()
     firsts = occ.groupBy("chash").agg(F.min("occ_key").alias("first_key"))
     kept = occ.join(firsts, "chash").filter(F.col("occ_key") == F.col("first_key"))
     return (
