@@ -59,8 +59,9 @@ def window_funnel(
     window_seconds: int,
 ) -> DataFrame:
     """Max funnel depth per key: (key, funnel_level) with funnel_level in
-    [1, len(steps)] — keys matching no step are absent (level-0 rows carry
-    no information and at 100 TB would be most keys).
+    [1, len(steps)] — keys that never complete step 1 (no matching events
+    at all, or only non-initial steps) are absent: level-0 rows carry no
+    information and at 100 TB would be most keys.
 
     `steps[i]` is the boolean predicate for funnel step i (ordered).
     See the module docstring for the exact chain semantics.
@@ -109,17 +110,23 @@ def window_funnel(
             slots.append(upd)
         return F.array(*slots)
 
+    def deepest(a: Column) -> Column:
+        # deepest slot with a live chain start; F.greatest needs >= 2
+        # columns, so the single-step funnel reads slot 0 directly
+        slots = [
+            F.when(a[j] >= 0, F.lit(j + 1)).otherwise(F.lit(0)) for j in range(n)
+        ]
+        return (slots[0] if n == 1 else F.greatest(*slots)).cast("int")
+
     init = F.array_repeat(F.lit(-1).cast("long"), n)
-    depth = F.aggregate(
-        "ticks",
-        init,
-        fold,
-        # deepest slot with a live chain start
-        lambda a: F.greatest(
-            *[F.when(a[j] >= 0, F.lit(j + 1)).otherwise(F.lit(0)) for j in range(n)]
-        ).cast("int"),
+    depth = F.aggregate("ticks", init, fold, deepest)
+    return (
+        ticks.select(F.col("k"), depth.alias("funnel_level"))
+        # contract: levels are [1, n] and level-0 keys are ABSENT — a key
+        # whose events match only non-initial steps folds to 0 and at
+        # scale those are most keys
+        .filter(F.col("funnel_level") >= 1)
     )
-    return ticks.select(F.col("k"), depth.alias("funnel_level"))
 
 
 def funnel_counts(
@@ -194,7 +201,12 @@ def retention(
         raise ValueError("offsets must include 0 (the cohort day itself)")
     totals = flags.filter(in_cohort).agg(
         F.count(F.lit(1)).alias("cohort_size"),
-        *[F.sum(f"a{i}").alias(f"r{i}") for i in range(len(offsets))],
+        # coalesce: an EMPTY cohort must report 0 retained, not NULL
+        # (sum over zero rows) — the oracle coalesces identically
+        *[
+            F.coalesce(F.sum(f"a{i}"), F.lit(0)).alias(f"r{i}")
+            for i in range(len(offsets))
+        ],
     )
     pairs = F.array(
         *[

@@ -104,7 +104,13 @@ def heavy_hitters_topk(
     one operator serves any input type.
     """
     src = df.select(F.col(col).cast("string").alias("value"))
-    summaries = src.mapInPandas(_mg_partition(capacity), _SUMMARY_SCHEMA)
+    # persist: the counter aggregate AND the error total both read the
+    # summaries; without materialization each consumer re-runs the
+    # dominant mapInPandas fold over the whole input — and two
+    # independent executions could batch differently, decoupling the
+    # count_lb/count_ub bounds from one another.  The cached frame is
+    # <= (capacity + 1) rows per task, not input-sized.
+    summaries = src.mapInPandas(_mg_partition(capacity), _SUMMARY_SCHEMA).persist()
 
     counters = (
         summaries.filter(F.col("value").isNotNull())

@@ -474,9 +474,10 @@ def compact_collapsing(
     the change-log table in its collapsed form (`collapse_versioned`).
     Sign-weighted reads (`sum(sign * metric)` style) are identical before
     and after — the merge only removes annihilated pairs.  The rewritten
-    table gains the `multiplicity` column; re-compaction treats it as
-    payload (each surviving (key, version) group is already a single row,
-    so a second collapse is a no-op on the survivors).
+    table gains the `multiplicity` column; re-compaction treats it as a
+    row WEIGHT (see `collapse_versioned`), so running the merge again —
+    or merging freshly appended change-log rows into an already-collapsed
+    table — stays exact instead of double-counting.
 
     `partition_cols` / swap contract: as `compact_replacing`."""
     if partition_cols and not set(partition_cols) <= set(keys):
@@ -544,7 +545,15 @@ def apply_ttl(
     for entry in sorted(os.listdir(root)):
         if not entry.startswith(prefix):
             continue
-        day = _dt.datetime.fromisoformat(entry[len(prefix):])
+        try:
+            day = _dt.datetime.fromisoformat(entry[len(prefix):])
+        except ValueError:
+            # non-date partition values: NULL-ts rows land in
+            # `day=__HIVE_DEFAULT_PARTITION__` (a NULL timestamp has no
+            # age, so it never expires), and a crashed boundary-day swap
+            # can leave `day=<d>_old` debris (cleared by that day's next
+            # swap).  Skip instead of failing the whole TTL pass.
+            continue
         sub = os.path.join(root, entry)
         if day + _dt.timedelta(days=1) <= cutoff:  # whole day expired
             shutil.rmtree(sub)

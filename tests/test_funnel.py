@@ -122,3 +122,32 @@ def test_too_many_steps_rejected(spark):
         funnel.window_funnel(
             _events(spark, []), "u", "ts", [F.lit(True)] * 9, 60
         )
+
+
+def test_non_initial_step_only_key_absent(spark):
+    # contract: a key whose events match only non-initial steps folds to
+    # level 0 and must be ABSENT, like a key with no matching events
+    rows = [
+        (1, "click", "2024-01-01 10:00:00"),
+        (1, "buy", "2024-01-01 10:10:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+    ]
+    assert _levels(spark, rows) == {2: 1}
+
+
+def test_single_step_funnel(spark):
+    df = _events(spark, [(1, "view", "2024-01-01 10:00:00")])
+    out = funnel.window_funnel(df, "u", "ts", [F.col("et") == "view"], 60).collect()
+    assert [(r["k"], r["funnel_level"]) for r in out] == [(1, 1)]
+
+
+def test_retention_empty_cohort_reports_zero(spark):
+    # nobody active on the cohort day: retained must be 0, not NULL
+    out = funnel.retention(
+        _events(spark, [(1, "view", "2024-02-01 10:00:00")]),
+        "u",
+        "ts",
+        "2024-01-01",
+        [0, 1],
+    )
+    assert [tuple(r) for r in out.collect()] == [(0, 0, 0), (1, 0, 0)]

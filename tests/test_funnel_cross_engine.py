@@ -65,7 +65,10 @@ FROM w2 GROUP BY u
         # cumulative flags == max level only when levels are prefix-closed;
         # the DP guarantees that (level j fires only through level j-1), so
         # the flag sum IS the depth — asserted against Spark below.
-        out[int(u)] = int(lvl)
+        # Spark's contract drops level-0 keys (only-non-initial-step users),
+        # so mirror that here.
+        if int(lvl) >= 1:
+            out[int(u)] = int(lvl)
     con.close()
     return out
 

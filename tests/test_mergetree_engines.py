@@ -150,3 +150,22 @@ def test_apply_ttl_unpartitioned_rewrite(spark, tmp_path):
     stats = apply_ttl(spark, path, "ts", "2024-01-15 00:00:00")
     assert stats == {"dropped_dirs": 0, "rewritten": 1}
     assert [r["id"] for r in read_table(spark, path).collect()] == [2]
+
+
+def test_apply_ttl_skips_unparsable_partition_dirs(spark, tmp_path):
+    # NULL-ts rows produce day=__HIVE_DEFAULT_PARTITION__; crashed swaps
+    # can leave day=<d>_old debris — neither may fail the TTL pass
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00"), (2, "2024-01-03 05:00:00"), (3, None)],
+        "id long, s string",
+    ).select("id", F.col("s").cast("timestamp").alias("ts"), F.to_date("s").alias("day"))
+    path = str(tmp_path / "ttlx")
+    write_sorted(ev, path, sort_cols=["ts"], partition_cols=["day"])
+    os.makedirs(os.path.join(path, "day=2024-01-03_old"))
+
+    stats = apply_ttl(spark, path, "ts", "2024-01-02 00:00:00", partition_day_col="day")
+    assert stats == {"dropped_dirs": 1, "rewritten": 0}
+    kept = sorted(
+        r["id"] for r in read_table(spark, path).filter(F.col("ts").isNotNull()).collect()
+    )
+    assert kept == [2]  # NULL-ts row also survives in the default partition
