@@ -51,6 +51,16 @@ _TICK_SHIFT = 3
 assert 1 << _TICK_SHIFT == _TICK_BASE
 
 
+def tick_expr(ts_col: str, steps: Sequence[Column]) -> Column:
+    """Encoded funnel tick `unix_micros(ts) * 8 + first-matching-step`
+    (NULL when no step matches) — shared by the batch fold and the
+    streaming state handler so both make identical chain decisions."""
+    step_of = F.coalesce(
+        *[F.when(cond, F.lit(i).cast("long")) for i, cond in enumerate(steps)]
+    )
+    return F.unix_micros(F.col(ts_col)) * _TICK_BASE + step_of
+
+
 def window_funnel(
     df: DataFrame,
     key_col: str,
@@ -71,13 +81,10 @@ def window_funnel(
         raise ValueError(f"1..{_TICK_BASE} steps supported, got {n}")
     window_us = int(window_seconds) * 1_000_000
 
-    step_of = F.coalesce(
-        *[F.when(cond, F.lit(i).cast("long")) for i, cond in enumerate(steps)]
-    )
     ticks = (
         df.select(
             F.col(key_col).alias("k"),
-            (F.unix_micros(F.col(ts_col)) * _TICK_BASE + step_of).alias("tick"),
+            tick_expr(ts_col, steps).alias("tick"),
         )
         .filter(F.col("tick").isNotNull())
         # one vote per (key, ts, step) AND one exchange total: collect_set

@@ -19,6 +19,7 @@ from apache_kafka_clickhouse_demo_spark.streaming.stateful import (  # noqa: F40
     embedding_stream_writer,
     minhash_dedup_stream,
     minhash_stream_writer,
+    running_funnel,
     running_totals,
     streaming_dedup,
     streaming_sessions,

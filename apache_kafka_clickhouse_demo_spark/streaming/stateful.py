@@ -563,3 +563,74 @@ def embedding_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_funnel(
+    source: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list,
+    window_seconds: int,
+):
+    """Streaming windowFunnel: per-key max funnel depth maintained across
+    micro-batches via `applyInPandasWithState` — the stateful-streaming
+    twin of `operators/funnel.window_funnel`, for dashboards that watch
+    conversion live instead of recomputing the batch fold per refresh.
+
+    State per key is the fold's accumulator alone — `len(steps)` chain
+    -start longs, CONSTANT-size regardless of how many events the key has
+    ever produced — so an unbounded feed holds O(keys) state, the same
+    contract as `running_totals`.  Each batch folds its arrivals in
+    encoded-tick order (`funnel.tick_expr`: identical chain decisions to
+    the batch operator) and emits the key's current depth in update mode.
+
+    Ordering contract: the greedy fold is arrival-order-sensitive across
+    batches (within a batch it sorts).  Feed each key's events in
+    non-decreasing timestamp order for exact batch parity — the
+    same in-order contract the near-dup streams document; the fold IS
+    idempotent to duplicate (ts, step) deliveries (max-updates), so
+    at-least-once replays of in-order data do not change depths.
+    """
+    from apache_kafka_clickhouse_demo_spark.operators import funnel as BF
+
+    n = len(steps)
+    if not 1 <= n <= 8:
+        raise ValueError(f"1..8 steps supported, got {n}")
+    window_us = int(window_seconds) * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("k", source.schema[key_col].dataType),
+            T.StructField("funnel_level", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"s{j}", T.LongType()) for j in range(n)]
+    )
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        acc = list(state.get) if state.exists else [-1] * n
+        ticks: list[int] = []
+        for pdf in pdfs:
+            ticks.extend(int(t) for t in pdf["tick"].dropna())
+        for t in sorted(ticks):
+            step = t % 8
+            us = t >> 3
+            if step == 0:
+                acc[0] = max(acc[0], us)
+            elif step < n and acc[step - 1] >= 0 and us - acc[step - 1] <= window_us:
+                acc[step] = max(acc[step], acc[step - 1])
+        state.update(tuple(acc))
+        depth = max((j + 1 for j in range(n) if acc[j] >= 0), default=0)
+        yield pd.DataFrame({"k": [key[0]], "funnel_level": [depth]})
+
+    ticks = source.select(
+        F.col(key_col).alias("k"), BF.tick_expr(ts_col, steps).alias("tick")
+    ).filter(F.col("tick").isNotNull())
+    return ticks.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

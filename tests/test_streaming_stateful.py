@@ -586,3 +586,65 @@ def test_new_stream_run_over_existing_store_is_not_swallowed(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
     )
     assert kept2 == kept
+
+
+def test_running_funnel_final_depths_match_batch(spark, sf_dir, tmp_path):
+    """Streaming windowFunnel: after draining a ts-ordered feed, each key's
+    LAST emitted depth equals the batch fold's level (the in-order contract
+    the operator documents)."""
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from apache_kafka_clickhouse_demo_spark.operators import funnel as BF
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import running_funnel
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    feed = str(tmp_path / "feed")
+    prev = None
+    for i in range(4):  # sequential ts-ordered blocks; mtime = arrival order
+        upper = lo + span * (i + 1) if i < 3 else hi
+        blk = events.filter(
+            (F.col("ts") <= F.lit(upper))
+            & (F.col("ts") > F.lit(prev) if prev is not None else F.lit(True))
+        )
+        blk.coalesce(1).write.mode("append").parquet(feed)
+        prev = upper
+        _time.sleep(0.05)
+
+    steps = lambda: [F.col("event_type") == s for s in ("view", "click", "purchase")]  # noqa: E731
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    dest = str(tmp_path / "out")
+    q = (
+        running_funnel(src, "user_id", "ts", steps(), 21600)
+        .writeStream.foreachBatch(
+            lambda b, i: b.withColumn("batch_id", F.lit(i))
+            .write.mode("append")
+            .parquet(dest)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    w = W.partitionBy("k").orderBy(F.col("batch_id").desc())
+    final = (
+        spark.read.parquet(dest)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND funnel_level >= 1")
+    )
+    got = {r["k"]: r["funnel_level"] for r in final.collect()}
+    expect = {
+        r["k"]: r["funnel_level"]
+        for r in BF.window_funnel(events, "user_id", "ts", steps(), 21600).collect()
+    }
+    assert got == expect
