@@ -111,7 +111,15 @@ def heavy_hitters_topk(
     # count_lb/count_ub bounds from one another.  The cached frame is
     # <= (capacity + 1) rows per task, not input-sized.
     summaries = src.mapInPandas(_mg_partition(capacity), _SUMMARY_SCHEMA).persist()
+    return finalize_topk(summaries, k)
 
+
+def finalize_topk(summaries: DataFrame, k: int) -> DataFrame:
+    """Shared answer tail over a frame of MG summary rows (data rows +
+    error sentinels, `_SUMMARY_SCHEMA`): sum the lower-bound counters per
+    value, broadcast the 1-row total-error aggregate onto them, and take
+    the top k with both bounds.  Used by the batch operator above and the
+    streaming store's read path (`streaming/stateful.py`)."""
     counters = (
         summaries.filter(F.col("value").isNotNull())
         .groupBy("value")

@@ -17,11 +17,13 @@ from apache_kafka_clickhouse_demo_spark.streaming.pipeline import (  # noqa: F40
 from apache_kafka_clickhouse_demo_spark.streaming.stateful import (  # noqa: F401
     embedding_dedup_stream,
     embedding_stream_writer,
+    heavy_hitters_stream,
     minhash_dedup_stream,
     minhash_stream_writer,
     running_funnel,
     running_totals,
     streaming_dedup,
     streaming_sessions,
+    topk_stream_writer,
     windowed_counts,
 )

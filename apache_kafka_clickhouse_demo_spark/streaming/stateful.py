@@ -634,3 +634,195 @@ def running_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _TopKStreamWriter:
+    """foreachBatch body for `heavy_hitters_stream`: maintain ONE global
+    Misra-Gries summary of an unbounded feed in a transactional store.
+
+    Per block:
+
+      1. distributed fold of the block's values into per-task capacity-C
+         summaries (`sketches._mg_partition` — the batch operator's exact
+         fold; <= C+1 rows per task however large the block);
+      2. merge-and-trim: union the stored summary (<= C+1 rows) with the
+         block's summaries, re-sum counters per value, and apply the
+         mergeable-summaries trim (subtract the (C+1)-th largest merged
+         count, fold it into the error total) — all DataFrame ops over
+         frames bounded by (tasks + 1) x (C + 1) rows, never the corpus.
+         The only driver action is a 1-row `first()` for the subtrahend,
+         the same bounded class as the IVF memoized count;
+      3. publish the new summary as the next GENERATION via
+         `append_once(txn=writer:batch)` — a retried batch re-runs as a
+         no-op, and readers take only the newest generation, so the store
+         read stays O(C) after any number of batches.  `maintain()`
+         (or `compact_every`) folds superseded generations away.
+
+    Exactness contract matches the batch operator: while the stream's
+    total distinct values fit in C no trim ever fires and the summary IS
+    the exact counts; beyond that, undercount <= n / (C + 1).
+    """
+
+    def __init__(
+        self,
+        spark,
+        store_dir: str,
+        col: str,
+        capacity: int = 1 << 14,
+        compact_every: int | None = None,
+        writer_id: str = "",
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+            TransactionalTable,
+        )
+
+        self.spark = spark
+        self.col = col
+        self.capacity = capacity
+        self.compact_every = compact_every
+        self.writer_id = writer_id
+        self.store = TransactionalTable(store_dir)
+
+    def _latest_summary(self) -> DataFrame | None:
+        try:
+            stored = self.store.read(self.spark)
+        except FileNotFoundError:  # no commits yet — first block
+            return None
+        gen = stored.agg(F.max("gen")).first()[0]
+        if gen is None:
+            return None
+        return stored.filter(F.col("gen") == gen).drop("gen")
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+            _SUMMARY_SCHEMA,
+            _mg_partition,
+        )
+
+        txn = f"{self.writer_id}:{batch_id}"
+        if self.store.txn_committed(txn):  # replayed batch: nothing to do
+            return
+        block_sums = (
+            block.select(F.col(self.col).cast("string").alias("value"))
+            .mapInPandas(_mg_partition(self.capacity), _SUMMARY_SCHEMA)
+        )
+        prev = self._latest_summary()
+        merged = block_sums if prev is None else prev.unionByName(block_sums)
+        merged = merged.persist()
+
+        counts = (
+            merged.filter(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.sum("count_lb").alias("count_lb"))
+        ).persist()
+        # (C+1)-th largest merged count = the trim subtrahend (0 when the
+        # merged summary already fits).  Bounded driver action: 1 row over
+        # a frame of <= (tasks + 1) x (C + 1) values.
+        head = counts.orderBy(F.desc("count_lb")).limit(self.capacity + 1)
+        n_head, sub_min = head.agg(
+            F.count(F.lit(1)), F.coalesce(F.min("count_lb"), F.lit(0))
+        ).first()
+        sub = int(sub_min) if n_head > self.capacity else 0
+        err_prev = merged.agg(
+            F.coalesce(F.sum("trim_err"), F.lit(0)).cast("long")
+        ).first()[0]
+
+        trimmed = (
+            counts.select(
+                "value", (F.col("count_lb") - F.lit(sub)).alias("count_lb")
+            )
+            .filter(F.col("count_lb") > 0)
+            .withColumn("trim_err", F.lit(0).cast("long"))
+        )
+        sentinel = self.spark.createDataFrame(
+            [(None, 0, int(err_prev) + sub)], _SUMMARY_SCHEMA
+        )
+        new_summary = trimmed.unionByName(sentinel).withColumn(
+            "gen", F.lit(int(batch_id)).cast("long")
+        )
+        self.store.append_once(new_summary, txn=txn)
+        counts.unpersist()
+        merged.unpersist()
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            self.maintain()
+
+    def maintain(self) -> None:
+        """Store maintenance: fold superseded generations away with a
+        retention rewrite (`optimize(keep_where=gen == max_gen)` — one
+        replace commit keeping only the newest summary's <= C+1 rows),
+        checkpoint + prune the commit log, and vacuum replaced files — a
+        forever-stream's store stays O(C) rows and O(1) files, not
+        O(batches).  Safe mid-stream between blocks like the near-dup
+        maintenance; batch-id idempotence survives (the replaced commits
+        stay in the watermark-compacted ledger)."""
+        gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
+        if gen is None:
+            return
+        self.store.optimize(self.spark, keep_where=F.col("gen") == int(gen))
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
+        self.store.vacuum()
+
+    def topk(self, k: int) -> DataFrame:
+        """Current top-k with bounds from the stored summary (same answer
+        tail as the batch operator)."""
+        from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+            finalize_topk,
+        )
+
+        latest = self._latest_summary()
+        if latest is None:
+            raise FileNotFoundError(f"no summary committed yet in {self.store.path}")
+        return finalize_topk(latest, k)
+
+
+def heavy_hitters_stream(
+    spark,
+    source: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    col: str,
+    capacity: int = 1 << 14,
+    compact_every: int | None = None,
+):
+    """Streaming `topK`: maintain a global Misra-Gries heavy-hitters
+    summary of an unbounded feed — the streaming twin of
+    `operators/sketches.heavy_hitters_topk`, with the same exactness
+    contract and error bound.  Mechanics, store layout, and exactly-once
+    guarantees: see `_TopKStreamWriter`; read the current answer any time
+    with `topk_stream_writer(...).topk(k)`."""
+    writer = _TopKStreamWriter(
+        spark,
+        store_dir,
+        col,
+        capacity=capacity,
+        compact_every=compact_every,
+        writer_id=checkpoint,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def topk_stream_writer(
+    spark,
+    store_dir: str,
+    col: str,
+    capacity: int = 1 << 14,
+    compact_every: int | None = None,
+    writer_id: str = "",
+) -> _TopKStreamWriter:
+    """The stream's writer object, exposed for direct `process(block, id)`
+    testing (retry idempotence) and for `topk(k)` reads of the store."""
+    return _TopKStreamWriter(
+        spark,
+        store_dir,
+        col,
+        capacity=capacity,
+        compact_every=compact_every,
+        writer_id=writer_id,
+    )

@@ -648,3 +648,47 @@ def test_running_funnel_final_depths_match_batch(spark, sf_dir, tmp_path):
         for r in BF.window_funnel(events, "user_id", "ts", steps(), 21600).collect()
     }
     assert got == expect
+
+
+def test_heavy_hitters_stream_matches_batch_and_replays_idempotently(
+    spark, events_dir, tmp_path
+):
+    """Streaming topK: after draining the feed the stored summary answers
+    exactly the batch sketch's top-k (exact regime); a replayed batch and a
+    mid-stream maintenance fold change nothing."""
+    from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+        heavy_hitters_topk,
+    )
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        topk_stream_writer,
+    )
+
+    src = _stream(spark, events_dir, per_trigger=1).select("user_id")
+    store = str(tmp_path / "hh_store")
+    ck = str(tmp_path / "hh_ck")
+    q = heavy_hitters_stream(
+        spark, src, store, ck, "user_id", capacity=1 << 12, compact_every=2
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    writer = topk_stream_writer(spark, store, "user_id", capacity=1 << 12, writer_id=ck)
+    got = [tuple(r) for r in writer.topk(5).collect()]
+    expect = [
+        tuple(r)
+        for r in heavy_hitters_topk(
+            spark.read.parquet(events_dir), "user_id", 5, capacity=1 << 12
+        ).collect()
+    ]
+    assert got == expect
+    assert all(lb == ub for _v, lb, ub in got)  # exact regime certified
+
+    # replay of an already-committed batch id: store unchanged
+    block = spark.read.parquet(events_dir).select("user_id").limit(50)
+    writer.process(block, 0)
+    assert [tuple(r) for r in writer.topk(5).collect()] == expect
+
+    # maintenance retention-rewrite: answers unchanged, store folded small
+    writer.maintain()
+    assert [tuple(r) for r in writer.topk(5).collect()] == expect

@@ -535,3 +535,18 @@ def test_read_where_is_immune_to_partition_like_table_root(spark, tmp_path):
     t.append(df, partition_by="bshard")
     assert t.read_where(spark, "bshard", [3]).count() == 0
     assert t.read_where(spark, "bshard", [1]).count() == 10
+
+
+def test_optimize_keep_where_retention_rewrite(spark, tmp_path):
+    """optimize(keep_where=...) — the REPLACE-WHERE retention form: the
+    new snapshot holds only matching rows; a pinned pre-rewrite version
+    still reads the full data until vacuumed."""
+    t = TransactionalTable(str(tmp_path / "ret"))
+    t.append(spark.range(5).withColumn("gen", F.lit(0)))
+    t.append(spark.range(5, 8).withColumn("gen", F.lit(1)))
+    pinned = t.version()
+
+    t.optimize(spark, keep_where=F.col("gen") == 1)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [5, 6, 7]
+    # pinned snapshot still sees everything (no vacuum yet)
+    assert t.read(spark, pinned).count() == 8
