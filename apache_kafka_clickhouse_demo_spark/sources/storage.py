@@ -122,6 +122,8 @@ def write_sorted(
     sort_cols: list[str],
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 100_000,
 ) -> None:
     """MergeTree `ORDER BY` analogue: sorted, optionally partitioned parquet.
 
@@ -130,6 +132,15 @@ def write_sorted(
     sort key before writing — every parquet file is internally sorted and
     its row-group stats are tight, which is what makes P3-style timestamp
     range predicates prune like a sparse primary index.
+
+    `bloom_cols` is the skip-index analogue (`INDEX ... TYPE bloom_filter`):
+    per-column parquet split-block bloom filters for columns the sort key
+    gives NO min/max locality on (ids, hashes, tags).  A point predicate on
+    a bloomed column skips whole row groups at scan time inside the parquet
+    reader — the same "skip granules without reading them" contract as the
+    MergeTree secondary index, paid for with ~1.2 bytes/distinct-value of
+    file space (`bloom_ndv` sizes the filter; overshooting wastes bytes,
+    undershooting inflates the false-positive rate toward useless).
     """
     out = df
     if partition_cols:
@@ -138,6 +149,9 @@ def write_sorted(
     else:
         out = out.sortWithinPartitions(*sort_cols)
     writer = out.write.mode(mode)
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)

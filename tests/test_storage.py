@@ -407,3 +407,34 @@ def test_atomic_swap_tolerates_stale_old_and_restores_on_failure(
     monkeypatch.undo()
     # the ORIGINAL table was restored — readers still see every row
     assert spark.read.parquet(path).count() == 100
+
+
+def test_write_sorted_bloom_skip_index(spark, tmp_path):
+    """bloom_cols (the `INDEX ... TYPE bloom_filter` skip-index analogue)
+    plumbs per-column bloom options into the parquet writer: the bloomed
+    file carries the extra filter bytes, and the reader still point-filters
+    correctly (bloom is advisory, never lossy)."""
+    import glob
+
+    # high cardinality on purpose: parquet only materializes a bloom when
+    # the column's dictionary page overflows (a fully dictionary-encoded
+    # row group already has an exact membership filter)
+    df = spark.range(100_000).selectExpr(
+        "id", "cast(hash(id) as string) as tag"
+    ).coalesce(1)
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    write_sorted(df, plain, sort_cols=["id"])
+    write_sorted(df, bloomed, sort_cols=["id"], bloom_cols=["tag"], bloom_ndv=100_000)
+
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+    )
+    assert size(bloomed) > size(plain)  # the filter bytes are really there
+
+    probe = df.first()["tag"]
+    got = read_table(spark, bloomed).filter(F.col("tag") == probe)
+    want = read_table(spark, plain).filter(F.col("tag") == probe)
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
