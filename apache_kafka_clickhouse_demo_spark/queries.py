@@ -1847,6 +1847,32 @@ def q_top_users_sketch(spark, sf_dir):
     )
 
 
+def q_projection_routing(spark, sf_dir):
+    """PROJECTION parity (sources/projections.py): events materialized
+    under two sort orders (primary = ts, by_user = user_id); the router
+    serves a per-user aggregate from the by_user copy — identical rows to
+    the plain-table oracle, but each scanned file owns a narrow user
+    slice, so the predicate prunes at file granularity."""
+    from apache_kafka_clickhouse_demo_spark.sources.projections import (
+        ProjectedTable,
+    )
+
+    t = ProjectedTable(
+        _workdir("projected_") + "/t",
+        {"primary": ["ts", "event_id"], "by_user": ["user_id", "ts"]},
+    )
+    t.write(_t(spark, sf_dir, "events"))
+    routed = t.read_for(spark, ["user_id"]).filter(F.col("user_id") < 30)
+    return (
+        routed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_passage_dedup(spark, sf_dir):
     """Passage-level dedup (CCNet/C4 line-dedup rule) over the documents
     table: 8-word passages, first global occurrence survives, documents
@@ -1958,6 +1984,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ttl_cleanup": q_ttl_cleanup,  # same engine family; partition-drop path pinned in tests/test_mergetree_engines.py
     "retention_cohort": q_retention_cohort,  # behavioral family: gate row via funnel_levels
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
+    "projection_routing": q_projection_routing,  # PROJECTION analogue round trip (tests/test_projections.py)
     # rotated OUT of the gate mid-r06 for the three family representatives
     # above; their operator coverage stays gated elsewhere:
     "asof_next_error": q_asof_next_error,  # forward as-of == backward + direction flip; asof_last_purchase gated, equivalence in tests/test_asof_*
@@ -2606,6 +2633,12 @@ FROM events GROUP BY user_id
 ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
 """,
         "passage_dedup": _passage_dedup_oracle(),
+        "projection_routing": """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events WHERE user_id < 30
+GROUP BY user_id ORDER BY user_id
+""",
         "extract_typed_events": """
 SELECT event_id, ts, user_id, event_type, value,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

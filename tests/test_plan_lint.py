@@ -25,6 +25,7 @@ _SKIP = {
     "replacing_latest",  # writes+compacts a table at build; op plans in tests/test_mergetree_engines.py
     "collapsing_balance",  # same (VersionedCollapsing round trip)
     "ttl_cleanup",  # same (TTL partition-drop round trip)
+    "projection_routing",  # same (projection fan-out write); tests/test_projections.py
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
