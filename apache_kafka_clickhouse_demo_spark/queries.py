@@ -1847,6 +1847,89 @@ def q_top_users_sketch(spark, sf_dir):
     )
 
 
+def q7_nation_trade(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue shipped between two nations in
+    either direction, by supplier nation / customer nation / year.  Plan:
+    lineitem->orders->customer chain with two BROADCAST nation dims; the
+    pair predicate applies after both nation joins; integer-u4 money
+    (q1's exact-cents pattern) summed as decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", (price_c * (100 - disc_c)).alias("vol_u4"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (F.sum(F.col("vol_u4").cast("decimal(38,0)")).cast("double") / 10000.0).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
+    revenue sold to customers in region ASIA, by order year.  The
+    share is a conditional-sum ratio inside one aggregate — numerator and
+    denominator in a single pass, no self-join; part/nation/region dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    n_cust = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n_supp = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    econ = F.broadcast(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    vol = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", (price_c * (100 - disc_c)).alias("vol_u4"))
+        .join(econ, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("s_nk"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol_u4")).otherwise(F.lit(0)).cast("decimal(38,0)")
+    )
+    den = F.sum(F.col("vol_u4").cast("decimal(38,0)"))
+    return (
+        vol.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
 def q_projection_routing(spark, sf_dir):
     """PROJECTION parity (sources/projections.py): events materialized
     under two sort orders (primary = ts, by_user = user_id); the router
@@ -1985,6 +2068,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohort": q_retention_cohort,  # behavioral family: gate row via funnel_levels
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
     "projection_routing": q_projection_routing,  # PROJECTION analogue round trip (tests/test_projections.py)
+    "q7_nation_trade": q7_nation_trade,  # TPC-H join-shape depth; gate carries q3/q5 joins
+    "q8_market_share": q8_market_share,  # conditional-sum ratio aggregate
     # rotated OUT of the gate mid-r06 for the three family representatives
     # above; their operator coverage stays gated elsewhere:
     "asof_next_error": q_asof_next_error,  # forward as-of == backward + direction flip; asof_last_purchase gated, equivalence in tests/test_asof_*
@@ -2633,6 +2718,47 @@ FROM events GROUP BY user_id
 ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
 """,
         "passage_dedup": _passage_dedup_oracle(),
+        "q7_nation_trade": """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(sum(vol_u4) AS DOUBLE) / 10000.0 AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_u4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+        "q8_market_share": """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_u4 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(vol_u4) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year, n2.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_u4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+)
+GROUP BY o_year ORDER BY o_year
+""",
         "projection_routing": """
 SELECT user_id, count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
