@@ -634,3 +634,84 @@ def connected_components(
             F.coalesce("label", "node").alias("cluster_id"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    target_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "ivf:",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then drop all
+    but one member of every WITHIN-cluster group of semantic near-
+    duplicates — the published recipe for pruning web-scale training data
+    by meaning rather than surface form (where MinHash sees token overlap,
+    this sees paraphrases).
+
+    Spark-first composition of existing pieces:
+
+    - centroids: the IVF deterministic hash-sample (`similarity.ivf_topk`'s
+      quantizer — fixed expected count at any corpus size, so the
+      broadcast stays constant and the whole operator remains exactly
+      oracle-checkable; a k-means fit would probe better but is not
+      cross-engine reproducible);
+    - assignment: argmax cosine over the broadcast centroids, folded into
+      one max_by hash aggregate (codegen, map-side partials);
+    - dedup: within each cell ONLY, pairs (a < b) with cos >= threshold
+      mark b as dropped; survivors = corpus minus dropped.  The pairwise
+      stage shuffles by cell id and is quadratic in CELL size, not corpus
+      size — exactly SemDeDup's cost model (cells ~ n/K; at 100 TB raise
+      `target_centroids` toward sqrt(n) like IVF).  Keep-smallest-id is
+      the determinism rule (the paper keeps the member farthest from the
+      centroid; any single-representative rule satisfies its objective,
+      and id order is the one the other dedup operators already use).
+
+    Output: surviving `id_col` rows.  Cross-cell near-duplicates are NOT
+    dropped (the paper's stated approximation); the RP-LSH
+    `embedding_near_dup_pairs` is the cross-partition-exact alternative.
+    """
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        _memoized_count,
+    )
+
+    n = corpus_count if corpus_count is not None else _memoized_count(emb)
+    modulus = max(1, n // target_centroids)
+
+    vecs = spread_small(emb).select(
+        F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
+    )
+    cents = vecs.filter(
+        H.h48(F.concat(F.lit(salt), F.col("vid").cast("string"))) % modulus == 0
+    ).select(F.col("vid").alias("cent_id"), F.col("nv").alias("cv"))
+
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vid", "nv", "cent_id", V.dot("nv", "cv").alias("ccos"))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cent_id"),
+            F.first("nv").alias("nv"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dropped = (
+        assign.alias("a")
+        .join(assign.alias("b"), on="cent_id")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .filter(V.dot("a.nv", "b.nv") >= F.lit(threshold))
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        assign.select("vid")
+        .join(dropped, "vid", "left_anti")
+        .select(F.col("vid").alias(id_col))
+        .orderBy(id_col)
+    )

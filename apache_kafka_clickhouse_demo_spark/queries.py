@@ -1930,6 +1930,20 @@ def q8_market_share(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup parity (dedup.semantic_dedup): coarse-cluster the
+    embeddings on the IVF hash-sampled centroids, drop within-cluster
+    semantic near-duplicates, return survivors.  Threshold reuses the
+    fixture-calibrated NEAR_DUP_COS."""
+    return dedup.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_COS,
+        dim=EMBED_DIM,
+        target_centroids=IVF_TARGET_CENTROIDS,
+        salt=IVF_SALT,
+    )
+
+
 def q_projection_routing(spark, sf_dir):
     """PROJECTION parity (sources/projections.py): events materialized
     under two sort orders (primary = ts, by_user = user_id); the router
@@ -2068,6 +2082,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohort": q_retention_cohort,  # behavioral family: gate row via funnel_levels
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
     "projection_routing": q_projection_routing,  # PROJECTION analogue round trip (tests/test_projections.py)
+    "semantic_dedup": q_semantic_dedup,  # SemDeDup composition of IVF quantizer + cosine verify
     "q7_nation_trade": q7_nation_trade,  # TPC-H join-shape depth; gate carries q3/q5 joins
     "q8_market_share": q8_market_share,  # conditional-sum ratio aggregate
     # rotated OUT of the gate mid-r06 for the three family representatives
@@ -2338,6 +2353,43 @@ WITH nemb AS ({nemb}),
 SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos_sim
 FROM ranked WHERE rnk <= {ANN_K}
 ORDER BY query_id, rank
+"""
+
+
+def _oracle_semantic_dedup() -> str:
+    """Mirror of dedup.semantic_dedup: same hash-sampled centroids and
+    argmax assignment as the IVF oracle, then within-cell (a < b, cos >=
+    threshold) pairs mark b dropped; survivors ordered."""
+    norm = V.sql_normalize("embedding", EMBED_DIM)
+    modulus = (
+        f"greatest(1, CAST((SELECT count(*) FROM embeddings) AS BIGINT)"
+        f" // {IVF_TARGET_CENTROIDS})"
+    )
+    cent_pred = (
+        f"({H.sql_h48(f'{IVF_SALT!r} || CAST(vec_id AS VARCHAR)')} % {modulus}) = 0"
+    )
+    return f"""
+WITH nemb AS (
+  SELECT vec_id, {norm} AS nv FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, nv AS cv FROM nemb WHERE {cent_pred}
+), assign AS (
+  SELECT vec_id, nv, cent_id FROM (
+    SELECT e.vec_id, e.nv, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {V.sql_dot('e.nv', 'c.cv', EMBED_DIM)} DESC,
+                                       c.cent_id) AS rn
+    FROM nemb e, cents c
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {V.sql_dot('a.nv', 'b.nv', EMBED_DIM)} >= {NEAR_DUP_COS}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY vec_id
 """
 
 
@@ -2718,6 +2770,7 @@ FROM events GROUP BY user_id
 ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
 """,
         "passage_dedup": _passage_dedup_oracle(),
+        "semantic_dedup": _oracle_semantic_dedup(),
         "q7_nation_trade": """
 SELECT supp_nation, cust_nation, l_year,
        CAST(CAST(sum(vol_u4) AS DOUBLE) / 10000.0 AS DOUBLE) AS revenue

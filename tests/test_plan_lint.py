@@ -35,6 +35,7 @@ _NESTED_LOOP_OK = {
     "tfidf_top_terms",  # per-term rows x broadcast(1-row corpus-count agg)
     "text_prep",  # same tfidf stage: per-term rows x broadcast(1-row count agg)
     "top_users_sketch",  # survivor counters x broadcast(1-row total-error agg)
+    "semantic_dedup",  # corpus x broadcast(fixed-target centroid table), like ann_ivf_topk
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}
