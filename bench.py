@@ -88,6 +88,7 @@ HEADLINE = [
     "replacing_latest",
     "funnel_levels",
     "passage_dedup",
+    "semantic_dedup",
 ]
 
 
@@ -139,6 +140,7 @@ BASELINE_SEC = {
     "replacing_latest": 1.325,
     "funnel_levels": 0.655,
     "passage_dedup": 1.586,
+    "semantic_dedup": 1.285,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -81,6 +81,7 @@ FAMILIES = [
     "retention_cohort",
     "top_users_sketch",
     "passage_dedup",
+    "semantic_dedup",
 ]
 
 PASSES = 2
