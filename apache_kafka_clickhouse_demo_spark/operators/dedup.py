@@ -639,7 +639,6 @@ def connected_components(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,
-    dim: int = 64,
     target_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -674,44 +673,32 @@ def semantic_dedup(
     Output: surviving `id_col` rows.  Cross-cell near-duplicates are NOT
     dropped (the paper's stated approximation); the RP-LSH
     `embedding_near_dup_pairs` is the cross-partition-exact alternative.
+
+    The quantizer IS `similarity.ivf_quantize` — the same code object
+    `ivf_topk` runs, so the claimed centroid/assignment parity cannot
+    drift.  Survivors anti-join the INPUT corpus, not the assignment
+    table: a corpus whose hash-sample yields zero centroids (possible —
+    data-dependent) then deduplicates nothing instead of silently
+    dropping every row (code-review mid-r6).
     """
     from apache_kafka_clickhouse_demo_spark.operators.similarity import (
-        _memoized_count,
+        ivf_quantize,
     )
 
-    n = corpus_count if corpus_count is not None else _memoized_count(emb)
-    modulus = max(1, n // target_centroids)
-
-    vecs = spread_small(emb).select(
-        F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
+    _cents, assign = ivf_quantize(
+        emb, target_centroids, vec_col, id_col, salt, corpus_count
     )
-    cents = vecs.filter(
-        H.h48(F.concat(F.lit(salt), F.col("vid").cast("string"))) % modulus == 0
-    ).select(F.col("vid").alias("cent_id"), F.col("nv").alias("cv"))
-
-    assign = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vid", "nv", "cent_id", V.dot("nv", "cv").alias("ccos"))
-        .groupBy("vid")
-        .agg(
-            F.max_by(
-                "cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))
-            ).alias("cent_id"),
-            F.first("nv").alias("nv"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
     dropped = (
         assign.alias("a")
         .join(assign.alias("b"), on="cent_id")
         .filter(F.col("a.vid") < F.col("b.vid"))
         .filter(V.dot("a.nv", "b.nv") >= F.lit(threshold))
-        .select(F.col("b.vid").alias("vid"))
+        .select(F.col("b.vid").alias(id_col))
         .distinct()
     )
     return (
-        assign.select("vid")
-        .join(dropped, "vid", "left_anti")
-        .select(F.col("vid").alias(id_col))
+        emb.select(id_col)
+        .join(dropped, id_col, "left_anti")
         .orderBy(id_col)
     )

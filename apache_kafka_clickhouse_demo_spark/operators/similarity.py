@@ -220,6 +220,53 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def ivf_quantize(
+    corpus,
+    target_centroids: int,
+    vec_col: str,
+    id_col: str,
+    salt: str,
+    corpus_count: int | None = None,
+):
+    """Shared IVF coarse quantizer: (cents, assign).
+
+    cents  = deterministic hash-sample of the corpus (expected
+             ~target_centroids rows at ANY corpus size; columns cent_id, cv)
+    assign = argmax-cosine assignment of every vector to its centroid,
+             folded into ONE max_by hash aggregate (columns vid, nv,
+             cent_id; ties break on smallest cent_id)
+
+    Extracted so `ivf_topk` and `dedup.semantic_dedup` provably share one
+    quantizer — their docstrings claim identical centroid/assignment
+    decisions, and a copy would let the two silently drift.  The single
+    driver action is the memoized corpus count (see `ivf_topk`).
+    """
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+    n = corpus_count if corpus_count is not None else _memoized_count(corpus)
+    modulus = max(1, n // target_centroids)
+
+    vecs = spread_small(corpus).select(
+        F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
+    )
+    cents = vecs.filter(
+        H.h48(F.concat(F.lit(salt), F.col("vid").cast("string"))) % modulus == 0
+    ).select(F.col("vid").alias("cent_id"), F.col("nv").alias("cv"))
+
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vid", "nv", "cent_id", V.dot("nv", "cv").alias("ccos"))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cent_id"),
+            F.first("nv").alias("nv"),
+        )
+    )
+    return cents, assign
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -266,32 +313,12 @@ def ivf_topk(
     """
     if dim is None:
         raise ValueError("pass dim explicitly (no driver-side inference)")
-    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
     from pyspark.sql import Window
 
-    n = corpus_count if corpus_count is not None else _memoized_count(corpus)
-    modulus = max(1, n // target_centroids)
-
-    vecs = spread_small(corpus).select(
-        F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
+    cents, assign = ivf_quantize(
+        corpus, target_centroids, vec_col, id_col, salt, corpus_count
     )
-    cents = vecs.filter(
-        H.h48(F.concat(F.lit(salt), F.col("vid").cast("string"))) % modulus == 0
-    ).select(F.col("vid").alias("cent_id"), F.col("nv").alias("cv"))
-
-    # assignment: argmax cosine over centroids, tie -> smallest cent_id
-    assign = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vid", "nv", "cent_id", V.dot("nv", "cv").alias("ccos"))
-        .groupBy("vid")
-        .agg(
-            F.max_by("cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))).alias(
-                "cent_id"
-            ),
-            F.first("nv").alias("nv"),
-        )
-        .select(F.col("vid").alias("neighbor_id"), "nv", "cent_id")
-    )
+    assign = assign.select(F.col("vid").alias("neighbor_id"), "nv", "cent_id")
 
     q = queries.select(F.col(id_col).alias("query_id"), V.normalize(vec_col).alias("qn"))
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))

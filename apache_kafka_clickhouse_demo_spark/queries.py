@@ -1938,7 +1938,6 @@ def q_semantic_dedup(spark, sf_dir):
     return dedup.semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
         threshold=NEAR_DUP_COS,
-        dim=EMBED_DIM,
         target_centroids=IVF_TARGET_CENTROIDS,
         salt=IVF_SALT,
     )
@@ -2356,10 +2355,11 @@ ORDER BY query_id, rank
 """
 
 
-def _oracle_semantic_dedup() -> str:
-    """Mirror of dedup.semantic_dedup: same hash-sampled centroids and
-    argmax assignment as the IVF oracle, then within-cell (a < b, cos >=
-    threshold) pairs mark b dropped; survivors ordered."""
+def _sql_ivf_quantizer(id_alias: str) -> str:
+    """Shared nemb/cents/assign CTE text mirroring `similarity.ivf_quantize`
+    (same modulus, sample predicate, and argmax tie-break) — used by BOTH
+    the IVF ANN oracle and the SemDeDup oracle so the SQL mirrors cannot
+    drift any more than the Spark operators can."""
     norm = V.sql_normalize("embedding", EMBED_DIM)
     modulus = (
         f"greatest(1, CAST((SELECT count(*) FROM embeddings) AS BIGINT)"
@@ -2368,20 +2368,27 @@ def _oracle_semantic_dedup() -> str:
     cent_pred = (
         f"({H.sql_h48(f'{IVF_SALT!r} || CAST(vec_id AS VARCHAR)')} % {modulus}) = 0"
     )
-    return f"""
-WITH nemb AS (
+    return f"""nemb AS (
   SELECT vec_id, {norm} AS nv FROM embeddings
 ), cents AS (
   SELECT vec_id AS cent_id, nv AS cv FROM nemb WHERE {cent_pred}
 ), assign AS (
-  SELECT vec_id, nv, cent_id FROM (
+  SELECT vec_id AS {id_alias}, nv, cent_id FROM (
     SELECT e.vec_id, e.nv, c.cent_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {V.sql_dot('e.nv', 'c.cv', EMBED_DIM)} DESC,
                                        c.cent_id) AS rn
     FROM nemb e, cents c
   ) WHERE rn = 1
-), dropped AS (
+)"""
+
+
+def _oracle_semantic_dedup() -> str:
+    """Mirror of dedup.semantic_dedup: the shared IVF quantizer CTEs, then
+    within-cell (a < b, cos >= threshold) pairs mark b dropped; survivors
+    ordered."""
+    return f"""
+WITH {_sql_ivf_quantizer('vec_id')}, dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assign a JOIN assign b
     ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
@@ -2394,32 +2401,12 @@ ORDER BY vec_id
 
 
 def _oracle_ann_ivf() -> str:
-    """Mirror of similarity.ivf_topk: same hash-sampled centroids (modulus
-    derived from the same corpus count / fixed target), same argmax
-    assignment with (cos desc, cent_id asc) tie-break, same nprobe probe,
-    same normalized-dot rerank."""
-    norm = V.sql_normalize("embedding", EMBED_DIM)
-    modulus = (
-        f"greatest(1, CAST((SELECT count(*) FROM embeddings) AS BIGINT)"
-        f" // {IVF_TARGET_CENTROIDS})"
-    )
-    cent_pred = (
-        f"({H.sql_h48(f'{IVF_SALT!r} || CAST(vec_id AS VARCHAR)')} % {modulus}) = 0"
-    )
+    """Mirror of similarity.ivf_topk: the shared IVF quantizer CTEs
+    (`_sql_ivf_quantizer` — same modulus, sample, and tie-break as the
+    Spark `ivf_quantize`), then the same nprobe probe and normalized-dot
+    rerank."""
     return f"""
-WITH nemb AS (
-  SELECT vec_id, {norm} AS nv FROM embeddings
-), cents AS (
-  SELECT vec_id AS cent_id, nv AS cv FROM nemb WHERE {cent_pred}
-), assign AS (
-  SELECT vec_id AS neighbor_id, nv, cent_id FROM (
-    SELECT e.vec_id, e.nv, c.cent_id,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {V.sql_dot('e.nv', 'c.cv', EMBED_DIM)} DESC,
-                                       c.cent_id) AS rn
-    FROM nemb e, cents c
-  ) WHERE rn = 1
-), probes AS (
+WITH {_sql_ivf_quantizer('neighbor_id')}, probes AS (
   SELECT query_id, qn, cent_id FROM (
     SELECT q.vec_id AS query_id, q.nv AS qn, c.cent_id,
            row_number() OVER (PARTITION BY q.vec_id

@@ -32,6 +32,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apache_kafka_clickhouse_demo_spark.sources.storage import write_sorted
+
 
 class ProjectedTable:
     """One logical table, N sorted physical copies.
@@ -41,27 +43,37 @@ class ProjectedTable:
     result read through any copy is the same table.
     """
 
-    def __init__(self, path: str, orders: dict[str, list[str]]):
+    def __init__(
+        self,
+        path: str,
+        orders: dict[str, list[str]],
+        bloom_cols: list[str] | None = None,
+    ):
         if "primary" not in orders:
             raise ValueError("orders must include the 'primary' sort key")
         self.path = path.rstrip("/")
         self.orders = {k: list(v) for k, v in orders.items()}
+        #: on the TABLE, not per-write: appended files must carry the same
+        #: blooms as the base files or point-predicate skipping silently
+        #: degrades with every insert (code-review mid-r6)
+        self.bloom_cols = list(bloom_cols or [])
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.path, name)
 
-    @staticmethod
     def _write_one(
+        self,
         df: DataFrame,
         path: str,
         sort_cols: list[str],
         mode: str,
-        bloom_cols: list[str] | None,
         files: int | None = None,
     ) -> None:
-        """One copy = RANGE-partitioned on its sort key, then sorted within
-        each task: every FILE owns a narrow, disjoint slice of the key
-        space (the MergeTree part shape), so min/max pruning works at file
+        """One copy = RANGE-partitioned on its sort key, then handed to
+        `storage.write_sorted` (ONE sorted-parquet writer in the engine —
+        a local copy of its option plumbing would drift; code-review
+        mid-r6): every FILE owns a narrow, disjoint slice of the key space
+        (the MergeTree part shape), so min/max pruning works at file
         granularity — a hash-random task layout would leave every file
         spanning the whole key range however well its rows are sorted
         internally.  The slice count is EXPLICIT (default: the session's
@@ -71,32 +83,23 @@ class ProjectedTable:
         class exists for."""
         n = files or df.sparkSession.sparkContext.defaultParallelism
         out = df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
-        out = out.sortWithinPartitions(*sort_cols)
-        writer = out.write.mode(mode)
-        for c in bloom_cols or []:
-            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
-        writer.parquet(path)
+        # write_sorted's sortWithinPartitions preserves the range layout
+        write_sorted(out, path, sort_cols, mode=mode, bloom_cols=self.bloom_cols)
 
-    def write(
-        self,
-        df: DataFrame,
-        bloom_cols: list[str] | None = None,
-        files: int | None = None,
-    ) -> None:
+    def write(self, df: DataFrame, files: int | None = None) -> None:
         """Materialize every projection (overwrite).  Each copy is an
         independent range-partitioned sorted write — at scale these are N
         parallel jobs over the same source, not a chained shuffle."""
         for name, sort_cols in self.orders.items():
-            self._write_one(
-                df, self._dir(name), sort_cols, "overwrite", bloom_cols, files
-            )
+            self._write_one(df, self._dir(name), sort_cols, "overwrite", files)
 
     def insert(self, df: DataFrame, files: int | None = None) -> None:
         """Append a block into every projection, keeping each copy's
-        per-file range+sort property (the table stays a union of sorted
-        range-sliced files, the MergeTree part model)."""
+        per-file range+sort property AND its bloom skip-indexes (the table
+        stays a union of sorted range-sliced files, the MergeTree part
+        model)."""
         for name, sort_cols in self.orders.items():
-            self._write_one(df, self._dir(name), sort_cols, "append", None, files)
+            self._write_one(df, self._dir(name), sort_cols, "append", files)
 
     def choose(self, filter_cols: list[str]) -> str:
         """The routing rule: the copy whose sort key has the LONGEST

@@ -594,8 +594,8 @@ def running_funnel(
     from apache_kafka_clickhouse_demo_spark.operators import funnel as BF
 
     n = len(steps)
-    if not 1 <= n <= 8:
-        raise ValueError(f"1..8 steps supported, got {n}")
+    if not 1 <= n <= BF._TICK_BASE:
+        raise ValueError(f"1..{BF._TICK_BASE} steps supported, got {n}")
     window_us = int(window_seconds) * 1_000_000
 
     out_schema = T.StructType(
@@ -614,8 +614,8 @@ def running_funnel(
         for pdf in pdfs:
             ticks.extend(int(t) for t in pdf["tick"].dropna())
         for t in sorted(ticks):
-            step = t % 8
-            us = t >> 3
+            step = t % BF._TICK_BASE
+            us = t >> BF._TICK_SHIFT
             if step == 0:
                 acc[0] = max(acc[0], us)
             elif step < n and acc[step - 1] >= 0 and us - acc[step - 1] <= window_us:
@@ -683,15 +683,19 @@ class _TopKStreamWriter:
         self.writer_id = writer_id
         self.store = TransactionalTable(store_dir)
 
-    def _latest_summary(self) -> DataFrame | None:
+    def _latest(self) -> tuple[DataFrame | None, int]:
+        """(newest generation's summary or None, its gen number or -1)."""
         try:
             stored = self.store.read(self.spark)
         except FileNotFoundError:  # no commits yet — first block
-            return None
+            return None, -1
         gen = stored.agg(F.max("gen")).first()[0]
         if gen is None:
-            return None
-        return stored.filter(F.col("gen") == gen).drop("gen")
+            return None, -1
+        return stored.filter(F.col("gen") == gen).drop("gen"), int(gen)
+
+    def _latest_summary(self) -> DataFrame | None:
+        return self._latest()[0]
 
     def process(self, block: DataFrame, batch_id: int) -> None:
         from apache_kafka_clickhouse_demo_spark.operators.sketches import (
@@ -706,7 +710,7 @@ class _TopKStreamWriter:
             block.select(F.col(self.col).cast("string").alias("value"))
             .mapInPandas(_mg_partition(self.capacity), _SUMMARY_SCHEMA)
         )
-        prev = self._latest_summary()
+        prev, prev_gen = self._latest()
         merged = block_sums if prev is None else prev.unionByName(block_sums)
         merged = merged.persist()
 
@@ -737,8 +741,14 @@ class _TopKStreamWriter:
         sentinel = self.spark.createDataFrame(
             [(None, 0, int(err_prev) + sub)], _SUMMARY_SCHEMA
         )
+        # generation = stored max + 1, NOT the batch id: a NEW stream run
+        # (fresh checkpoint, batch ids restart at 0) over an existing
+        # durable store must write ABOVE the stored generations or
+        # _latest() keeps serving the old run's summary and the new run's
+        # counts silently vanish — the same restart hazard the near-dup
+        # writer_id scoping exists for (code-review mid-r6)
         new_summary = trimmed.unionByName(sentinel).withColumn(
-            "gen", F.lit(int(batch_id)).cast("long")
+            "gen", F.lit(prev_gen + 1).cast("long")
         )
         self.store.append_once(new_summary, txn=txn)
         counts.unpersist()

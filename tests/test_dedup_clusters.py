@@ -45,3 +45,19 @@ def test_bridged_components_merge(spark):
         [(1, 2), (5, 6), (2, 5)],
     )
     assert got == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
+def test_semantic_dedup_empty_centroid_sample_keeps_corpus(spark):
+    """A corpus whose deterministic hash-sample yields ZERO centroids must
+    deduplicate nothing — not silently drop every row (the survivors
+    anti-join the INPUT corpus, not the assignment table)."""
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    # an absurd corpus_count forces modulus ~6e7: no id passes the sample
+    out = semantic_dedup(
+        emb, threshold=0.5, target_centroids=16, corpus_count=1_000_000_000
+    )
+    assert [r["vec_id"] for r in out.collect()] == [0, 1, 2, 3, 4]

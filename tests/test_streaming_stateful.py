@@ -692,3 +692,24 @@ def test_heavy_hitters_stream_matches_batch_and_replays_idempotently(
     # maintenance retention-rewrite: answers unchanged, store folded small
     writer.maintain()
     assert [tuple(r) for r in writer.topk(5).collect()] == expect
+
+
+def test_topk_stream_new_run_over_existing_store_not_lost(spark, tmp_path):
+    """A NEW stream run (fresh writer id, batch ids restarting at 0) over an
+    existing summary store must land ABOVE the stored generations — batch-id
+    generation numbering would leave _latest() serving the old run and
+    silently drop the new run's counts (code-review mid-r6)."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        topk_stream_writer,
+    )
+
+    store = str(tmp_path / "gen_store")
+    w1 = topk_stream_writer(spark, store, "v", capacity=64, writer_id="run1")
+    w1.process(spark.createDataFrame([("a",)] * 3 + [("b",)], "v string"), 0)
+    w1.process(spark.createDataFrame([("a",)] * 2, "v string"), 1)
+
+    w2 = topk_stream_writer(spark, store, "v", capacity=64, writer_id="run2")
+    w2.process(spark.createDataFrame([("b",)] * 4, "v string"), 0)
+
+    got = {r["value"]: r["count_lb"] for r in w2.topk(5).collect()}
+    assert got == {"a": 5, "b": 5}
