@@ -22,6 +22,7 @@ from apache_kafka_clickhouse_demo_spark.streaming.stateful import (  # noqa: F40
     minhash_stream_writer,
     running_funnel,
     running_totals,
+    stream_interval_join,
     streaming_dedup,
     streaming_sessions,
     topk_stream_writer,

@@ -836,3 +836,42 @@ def topk_stream_writer(
         compact_every=compact_every,
         writer_id=writer_id,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    every right event of the same key whose timestamp lands in
+    [left_ts, left_ts + upper] — attribution's workhorse (click ->
+    purchases within the hour), and a join CLASS ClickHouse has no
+    streaming story for at all; Spark's state store holds both sides.
+
+    What makes this viable on unbounded feeds is that BOTH pruning bounds
+    are derivable: the time-range condition upper-bounds how long a row
+    can still find partners, and `delay` bounds event lateness, so each
+    side's state is evicted once the other side's watermark passes its
+    ts + upper + delay — state is O(rate x (upper + delay)) per side,
+    never stream length.  An unconstrained stream-stream join (no time
+    bounds) would have to keep EVERY row forever; Spark rejects it in
+    append mode for exactly that reason.
+
+    Column names must be disjoint across the two inputs (rename upstream)
+    — the standard stream-stream join contract.  Inner join; each match
+    is emitted exactly once, when both watermarks pass it.
+    """
+    l_ = left.withWatermark(left_ts, delay)
+    r_ = right.withWatermark(right_ts, delay)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {upper}"))
+    )
+    return l_.join(r_, cond)

@@ -713,3 +713,64 @@ def test_topk_stream_new_run_over_existing_store_not_lost(spark, tmp_path):
 
     got = {r["value"]: r["count_lb"] for r in w2.topk(5).collect()}
     assert got == {"a": 5, "b": 5}
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join == the batch range join for the same
+    rows: every (click, purchase-within-1h) pair for the same user, each
+    emitted exactly once.  A far-future flush event on both feeds drives
+    the watermarks past every real match so append mode releases them."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bts"),
+        F.col("event_id").alias("bid"),
+    )
+    flush_c = spark.createDataFrame([(-1, "2099-01-01 00:00:00", -1)],
+                                    "cu long, s string, cid long"
+    ).select("cu", F.col("s").cast("timestamp").alias("cts"), "cid")
+    flush_b = spark.createDataFrame([(-1, "2099-01-01 00:00:00", -1)],
+                                    "bu long, s string, bid long"
+    ).select("bu", F.col("s").cast("timestamp").alias("bts"), "bid")
+
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    clicks.unionByName(flush_c).repartition(2).write.parquet(cdir)
+    buys.unionByName(flush_b).repartition(2).write.parquet(bdir)
+
+    sc = spark.readStream.schema(clicks.schema).parquet(cdir)
+    sb = spark.readStream.schema(buys.schema).parquet(bdir)
+    out = str(tmp_path / "out")
+    q = (
+        stream_interval_join(sc, sb, "cu", "bu", "cts", "bts", upper="1 hour")
+        .writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["cid"], r["bid"]) for r in spark.read.parquet(out).collect()
+        if r["cid"] != -1 and r["bid"] != -1
+    )
+    want = sorted(
+        (r["cid"], r["bid"])
+        for r in clicks.join(
+            buys,
+            (F.col("cu") == F.col("bu"))
+            & (F.col("bts") >= F.col("cts"))
+            & (F.col("bts") <= F.expr("cts + INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert got == want and len(want) > 0
