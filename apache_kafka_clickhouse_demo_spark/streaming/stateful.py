@@ -661,6 +661,13 @@ class _TopKStreamWriter:
     Exactness contract matches the batch operator: while the stream's
     total distinct values fit in C no trim ever fires and the summary IS
     the exact counts; beyond that, undercount <= n / (C + 1).
+
+    Concurrency contract: ONE live writer per store (the foreachBatch
+    model; retries of a batch are sequential).  Two concurrent writers
+    would read the same max generation and both publish generation+1 —
+    `_latest()` would then merge both summaries' rows and double-count.
+    Sequential writer HANDOVER (a new stream run, fresh writer_id) is the
+    supported restart path and is pinned by test.
     """
 
     def __init__(
