@@ -43,8 +43,9 @@ from apache_kafka_clickhouse_demo_spark import queries as Q  # noqa: E402
 from apache_kafka_clickhouse_demo_spark.session import get_spark  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.1"
-SCALE_DIR = str(REPO / ".scale10x")
-COPIES = 10
+#: --copies N overrides (default 10); the output dir is .scale<N>x
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+SCALE_DIR = str(REPO / f".scale{COPIES}x")
 
 #: The families whose 100 TB designs the rehearsal is meant to check.
 FAMILIES = [
