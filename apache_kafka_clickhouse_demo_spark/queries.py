@@ -1943,6 +1943,27 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_snapshot_changelog(spark, sf_dir):
+    """CDC snapshot diff (storage.snapshot_diff): per-user state snapshots
+    before the cutoff vs over the whole table; the diff is the
+    VersionedCollapsing-style change log — one -1 (superseded state) and
+    one +1 (new state) per user whose state changed, nothing for
+    untouched users.  Oracle: EXCEPT ALL both directions."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents")
+
+    def state(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), cents
+        )
+
+    old = state(ev.filter(F.col("ts") < F.lit(EVENTS_CUTOFF).cast("timestamp")))
+    new = state(ev)
+    return snapshot_diff(old, new).orderBy("user_id", "sign")
+
+
 def q_projection_routing(spark, sf_dir):
     """PROJECTION parity (sources/projections.py): events materialized
     under two sort orders (primary = ts, by_user = user_id); the router
@@ -2082,6 +2103,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
     "projection_routing": q_projection_routing,  # PROJECTION analogue round trip (tests/test_projections.py)
     "semantic_dedup": q_semantic_dedup,  # SemDeDup composition of IVF quantizer + cosine verify
+    "snapshot_changelog": q_snapshot_changelog,  # CDC diff feeding the collapsing engine
     "q7_nation_trade": q7_nation_trade,  # TPC-H join-shape depth; gate carries q3/q5 joins
     "q8_market_share": q8_market_share,  # conditional-sum ratio aggregate
     # rotated OUT of the gate mid-r06 for the three family representatives
@@ -2758,6 +2780,22 @@ ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
 """,
         "passage_dedup": _passage_dedup_oracle(),
         "semantic_dedup": _oracle_semantic_dedup(),
+        "snapshot_changelog": f"""
+WITH old AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events WHERE ts < TIMESTAMP '{EVENTS_CUTOFF}' GROUP BY user_id
+), new AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, value_cents, sign FROM (
+  SELECT *, 1 AS sign FROM (SELECT * FROM new EXCEPT ALL SELECT * FROM old)
+  UNION ALL
+  SELECT *, -1 AS sign FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM new)
+) ORDER BY user_id, sign
+""",
         "q7_nation_trade": """
 SELECT supp_nation, cust_nation, l_year,
        CAST(CAST(sum(vol_u4) AS DOUBLE) / 10000.0 AS DOUBLE) AS revenue

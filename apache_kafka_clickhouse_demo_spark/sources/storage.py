@@ -583,3 +583,34 @@ def apply_ttl(
             _atomic_swap(sub, _write)
             rewritten += 1
     return {"dropped_dirs": dropped, "rewritten": rewritten}
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Change-data feed between two table snapshots: every row of `new`
+    absent from `old` emits sign +1, every row of `old` absent from `new`
+    emits sign -1 — exactly the change log `compact_collapsing` consumes,
+    so `old + diff` collapses to `new`.  This is how a MergeTree-family
+    deployment turns periodic snapshots (a replaced dimension table, a
+    re-extracted upstream) into an INCREMENTAL feed for the downstream
+    cascade instead of a full reload.
+
+    Multiset semantics (`exceptAll`): a row appearing twice in `new` and
+    once in `old` diffs to ONE +1 — duplicates are preserved exactly, not
+    set-collapsed.  Plan shape: each direction is one hash aggregate over
+    full-row keys (map-side combinable, one shuffle each, no join); the
+    diff's size is O(changed rows) however large the snapshots are, which
+    is the entire point of feeding the cascade a diff.
+
+    Schemas must match (column order included).  Output: the common
+    schema + `sign` int.
+    """
+    if [f.simpleString() for f in old.schema] != [
+        f.simpleString() for f in new.schema
+    ]:
+        raise ValueError(
+            f"snapshot schemas differ: {old.schema.simpleString()} vs "
+            f"{new.schema.simpleString()}"
+        )
+    plus = new.exceptAll(old).withColumn("sign", F.lit(1))
+    minus = old.exceptAll(new).withColumn("sign", F.lit(-1))
+    return plus.unionByName(minus)

@@ -169,3 +169,39 @@ def test_apply_ttl_skips_unparsable_partition_dirs(spark, tmp_path):
         r["id"] for r in read_table(spark, path).filter(F.col("ts").isNotNull()).collect()
     )
     assert kept == [2]  # NULL-ts row also survives in the default partition
+
+
+def test_snapshot_diff_feeds_the_collapse_back_to_new(spark):
+    """The CDC contract: old + snapshot_diff(old, new) collapses to new —
+    including multiset duplicates — and an unchanged table diffs empty."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("dup", 9), ("dup", 9)], "k string, v int"
+    )
+    new = spark.createDataFrame(
+        [("a", 5), ("b", 2), ("dup", 9), ("c", 7)], "k string, v int"
+    )
+    diff = snapshot_diff(old, new)
+    got = {(r["k"], r["v"], r["sign"]) for r in diff.collect()}
+    assert got == {("a", 1, -1), ("a", 5, 1), ("dup", 9, -1), ("c", 7, 1)}
+
+    # applying the log: old(+1) union diff, net-summed per full row == new
+    applied = (
+        old.withColumn("sign", F.lit(1))
+        .unionByName(diff)
+        .groupBy("k", "v")
+        .agg(F.sum("sign").alias("net"))
+        .filter(F.col("net") > 0)
+    )
+    rebuilt = sorted(
+        (r["k"], r["v"]) for r in applied.collect() for _ in range(r["net"])
+    )
+    assert rebuilt == sorted((r["k"], r["v"]) for r in new.collect())
+
+    assert snapshot_diff(new, new).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new.select("v", "k"))  # column order matters
