@@ -1943,6 +1943,116 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_stream_funnel(spark, sf_dir):
+    """Streaming windowFunnel drain (streaming/stateful.running_funnel):
+    the events table arrives as four ts-ordered blocks; each key's LAST
+    emitted depth is the answer.  Oracle: the batch funnel's per-user
+    window-function SQL rolled up to (funnel_level, n_users) — equal iff
+    the stream's constant-state fold reproduces the batch fold."""
+    import time as _time
+
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        running_funnel,
+    )
+
+    work = _workdir("stream_funnel_")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    prev = None
+    for i in range(4):  # ts-ordered blocks; mtime = arrival order
+        upper = lo + span * (i + 1) if i < 3 else hi
+        blk = ev.filter(
+            (F.col("ts") <= F.lit(upper))
+            & (F.col("ts") > F.lit(prev) if prev is not None else F.lit(True))
+        )
+        blk.coalesce(1).write.mode("append").parquet(f"{work}/feed")
+        prev = upper
+        _time.sleep(0.05)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    steps = [F.col("event_type") == s for s in FUNNEL_STEPS]
+    q = (
+        running_funnel(src, "user_id", "ts", steps, FUNNEL_WINDOW_S)
+        .writeStream.foreachBatch(
+            lambda b, i: b.withColumn("batch_id", F.lit(i))
+            .write.mode("append")
+            .parquet(f"{work}/out")
+        )
+        .option("checkpointLocation", f"{work}/ck")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    w = Window.partitionBy("k").orderBy(F.col("batch_id").desc())
+    final = (
+        spark.read.parquet(f"{work}/out")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1 AND funnel_level >= 1")
+    )
+    # cumulative report (n users reaching >= level) — the exact shape of
+    # the batch funnel_levels gate query, so the SAME oracle SQL applies
+    n = len(FUNNEL_STEPS)
+    totals = final.agg(
+        *[
+            F.sum(F.when(F.col("funnel_level") >= j, 1).otherwise(0)).alias(f"n{j}")
+            for j in range(1, n + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("funnel_level"),
+                F.coalesce(F.col(f"n{j}"), F.lit(0)).cast("long").alias("n_reached"),
+            )
+            for j in range(1, n + 1)
+        ]
+    )
+    return totals.select(F.inline(rows)).orderBy("funnel_level")
+
+
+def q_stream_topk(spark, sf_dir):
+    """Streaming topK drain (streaming/stateful.heavy_hitters_stream): the
+    events feed folds into the generational Misra-Gries store block by
+    block; the stored summary's top-10 must equal the exact count top-10
+    (capacity >> distinct users: the sketch's exact regime)."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        topk_stream_writer,
+    )
+
+    work = _workdir("stream_topk_")
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    ev.repartition(4).write.parquet(f"{work}/feed")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = heavy_hitters_stream(
+        spark,
+        src,
+        f"{work}/store",
+        f"{work}/ck",
+        "user_id",
+        capacity=TOPK_CAPACITY,
+        compact_every=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    writer = topk_stream_writer(
+        spark, f"{work}/store", "user_id", capacity=TOPK_CAPACITY, writer_id=f"{work}/ck"
+    )
+    return writer.topk(TOPK_K)
+
+
 def q_snapshot_changelog(spark, sf_dir):
     """CDC snapshot diff (storage.snapshot_diff): per-user state snapshots
     before the cutoff vs over the whole table; the diff is the
@@ -2104,6 +2214,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "projection_routing": q_projection_routing,  # PROJECTION analogue round trip (tests/test_projections.py)
     "semantic_dedup": q_semantic_dedup,  # SemDeDup composition of IVF quantizer + cosine verify
     "snapshot_changelog": q_snapshot_changelog,  # CDC diff feeding the collapsing engine
+    "stream_funnel": q_stream_funnel,  # streaming windowFunnel drain vs batch oracle
+    "stream_topk": q_stream_topk,  # streaming Misra-Gries drain vs exact top-k oracle
     "q7_nation_trade": q7_nation_trade,  # TPC-H join-shape depth; gate carries q3/q5 joins
     "q8_market_share": q8_market_share,  # conditional-sum ratio aggregate
     # rotated OUT of the gate mid-r06 for the three family representatives
@@ -2780,6 +2892,15 @@ ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
 """,
         "passage_dedup": _passage_dedup_oracle(),
         "semantic_dedup": _oracle_semantic_dedup(),
+        # same answer shape and semantics as the gated batch funnel — the
+        # stream must land on the identical cumulative report
+        "stream_funnel": _funnel_oracle(),
+        "stream_topk": f"""
+SELECT CAST(user_id AS VARCHAR) AS value,
+       count(*) AS count_lb, count(*) AS count_ub
+FROM events GROUP BY user_id
+ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
+""",
         "snapshot_changelog": f"""
 WITH old AS (
   SELECT user_id, count(*) AS n_events,

@@ -26,6 +26,8 @@ _SKIP = {
     "collapsing_balance",  # same (VersionedCollapsing round trip)
     "ttl_cleanup",  # same (TTL partition-drop round trip)
     "projection_routing",  # same (projection fan-out write); tests/test_projections.py
+    "stream_funnel",  # streaming drain; fold linted via funnel_levels + stateful tests
+    "stream_topk",  # streaming drain; sketch plan linted via top_users_sketch
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
