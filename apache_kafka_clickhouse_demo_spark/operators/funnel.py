@@ -150,8 +150,16 @@ def funnel_counts(
     the cumulative counts come out of a single reduce as a constant-width
     row, then a row-local `inline` turns them into (funnel_level,
     n_reached) rows; no window, no self-join, no second shuffle."""
-    n = len(steps)
     per_key = window_funnel(df, key_col, ts_col, steps, window_seconds)
+    return cumulative_report(per_key, len(steps))
+
+
+def cumulative_report(per_key: DataFrame, n: int) -> DataFrame:
+    """(funnel_level, n_reached) cumulative roll-up of per-key depth rows
+    (a `funnel_level` column, levels >= 1) — ONE conditional global
+    aggregate + a row-local inline.  Shared by `funnel_counts` and the
+    streaming drain's report so the batch gate and the stream attest the
+    SAME shape from the same code."""
     totals = per_key.agg(
         *[
             F.sum(

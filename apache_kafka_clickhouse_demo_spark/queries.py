@@ -1997,25 +1997,9 @@ def q_stream_funnel(spark, sf_dir):
         .withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1 AND funnel_level >= 1")
     )
-    # cumulative report (n users reaching >= level) — the exact shape of
-    # the batch funnel_levels gate query, so the SAME oracle SQL applies
-    n = len(FUNNEL_STEPS)
-    totals = final.agg(
-        *[
-            F.sum(F.when(F.col("funnel_level") >= j, 1).otherwise(0)).alias(f"n{j}")
-            for j in range(1, n + 1)
-        ]
-    )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("funnel_level"),
-                F.coalesce(F.col(f"n{j}"), F.lit(0)).cast("long").alias("n_reached"),
-            )
-            for j in range(1, n + 1)
-        ]
-    )
-    return totals.select(F.inline(rows)).orderBy("funnel_level")
+    # the batch gate's cumulative report, from the SAME code object — the
+    # stream and the batch cannot diverge in shape (code-review mid-r6)
+    return funnel.cumulative_report(final, len(FUNNEL_STEPS))
 
 
 def q_stream_topk(spark, sf_dir):

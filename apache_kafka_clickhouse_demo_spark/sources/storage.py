@@ -611,6 +611,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
             f"snapshot schemas differ: {old.schema.simpleString()} vs "
             f"{new.schema.simpleString()}"
         )
+    if "sign" in old.columns:
+        # diffing sign-carrying snapshots (e.g. two collapsed change logs)
+        # would silently OVERWRITE their sign with the diff's — a cancel
+        # row re-emitted as a state row.  Rename upstream.
+        raise ValueError("inputs already carry a 'sign' column; rename it")
     plus = new.exceptAll(old).withColumn("sign", F.lit(1))
     minus = old.exceptAll(new).withColumn("sign", F.lit(-1))
     return plus.unionByName(minus)

@@ -872,7 +872,11 @@ def stream_interval_join(
 
     Column names must be disjoint across the two inputs (rename upstream)
     — the standard stream-stream join contract.  Inner join; each match
-    is emitted exactly once, when both watermarks pass it.
+    is emitted exactly once, EAGERLY — as soon as both rows have arrived
+    (watermarks govern state EVICTION, not inner-join emission; only
+    outer-join null padding waits for the watermark).  Consequently a
+    batch's output is not a finalized window: a late-but-within-delay
+    row can add matches for an already-seen timestamp in a later batch.
     """
     l_ = left.withWatermark(left_ts, delay)
     r_ = right.withWatermark(right_ts, delay)

@@ -205,3 +205,7 @@ def test_snapshot_diff_feeds_the_collapse_back_to_new(spark):
 
     with _pytest.raises(ValueError):
         snapshot_diff(old, new.select("v", "k"))  # column order matters
+
+    signed = old.withColumn("sign", F.lit(-1))
+    with _pytest.raises(ValueError):  # sign-carrying inputs are rejected
+        snapshot_diff(signed, signed)

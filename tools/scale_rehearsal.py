@@ -43,7 +43,7 @@ from apache_kafka_clickhouse_demo_spark import queries as Q  # noqa: E402
 from apache_kafka_clickhouse_demo_spark.session import get_spark  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.1"
-#: --copies N overrides (default 10); the output dir is .scale<N>x
+#: SCALE_COPIES=<N> env var overrides (default 10); output dir .scale<N>x
 COPIES = int(os.environ.get("SCALE_COPIES", "10"))
 SCALE_DIR = str(REPO / f".scale{COPIES}x")
 
@@ -167,7 +167,7 @@ def measure(spark, names: list[str]) -> None:
         fn = {**Q.QUERIES, **Q.EXTRA_QUERIES}[name]
         secs = {}
         out_rows = {}
-        for label, sf in (("1x", BASE_SF), ("10x", SCALE_DIR)):
+        for label, sf in (("1x", BASE_SF), (f"{COPIES}x", SCALE_DIR)):
             best = float("inf")
             for _ in range(PASSES):
                 spark.catalog.clearCache()
@@ -177,23 +177,25 @@ def measure(spark, names: list[str]) -> None:
                 best = min(best, time.time() - t0)
             secs[label] = best
             out_rows[label] = n
+        big = f"{COPIES}x"
         rows.append(
             (
                 name,
                 secs["1x"],
-                secs["10x"],
-                secs["10x"] / secs["1x"],
+                secs[big],
+                secs[big] / secs["1x"],
                 out_rows["1x"],
-                out_rows["10x"],
+                out_rows[big],
             )
         )
         print(
             f"{name:24s} 1x {secs['1x']:7.2f}s ({out_rows['1x']:>7} rows)   "
-            f"10x {secs['10x']:7.2f}s ({out_rows['10x']:>7} rows)   "
-            f"ratio {secs['10x'] / secs['1x']:5.2f}x",
+            f"{big} {secs[big]:7.2f}s ({out_rows[big]:>7} rows)   "
+            f"ratio {secs[big] / secs['1x']:5.2f}x",
             flush=True,
         )
-    print("\n| query | 1x sec | 10x sec | time ratio | 1x rows | 10x rows |")
+    big = f"{COPIES}x"
+    print(f"\n| query | 1x sec | {big} sec | time ratio | 1x rows | {big} rows |")
     print("|---|---|---|---|---|---|")
     for name, s1, s10, r, n1, n10 in rows:
         print(f"| {name} | {s1:.2f} | {s10:.2f} | {r:.2f}x | {n1} | {n10} |")
@@ -207,7 +209,7 @@ def main() -> int:
     # sentinel written after the LAST build step — checking only the first
     # output would leave a crashed half-build permanently skipped
     if not os.path.exists(f"{SCALE_DIR}/_BUILT"):
-        print("building 10x blow-up ...", flush=True)
+        print(f"building {COPIES}x blow-up ...", flush=True)
         build(spark)
         with open(f"{SCALE_DIR}/_BUILT", "w") as fh:
             fh.write("ok\n")
