@@ -306,6 +306,13 @@ def compact_summing(
     before and after — compaction only reduces stored row count, exactly
     like a background merge.
 
+    This one function covers BOTH summing-family engines: plain numeric
+    `agg_exprs` give SummingMergeTree; state-merge expressions from
+    `functions/agg_state.py` (as `attendance_daily_compacted` uses) give
+    AggregatingMergeTree — ClickHouse separates the two engines only
+    because its merge step must know each column's combine function, which
+    here IS the `agg_exprs` argument.
+
     For a Hive-partitioned destination pass `partition_cols` (they must
     be part of `keys` — a column absent from the grouping would be
     DROPPED from the data): the rewrite then keeps the directory layout

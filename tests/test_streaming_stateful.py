@@ -774,3 +774,26 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_topk_stream_trimmed_regime_keeps_bounds(spark, tmp_path):
+    """Streaming Misra-Gries under a TINY capacity: the dominant value
+    survives the whole drain and its true count stays inside
+    [count_lb, count_ub] — the mergeable-summaries bound across batches,
+    not just within one."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        topk_stream_writer,
+    )
+
+    w = topk_stream_writer(spark, str(tmp_path / "s"), "v", capacity=4, writer_id="t")
+    true_hot = 0
+    for i in range(3):
+        rows = [("hot",)] * 50 + [(f"tail{i}_{j}",) for j in range(20)]
+        true_hot += 50
+        w.process(spark.createDataFrame(rows, "v string"), i)
+    out = {r["value"]: r for r in w.topk(3).collect()}
+    assert "hot" in out
+    hot = out["hot"]
+    assert hot["count_lb"] <= true_hot <= hot["count_ub"]
+    # global MG bound: undercount <= n / (capacity + 1)
+    assert true_hot - hot["count_lb"] <= 210 // 5
