@@ -1,0 +1,53 @@
+"""Catalog-bucketed tables — pre-shuffled storage for co-located joins.
+
+The 100 TB join problem: every `join`/`groupBy` on a non-partitioned key
+shuffles both sides' full data across the cluster.  Spark's answer for a
+key that is joined/aggregated REPEATEDLY (the fact-to-fact join a
+broadcast can't serve) is `bucketBy`: rows are hash-distributed into a
+fixed bucket count AT WRITE TIME and the layout is recorded in the
+catalog, so Catalyst plans later equi-joins and aggregations on the
+bucket key with ZERO exchange — the shuffle is paid once when the table
+is built, then amortized over every query that touches it.  This is the
+"co-located join" bullet of the scale design: two tables bucketed the
+same way join node-locally at any size.
+
+`sortBy` inside each bucket additionally removes the join's sort step
+(SortMergeJoin reads presorted bucket files) and keeps row-group stats
+tight on the sort key — the MergeTree ORDER BY property per bucket.
+
+Bucket-count discipline at scale: buckets are fixed at write time and
+each bucket is one file per writing task, so size them like shuffle
+partitions (total size / target file size); both join sides must agree
+on count and key for the exchange-free plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a catalog table bucketed by `bucket_cols` into
+    `num_buckets` (optionally bucket-sorted by `sort_cols`), at `path` if
+    given.  Readers use `spark.table(name)` — a plain parquet read of the
+    same files would NOT see the bucketing metadata and would still
+    shuffle."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read that carries the bucket layout into planning."""
+    return spark.table(table)
