@@ -348,7 +348,10 @@ def ngram_jaccard_pairs(
     )
     freq = tokens.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
 
-    # rank each doc's grams rarest-first; prefix length = sz - ceil(t*sz) + 1
+    # rank each doc's grams rarest-first; probe-prefix length
+    # = sz - ceil(t*sz) + 1, and the smaller doc of a pair additionally
+    # only needs its INDEX prefix = sz - ceil(2t/(1+t)*sz) + 1 considered
+    # (see the asymmetric join below)
     #
     # FLOAT-BOUNDARY GUARD (code-review r6): the three prune bounds below
     # are rational in exact arithmetic but computed in doubles, and IEEE
@@ -366,11 +369,34 @@ def ngram_jaccard_pairs(
     prefix_len = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(_EPS)) + 1
     ).cast("int")
+    # index-prefix length (PPJoin §3.2, Xiao et al. WWW'08): in a pair with
+    # |A| <= |B| (ties broken by doc_id), overlap >= alpha =
+    # ceil(t/(1+t)*(|A|+|B|)) >= ceil(2t/(1+t)*|A|), so by pigeonhole a
+    # common gram must appear among A's first |A| - ceil(2t/(1+t)*|A|) + 1
+    # grams — a STRICTLY shorter prefix (~0.25*sz at t=0.6 vs the probe
+    # prefix's ~0.4*sz).  Only that shorter slice of the smaller side needs
+    # to enter the candidate join; the larger side probes with its full
+    # probe prefix.  Necessary condition => the operator stays exact; the
+    # candidate set shrinks by ~the index/probe length ratio, which is what
+    # cuts the verify stage (the dominant cost at scale — SCALING.md).
+    index_len = (
+        F.col("sz")
+        - F.ceil(
+            F.col("sz") * F.lit(2.0 * threshold / (1.0 + threshold))
+            - F.lit(_EPS)
+        )
+        + 1
+    ).cast("int")
+    ranked = tokens.join(freq, "g").withColumn("pos", F.row_number().over(w))
     pref = (
-        tokens.join(freq, "g")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "sz", "pos", "g")
+        ranked.filter(F.col("pos") <= prefix_len)
+        .select(
+            "doc_id",
+            "sz",
+            "pos",
+            "g",
+            (F.col("pos") <= index_len).alias("in_index"),
+        )
     ).persist(StorageLevel.MEMORY_AND_DISK)  # read by both self-join sides
 
     # PPJoin length + positional filters (Xiao et al., WWW'08) — both are
@@ -389,24 +415,44 @@ def ngram_jaccard_pairs(
     ubound = 1 + F.least(
         F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
+    # Asymmetric candidate join: side `a` is the SMALLER doc of the pair
+    # (by (sz, doc_id) — the tie-break makes the ordering total, so every
+    # pair is generated exactly once) and contributes only its short index
+    # prefix; side `b` probes with its full probe prefix.  Output ids are
+    # re-canonicalized to id_a < id_b afterwards, so callers and the
+    # oracle see the unchanged contract.
+    smaller_first = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             on=[
                 F.col("a.g") == F.col("b.g"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.in_index"),
+                smaller_first,
+                # length filter: |A| <= |B| here, so Jaccard >= t forces
+                # |A| >= t * |B|
                 F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(_EPS),
-                F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(_EPS),
                 ubound >= alpha,
             ],
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
         .distinct()
     )
 
     # verify with the module's shared exact-Jaccard helper (one lambda-
-    # bound array_intersect per pair; |union| = szA + szB - |intersect|)
+    # bound array_intersect per pair; |union| = szA + szB - |intersect|).
+    # Measured dead end recorded so it is not retried: dictionary-encoding
+    # the grams to int64 for this verify (deterministic injective
+    # rank-in-hash-bucket ids) broke even at 10x scale — the verify got
+    # cheaper by exactly the dictionary window + encoded-token persist it
+    # added — while slowing the 1x run ~60%; see SCALING.md.
     return (
         cand.join(sets.alias("sa"), cand.id_a == F.col("sa.doc_id"))
         .join(sets.alias("sb"), cand.id_b == F.col("sb.doc_id"))
@@ -639,7 +685,7 @@ def connected_components(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,
-    target_centroids: int = 16,
+    target_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     salt: str = "ivf:",
@@ -664,8 +710,10 @@ def semantic_dedup(
     - dedup: within each cell ONLY, pairs (a < b) with cos >= threshold
       mark b as dropped; survivors = corpus minus dropped.  The pairwise
       stage shuffles by cell id and is quadratic in CELL size, not corpus
-      size — exactly SemDeDup's cost model (cells ~ n/K; at 100 TB raise
-      `target_centroids` toward sqrt(n) like IVF).  Keep-smallest-id is
+      size — exactly SemDeDup's cost model.  By default `target_centroids`
+      derives itself as isqrt(n) (see `ivf_quantize`), so cell size grows
+      as sqrt(n) instead of linearly; pass an explicit K to override.
+      Keep-smallest-id is
       the determinism rule (the paper keeps the member farthest from the
       centroid; any single-representative rule satisfies its objective,
       and id order is the one the other dedup operators already use).

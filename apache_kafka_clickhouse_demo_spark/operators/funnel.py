@@ -54,11 +54,27 @@ assert 1 << _TICK_SHIFT == _TICK_BASE
 def tick_expr(ts_col: str, steps: Sequence[Column]) -> Column:
     """Encoded funnel tick `unix_micros(ts) * 8 + first-matching-step`
     (NULL when no step matches) — shared by the batch fold and the
-    streaming state handler so both make identical chain decisions."""
+    streaming state handler so both make identical chain decisions.
+
+    Pre-epoch guard (ADVICE r6): the fold's exact un-encode (`t % 8`,
+    `shiftright(t, 3)`) is only correct for non-negative ticks — Java-style
+    remainders would silently decode a pre-1970 timestamp into a wrong
+    step AND a wrong microsecond.  A step-matching event with negative
+    `unix_micros` therefore FAILS the query loudly via `assert_true`
+    instead of folding a wrong chain decision; no-step rows stay NULL and
+    are filtered as before."""
     step_of = F.coalesce(
         *[F.when(cond, F.lit(i).cast("long")) for i, cond in enumerate(steps)]
     )
-    return F.unix_micros(F.col(ts_col)) * _TICK_BASE + step_of
+    tick = F.unix_micros(F.col(ts_col)) * _TICK_BASE + step_of
+    guard = F.assert_true(
+        tick.isNull() | (tick >= 0),
+        F.lit(
+            "funnel: pre-epoch timestamp (negative unix_micros) — "
+            "the exact shift/mod tick decode is undefined before 1970"
+        ),
+    )
+    return F.when(guard.isNull(), tick)
 
 
 def window_funnel(
@@ -101,7 +117,8 @@ def window_funnel(
         # precision at epoch-microsecond tick magnitudes (~1.4e16) and can
         # round high step indices into the NEXT microsecond, diverging
         # from the oracle's integer `tick // 8`; ticks are non-negative
-        # (post-1970 data), so the shift is the exact quotient
+        # (tick_expr's assert_true rejects pre-epoch rows loudly), so the
+        # shift is the exact quotient
         t_us = F.shiftright(t, _TICK_SHIFT)
         slots = []
         for j in range(n):

@@ -453,8 +453,24 @@ def chunk_dedup(
     # window cannot.  Cache lifetime: freed by the registry's per-query
     # clearCache (same contract as the dedup operators' persists).
     occ = occ.persist()
-    firsts = occ.groupBy("chash").agg(F.min("occ_key").alias("first_key"))
-    kept = occ.join(firsts, "chash").filter(F.col("occ_key") == F.col("first_key"))
+    # h48-collision guard (ADVICE r6): the 48-bit key makes birthday
+    # collisions expected at ~1e10+ chunks, and keying the drop on the
+    # hash alone would silently destroy a DISTINCT passage that collides
+    # with an earlier one.  Carrying the first occurrence's text and
+    # confirming equality before dropping fails SAFE: a colliding distinct
+    # passage is kept (its own later duplicates are then also kept — a
+    # ~2^-48-rate under-dedup, the harmless direction for training data,
+    # vs. silent content loss).  min_by ships one candidate text per
+    # (partition, chash) through the aggregate's map-side combine, so the
+    # shuffle stays hash-keyed and near-constant per distinct chunk.
+    firsts = occ.groupBy("chash").agg(
+        F.min("occ_key").alias("first_key"),
+        F.min_by("ctext", "occ_key").alias("first_text"),
+    )
+    kept = occ.join(firsts, "chash").filter(
+        (F.col("occ_key") == F.col("first_key"))
+        | (F.col("ctext") != F.col("first_text"))
+    )
     return (
         kept.groupBy("doc_id")
         .agg(

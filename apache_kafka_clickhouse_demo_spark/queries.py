@@ -24,6 +24,8 @@ Mirroring rules (what makes the hashes match):
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -142,6 +144,21 @@ def _workdir(prefix: str) -> str:
     path = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
+
+
+def _stamp_feed_block(feed: str, stamped: set, block_idx: int, base: float) -> None:
+    """Pin a feed block's arrival order for FileStreamSource (ADVICE r6):
+    the source orders files by modification time, and coarse filesystem
+    mtime granularity can TIE two blocks written back-to-back — breaking
+    any stream whose semantics depend on in-order delivery (running_funnel's
+    contract; the near-dup drains' keep-smallest-id decisions).  Stamping
+    each block's new parquet files with a strictly increasing mtime makes
+    delivery deterministic, with no sleep."""
+    for name in os.listdir(feed):
+        p = os.path.join(feed, name)
+        if name.endswith(".parquet") and p not in stamped:
+            os.utime(p, (base + block_idx * 10, base + block_idx * 10))
+            stamped.add(p)
 
 
 def _dec2(c) -> "F.Column":
@@ -515,13 +532,15 @@ def q_stream_near_dup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0]
     lo = -1
-    for i in range(4):  # sequential id-ordered chunks; mtime = arrival order
+    base = time.time()
+    stamped: set = set()
+    for i in range(4):  # sequential id-ordered chunks; stamped mtime = arrival order
         b = (hi * (i + 1)) // 4 if i < 3 else hi
         docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= b)).coalesce(
             1
         ).write.mode("append").parquet(f"{work}/feed")
+        _stamp_feed_block(f"{work}/feed", stamped, i, base)
         lo = b
-        time.sleep(0.05)  # distinct file mtimes -> deterministic block order
 
     src = (
         spark.readStream.schema(docs.schema)
@@ -564,13 +583,15 @@ def q_stream_embed_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     hi = emb.agg(F.max("vec_id")).first()[0]
     lo = -1
-    for i in range(4):  # sequential id-ordered chunks; mtime = arrival order
+    base = time.time()
+    stamped: set = set()
+    for i in range(4):  # sequential id-ordered chunks; stamped mtime = arrival order
         b = (hi * (i + 1)) // 4 if i < 3 else hi
         emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= b)).coalesce(
             1
         ).write.mode("append").parquet(f"{work}/feed")
+        _stamp_feed_block(f"{work}/feed", stamped, i, base)
         lo = b
-        time.sleep(0.05)
 
     src = (
         spark.readStream.schema(emb.schema)
@@ -1938,7 +1959,8 @@ def q_semantic_dedup(spark, sf_dir):
     return dedup.semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
         threshold=NEAR_DUP_COS,
-        target_centroids=IVF_TARGET_CENTROIDS,
+        # target_centroids omitted: the operator derives isqrt(n) itself,
+        # mirrored by the oracle's floor(sqrt(count(*))) quantizer CTE
         salt=IVF_SALT,
     )
 
@@ -1960,15 +1982,18 @@ def q_stream_funnel(spark, sf_dir):
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) / 4
     prev = None
-    for i in range(4):  # ts-ordered blocks; mtime = arrival order
+    feed = f"{work}/feed"
+    base = _time.time()
+    stamped: set = set()
+    for i in range(4):  # ts-ordered blocks; stamped mtime = arrival order
         upper = lo + span * (i + 1) if i < 3 else hi
         blk = ev.filter(
             (F.col("ts") <= F.lit(upper))
             & (F.col("ts") > F.lit(prev) if prev is not None else F.lit(True))
         )
-        blk.coalesce(1).write.mode("append").parquet(f"{work}/feed")
+        blk.coalesce(1).write.mode("append").parquet(feed)
+        _stamp_feed_block(feed, stamped, i, base)
         prev = upper
-        _time.sleep(0.05)
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -2094,6 +2119,11 @@ def q_passage_dedup(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated into the gate in r07 (landed mid-r06 after the 50 slots
+    #    filled; never driver-checked): front-loaded.  VERDICT r6 #2. --
+    "semantic_dedup": q_semantic_dedup,
+    "stream_funnel": q_stream_funnel,
+    "snapshot_changelog": q_snapshot_changelog,
     # -- rotated into the gate in r06 (landed r05 after slots filled;
     #    never driver-checked): front-loaded --
     "pack_sequences": q_pack_sequences,
@@ -2109,16 +2139,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mv_cascade_daily": q_mv_cascade_daily,
     # -- never driver-checked in r02 / changed in r03 --
     "pii_scrub": q_pii_scrub,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "embedding_near_dup": q_embedding_near_dup,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_profile": q_text_profile,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
-    "media_frame_sample": q_media_frame_sample,
     "user_sessions": q_user_sessions,
     "user_event_sequence": q_user_event_sequence,
     "user_set_ops": q_user_set_ops,
@@ -2196,9 +2223,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohort": q_retention_cohort,  # behavioral family: gate row via funnel_levels
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
     "projection_routing": q_projection_routing,  # PROJECTION analogue round trip (tests/test_projections.py)
-    "semantic_dedup": q_semantic_dedup,  # SemDeDup composition of IVF quantizer + cosine verify
-    "snapshot_changelog": q_snapshot_changelog,  # CDC diff feeding the collapsing engine
-    "stream_funnel": q_stream_funnel,  # streaming windowFunnel drain vs batch oracle
     "stream_topk": q_stream_topk,  # streaming Misra-Gries drain vs exact top-k oracle
     "q7_nation_trade": q7_nation_trade,  # TPC-H join-shape depth; gate carries q3/q5 joins
     "q8_market_share": q8_market_share,  # conditional-sum ratio aggregate
@@ -2207,6 +2231,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_next_error": q_asof_next_error,  # forward as-of == backward + direction flip; asof_last_purchase gated, equivalence in tests/test_asof_*
     "latest_value_per_user": q_latest_value_per_user,  # max_by/argMax mechanism now gated THROUGH replacing_latest's FINAL read
     "media_summary": q_media_summary,  # multimodal family keeps media_features + media_frame_sample gate rows
+    # rotated OUT of the gate in r07 for semantic_dedup / stream_funnel /
+    # snapshot_changelog (VERDICT r6 #2); every §2 operator they carried
+    # keeps ≥1 green gate row:
+    "dedup_simhash": q_dedup_simhash,  # near-dup family keeps dedup_minhash_lsh + dedup_ngram_jaccard gate rows; simhash pinned in tests/test_skew.py + local oracle
+    "embedding_near_dup": q_embedding_near_dup,  # RP-LSH bucket join gated via ann_lsh_topk + stream_embed_near_dup (same operator + cosine verify)
+    "media_frame_sample": q_media_frame_sample,  # mapInPandas multimodal family keeps media_features gate row; frame sampling pinned in tests + local oracle
 }
 
 
@@ -2473,15 +2503,20 @@ ORDER BY query_id, rank
 """
 
 
-def _sql_ivf_quantizer(id_alias: str) -> str:
+def _sql_ivf_quantizer(id_alias: str, centroids_sql: str | None = None) -> str:
     """Shared nemb/cents/assign CTE text mirroring `similarity.ivf_quantize`
     (same modulus, sample predicate, and argmax tie-break) — used by BOTH
     the IVF ANN oracle and the SemDeDup oracle so the SQL mirrors cannot
-    drift any more than the Spark operators can."""
+    drift any more than the Spark operators can.  `centroids_sql` defaults
+    to the fixed {IVF_TARGET_CENTROIDS} the ANN query passes explicitly;
+    the SemDeDup oracle passes the isqrt(n) self-derivation instead
+    (floor(sqrt(n)) in doubles == math.isqrt(n) for every n < 2^52)."""
     norm = V.sql_normalize("embedding", EMBED_DIM)
+    if centroids_sql is None:
+        centroids_sql = str(IVF_TARGET_CENTROIDS)
     modulus = (
         f"greatest(1, CAST((SELECT count(*) FROM embeddings) AS BIGINT)"
-        f" // {IVF_TARGET_CENTROIDS})"
+        f" // ({centroids_sql}))"
     )
     cent_pred = (
         f"({H.sql_h48(f'{IVF_SALT!r} || CAST(vec_id AS VARCHAR)')} % {modulus}) = 0"
@@ -2505,8 +2540,12 @@ def _oracle_semantic_dedup() -> str:
     """Mirror of dedup.semantic_dedup: the shared IVF quantizer CTEs, then
     within-cell (a < b, cos >= threshold) pairs mark b dropped; survivors
     ordered."""
+    derived_k = (
+        "greatest(1, CAST(floor(sqrt("
+        "CAST((SELECT count(*) FROM embeddings) AS DOUBLE))) AS BIGINT))"
+    )
     return f"""
-WITH {_sql_ivf_quantizer('vec_id')}, dropped AS (
+WITH {_sql_ivf_quantizer('vec_id', derived_k)}, dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assign a JOIN assign b
     ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
@@ -2829,9 +2868,14 @@ WITH toks AS (
          doc_id * 1048576 + cpos AS occ_key
   FROM occ
 ), firsts AS (
-  SELECT chash, min(occ_key) AS first_key FROM h GROUP BY chash
+  -- first_text mirrors the engine's h48-collision guard: a distinct
+  -- passage colliding with an earlier hash is kept, never dropped
+  SELECT chash, min(occ_key) AS first_key,
+         arg_min(ctext, occ_key) AS first_text
+  FROM h GROUP BY chash
 ), kept AS (
-  SELECT h.* FROM h JOIN firsts USING (chash) WHERE occ_key = first_key
+  SELECT h.* FROM h JOIN firsts USING (chash)
+  WHERE occ_key = first_key OR ctext <> first_text
 ), nch AS (
   SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY doc_id
 )

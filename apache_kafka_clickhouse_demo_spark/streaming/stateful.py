@@ -104,21 +104,38 @@ def running_totals(source: DataFrame) -> DataFrame:
     )
 
 
+def _pay_type(sigs: DataFrame):
+    """The payload column's Spark type (varies per writer: shingle set vs
+    normalized vector) — used to type the NULL payload of band rows so the
+    two row kinds union into one schema."""
+    return sigs.schema["payload"].dataType
+
+
 class _NearDupStreamWriter:
     """foreachBatch body shared by `minhash_dedup_stream` and
     `embedding_dedup_stream`: continuous near-duplicate filtering of an
     unbounded feed against an accumulating, BUCKET-PRUNED signature store.
 
     Store layout (VERDICT r5 #1 — the r5 form re-read and re-banded the
-    WHOLE store every block, O(corpus) per block): two transactional
-    tables under `store_dir`, both written through `sources/txlog.py`:
+    WHOLE store every block, O(corpus) per block; single-table form is
+    VERDICT r6 #5): ONE transactional table `store/` written through
+    `sources/txlog.py`, holding both row kinds under a namespaced shard
+    partition column:
 
-      bands/     (id, bkey)       partitioned by bshard = hash(bkey) % B
-      payloads/  (id, payload)    partitioned by pshard = hash(id)  % P
+      shard=b<n>  band rows     (id, bkey, payload=NULL),  n = hash(bkey) % B
+      shard=p<n>  payload rows  (id, bkey=NULL, payload),  n = hash(id)  % P
 
     where `bkey` is the LSH bucket key ("band:minhash-slice" /
     "table:rp-bucket") and `payload` is what exact verification needs
-    (shingle set / normalized vector).  Per block:
+    (shingle set / normalized vector).  One table means one staged write
+    and ONE commit publishes a block's bands AND payloads atomically —
+    the r6 two-table form paid two write jobs + two commits per block,
+    pure fixed cost that dominated the drains' wall time (BENCH_r06), and
+    briefly exposed a bands-without-payloads intermediate state to
+    concurrent readers.  The namespaced shard value keeps `read_where`
+    pruning exact per row kind: a band read touches only `shard=b*` dirs
+    that collide, a payload read only the candidate `shard=p*` dirs.
+    Per block:
 
       1. compute the block's (id, payload, bkeys) once — same codegen
          expressions as the batch operators, so the stream makes exactly
@@ -179,12 +196,11 @@ class _NearDupStreamWriter:
         self.id_shards = id_shards
         self.compact_every = compact_every
         self.out = TransactionalTable(out_dir)
-        self.bands = TransactionalTable(os.path.join(store_dir, "bands"))
-        self.payloads = TransactionalTable(os.path.join(store_dir, "payloads"))
+        self.store = TransactionalTable(os.path.join(store_dir, "store"))
 
     def maintain(self) -> None:
-        """Store maintenance: rewrite both store tables back to ONE file
-        per shard directory (`TransactionalTable.optimize(partition_by=…)`
+        """Store maintenance: rewrite the store back to ONE file per shard
+        directory (`TransactionalTable.optimize(partition_by=…)`
         — the layout-preserving form, so `read_where` pruning survives).
         A forever-running stream otherwise accumulates one file per
         touched shard per block, and each block's pruned read degrades
@@ -199,8 +215,7 @@ class _NearDupStreamWriter:
         pattern this store design removed; compact it on the consumer's
         schedule via `TransactionalTable.optimize()` like any streaming
         MV destination."""
-        self.bands.optimize(self.spark, partition_by="bshard")
-        self.payloads.optimize(self.spark, partition_by="pshard")
+        self.store.optimize(self.spark, partition_by="shard")
         # collapse the commit logs too: per-batch idempotence checks and
         # file-list reads then cost O(commits since maintenance), not
         # O(stream lifetime).  Watermark compaction is sound here — batch
@@ -209,29 +224,40 @@ class _NearDupStreamWriter:
         # instead of carrying every txn id ever seen; prune_log then
         # reclaims the folded commit files (nothing pins old store
         # snapshots; the stream owns these tables).
-        self.bands.checkpoint(compact_txn_watermarks=True)
-        self.payloads.checkpoint(compact_txn_watermarks=True)
-        self.bands.prune_log()
-        self.payloads.prune_log()
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
         # and reclaim the replaced pre-optimize files once they age out of
         # the in-flight-writer grace window — disk stays bounded as well
         # (nothing pins old store snapshots; the stream owns these tables)
-        self.bands.vacuum()
-        self.payloads.vacuum()
+        self.store.vacuum()
 
     def _shard(self, col: str, n: int):
         return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
+
+    def read_store_bands(self, version: int | None = None) -> DataFrame:
+        """All band rows of the store snapshot (test/inspection helper)."""
+        return self.store.read(self.spark, version).filter(
+            F.col("shard").startswith("b")
+        ).select("id", "bkey")
+
+    def read_store_payloads(self, version: int | None = None) -> DataFrame:
+        """All payload rows of the store snapshot (test/inspection helper)."""
+        return self.store.read(self.spark, version).filter(
+            F.col("shard").startswith("p")
+        ).select("id", "payload")
 
     def process(self, block: DataFrame, batch_id: int) -> None:
         sigs_b = self.prepare(block).persist()
         banded_b = sigs_b.select(
             "id", F.explode("bkeys").alias("bkey")
-        ).withColumn("bshard", self._shard("bkey", self.band_shards))
+        ).withColumn(
+            "shard", F.concat(F.lit("b"), self._shard("bkey", self.band_shards))
+        )
 
-        # bounded driver action: ≤ band_shards distinct ints
-        block_shards = (banded_b.agg(F.collect_set("bshard")).first()[0]) or []
+        # bounded driver action: ≤ band_shards distinct shard names
+        block_shards = (banded_b.agg(F.collect_set("shard")).first()[0]) or []
         try:
-            store_bands = self.bands.read_where(self.spark, "bshard", block_shards)
+            store_bands = self.store.read_where(self.spark, "shard", block_shards)
         except FileNotFoundError:  # no commits yet — genuinely the first block
             store_bands = banded_b.limit(0)
         earlier_bands = store_bands.select("id", "bkey").unionByName(
@@ -251,15 +277,22 @@ class _NearDupStreamWriter:
             .persist()
         )
 
-        # bounded driver action: ≤ id_shards distinct ints
+        # bounded driver action: ≤ id_shards distinct shard names.  This
+        # second action cannot fold into the first: the payload shards to
+        # read are those of CANDIDATE ids, which only exist after the
+        # band-pruned store read that the first action gates.  It is not
+        # pure overhead either — it is the job that materializes the
+        # persisted candidate join `dropped` reuses.
         cand_shards = (
             cand.agg(
-                F.collect_set(self._shard("id_a", self.id_shards))
+                F.collect_set(
+                    F.concat(F.lit("p"), self._shard("id_a", self.id_shards))
+                )
             ).first()[0]
         ) or []
         try:
-            store_pay = self.payloads.read_where(
-                self.spark, "pshard", cand_shards
+            store_pay = self.store.read_where(
+                self.spark, "shard", cand_shards
             ).select("id", "payload")
         except FileNotFoundError:
             store_pay = sigs_b.select("id", "payload").limit(0)
@@ -290,17 +323,24 @@ class _NearDupStreamWriter:
         # shard per commit, the file granularity the store's O(colliding
         # buckets) read contract assumes.
         txn = f"{self.writer_id}:{batch_id}"
-        self.bands.append_once(
-            banded_b.select("id", "bkey", "bshard").repartition(F.col("bshard")),
-            txn=txn,
-            partition_by="bshard",
-        )
-        self.payloads.append_once(
+        store_rows = banded_b.select(
+            "id", "bkey", F.lit(None).cast(_pay_type(sigs_b)).alias("payload"), "shard"
+        ).unionByName(
             sigs_b.select(
-                "id", "payload", self._shard("id", self.id_shards).alias("pshard")
-            ).repartition(F.col("pshard")),
+                "id",
+                F.lit(None).cast("string").alias("bkey"),
+                "payload",
+                F.concat(
+                    F.lit("p"), self._shard("id", self.id_shards)
+                ).alias("shard"),
+            )
+        )
+        # ONE staged write + ONE commit publishes the block's bands and
+        # payloads atomically (no bands-without-payloads window)
+        self.store.append_once(
+            store_rows.repartition(F.col("shard")),
             txn=txn,
-            partition_by="pshard",
+            partition_by="shard",
         )
         self.out.append_once(survivors, txn=txn)
         cand.unpersist()

@@ -53,3 +53,19 @@ def test_invalid_chunk_words(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_dedup(df, 0)
+
+
+def test_hash_collision_keeps_distinct_passage(spark, monkeypatch):
+    # ADVICE r6: two DISTINCT passages colliding on h48 must not lose one.
+    # Force the collision by collapsing the hash; the text-confirm guard
+    # must keep the second distinct passage (and may keep its later
+    # duplicates — under-dedup is the safe failure direction).
+    from pyspark.sql import functions as F
+
+    from apache_kafka_clickhouse_demo_spark.operators import text_analysis as TA
+
+    monkeypatch.setattr(TA.H, "h48", lambda _c: F.lit(0).cast("long"))
+    got = _run(spark, [(1, "a b"), (2, "c d"), (3, "a b")])
+    # doc 2's distinct content survives the collision; doc 3 is a true
+    # duplicate of doc 1 (same hash AND same text) and is dropped
+    assert got == {1: (1, 1, "a b"), 2: (1, 1, "c d")}

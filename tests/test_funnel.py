@@ -151,3 +151,20 @@ def test_retention_empty_cohort_reports_zero(spark):
         [0, 1],
     )
     assert [tuple(r) for r in out.collect()] == [(0, 0, 0), (1, 0, 0)]
+
+
+def test_pre_epoch_timestamp_fails_loudly(spark):
+    # ADVICE r6: negative unix_micros breaks the exact shift/mod tick
+    # decode — such rows must raise, not fold a silently-wrong chain
+    rows = [(1, "view", "1969-12-31 23:59:59"), (1, "click", "1970-01-01 00:10:00")]
+    with pytest.raises(Exception, match="pre-epoch"):
+        _levels(spark, rows)
+
+
+def test_post_epoch_guard_is_transparent(spark):
+    # the guard itself must not change any post-1970 decision
+    rows = [
+        (1, "view", "1970-01-01 00:00:01"),
+        (1, "click", "1970-01-01 00:10:00"),
+    ]
+    assert _levels(spark, rows) == {1: 2}

@@ -172,12 +172,16 @@ def test_minhash_dedup_stream_suppresses_across_blocks(spark, tmp_path):
         [(3, base + " iota")],   # near-dup of 1 -> dropped
         [(4, base + " kappa")],  # near-dup of 1 AND of dropped 3 -> dropped
     ]
+    from apache_kafka_clickhouse_demo_spark.queries import _stamp_feed_block
+
     feed = str(tmp_path / "feed")
-    for rows in blocks:
+    tbase = _time.time()
+    stamped: set = set()
+    for i, rows in enumerate(blocks):
         spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
             "append"
         ).parquet(feed)
-        _time.sleep(0.05)
+        _stamp_feed_block(feed, stamped, i, tbase)
 
     src = (
         spark.readStream.schema("doc_id long, text string")
@@ -205,8 +209,10 @@ def test_minhash_dedup_stream_suppresses_across_blocks(spark, tmp_path):
     # the store remembers every seen doc, survivors and dropped alike
     from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
 
-    payloads = TransactionalTable(str(tmp_path / "store" / "payloads"))
-    store_ids = sorted(r["id"] for r in payloads.read(spark).collect())
+    store = TransactionalTable(str(tmp_path / "store" / "store"))
+    store_ids = sorted(
+        r["id"] for r in store.read(spark).filter("shard LIKE 'p%'").collect()
+    )
     assert store_ids == [1, 2, 3, 4]
 
 
@@ -249,8 +255,11 @@ def test_per_block_store_scan_reads_only_colliding_shards(spark, tmp_path, monke
     # seed the store with enough distinct docs to populate many band shards
     texts = _distinct_texts(40, "seed")
     writer.process(_docs_df(spark, list(enumerate(texts))), 0)
-    bands_files = set(TransactionalTable(str(tmp_path / "store" / "bands")).data_files())
-    shards_on_disk = {f.split("bshard=")[1].split("/")[0] for f in bands_files}
+    store_files = set(
+        TransactionalTable(str(tmp_path / "store" / "store")).data_files()
+    )
+    bands_files = {f for f in store_files if "/shard=b" in f}
+    shards_on_disk = {f.split("shard=")[1].split("/")[0] for f in bands_files}
     assert len(shards_on_disk) > 4, "fixture too small to demonstrate pruning"
 
     calls = []
@@ -265,17 +274,19 @@ def test_per_block_store_scan_reads_only_colliding_shards(spark, tmp_path, monke
     # one new doc: a near-dup of seed doc 3 — must still be caught
     writer.process(_docs_df(spark, [(1000, texts[3] + " extra")]), 1)
 
-    band_calls = [c for c in calls if c[0].endswith("bands")]
+    band_calls = [
+        c for c in calls if c[1] == "shard" and all(v.startswith("b") for v in c[2])
+    ]
     assert len(band_calls) == 1
     _path, col, shards, pruned_df = band_calls[0]
-    assert col == "bshard" and 0 < len(shards) <= 4  # one doc -> <= 4 band keys
+    assert col == "shard" and 0 < len(shards) <= 4  # one doc -> <= 4 band keys
     from urllib.parse import urlparse
 
     touched = {urlparse(f).path for f in pruned_df.inputFiles()}
     # ONLY files under the block's own shard dirs, a strict store subset
     assert touched and touched < set(bands_files)
     for f in touched:
-        assert any(f"bshard={s}/" in f for s in shards), f
+        assert any(f"shard={s}/" in f for s in shards), f
     # and the pruned scan still caught the near-duplicate
     kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
     assert 1000 not in kept and 3 in kept
@@ -301,14 +312,12 @@ def test_stream_writer_retry_is_idempotent(spark, tmp_path):
     writer.process(_docs_df(spark, [(100, texts[0] + " tail"), (101, "novel words only here")]), 1)
 
     out = TransactionalTable(str(tmp_path / "kept"))
-    bands = TransactionalTable(str(tmp_path / "store" / "bands"))
-    pays = TransactionalTable(str(tmp_path / "store" / "payloads"))
+    store = TransactionalTable(str(tmp_path / "store" / "store"))
     before = (
         sorted(r["doc_id"] for r in out.read(spark).collect()),
         out.version(),
-        bands.version(),
-        pays.version(),
-        sorted(bands.data_files()),
+        store.version(),
+        sorted(store.data_files()),
     )
 
     # the retry: same block, same batch id — e.g. restart after a crash
@@ -318,9 +327,8 @@ def test_stream_writer_retry_is_idempotent(spark, tmp_path):
     after = (
         sorted(r["doc_id"] for r in out.read(spark).collect()),
         out.version(),
-        bands.version(),
-        pays.version(),
-        sorted(bands.data_files()),
+        store.version(),
+        sorted(store.data_files()),
     )
     assert before == after
     assert 101 in after[0] and 100 not in after[0]
@@ -347,9 +355,10 @@ def test_corrupt_store_fails_batch_instead_of_deduping_against_nothing(
     )
     writer.process(_docs_df(spark, [(1, "alpha beta gamma delta epsilon zeta")]), 0)
 
-    bands = TransactionalTable(str(tmp_path / "store" / "bands"))
-    for f in bands.data_files():
-        os.remove(f)
+    store = TransactionalTable(str(tmp_path / "store" / "store"))
+    for f in store.data_files():
+        if "/shard=b" in f:  # vanish the band rows' committed files
+            os.remove(f)
     with _pytest.raises(Exception) as ei:
         # identical text -> identical band keys -> the pruned read MUST
         # hit the vanished file's shard
@@ -458,19 +467,22 @@ def test_compact_every_keeps_decisions_and_bounds_store_files(spark, tmp_path):
     assert kept["on"] == kept["off"]
     assert 100 not in kept["on"] and 200 not in kept["on"] and 300 not in kept["on"]
 
-    # after the final maintain, every store shard dir holds exactly 1 file
-    for sub, col in (("bands", "bshard"), ("payloads", "pshard")):
-        files = TransactionalTable(str(tmp_path / "on" / "store" / sub)).data_files()
-        by_shard: dict[str, int] = {}
-        for f in files:
-            shard = f.split(f"{col}=")[1].split("/")[0]
-            by_shard[shard] = by_shard.get(shard, 0) + 1
-        assert by_shard and all(n == 1 for n in by_shard.values()), by_shard
-        # and the uncompacted twin really had more files (the thing bounded)
-        files_off = TransactionalTable(
-            str(tmp_path / "off" / "store" / sub)
-        ).data_files()
-        assert len(files_off) > len(files)
+    # after the final maintain, every store shard dir (band AND payload
+    # kinds) holds exactly 1 file
+    files = TransactionalTable(str(tmp_path / "on" / "store" / "store")).data_files()
+    by_shard: dict[str, int] = {}
+    for f in files:
+        shard = f.split("shard=")[1].split("/")[0]
+        by_shard[shard] = by_shard.get(shard, 0) + 1
+    assert by_shard and all(n == 1 for n in by_shard.values()), by_shard
+    assert any(s.startswith("b") for s in by_shard) and any(
+        s.startswith("p") for s in by_shard
+    )
+    # and the uncompacted twin really had more files (the thing bounded)
+    files_off = TransactionalTable(
+        str(tmp_path / "off" / "store" / "store")
+    ).data_files()
+    assert len(files_off) > len(files)
 
 
 def test_batch_replay_after_maintenance_is_still_idempotent(spark, tmp_path):
@@ -505,13 +517,12 @@ def test_batch_replay_after_maintenance_is_still_idempotent(spark, tmp_path):
         out = sorted(
             r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
         )
-        bands = TransactionalTable(str(tmp_path / "store" / "bands"))
-        pays = TransactionalTable(str(tmp_path / "store" / "payloads"))
-        return (
-            out,
-            sorted(map(tuple, bands.read(spark).collect())),
-            sorted(map(tuple, pays.read(spark).collect())),
-        )
+        store = TransactionalTable(str(tmp_path / "store" / "store"))
+        rows = [
+            (r["shard"], r["id"], r["bkey"], tuple(r["payload"] or ()))
+            for r in store.read(spark).collect()
+        ]
+        return (out, sorted(rows, key=lambda t: (t[0], t[1], t[2] or "")))
 
     before = snapshot()
     # post-restart replay of batch 0 (foreachBatch redelivers it)
@@ -602,17 +613,21 @@ def test_running_funnel_final_depths_match_batch(spark, sf_dir, tmp_path):
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) / 4
+    from apache_kafka_clickhouse_demo_spark.queries import _stamp_feed_block
+
     feed = str(tmp_path / "feed")
     prev = None
-    for i in range(4):  # sequential ts-ordered blocks; mtime = arrival order
+    tbase = _time.time()
+    stamped: set = set()
+    for i in range(4):  # sequential ts-ordered blocks; stamped mtime = arrival order
         upper = lo + span * (i + 1) if i < 3 else hi
         blk = events.filter(
             (F.col("ts") <= F.lit(upper))
             & (F.col("ts") > F.lit(prev) if prev is not None else F.lit(True))
         )
         blk.coalesce(1).write.mode("append").parquet(feed)
+        _stamp_feed_block(feed, stamped, i, tbase)
         prev = upper
-        _time.sleep(0.05)
 
     steps = lambda: [F.col("event_type") == s for s in ("view", "click", "purchase")]  # noqa: E731
     src = (
