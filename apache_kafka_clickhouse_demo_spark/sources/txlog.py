@@ -112,6 +112,11 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A compare-and-swap append found the table already advanced past the
+    caller's read snapshot (see `TransactionalTable.append(cas_version=…)`)."""
+
+
 class TransactionalTable:
     """Handle for an atomic-append parquet table rooted at `path`."""
 
@@ -383,6 +388,7 @@ class TransactionalTable:
         max_retries: int = 50,
         partition_by: str | None = None,
         txn: str | None = None,
+        cas_version: int | None = None,
     ) -> int:
         """Atomically append `df`; returns the committed version.
 
@@ -392,6 +398,14 @@ class TransactionalTable:
         `partition_by` lays the files out under `<col>=<value>/` subdirs
         (enabling `read_where` pruning); `txn` records an application
         transaction id in the commit (see `append_once`).
+
+        `cas_version` (ADVICE r6) makes the append a compare-and-swap on
+        the table version: the commit is attempted at EXACTLY
+        cas_version + 1 and `ConcurrentWriteError` raised if that version
+        is already taken — i.e. someone else committed after the caller's
+        read.  This is how a read-modify-write writer (the topK summary's
+        generation chain) rejects a concurrent sibling instead of both
+        publishing the same generation and double-counting on merge.
         """
         os.makedirs(self.log_dir, exist_ok=True)
         moved = self._stage(df, partition_by)
@@ -403,6 +417,18 @@ class TransactionalTable:
         if txn is not None:
             commit["txn"] = txn
         payload = json.dumps(commit).encode()
+        if cas_version is not None:
+            version = cas_version + 1
+            commit_path = os.path.join(
+                self.log_dir, f"{version:0{_VERSION_DIGITS}d}.json"
+            )
+            if self._publish(payload, commit_path):
+                return version
+            # data files remain unpublished (invisible to readers)
+            raise ConcurrentWriteError(
+                f"{self.path}: version {version} already committed — "
+                f"table advanced past the caller's read at {cas_version}"
+            )
         version = self.version() + 1
         for _ in range(max_retries):
             commit_path = os.path.join(
@@ -415,7 +441,11 @@ class TransactionalTable:
         raise RuntimeError(f"could not commit after {max_retries} attempts")
 
     def append_once(
-        self, df: DataFrame, txn: str, partition_by: str | None = None
+        self,
+        df: DataFrame,
+        txn: str,
+        partition_by: str | None = None,
+        cas_version: int | None = None,
     ) -> int | None:
         """Idempotent append: commit `df` tagged with application
         transaction id `txn`, unless a commit with that id already exists —
@@ -428,7 +458,9 @@ class TransactionalTable:
         through the normal OCC commit loop."""
         if self.txn_committed(txn):
             return None
-        return self.append(df, partition_by=partition_by, txn=txn)
+        return self.append(
+            df, partition_by=partition_by, txn=txn, cas_version=cas_version
+        )
 
     def optimize(
         self,

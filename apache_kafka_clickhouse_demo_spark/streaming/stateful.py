@@ -703,11 +703,14 @@ class _TopKStreamWriter:
     the exact counts; beyond that, undercount <= n / (C + 1).
 
     Concurrency contract: ONE live writer per store (the foreachBatch
-    model; retries of a batch are sequential).  Two concurrent writers
-    would read the same max generation and both publish generation+1 —
-    `_latest()` would then merge both summaries' rows and double-count.
-    Sequential writer HANDOVER (a new stream run, fresh writer_id) is the
-    supported restart path and is pinned by test.
+    model; retries of a batch are sequential) — and ENFORCED (ADVICE r6):
+    each publish is a compare-and-swap on the table version read by
+    `_latest()`, so of two concurrent writers racing the same parent
+    generation exactly one commits and the other fails its batch with
+    `ConcurrentWriteError` — never the silent double-count that merging
+    two same-generation summaries would produce.  Sequential writer
+    HANDOVER (a new stream run, fresh writer_id) is the supported restart
+    path and is pinned by test.
     """
 
     def __init__(
@@ -730,16 +733,18 @@ class _TopKStreamWriter:
         self.writer_id = writer_id
         self.store = TransactionalTable(store_dir)
 
-    def _latest(self) -> tuple[DataFrame | None, int]:
-        """(newest generation's summary or None, its gen number or -1)."""
-        try:
-            stored = self.store.read(self.spark)
-        except FileNotFoundError:  # no commits yet — first block
-            return None, -1
+    def _latest(self) -> tuple[DataFrame | None, int, int]:
+        """(newest generation's summary or None, its gen number or -1,
+        the table VERSION of the snapshot read) — the version is what the
+        publish CASes against (see `process`)."""
+        snap_v = self.store.version()
+        if snap_v < 0:  # no commits yet — first block
+            return None, -1, snap_v
+        stored = self.store.read(self.spark, version=snap_v)
         gen = stored.agg(F.max("gen")).first()[0]
         if gen is None:
-            return None, -1
-        return stored.filter(F.col("gen") == gen).drop("gen"), int(gen)
+            return None, -1, snap_v
+        return stored.filter(F.col("gen") == gen).drop("gen"), int(gen), snap_v
 
     def _latest_summary(self) -> DataFrame | None:
         return self._latest()[0]
@@ -757,7 +762,7 @@ class _TopKStreamWriter:
             block.select(F.col(self.col).cast("string").alias("value"))
             .mapInPandas(_mg_partition(self.capacity), _SUMMARY_SCHEMA)
         )
-        prev, prev_gen = self._latest()
+        prev, prev_gen, snap_v = self._latest()
         merged = block_sums if prev is None else prev.unionByName(block_sums)
         merged = merged.persist()
 
@@ -797,7 +802,13 @@ class _TopKStreamWriter:
         new_summary = trimmed.unionByName(sentinel).withColumn(
             "gen", F.lit(prev_gen + 1).cast("long")
         )
-        self.store.append_once(new_summary, txn=txn)
+        # CAS on the snapshot version (ADVICE r6): the single-live-writer
+        # contract is now ENFORCED, not just documented — a concurrent
+        # sibling that committed after our `_latest()` read makes this
+        # publish raise ConcurrentWriteError (failing the batch loudly)
+        # instead of both writers publishing generation prev_gen+1 and
+        # `_latest()` merging their rows into double counts.
+        self.store.append_once(new_summary, txn=txn, cas_version=snap_v)
         counts.unpersist()
         merged.unpersist()
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:

@@ -730,6 +730,48 @@ def test_topk_stream_new_run_over_existing_store_not_lost(spark, tmp_path):
     assert got == {"a": 5, "b": 5}
 
 
+def test_topk_concurrent_writer_race_rejected_not_double_counted(spark, tmp_path):
+    """ADVICE r6: the single-live-writer contract is a CAS, not a comment.
+    Two writers racing the same parent generation: exactly one commits;
+    the loser raises ConcurrentWriteError and the store never holds two
+    same-generation summaries to double-count."""
+    import pytest as _pytest
+
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+        ConcurrentWriteError,
+        TransactionalTable,
+    )
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        topk_stream_writer,
+    )
+
+    store = str(tmp_path / "race_store")
+    w1 = topk_stream_writer(spark, store, "v", capacity=64, writer_id="w1")
+    w1.process(spark.createDataFrame([("a",)] * 3, "v string"), 0)
+
+    w2 = topk_stream_writer(spark, store, "v", capacity=64, writer_id="w2")
+    # simulate the race: w2 reads the same snapshot w1 is about to advance
+    orig_latest = type(w2)._latest
+
+    def stale_latest(self):
+        prev, gen, snap_v = orig_latest(self)
+        # w1 commits AFTER our read but BEFORE our publish
+        w1.process(spark.createDataFrame([("a",)] * 2, "v string"), 1)
+        return prev, gen, snap_v
+
+    w2._latest = stale_latest.__get__(w2)
+    with _pytest.raises(ConcurrentWriteError):
+        w2.process(spark.createDataFrame([("b",)] * 4, "v string"), 0)
+
+    # w1's interleaved commit is the surviving generation; no merged
+    # double-generation rows, and no trace of w2's rejected summary
+    stored = TransactionalTable(store).read(spark)
+    gens = sorted({r["gen"] for r in stored.select("gen").distinct().collect()})
+    assert gens == [0, 1]
+    got = {r["value"]: r["count_lb"] for r in w1.topk(5).collect()}
+    assert got == {"a": 5}
+
+
 def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     """Stream-stream interval join == the batch range join for the same
     rows: every (click, purchase-within-1h) pair for the same user, each
