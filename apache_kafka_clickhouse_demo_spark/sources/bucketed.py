@@ -51,3 +51,40 @@ def write_bucketed(
 def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read that carries the bucket layout into planning."""
     return spark.table(table)
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Compact-by-rewrite for a bucketed catalog table (VERDICT r6 #7).
+
+    Every append writes one file per (task, bucket) pair, so a table fed
+    by K inserts of T tasks each accumulates up to K*T files PER BUCKET —
+    and SortMergeJoin over presorted buckets degrades to a K*T-way merge
+    per bucket with one footer read per file.  Buckets are fixed at write
+    time, so there is no in-place merge: the story is a rewrite.
+    Repartitioning onto the bucket columns with the bucket count aligns
+    writing tasks with buckets (few files per bucket — exactly one when
+    the repartition hash agrees with the bucketing hash), the rewrite
+    lands in a staging table, and a catalog DROP + RENAME swaps it in.
+
+    Concurrency contract: the DROP->RENAME swap is the catalog analogue
+    of `storage._atomic_swap`'s two renames — a reader between the two
+    statements sees no table.  Single writer, maintenance window, same as
+    every non-transactional compaction here; concurrent-reader compaction
+    belongs to `txlog.TransactionalTable.optimize`.
+    """
+    from pyspark.sql import functions as F
+
+    staging = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    df = spark.table(table).repartition(
+        num_buckets, *[F.col(c) for c in bucket_cols]
+    )
+    write_bucketed(df, staging, bucket_cols, num_buckets, sort_cols)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

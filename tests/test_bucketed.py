@@ -79,3 +79,54 @@ def test_plain_parquet_read_of_same_files_still_shuffles(spark, tables, tmp_path
     plain = spark.read.parquet(str(tmp_path / "ev_b"))
     agg = plain.groupBy("user_id").agg(F.sum("value").alias("total"))
     assert "Exchange" in formatted_plan(agg)
+
+
+def test_compact_bucketed_rewrite_keeps_plan_and_answers(spark, tables, tmp_path):
+    """VERDICT r6 #7: appends multiply files per bucket; compact_bucketed
+    must shrink the file count while the rewritten table still plans the
+    exchange-free join and answers identically."""
+    import glob
+    import os
+
+    from apache_kafka_clickhouse_demo_spark.sources.bucketed import compact_bucketed
+
+    ev, dim = tables
+    # fragment: three appends, each multi-task
+    for k in range(3):
+        write_bucketed(
+            ev.filter(F.col("event_id").between(k * 10, k * 10 + 9)).repartition(4),
+            "ev_b",
+            ["user_id"],
+            8,
+            sort_cols=["user_id"],
+            mode="append",
+        )
+    files_before = len(glob.glob(str(tmp_path / "ev_b" / "*.parquet")))
+    truth = sorted(
+        map(tuple, bucketed_table(spark, "ev_b").join(dim, "user_id").collect())
+    )
+
+    compact_bucketed(spark, "ev_b", ["user_id"], 8, sort_cols=["user_id"])
+
+    # NOTE: the staging table carries its own location; after the catalog
+    # swap the table's files live wherever the catalog now points
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED ev_b")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+    )
+    files_after = len(glob.glob(os.path.join(loc.removeprefix("file:"), "*.parquet")))
+    assert files_after < files_before
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_table(spark, "ev_b").join(
+            bucketed_table(spark, "dim_b"), "user_id"
+        )
+        assert "Exchange" not in formatted_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert sorted(
+        map(tuple, bucketed_table(spark, "ev_b").join(dim, "user_id").collect())
+    ) == truth
