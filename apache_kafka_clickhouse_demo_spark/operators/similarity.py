@@ -114,6 +114,116 @@ def brute_force_topk(
 
 
 # ---------------------------------------------------------------------------
+# Scalar int8 quantization (memory/shuffle scale path)
+# ---------------------------------------------------------------------------
+
+
+def sq8_quantize(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 127,
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the FAISS SQ8 idea):
+    normalize, then q_i = round(x_i / scale) with scale = max|x_i| / 127 —
+    components land in [-127, 127] and dequantize as q_i * scale.
+
+    Why at 100 TB: a float64-array embedding column is 8 bytes/dim through
+    every shuffle and cache; the int8 form is ~1 byte/dim + one double —
+    a ~4-8x cut in the bytes ANN verify/rerank stages move, at a recall
+    cost the contract test bounds (tests/test_ann_recall.py).
+
+    Determinism: both engines compute the SAME normalized doubles (shared
+    `V.normalize` / `V.sql_normalize` mirrors), the same order-independent
+    max-abs, the same division — so `round` sees bit-identical doubles and
+    the quantized vectors match exactly (both engines round halves away
+    from zero).  Zero vectors quantize to all-zero (scale row NULL-guarded).
+
+    Output: (vec_id, qv array<int>, scale double).
+    """
+    base = spread_small(corpus).select(
+        F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
+    )
+    max_abs = F.array_max(F.transform("nv", lambda x: F.abs(x)))
+    entry = F.element_at(
+        F.transform(
+            F.array(max_abs / F.lit(float(levels))),  # scale, computed once/row
+            lambda s: F.struct(
+                F.when(
+                    s > 0,
+                    F.transform(
+                        F.col("nv"), lambda x: F.round(x / s).cast("int")
+                    ),
+                )
+                .otherwise(
+                    F.transform(F.col("nv"), lambda x: F.lit(0).cast("int"))
+                )
+                .alias("qv"),
+                s.alias("scale"),
+            ),
+        ),
+        1,
+    )
+    # project through one aliased struct so the transform evaluates once
+    return base.select(F.col("vid").alias(id_col), entry.alias("e")).select(
+        id_col, F.col("e.qv").alias("qv"), F.col("e.scale").alias("scale")
+    )
+
+
+def _int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product of two int arrays (long accumulate)."""
+    prods = F.zip_with(
+        F.col(a) if isinstance(a, str) else a,
+        F.col(b) if isinstance(b, str) else b,
+        lambda x, y: x.cast("long") * y.cast("long"),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors: the scoring
+    loop moves ~1 byte/dim instead of 8 and the hot product is an integer
+    dot (approx cosine = int_dot * scale_a * scale_b, since inputs were
+    unit-normalized before quantization).  Same two-phase partition-local
+    top-k as `brute_force_topk`; ranks tie-break on neighbor_id, which the
+    discrete quantized scores make load-bearing.  Output columns match the
+    other ANN operators: (query_id, neighbor_id, rank, cos_sim) with
+    cos_sim the QUANTIZED approximation (the operator's honest output —
+    a float rerank is the caller's composition)."""
+    qz = sq8_quantize(corpus, vec_col, id_col).persist()
+    qs = qz.join(
+        queries.select(F.col(id_col).alias("qid")), F.col(id_col) == F.col("qid")
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("scale").alias("q_scale"),
+    )
+    scored = (
+        qz.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("qv").alias("n_qv"),
+            F.col("scale").alias("n_scale"),
+        )
+        .join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            _score_entry(
+                _int_dot("q_qv", "n_qv").cast("double")
+                * F.col("q_scale")
+                * F.col("n_scale")
+            ).alias("entry"),
+        )
+    )
+    return _two_phase_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
 

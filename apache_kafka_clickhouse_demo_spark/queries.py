@@ -1429,6 +1429,17 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """Int8-quantized brute-force ANN (similarity.sq8_topk): per-vector
+    symmetric scalar quantization, integer-dot scoring — the ~4-8x
+    bytes-moved cut for the 100 TB verify/rerank stages; recall vs the
+    exact operator bounded in tests/test_ann_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_NUM_QUERIES), k=ANN_K
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.rp_lsh_ann_topk(
@@ -1951,6 +1962,489 @@ def q8_market_share(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion (r7): the remaining 13 query SHAPES.  The reduced fixture
+# (TESTDATA.md) has no partsupp table and no shipmode/commitdate/receiptdate/
+# container/comment/phone columns, so the canonical text of Q2/9/11/12/16/
+# 19/20/21/22 is not expressible verbatim; each adaptation below preserves
+# the query's defining plan shape (the thing that matters at 100 TB —
+# correlated mins, anti/semi joins, scalar-subquery thresholds, disjunctive
+# join predicates) on the columns that exist, and says exactly what changed.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part), adapted: no partsupp,
+    so the per-(part, supplier) cost is the MINIMUM per-unit price the
+    supplier ever charged for the part in lineitem (min(extprice/qty) in
+    exact cents-per-unit scale).  Shape preserved: region-filtered dims +
+    the correlated-minimum join (part's global min cost re-joined to pick
+    the matching suppliers), ordered by supplier acctbal."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    eu_supp = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pparts = F.broadcast(
+        part.filter(F.col("p_size").isin(5, 15, 25, 35, 45)).select(
+            "p_partkey", "p_name"
+        )
+    )
+    # exact unit cost in cents*100 per unit: round once at cents, then
+    # integer-scale the division to 4 decimals (floor) — deterministic
+    # across engines, no double rounding drift
+    unit_c4 = F.floor(
+        (F.round(F.col("l_extendedprice") * 100).cast("long") * 100)
+        / F.col("l_quantity").cast("long")
+    ).cast("long")
+    costs = (
+        li.join(pparts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit_c4).alias("cost_c4"))
+    )
+    best = costs.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("cost_c4").alias("best_c4")
+    )
+    return (
+        costs.join(
+            best,
+            (F.col("p_partkey") == F.col("bp"))
+            & (F.col("cost_c4") == F.col("best_c4")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_c4").cast("double") / 10000.0).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (product profit by nation and year), adapted: no
+    partsupp means no supplycost term, so profit is discounted revenue.
+    Shape preserved: part-NAME substring filter (p_name LIKE '%red%'),
+    the lineitem->orders + supplier->nation chain, nation x year group."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    red = F.broadcast(part.filter(F.col("p_name").contains("red")).select("p_partkey"))
+    ndim = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", (price_c * (100 - disc_c)).alias("vol_u4"))
+        .join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ndim, F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(F.col("vol_u4").cast("decimal(38,0)")).cast("double") / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock), adapted: no partsupp, so a
+    part's held value is the total shipped value from lineitem
+    (sum(qty * extprice) in cents).  Shape preserved: per-key aggregate
+    HAVING value > fraction x the SAME aggregate globally — the
+    scalar-subquery threshold that makes Q11 interesting (computed once,
+    broadcast into the filter, never a self-join per row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat = F.broadcast(
+        nation.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    )
+    nsupp = F.broadcast(
+        supp.join(nat, supp.s_nationkey == F.col("n_nationkey")).select("s_suppkey")
+    )
+    val_c = (
+        F.col("l_quantity").cast("long")
+        * F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    scoped = li.join(nsupp, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_partkey", val_c.alias("val_c")
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum(F.col("val_c").cast("decimal(38,0)")).alias("value_c")
+    )
+    # scalar threshold: FRACTION (1/500 here — ~90 of 2000 parts pass at
+    # sf0.01; Q11 uses 1/10000 at SF1) of the same scoped total — one
+    # 1-row broadcast join, and the comparison stays in exact integer
+    # cents (value*500 > total) so no engine's decimal-vs-double
+    # promotion can flip a boundary row
+    total = scoped.agg(
+        F.sum(F.col("val_c").cast("decimal(38,0)")).alias("total_c")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 500 > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_c").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode/priority matrix), adapted: no shipmode or
+    commit/receipt dates, so 'late' is l_shipdate > o_orderdate + 90 days
+    and the grouping surrogate is l_linestatus.  Shape preserved: the
+    join-then-conditional-count matrix (high-priority vs low-priority
+    line counts per group in ONE aggregate pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): orders per customer via LEFT
+    join (customers with zero orders count in the c_count=0 bucket), then
+    the distribution of those counts.  The canonical comment NOT-LIKE
+    filter becomes o_orderpriority != '4-NOT SPECIFIED' (the fixture has
+    no comment column) — same filtered-outer-join shape."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+                "o_custkey", "o_orderkey"
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    discounted revenue, numerator and denominator in a single aggregate
+    pass (conditional sum), part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    pt = F.broadcast(part.select("p_partkey", "p_type"))
+    vol = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", (price_c * (100 - disc_c)).alias("vol_u4"))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("vol_u4")).otherwise(F.lit(0)).cast("decimal(38,0)")
+    )
+    total = F.sum(F.col("vol_u4").cast("decimal(38,0)"))
+    return vol.agg(
+        F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then the
+    supplier(s) whose revenue EQUALS the maximum — the view + scalar-max
+    self-reference, expressed as one aggregate reused for both sides
+    (persist-free: Catalyst dedups the shared subplan under AQE; the max
+    is a 1-row broadcast, never a per-row correlated subquery)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", (price_c * (100 - disc_c)).alias("vol_u4"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("vol_u4").cast("decimal(38,0)")).alias("rev_u4"))
+    )
+    mx = revenue.agg(F.max("rev_u4").alias("max_u4"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_u4") == F.col("max_u4"))
+        .join(supp.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_u4").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_count_by_part(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: the
+    part-supplier relation comes from lineitem (who actually shipped the
+    part) instead of partsupp, and the excluded-supplier set is
+    s_acctbal < 0 instead of the comment filter.  Shape preserved: the
+    NOT-IN anti-join against a computed supplier set, then
+    count(DISTINCT supplier) per (brand, type, size) descending."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    bad = F.broadcast(
+        supp.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_sk"))
+    )
+    pdim = F.broadcast(
+        part.filter(
+            (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(pdim, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("bad_sk"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold (group-HAVING over lineitem as a SEMI-join key
+    set), joined back to customer + orders + lineitem for the report.
+    The threshold 250 sits at the fixture's ~98.5th percentile — the same
+    selectivity role 300 plays at SF1."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 250)
+        .select(F.col("l_orderkey").alias("big_ok"), "order_qty")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("big_ok"))
+        .join(cust.select("c_custkey", "c_name"), orders.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("order_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive predicate revenue), adapted: no
+    container column, so the three OR-branches pair brand with a size
+    range instead of container classes.  Shape preserved: the
+    OR-of-conjunctions join predicate across lineitem x part that forces
+    the optimizer to keep ONE join with a residual disjunction (not three
+    unioned scans) — plus the quantity band per branch."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    pd = F.broadcast(part.select("p_partkey", "p_brand", "p_size"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.select("l_partkey", "l_quantity", (price_c * (100 - disc_c)).alias("vol_u4"))
+        .join(pd, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            (F.sum(F.col("vol_u4").cast("decimal(38,0)")).cast("double") / 10000.0).alias("revenue")
+        )
+    )
+
+
+def q20_promo_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers of surplus promo parts), adapted: no
+    partsupp availqty, so the inner threshold is 'shipped more than 400
+    units of PROMO parts during 1996'.  Shape preserved: the nested
+    semi-join chain — supplier IN (suppliers passing a per-(supplier)
+    aggregate over a part-filtered lineitem scan) — with the nation
+    filter on the outer query block."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    promo = F.broadcast(part.filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+        .filter(F.col("promo_qty") > 400)
+        .select(F.col("l_suppkey").alias("hv_sk"))
+    )
+    nat = F.broadcast(
+        nation.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")).select(
+            "n_nationkey"
+        )
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == F.col("hv_sk"), "left_semi")
+        .join(nat, supp.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
+
+
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted: no
+    commit/receipt dates, so 'late' is l_shipdate > o_orderdate + 90
+    days.  Shape preserved — the part that makes Q21 hard: per failing
+    line, EXISTS another supplier's line in the same order AND NOT EXISTS
+    another supplier's LATE line (this supplier is the sole blocker),
+    over multi-supplier 'F' orders; both quantifiers as aggregated
+    semi-join sides, never per-row subqueries."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    lo = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    # this supplier late + others exist + no OTHER supplier late
+    return (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1),
+        )
+        .join(supp.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity), adapted: no phone
+    column, so the grouping key is the customer's nation instead of the
+    phone country code, and — because every fixture customer has at least
+    one order — 'never ordered' becomes DORMANT: no order since
+    1999-01-01.  Shape preserved: scalar subquery (average positive
+    balance) feeding a filter, anti-join against (date-filtered) orders,
+    then group/aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # the scalar average in exact integer cents: bal*cnt > sum compares in
+    # integers, so Spark's and DuckDB's float summation orders cannot
+    # disagree on a boundary customer
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_c.cast("decimal(38,0)")).alias("sum_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    ndim = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("cntrycode"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(bal_c.cast("decimal(38,0)") * F.col("cnt") > F.col("sum_c"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+            )
+            .select("o_custkey")
+            .distinct(),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(ndim, cust.c_nationkey == F.col("nk"))
+        .select("cntrycode", bal_c.alias("bal_c"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(F.col("bal_c").cast("decimal(38,0)")).cast("double") / 100.0).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup parity (dedup.semantic_dedup): coarse-cluster the
     embeddings on the IVF hash-sampled centroids, drop within-cluster
@@ -2226,6 +2720,23 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_topk": q_stream_topk,  # streaming Misra-Gries drain vs exact top-k oracle
     "q7_nation_trade": q7_nation_trade,  # TPC-H join-shape depth; gate carries q3/q5 joins
     "q8_market_share": q8_market_share,  # conditional-sum ratio aggregate
+    # r7: TPC-H completion — the remaining 13 query shapes, adapted where
+    # the reduced fixture lacks partsupp/shipmode/container/comment/phone
+    # (each docstring states the adaptation); all oracle-checked locally
+    "q2_min_cost_supplier": q2_min_cost_supplier,  # correlated-minimum join
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,  # name-LIKE + 4-join chain
+    "q11_important_parts": q11_important_parts,  # scalar-subquery HAVING threshold
+    "q12_late_shipment_priority": q12_late_shipment_priority,  # conditional-count matrix
+    "q13_customer_order_distribution": q13_customer_order_distribution,  # filtered outer join + double aggregate
+    "q14_promo_revenue": q14_promo_revenue,  # single-pass conditional ratio
+    "q15_top_supplier": q15_top_supplier,  # agg view + scalar-max self-reference
+    "q16_supplier_count_by_part": q16_supplier_count_by_part,  # NOT-IN anti-join + count distinct
+    "q18_large_volume_customers": q18_large_volume_customers,  # group-HAVING semi-join
+    "q19_discounted_revenue": q19_discounted_revenue,  # disjunctive join predicate
+    "q20_promo_part_suppliers": q20_promo_part_suppliers,  # nested semi-join chain
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,  # EXISTS / NOT-EXISTS quantifiers
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,  # scalar avg + anti-join
+    "ann_sq8_topk": q_ann_sq8_topk,  # r7: int8 scalar-quantized ANN (bytes-moved scale path)
     # rotated OUT of the gate mid-r06 for the three family representatives
     # above; their operator coverage stays gated elsewhere:
     "asof_next_error": q_asof_next_error,  # forward as-of == backward + direction flip; asof_last_purchase gated, equivalence in tests/test_asof_*
@@ -2492,6 +3003,42 @@ WITH nemb AS ({nemb}),
   SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM {joins}
   WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos_sim
+FROM ranked WHERE rnk <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+def _oracle_ann_sq8() -> str:
+    """Mirror of similarity.sq8_topk: same normalize, same per-vector
+    max-abs/127 scale (lateral alias), same round-half-away-from-zero
+    int8 components, exact integer dot, double rescale, same tie-break."""
+    norm = V.sql_normalize("embedding", EMBED_DIM)
+    idot = (
+        f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> CAST(q.qv[i] AS BIGINT) * CAST(e.qv[i] AS BIGINT)))"
+    )
+    return f"""
+WITH nemb AS (
+  SELECT vec_id, {norm} AS nv FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         list_max(list_transform(nv, x -> abs(x))) / 127.0 AS scale,
+         CASE WHEN list_max(list_transform(nv, x -> abs(x))) / 127.0 > 0
+              THEN list_transform(range(1, {EMBED_DIM + 1}),
+                     i -> CAST(round(nv[i] / (list_max(list_transform(nv, x -> abs(x))) / 127.0)) AS INTEGER))
+              ELSE list_transform(range(1, {EMBED_DIM + 1}), i -> 0) END AS qv
+  FROM nemb
+), scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST({idot} AS DOUBLE) * q.scale * e.scale AS cos_sim
+  FROM qz e, qz q
+  WHERE q.vec_id < {ANN_NUM_QUERIES} AND e.vec_id != q.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
@@ -2986,6 +3533,187 @@ FROM (
 )
 GROUP BY o_year ORDER BY o_year
 """,
+        "q2_min_cost_supplier": """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), costs AS (
+  SELECT p.p_partkey, p.p_name, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name,
+         min(CAST(floor((CAST(round(l.l_extendedprice * 100) AS BIGINT) * 100)
+                        / CAST(l.l_quantity AS BIGINT)) AS BIGINT)) AS cost_c4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+   AND p.p_size IN (5, 15, 25, 35, 45)
+  JOIN eu_supp e ON l.l_suppkey = e.s_suppkey
+  GROUP BY ALL
+), best AS (
+  SELECT p_partkey AS bp, min(cost_c4) AS best_c4 FROM costs GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost_c4 AS DOUBLE) / 10000.0 AS unit_cost
+FROM costs JOIN best ON p_partkey = bp AND cost_c4 = best_c4
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+""",
+        "q9_profit_by_nation_year": """
+SELECT nation, o_year,
+       CAST(CAST(sum(vol_u4) AS DOUBLE) / 10000.0 AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_u4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+GROUP BY nation, o_year ORDER BY nation, o_year DESC
+""",
+        "q11_important_parts": """
+WITH scoped AS (
+  SELECT l.l_partkey,
+         CAST(l.l_quantity AS BIGINT)
+           * CAST(round(l.l_extendedprice * 100) AS BIGINT) AS val_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_1'
+), per_part AS (
+  SELECT l_partkey, sum(val_c) AS value_c FROM scoped GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(CAST(value_c AS DOUBLE) / 100.0 AS DOUBLE) AS value
+FROM per_part
+WHERE value_c * 500 > (SELECT sum(val_c) FROM scoped)
+ORDER BY value DESC, p_partkey
+""",
+        "q12_late_shipment_priority": """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+""",
+        "q13_customer_order_distribution": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE o_orderpriority <> '4-NOT SPECIFIED'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+        "q14_promo_revenue": """
+SELECT round(100.0
+         * CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol_u4 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(vol_u4) AS DOUBLE), 6) AS promo_revenue_pct
+FROM (
+  SELECT p.p_type,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_u4
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+)
+""",
+        "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(CAST(rev_u4 AS DOUBLE) / 10000.0 AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE rev_u4 = (SELECT max(rev_u4) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+        "q16_supplier_count_by_part": """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+ AND p.p_brand <> 'Brand#1' AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+        "q18_large_volume_customers": """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(big.order_qty AS DOUBLE) AS total_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS order_qty FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+""",
+        "q19_discounted_revenue": """
+SELECT CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+            / 10000.0 AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "q20_promo_part_suppliers": """
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey HAVING sum(l.l_quantity) > 400
+)
+AND s.s_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+)
+ORDER BY s.s_name
+""",
+        "q21_suppliers_kept_waiting": """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) w
+JOIN per_order ON w.l_orderkey = ok AND n_supp > 1 AND n_late_supp = 1
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+""",
+        "q22_global_sales_opportunity": """
+WITH stats AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_c, count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name AS cntrycode, count(*) AS numcust,
+       CAST(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS DOUBLE)
+         AS totacctbal
+FROM customer c, stats
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * cnt > sum_c
+  AND c.c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY n.n_name ORDER BY cntrycode
+""",
         "projection_routing": """
 SELECT user_id, count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
@@ -3429,6 +4157,7 @@ ORDER BY id_a, id_b
         "ann_topk": _oracle_ann_topk(use_lsh=False),
         "ann_lsh_topk": _oracle_ann_topk(use_lsh=True),
         "ann_ivf_topk": _oracle_ann_ivf(),
+        "ann_sq8_topk": _oracle_ann_sq8(),
         "lang_id": _oracle_lang_id(),
         "text_quality": _oracle_text_quality(),
         "token_counts": _oracle_token_counts(),

@@ -76,3 +76,30 @@ def test_recall_beats_examined_fraction_on_structureless_data(spark, sf_dir):
         recall = hits / total
         print(f"{name}: recall@10 = {recall:.3f}")
         assert recall >= floor, f"{name} recall {recall:.3f} under floor {floor}"
+
+
+def test_sq8_planted_duplicate_rank1_and_topk_recall(spark):
+    """Int8 quantization contracts: (a) a planted exact-direction duplicate
+    (cosine 1.0) must still be rank 1 — quantization is scale-invariant on
+    the normalized vector, so the planted copy quantizes IDENTICALLY to its
+    original and its integer dot is the maximal self-dot; (b) against
+    brute-force float top-k on structureless data, int8's ~2^-8 component
+    error must keep recall@10 high — bound 0.8, measured well above."""
+    corpus, queries = _fixture(spark)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.sq8_topk(corpus, queries, k=10).collect()
+    }
+    for qid in range(N_QUERIES):
+        assert got[(qid, 1)] == PLANT_BASE + qid
+
+    exact = S.brute_force_topk(corpus, queries, k=10).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(N_QUERIES):
+        approx = {n for (q, _rk), n in got.items() if q == qid}
+        hits += len(approx & exact_sets[qid])
+        total += len(exact_sets[qid])
+    assert hits / total >= 0.8, f"sq8 recall@10 {hits}/{total}"

@@ -33,11 +33,14 @@ _SKIP = {
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
 _NESTED_LOOP_OK = {
     "ann_topk",  # brute-force baseline: corpus x broadcast(bounded query set)
+    "ann_sq8_topk",  # same shape over int8-quantized vectors
     "ann_ivf_topk",  # corpus x broadcast(fixed-target centroid table)
     "tfidf_top_terms",  # per-term rows x broadcast(1-row corpus-count agg)
     "text_prep",  # same tfidf stage: per-term rows x broadcast(1-row count agg)
     "top_users_sketch",  # survivor counters x broadcast(1-row total-error agg)
     "semantic_dedup",  # corpus x broadcast(fixed-target centroid table), like ann_ivf_topk
+    "q11_important_parts",  # per-part values x broadcast(1-row scoped-total agg); inequality threshold keeps it a nested loop by construction
+    "q22_global_sales_opportunity",  # customers x broadcast(1-row sum/count agg); same scalar-threshold class
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}
