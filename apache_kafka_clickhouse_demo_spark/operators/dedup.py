@@ -426,12 +426,15 @@ def ngram_jaccard_pairs(
         & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
     cand = (
-        pref.alias("a")
+        # the index side is PRE-filtered to its short index prefix (not an
+        # ON-clause condition): the join's build input shrinks ~40% before
+        # hashing instead of per-matched-row evaluation
+        pref.filter(F.col("in_index"))
+        .alias("a")
         .join(
             pref.alias("b"),
             on=[
                 F.col("a.g") == F.col("b.g"),
-                F.col("a.in_index"),
                 smaller_first,
                 # length filter: |A| <= |B| here, so Jaccard >= t forces
                 # |A| >= t * |B|

@@ -96,6 +96,11 @@ HEADLINE = [
     "funnel_levels",
     "passage_dedup",
     "semantic_dedup",
+    # added r7 with the gate rotation (VERDICT r6 #2) + the new int8 ANN:
+    # every gate-bearing family keeps a perf trend; names stable from r7 on
+    "stream_funnel",
+    "snapshot_changelog",
+    "ann_sq8_topk",
 ]
 
 
@@ -148,6 +153,12 @@ BASELINE_SEC = {
     "funnel_levels": 0.655,
     "passage_dedup": 1.586,
     "semantic_dedup": 1.285,
+    # r7 trend starts (same larger-of-two-record-runs seeding at sf0.1):
+    # stream_funnel is an end-to-end 4-block checkpointed drain like the
+    # near-dup drains — fixed per-micro-batch machinery dominates
+    "stream_funnel": 5.885,
+    "snapshot_changelog": 0.439,
+    "ann_sq8_topk": 0.942,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
