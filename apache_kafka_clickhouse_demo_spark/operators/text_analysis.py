@@ -391,6 +391,67 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every word
+    k-gram, slide a window of `window` consecutive k-gram hashes over the
+    document, select each window's MINIMUM hash; the fingerprint is the
+    distinct selected set.
+
+    The published guarantee this buys over plain min-hashing: any shared
+    token run of length >= window + k - 1 between two documents
+    contributes at least one COMMON selected hash (every such run spans a
+    full window on both sides, and the window's min is position-
+    independent), while the expected fingerprint density is only
+    2/(window+1) of the full k-gram set — a local, alignment-free
+    similarity sketch MinHash (global, permutation-based) cannot provide.
+    Selection is by VALUE (classic winnowing tie-breaks equal mins by
+    position); the selected SET is identical except under h48 value ties
+    (~2^-48), the same collision class `doc_fingerprint` accepts.
+
+    Plan shape at 100 TB: one row-local projection chain — tokenize,
+    k-gram, per-gram h48, window-min, distinct+sort — ZERO exchanges; the
+    output is ~2/(window+1) x corpus-gram count.  Short docs (< k tokens)
+    fingerprint their full token string (word_shingles' single-shingle
+    floor), so no document hashes to empty.
+
+    Output: (doc_id, n_grams, fingerprint) with `fingerprint` the sorted
+    selected hashes '-'-joined (scalar string: driver-canonicalizable and
+    directly comparable/joinable downstream).
+    """
+    if window <= 0 or k <= 0:
+        raise ValueError("k and window must be positive")
+    toks = TX.tokens(text_col)
+    grams = TX.word_shingles(toks, k)
+    hashed = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(grams, lambda g: H.h48(g)).alias("hashes"),
+    )
+    wins = F.sequence(
+        F.lit(0), F.greatest(F.size("hashes") - window, F.lit(0))
+    )
+    selected = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                wins, lambda i: F.array_min(F.slice("hashes", i + 1, window))
+            )
+        )
+    )
+    return hashed.select(
+        "doc_id",
+        F.size("hashes").alias("n_grams"),
+        F.array_join(
+            F.transform(selected, lambda h: h.cast("string")), "-"
+        ).alias("fingerprint"),
+    )
+
+
 def chunk_dedup(
     docs: DataFrame,
     chunk_words: int = 8,

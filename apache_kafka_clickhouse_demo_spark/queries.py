@@ -117,6 +117,8 @@ RETENTION_OFFSETS = [0, 1, 2, 3, 4, 5, 6]
 TOPK_K = 10
 TOPK_CAPACITY = 1 << 14
 PASSAGE_WORDS = 8
+WINNOW_K = 4
+WINNOW_WINDOW = 5
 #: mid-day TTL cutoff: exercises BOTH apply_ttl paths (whole-day partition
 #: drops AND the boundary-day filter rewrite)
 TTL_CUTOFF = "2024-01-15 12:00:00"
@@ -1676,6 +1678,15 @@ def q_doc_fingerprint(spark, sf_dir):
     return text_analysis.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """MOSS winnowing fingerprints (text_analysis.winnow_fingerprints):
+    per-window min of word-4-gram h48s, the local alignment-free
+    similarity sketch — one row-local projection chain, zero exchanges."""
+    return text_analysis.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=WINNOW_K, window=WINNOW_WINDOW
+    ).orderBy("doc_id")
+
+
 def q_media_summary(spark, sf_dir):
     return multimodal.media_summary(multimodal.attach_media(_t(spark, sf_dir, "documents")))
 
@@ -2737,6 +2748,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,  # EXISTS / NOT-EXISTS quantifiers
     "q22_global_sales_opportunity": q22_global_sales_opportunity,  # scalar avg + anti-join
     "ann_sq8_topk": q_ann_sq8_topk,  # r7: int8 scalar-quantized ANN (bytes-moved scale path)
+    "winnow_fingerprint": q_winnow_fingerprint,  # r7: MOSS winnowing (local fingerprint sketch)
     # rotated OUT of the gate mid-r06 for the three family representatives
     # above; their operator coverage stays gated elsewhere:
     "asof_next_error": q_asof_next_error,  # forward as-of == backward + direction flip; asof_last_purchase gated, equivalence in tests/test_asof_*
@@ -4307,6 +4319,24 @@ WITH toks AS (
 SELECT doc_id, {H.sql_h48('t')} AS text_fp,
        CAST(list_min(list_transform(sh, s -> {H.sql_h48('s')})) AS BIGINT) AS min_shingle_fp
 FROM sh ORDER BY doc_id
+""",
+        "winnow_fingerprint": f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks()} AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform({TX.sql_word_shingles('toks', WINNOW_K)},
+                        g -> {H.sql_h48('g')}) AS hashes
+  FROM toks
+)
+SELECT doc_id, CAST(len(hashes) AS INTEGER) AS n_grams,
+       array_to_string(
+         list_sort(list_distinct(list_transform(
+           range(0, greatest(len(hashes) - {WINNOW_WINDOW}, 0) + 1),
+           i -> list_min(hashes[CAST(i + 1 AS BIGINT)
+                                : CAST(i + {WINNOW_WINDOW} AS BIGINT)])))),
+         '-') AS fingerprint
+FROM h ORDER BY doc_id
 """,
         "media_summary": """
 WITH m AS (

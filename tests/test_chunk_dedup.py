@@ -69,3 +69,47 @@ def test_hash_collision_keeps_distinct_passage(spark, monkeypatch):
     # doc 2's distinct content survives the collision; doc 3 is a true
     # duplicate of doc 1 (same hash AND same text) and is dropped
     assert got == {1: (1, 1, "a b"), 2: (1, 1, "c d")}
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (text_analysis.winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _winnow(spark, docs, k=4, window=5):
+    from apache_kafka_clickhouse_demo_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_grams"], set(r["fingerprint"].split("-")))
+        for r in winnow_fingerprints(df, k=k, window=window).collect()
+    }
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # The SIGMOD'03 guarantee: a shared token run of >= window + k - 1
+    # tokens (here 5 + 4 - 1 = 8) yields >= 1 COMMON selected hash, at any
+    # position in either document.
+    shared = "the quick brown fox jumps over lazy dogs"  # 8 tokens
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"unrelated prefix words here entirely {shared}"),
+        (3, "no overlap with anything else at all whatsoever truly"),
+    ]
+    got = _winnow(spark, docs)
+    assert got[1][1] & got[2][1], "shared 8-token run must share a fingerprint"
+    assert not (got[1][1] & got[3][1])
+
+
+def test_winnowing_density_and_short_doc_floor(spark):
+    # fingerprint is a strict subset (~2/(w+1)) of the gram hashes for a
+    # long doc; a doc shorter than k tokens still fingerprints (single
+    # full-string shingle)
+    long_text = " ".join(f"tok{i}" for i in range(200))
+    got = _winnow(spark, [(1, long_text), (2, "tiny doc")])
+    n_grams, fp = got[1]
+    assert n_grams == 197
+    assert len(fp) < n_grams / 2  # winnowing's 2/(w+1)=1/3 expected density
+    assert got[2][0] == 1 and len(got[2][1]) == 1

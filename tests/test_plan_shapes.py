@@ -166,3 +166,34 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     # formatted plans list every node twice (tree + numbered details);
     # count the numbered detail entries
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_tpch_semi_anti_shapes(spark, sf_dir):
+    """r7 TPC-H completion: the quantifier queries must plan hash
+    SEMI/ANTI joins (never a per-row subquery or nested loop), and the
+    part dimensions broadcast."""
+    plan = formatted_plan(Q.q20_promo_part_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = formatted_plan(Q.q16_supplier_count_by_part(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    plan = formatted_plan(Q.q22_global_sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_q18_group_having_then_joins(spark, sf_dir):
+    """Q18's big-order key set is a HAVING aggregate feeding equi-joins —
+    no cartesian, and the final limit is planned as TakeOrdered."""
+    df = Q.q18_large_volume_customers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q19_single_join_with_disjunction(spark, sf_dir):
+    """Q19's OR-of-conjunctions must stay ONE broadcast equi-join on
+    partkey with the disjunction as a residual condition — not three
+    unioned scans of lineitem."""
+    plan = formatted_plan(Q.q19_discounted_revenue(spark, sf_dir))
+    assert "Union" not in plan, plan
+    assert_broadcast_join(Q.q19_discounted_revenue(spark, sf_dir), expect=1)
