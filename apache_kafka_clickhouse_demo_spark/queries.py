@@ -559,6 +559,9 @@ def q_stream_near_dup(spark, sf_dir):
         bands=MINHASH_BANDS,
         shingle_n=MINHASH_SHINGLE_N,
         threshold=MINHASH_THRESHOLD,
+        # gate blocks are ~1.2k docs: 32 task-files per survivors commit is
+        # pure fsync overhead (stateful.py's out_files note)
+        out_files=4,
     )
     q.processAllAvailable()
     q.stop()
@@ -611,6 +614,7 @@ def q_stream_embed_near_dup(spark, sf_dir):
         num_tables=NEAR_DUP_TABLES,
         planes_per_table=NEAR_DUP_PLANES,
         seed=NEAR_DUP_SEED,
+        out_files=4,
     )
     q.processAllAvailable()
     q.stop()
