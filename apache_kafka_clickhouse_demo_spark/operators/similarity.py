@@ -197,9 +197,13 @@ def sq8_topk(
     cos_sim the QUANTIZED approximation (the operator's honest output —
     a float rerank is the caller's composition)."""
     qz = sq8_quantize(corpus, vec_col, id_col).persist()
-    qs = qz.join(
-        queries.select(F.col(id_col).alias("qid")), F.col(id_col) == F.col("qid")
-    ).select(
+    # quantize the QUERIES' own vectors (review r7) — the input contract
+    # every sibling ANN operator has: a query id absent from the corpus
+    # still scores, and a query row's embedding is what gets scored even
+    # if the corpus carries a different vector under the same id.  For
+    # queries drawn from the corpus the quantization is bit-identical, so
+    # the oracle's corpus-side formulation is unchanged.
+    qs = sq8_quantize(queries, vec_col, id_col).select(
         F.col(id_col).alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("scale").alias("q_scale"),

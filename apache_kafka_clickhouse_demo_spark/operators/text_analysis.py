@@ -431,6 +431,11 @@ def winnow_fingerprints(
     grams = TX.word_shingles(toks, k)
     hashed = spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
+        # NULL-text parity with doc_fingerprint and the oracle (review
+        # r7): the NULL propagates to a [NULL] hash array, whose joined
+        # fingerprint Spark would render '' while DuckDB renders NULL —
+        # carry the flag and emit NULL explicitly
+        F.col(text_col).isNull().alias("_null_text"),
         F.transform(grams, lambda g: H.h48(g)).alias("hashes"),
     )
     wins = F.sequence(
@@ -446,9 +451,13 @@ def winnow_fingerprints(
     return hashed.select(
         "doc_id",
         F.size("hashes").alias("n_grams"),
-        F.array_join(
-            F.transform(selected, lambda h: h.cast("string")), "-"
-        ).alias("fingerprint"),
+        F.when(F.col("_null_text"), F.lit(None).cast("string"))
+        .otherwise(
+            F.array_join(
+                F.transform(selected, lambda h: h.cast("string")), "-"
+            )
+        )
+        .alias("fingerprint"),
     )
 
 

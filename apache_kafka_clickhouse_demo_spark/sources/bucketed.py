@@ -77,10 +77,23 @@ def compact_bucketed(
     statements sees no table.  Single writer, maintenance window, same as
     every non-transactional compaction here; concurrent-reader compaction
     belongs to `txlog.TransactionalTable.optimize`.
+
+    Crash recovery (review r7): a crash between the DROP and the RENAME
+    leaves the fully-written staging table as the ONLY copy — a rerun
+    detects that state (staging exists, live table doesn't) and COMPLETES
+    the swap instead of dropping the sole survivor.  Caveat for tables
+    created with an explicit `path=`: the rewrite lands at the staging
+    table's (managed) location — the catalog points at the new files, and
+    the old external directory remains the caller's to reclaim.
     """
     from pyspark.sql import functions as F
 
     staging = f"{table}__compact"
+    if spark.catalog.tableExists(staging) and not spark.catalog.tableExists(table):
+        # interrupted previous run, already past its DROP: staging holds
+        # the only copy of the data — finish its swap and stop
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        return
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     df = spark.table(table).repartition(
         num_buckets, *[F.col(c) for c in bucket_cols]

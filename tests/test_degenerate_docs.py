@@ -171,3 +171,16 @@ def test_media_operators_match_oracle_on_degenerate_docs(sdocs, duck, spark):
     # videos here; pin the null-video case directly too
     null_video = spark.createDataFrame([(2, None)], "doc_id long, text string")
     assert multimodal.sample_frames(multimodal.attach_media(null_video)).count() == 0
+
+
+def test_winnow_fingerprints_match_oracle_with_degenerate_docs(sdocs, duck):
+    # review r7: Spark's array_join renders a [NULL] selection as '' while
+    # DuckDB renders NULL — the operator must emit NULL for NULL text
+    got = _rows(
+        text_analysis.winnow_fingerprints(
+            sdocs, k=Q.WINNOW_K, window=Q.WINNOW_WINDOW
+        )
+    )
+    want = _drows(duck, Q._all_oracles()["winnow_fingerprint"])
+    assert {r[0] for r in got} == {d for d, _ in DOCS}  # every doc has a row
+    assert got == want

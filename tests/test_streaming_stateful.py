@@ -514,15 +514,17 @@ def test_batch_replay_after_maintenance_is_still_idempotent(spark, tmp_path):
         w.process(_docs_df(spark, rows), i)
 
     def snapshot():
+        # read through the writer's own kind-filtered helpers so their
+        # shard-namespace encoding stays pinned against the write path
         out = sorted(
             r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
         )
-        store = TransactionalTable(str(tmp_path / "store" / "store"))
-        rows = [
-            (r["shard"], r["id"], r["bkey"], tuple(r["payload"] or ()))
-            for r in store.read(spark).collect()
-        ]
-        return (out, sorted(rows, key=lambda t: (t[0], t[1], t[2] or "")))
+        bands = sorted(map(tuple, w.read_store_bands().collect()))
+        pays = sorted(
+            (r["id"], tuple(r["payload"] or ()))
+            for r in w.read_store_payloads().collect()
+        )
+        return (out, bands, pays)
 
     before = snapshot()
     # post-restart replay of batch 0 (foreachBatch redelivers it)
