@@ -1789,6 +1789,57 @@ def q_replacing_latest(spark, sf_dir):
     )
 
 
+def q_replacing_deletes(spark, sf_dir):
+    """ReplacingMergeTree(ver, is_deleted) round trip — CDC deletes as
+    tombstone upserts: each user's events are versioned upserts of one
+    state row, and an 'error' event is the user's DELETE (is_deleted=1).
+    Write -> background merge (default: winning tombstones retained so
+    older replays cannot resurrect) -> FINAL read with tombstone
+    suppression.  A user whose LAST event is an error is absent; everyone
+    else shows their latest state."""
+    from apache_kafka_clickhouse_demo_spark.sources.storage import (
+        compact_replacing,
+        read_replacing_final,
+        read_table,
+        write_sorted,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        (F.col("event_type") == "error").cast("int").alias("is_deleted"),
+    )
+    path = _workdir("replacing_del_") + "/t"
+    write_sorted(ev, path, sort_cols=["user_id", "ts"])
+    compact_replacing(
+        spark,
+        path,
+        keys=["user_id"],
+        version_col="ts",
+        tiebreak=["event_id"],
+        deleted_col="is_deleted",
+    )
+    return (
+        read_replacing_final(
+            read_table(spark, path),
+            ["user_id"],
+            "ts",
+            ["event_id"],
+            deleted_col="is_deleted",
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "event_type",
+            "value_cents",
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_collapsing_balance(spark, sf_dir):
     """VersionedCollapsingMergeTree round trip (the mutable-state engine):
     each user's running balance is kept as a collapsing change log — every
@@ -2728,6 +2779,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r06 late additions (MergeTree engine family + behavioral analytics +
     # sketch top-k + passage dedup); gate slots full — local oracle checks
     "collapsing_balance": q_collapsing_balance,  # S-engine family: gate rows via replacing_latest + attendance_daily_compacted
+    "replacing_deletes": q_replacing_deletes,  # r7: ReplacingMergeTree(ver, is_deleted) tombstone round trip
     "ttl_cleanup": q_ttl_cleanup,  # same engine family; partition-drop path pinned in tests/test_mergetree_engines.py
     "retention_cohort": q_retention_cohort,  # behavioral family: gate row via funnel_levels
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
@@ -3461,6 +3513,15 @@ FROM (
                                ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1 ORDER BY user_id
+""",
+        "replacing_deletes": """
+SELECT user_id, event_id AS last_event_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id
 """,
         "collapsing_balance": """
 SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,

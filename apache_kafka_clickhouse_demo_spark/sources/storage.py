@@ -371,13 +371,25 @@ def read_replacing_final(
     keys: list[str],
     version_col: str,
     tiebreak: list[str] | None = None,
+    deleted_col: str | None = None,
 ) -> DataFrame:
     """ReplacingMergeTree read path — `SELECT ... FINAL`: collapse the
     upsert history to the max-version row per key at READ time, before (or
     without) any background merge.  `tiebreak` breaks version ties
     deterministically; (version, *tiebreak) must totally order each key's
-    rows (see `final_rows`)."""
-    return final_rows(df, keys, [version_col, *(tiebreak or [])])
+    rows (see `final_rows`).
+
+    `deleted_col` is ClickHouse's `ReplacingMergeTree(ver, is_deleted)`
+    tombstone: when the WINNING version of a key carries
+    `deleted_col != 0`, the key is absent from the FINAL read — a delete
+    is just an upsert whose payload says "gone", which is how a CDC feed
+    expresses deletes without a second table.  Older live versions do NOT
+    resurrect the row (the filter applies after the max-version pick,
+    exactly ClickHouse's rule)."""
+    out = final_rows(df, keys, [version_col, *(tiebreak or [])])
+    if deleted_col is not None:
+        out = out.filter(F.col(deleted_col) == 0).drop(deleted_col)
+    return out
 
 
 def compact_replacing(
@@ -387,6 +399,8 @@ def compact_replacing(
     version_col: str,
     tiebreak: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    deleted_col: str | None = None,
+    cleanup: bool = False,
 ) -> None:
     """ReplacingMergeTree background merge (the upsert/CDC storage engine:
     `ENGINE = ReplacingMergeTree(ver) ORDER BY key`): atomically rewrite
@@ -394,6 +408,14 @@ def compact_replacing(
     read answer through `read_replacing_final` is identical before and
     after — compaction only discards superseded versions, exactly like
     ClickHouse's merge-time collapse.
+
+    `deleted_col` + `cleanup` mirror `ReplacingMergeTree(ver, is_deleted)`
+    and `OPTIMIZE ... FINAL CLEANUP`: by default the merge KEEPS each
+    key's winning tombstone row — later inserts replaying an OLDER
+    version of the key must still lose to it, so dropping tombstones at
+    every merge would resurrect deleted keys.  `cleanup=True` physically
+    removes won tombstones (the terminal reclamation pass a CDC pipeline
+    runs once upstream replay of older versions is impossible).
 
     Like `compact_summing`, `partition_cols` (subset of `keys`) preserves
     a Hive-partitioned layout and its pruning.  Same single-writer /
@@ -403,8 +425,12 @@ def compact_replacing(
         raise ValueError(
             f"partition_cols {partition_cols} must be a subset of keys {keys}"
         )
+    if cleanup and deleted_col is None:
+        raise ValueError("cleanup=True requires deleted_col")
     df = spark.read.parquet(path)
     compacted = final_rows(df, keys, [version_col, *(tiebreak or [])])
+    if cleanup:
+        compacted = compacted.filter(F.col(deleted_col) == 0)
     if partition_cols:
         compacted = compacted.repartition(*[F.col(c) for c in partition_cols])
 

@@ -209,3 +209,90 @@ def test_snapshot_diff_feeds_the_collapse_back_to_new(spark):
     signed = old.withColumn("sign", F.lit(-1))
     with _pytest.raises(ValueError):  # sign-carrying inputs are rejected
         snapshot_diff(signed, signed)
+
+
+def _upserts_with_deletes(spark):
+    # key "a": live v1, DELETED at v3, late replay of older v2 must not
+    # resurrect; key "b": deleted then re-created at a higher version;
+    # key "c": never deleted
+    rows = [
+        ("a", 1, 0, "v1", 0),
+        ("a", 3, 0, "gone", 1),
+        ("a", 2, 0, "v2-replay", 0),
+        ("b", 1, 0, "b1", 0),
+        ("b", 2, 0, "b-gone", 1),
+        ("b", 4, 0, "b-back", 0),
+        ("c", 9, 0, "only", 0),
+    ]
+    return spark.createDataFrame(
+        rows, "k string, ver int, seq int, payload string, is_deleted int"
+    )
+
+
+def test_replacing_is_deleted_final_read(spark):
+    """ReplacingMergeTree(ver, is_deleted): a key whose WINNING version is
+    a tombstone is absent from FINAL; older live versions do not
+    resurrect it; a re-create above the tombstone wins again."""
+    got = {
+        (r["k"], r["payload"])
+        for r in read_replacing_final(
+            _upserts_with_deletes(spark), ["k"], "ver", ["seq"], deleted_col="is_deleted"
+        ).collect()
+    }
+    assert got == {("b", "b-back"), ("c", "only")}
+
+
+def test_replacing_merge_keeps_tombstones_unless_cleanup(spark, tmp_path):
+    """Default merge keeps each key's winning tombstone (a later replay of
+    an OLDER version must still lose to it); cleanup=True reclaims it; the
+    FINAL answer is identical through every state."""
+    df = _upserts_with_deletes(spark)
+    expect = {("b", "b-back"), ("c", "only")}
+    path = str(tmp_path / "t")
+    df.write.parquet(path)
+
+    compact_replacing(
+        spark, path, keys=["k"], version_col="ver", tiebreak=["seq"],
+        deleted_col="is_deleted",
+    )
+    back = read_table(spark, path)
+    assert back.count() == 3  # a's tombstone retained, b-back, c
+    # the retained tombstone still suppresses a post-merge older replay
+    replay = spark.createDataFrame(
+        [("a", 2, 9, "late-replay", 0)],
+        "k string, ver int, seq int, payload string, is_deleted int",
+    )
+    merged = back.unionByName(replay)
+    got = {
+        (r["k"], r["payload"])
+        for r in read_replacing_final(
+            merged, ["k"], "ver", ["seq"], deleted_col="is_deleted"
+        ).collect()
+    }
+    assert got == expect
+
+    compact_replacing(
+        spark, path, keys=["k"], version_col="ver", tiebreak=["seq"],
+        deleted_col="is_deleted", cleanup=True,
+    )
+    back2 = read_table(spark, path)
+    assert back2.count() == 2  # tombstone physically reclaimed
+    got2 = {
+        (r["k"], r["payload"])
+        for r in read_replacing_final(
+            back2, ["k"], "ver", ["seq"], deleted_col="is_deleted"
+        ).collect()
+    }
+    assert got2 == expect
+
+
+def test_replacing_cleanup_requires_deleted_col(spark, tmp_path):
+    import pytest as _pytest
+
+    df = _upserts(spark)
+    path = str(tmp_path / "t")
+    df.write.parquet(path)
+    with _pytest.raises(ValueError):
+        compact_replacing(
+            spark, path, keys=["k"], version_col="ver", cleanup=True
+        )

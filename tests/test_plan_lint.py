@@ -24,6 +24,7 @@ _SKIP = {
     "stream_embed_near_dup",  # streaming build, same rationale
     "replacing_latest",  # writes+compacts a table at build; op plans in tests/test_mergetree_engines.py
     "collapsing_balance",  # same (VersionedCollapsing round trip)
+    "replacing_deletes",  # same (Replacing(ver, is_deleted) round trip)
     "ttl_cleanup",  # same (TTL partition-drop round trip)
     "projection_routing",  # same (projection fan-out write); tests/test_projections.py
     "stream_funnel",  # streaming drain; fold linted via funnel_levels + stateful tests
