@@ -119,6 +119,7 @@ TOPK_CAPACITY = 1 << 14
 PASSAGE_WORDS = 8
 WINNOW_K = 4
 WINNOW_WINDOW = 5
+SAMPLE_K = 200
 #: mid-day TTL cutoff: exercises BOTH apply_ttl paths (whole-day partition
 #: drops AND the boundary-day filter rewrite)
 TTL_CUTOFF = "2024-01-15 12:00:00"
@@ -2587,6 +2588,60 @@ def q_stream_funnel(spark, sf_dir):
     return funnel.cumulative_report(final, len(FUNNEL_STEPS))
 
 
+def q_stream_sample(spark, sf_dir):
+    """Streaming uniform k-sample (stateful.reservoir_sample_stream): the
+    events feed folds block by block into a bottom-k-by-hash generational
+    store; the drained sample must equal the batch statement of the same
+    sketch — the k smallest h48('sample:' || event_id) ranks over the
+    WHOLE feed (a fixed hash order is a uniform random order, so this IS
+    a uniform k-sample, stated directly by the oracle)."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        reservoir_sample_stream,
+        reservoir_stream_writer,
+    )
+
+    work = _workdir("stream_sample_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    lo = -1
+    feed = f"{work}/feed"
+    base = __import__("time").time()
+    stamped: set = set()
+    for i in range(4):  # id-ordered blocks; stamped mtime = arrival order
+        b = (hi * (i + 1)) // 4 if i < 3 else hi
+        ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= b)).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+        _stamp_feed_block(feed, stamped, i, base)
+        lo = b
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = reservoir_sample_stream(
+        spark,
+        src,
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        id_col="event_id",
+        k=SAMPLE_K,
+        payload_cols=["user_id", "event_type"],
+        compact_every=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        reservoir_stream_writer(
+            spark, f"{work}/store", "event_id", SAMPLE_K
+        )
+        .sample()
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
 def q_stream_topk(spark, sf_dir):
     """Streaming topK drain (streaming/stateful.heavy_hitters_stream): the
     events feed folds into the generational Misra-Gries store block by
@@ -2785,6 +2840,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
     "projection_routing": q_projection_routing,  # PROJECTION analogue round trip (tests/test_projections.py)
     "stream_topk": q_stream_topk,  # streaming Misra-Gries drain vs exact top-k oracle
+    "stream_sample": q_stream_sample,  # r7: streaming bottom-k-by-hash uniform sample drain
     "q7_nation_trade": q7_nation_trade,  # TPC-H join-shape depth; gate carries q3/q5 joins
     "q8_market_share": q8_market_share,  # conditional-sum ratio aggregate
     # r7: TPC-H completion — the remaining 13 query shapes, adapted where
@@ -3552,6 +3608,15 @@ SELECT CAST(user_id AS VARCHAR) AS value,
        count(*) AS count_lb, count(*) AS count_ub
 FROM events GROUP BY user_id
 ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
+""",
+        # the drained sample must equal the batch statement of the same
+        # bottom-k-by-hash sketch over the whole feed
+        "stream_sample": f"""
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         {H.sql_h48("'sample:' || CAST(event_id AS VARCHAR)")} AS rank
+  FROM events ORDER BY rank, event_id LIMIT {SAMPLE_K}
+) ORDER BY event_id
 """,
         "snapshot_changelog": f"""
 WITH old AS (

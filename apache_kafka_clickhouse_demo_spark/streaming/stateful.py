@@ -916,6 +916,167 @@ def topk_stream_writer(
     )
 
 
+class _ReservoirStreamWriter:
+    """foreachBatch body for `reservoir_sample_stream`: maintain a
+    fixed-size UNIFORM sample of an unbounded feed as a bottom-k-by-hash
+    sketch in a generational transactional store.
+
+    Why bottom-k instead of a classic Vitter reservoir: hashing every
+    row's id with the shared deterministic h48 and keeping the k SMALLEST
+    hash ranks gives exactly a uniform k-sample of the distinct ids seen
+    (any fixed hash order is a uniform random order over the data), is
+    MERGEABLE (bottom-k of a union = bottom-k of the parts' bottom-ks —
+    the same mergeable-summaries property the Misra-Gries store uses),
+    is deterministic across engines (the DuckDB oracle states the sample
+    as ORDER BY h48 LIMIT k over the full feed), and makes replays
+    idempotent by construction — a re-seen id lands on the same rank.
+
+    Per block: the block's own bottom-k (one TakeOrdered, O(block)),
+    merged with the stored generation's <= k rows, re-trimmed to k, and
+    published as generation+1 through the same batch-txn `append_once` +
+    version-CAS discipline as `_TopKStreamWriter` (exactly-once on
+    retries; concurrent writers rejected, never merged).  Store reads are
+    O(k) after any number of batches; `maintain()` folds superseded
+    generations away.
+    """
+
+    def __init__(
+        self,
+        spark,
+        store_dir: str,
+        id_col: str,
+        k: int,
+        payload_cols: list[str] | None = None,
+        compact_every: int | None = None,
+        writer_id: str = "",
+        salt: str = "sample:",
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+            TransactionalTable,
+        )
+
+        self.spark = spark
+        self.id_col = id_col
+        self.k = k
+        self.payload_cols = list(payload_cols or [])
+        self.compact_every = compact_every
+        self.writer_id = writer_id
+        self.salt = salt
+        self.store = TransactionalTable(store_dir)
+
+    def _rank(self):
+        from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+        return H.h48(
+            F.concat(F.lit(self.salt), F.col(self.id_col).cast("string"))
+        )
+
+    def _latest(self):
+        snap_v = self.store.version()
+        if snap_v < 0:
+            return None, -1, snap_v
+        stored = self.store.read(self.spark, version=snap_v)
+        gen = stored.agg(F.max("gen")).first()[0]
+        if gen is None:
+            return None, -1, snap_v
+        return stored.filter(F.col("gen") == gen).drop("gen"), int(gen), snap_v
+
+    def _bottom_k(self, df: DataFrame) -> DataFrame:
+        # TakeOrdered: k is a sketch size, never corpus-sized
+        return df.orderBy("rank", self.id_col).limit(self.k)
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        txn = f"{self.writer_id}:{batch_id}"
+        if self.store.txn_committed(txn):  # replayed batch
+            return
+        cols = [self.id_col, *self.payload_cols]
+        cand = self._bottom_k(
+            block.select(*cols, self._rank().alias("rank"))
+        )
+        prev, prev_gen, snap_v = self._latest()
+        merged = cand if prev is None else prev.unionByName(cand)
+        # a row can appear in both the store and a replayed/overlapping
+        # feed under at-least-once sources: same id -> same rank, dedup
+        # exactly
+        next_gen = self._bottom_k(
+            merged.dropDuplicates([self.id_col])
+        ).withColumn("gen", F.lit(prev_gen + 1).cast("long"))
+        self.store.append_once(next_gen, txn=txn, cas_version=snap_v)
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            self.maintain()
+
+    def maintain(self) -> None:
+        gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
+        if gen is None:
+            return
+        self.store.optimize(self.spark, keep_where=F.col("gen") == int(gen))
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
+        self.store.vacuum()
+
+    def sample(self) -> DataFrame:
+        """The current k-sample (id + payload columns, rank dropped)."""
+        latest, _gen, _v = self._latest()
+        if latest is None:
+            raise FileNotFoundError(f"no sample committed yet in {self.store.path}")
+        return latest.drop("rank")
+
+
+def reservoir_stream_writer(
+    spark,
+    store_dir: str,
+    id_col: str,
+    k: int,
+    payload_cols: list[str] | None = None,
+    compact_every: int | None = None,
+    writer_id: str = "",
+) -> _ReservoirStreamWriter:
+    """The stream's writer object, exposed for direct `process(block, id)`
+    testing and `sample()` reads of the store."""
+    return _ReservoirStreamWriter(
+        spark,
+        store_dir,
+        id_col,
+        k,
+        payload_cols=payload_cols,
+        compact_every=compact_every,
+        writer_id=writer_id,
+    )
+
+
+def reservoir_sample_stream(
+    spark,
+    source: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    id_col: str,
+    k: int,
+    payload_cols: list[str] | None = None,
+    compact_every: int | None = None,
+):
+    """Streaming uniform k-sample of an unbounded feed — the streaming
+    twin of the hash-rank batch samplers (`train_test_split.in_sample` /
+    `hash_sample`), kept continuously current as the stream grows.
+    Mechanics and guarantees: see `_ReservoirStreamWriter`; read the
+    current sample any time with `reservoir_stream_writer(...).sample()`."""
+    writer = _ReservoirStreamWriter(
+        spark,
+        store_dir,
+        id_col,
+        k,
+        payload_cols=payload_cols,
+        compact_every=compact_every,
+        writer_id=checkpoint,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

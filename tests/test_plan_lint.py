@@ -29,6 +29,7 @@ _SKIP = {
     "projection_routing",  # same (projection fan-out write); tests/test_projections.py
     "stream_funnel",  # streaming drain; fold linted via funnel_levels + stateful tests
     "stream_topk",  # streaming drain; sketch plan linted via top_users_sketch
+    "stream_sample",  # streaming drain; bottom-k rank plan is a TakeOrdered by construction
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):

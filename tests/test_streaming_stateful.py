@@ -856,3 +856,77 @@ def test_topk_stream_trimmed_regime_keeps_bounds(spark, tmp_path):
     assert hot["count_lb"] <= true_hot <= hot["count_ub"]
     # global MG bound: undercount <= n / (capacity + 1)
     assert true_hot - hot["count_lb"] <= 210 // 5
+
+
+def test_reservoir_stream_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """Streaming bottom-k-by-hash sample == the batch statement of the same
+    sketch over all blocks; a replayed batch id leaves the store unchanged."""
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        reservoir_stream_writer,
+    )
+
+    rows = [(i, f"u{i % 7}") for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, tag string")
+    w = reservoir_stream_writer(
+        spark, str(tmp_path / "store"), "event_id", k=25,
+        payload_cols=["tag"], writer_id="r1",
+    )
+    blocks = [df.filter((F.col("event_id") >= i * 100) & (F.col("event_id") < (i + 1) * 100)) for i in range(3)]
+    for i, b in enumerate(blocks):
+        w.process(b, i)
+
+    expect = {
+        (r["event_id"], r["tag"])
+        for r in df.withColumn(
+            "rank", H.h48(F.concat(F.lit("sample:"), F.col("event_id").cast("string")))
+        ).orderBy("rank", "event_id").limit(25).collect()
+    }
+    got = {(r["event_id"], r["tag"]) for r in w.sample().collect()}
+    assert got == expect and len(got) == 25
+
+    # replay of an already-committed batch: store byte-stable
+    v_before = w.store.version()
+    w.process(blocks[1], 1)
+    assert w.store.version() == v_before
+    assert {(r["event_id"], r["tag"]) for r in w.sample().collect()} == expect
+
+    # maintenance folds generations without changing the answer
+    w.maintain()
+    assert {(r["event_id"], r["tag"]) for r in w.sample().collect()} == expect
+
+
+def test_reservoir_new_run_handover_and_duplicate_ids(spark, tmp_path):
+    """A new stream run (fresh writer id, batch ids restart) continues the
+    SAME sample above the stored generations, and re-seen ids (at-least-
+    once overlap) dedup exactly — same id, same rank."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        reservoir_stream_writer,
+    )
+
+    df1 = spark.createDataFrame([(i, "a") for i in range(100)], "event_id long, tag string")
+    store = str(tmp_path / "store")
+    w1 = reservoir_stream_writer(spark, store, "event_id", k=10, payload_cols=["tag"], writer_id="r1")
+    w1.process(df1, 0)
+    s1 = {r["event_id"] for r in w1.sample().collect()}
+
+    # run 2 re-delivers half of run 1's rows plus new ones
+    df2 = spark.createDataFrame(
+        [(i, "a") for i in range(50, 200)], "event_id long, tag string"
+    )
+    w2 = reservoir_stream_writer(spark, store, "event_id", k=10, payload_cols=["tag"], writer_id="r2")
+    w2.process(df2, 0)
+    got = [r["event_id"] for r in w2.sample().collect()]
+    assert len(got) == len(set(got)) == 10  # no duplicate ids in the sample
+    # the merged sample is the bottom-10 over the union of everything seen
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+    union = df1.unionByName(df2).dropDuplicates(["event_id"])
+    expect = {
+        r["event_id"]
+        for r in union.withColumn(
+            "rank", H.h48(F.concat(F.lit("sample:"), F.col("event_id").cast("string")))
+        ).orderBy("rank", "event_id").limit(10).collect()
+    }
+    assert set(got) == expect
+    assert s1  # run 1 produced a sample (sanity)
