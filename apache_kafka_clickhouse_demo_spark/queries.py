@@ -1059,6 +1059,63 @@ def q_daily_type_rollup(spark, sf_dir):
     )
 
 
+def q_type_day_cube(spark, sf_dir):
+    """CUBE grouping sets (the ROLLUP sibling `daily_type_rollup` lacks):
+    all four grouping combinations — (day, type), (day), (type), () — in
+    ONE Expand + hash aggregate, with `grouping_id()` distinguishing the
+    levels exactly as DuckDB's GROUPING(day, event_type) bitmask does."""
+    return (
+        _t(spark, sf_dir, "events")
+        .cube(F.to_date("ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(_dec2("value")).alias("total_value"),
+        )
+        .orderBy(
+            "gid",
+            F.col("day").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
+def q_value_window_analytics(spark, sf_dir):
+    """Rank-family window functions + a time-RANGE frame in one pass, the
+    §2.6 surface beyond row_number/lag: per user, each event's
+    percent_rank / cume_dist / quartile over a TOTAL value order
+    (value_cents, event_id — ties would make ntile nondeterministic), and
+    the trailing-1h event count + exact-cents sum over a RANGE frame
+    keyed on epoch millis (identical integer ordering in both engines).
+    One exchange: every window shares the user_id partitioning."""
+    wv = Window.partitionBy("user_id").orderBy("value_cents", "event_id")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value_cents",
+            F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+            F.round(F.cume_dist().over(wv), 6).alias("value_cume_dist"),
+            F.ntile(4).over(wv).alias("value_quartile"),
+            F.count(F.lit(1)).over(wt).alias("n_events_1h"),
+            F.sum("value_cents").over(wt).alias("sum_cents_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_repeat_users(spark, sf_dir):
     """Set operation (INTERSECT): users active in both the first and the
     last week of the dataset."""
@@ -2835,6 +2892,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sketch top-k + passage dedup); gate slots full — local oracle checks
     "collapsing_balance": q_collapsing_balance,  # S-engine family: gate rows via replacing_latest + attendance_daily_compacted
     "replacing_deletes": q_replacing_deletes,  # r7: ReplacingMergeTree(ver, is_deleted) tombstone round trip
+    "type_day_cube": q_type_day_cube,  # r7: CUBE grouping sets + grouping_id (ROLLUP sibling)
+    "value_window_analytics": q_value_window_analytics,  # r7: rank-family windows + time-RANGE frame
     "ttl_cleanup": q_ttl_cleanup,  # same engine family; partition-drop path pinned in tests/test_mergetree_engines.py
     "retention_cohort": q_retention_cohort,  # behavioral family: gate row via funnel_levels
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
@@ -4169,6 +4228,33 @@ SELECT CAST(ts AS DATE) AS day, event_type,
 FROM events
 GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
 ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST
+""",
+        "type_day_cube": """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (CAST(ts AS DATE), event_type)
+ORDER BY gid, day ASC NULLS FIRST, event_type ASC NULLS FIRST
+""",
+        "value_window_analytics": """
+SELECT event_id, user_id, value_cents,
+       round(percent_rank() OVER wv, 6) AS value_pct_rank,
+       round(cume_dist() OVER wv, 6) AS value_cume_dist,
+       CAST(ntile(4) OVER wv AS INTEGER) AS value_quartile,
+       count(*) OVER wt AS n_events_1h,
+       CAST(sum(value_cents) OVER wt AS BIGINT) AS sum_cents_1h
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+)
+WINDOW wv AS (PARTITION BY user_id ORDER BY value_cents, event_id),
+       wt AS (PARTITION BY user_id ORDER BY ts_ms
+              RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
 """,
         "repeat_users": """
 SELECT user_id FROM events WHERE date_part('day', ts) <= 7
