@@ -2796,6 +2796,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "stream_funnel": q_stream_funnel,
     "snapshot_changelog": q_snapshot_changelog,
+    # -- r07 in-round additions, one per genuinely NEW operator family
+    #    (int8-quantized ANN / MOSS winnowing / streaming uniform
+    #    sampling): front-loaded --
+    "ann_sq8_topk": q_ann_sq8_topk,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "stream_sample": q_stream_sample,
     # -- rotated into the gate in r06 (landed r05 after slots filled;
     #    never driver-checked): front-loaded --
     "pack_sequences": q_pack_sequences,
@@ -2813,10 +2819,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_topk": q_ann_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_profile": q_text_profile,
-    "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
     "user_sessions": q_user_sessions,
     "user_event_sequence": q_user_event_sequence,
@@ -2828,7 +2832,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event": q_latest_event,
     "entry_house_points": q_entry_house_points,
     "mv_cascade_attendance": q_mv_cascade_attendance,
-    "attendance_daily_compacted": q_attendance_daily_compacted,
     "stream_dedup": q_stream_dedup,
     "sql_busy_days": q_sql_busy_days,
     "q1_pricing_summary": q1_pricing_summary,
@@ -2899,7 +2902,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_users_sketch": q_top_users_sketch,  # sketch family: gate row via uniq_users_approx (HLL)
     "projection_routing": q_projection_routing,  # PROJECTION analogue round trip (tests/test_projections.py)
     "stream_topk": q_stream_topk,  # streaming Misra-Gries drain vs exact top-k oracle
-    "stream_sample": q_stream_sample,  # r7: streaming bottom-k-by-hash uniform sample drain
     "q7_nation_trade": q7_nation_trade,  # TPC-H join-shape depth; gate carries q3/q5 joins
     "q8_market_share": q8_market_share,  # conditional-sum ratio aggregate
     # r7: TPC-H completion — the remaining 13 query shapes, adapted where
@@ -2918,13 +2920,17 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_promo_part_suppliers": q20_promo_part_suppliers,  # nested semi-join chain
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,  # EXISTS / NOT-EXISTS quantifiers
     "q22_global_sales_opportunity": q22_global_sales_opportunity,  # scalar avg + anti-join
-    "ann_sq8_topk": q_ann_sq8_topk,  # r7: int8 scalar-quantized ANN (bytes-moved scale path)
-    "winnow_fingerprint": q_winnow_fingerprint,  # r7: MOSS winnowing (local fingerprint sketch)
     # rotated OUT of the gate mid-r06 for the three family representatives
     # above; their operator coverage stays gated elsewhere:
     "asof_next_error": q_asof_next_error,  # forward as-of == backward + direction flip; asof_last_purchase gated, equivalence in tests/test_asof_*
     "latest_value_per_user": q_latest_value_per_user,  # max_by/argMax mechanism now gated THROUGH replacing_latest's FINAL read
     "media_summary": q_media_summary,  # multimodal family keeps media_features + media_frame_sample gate rows
+    # rotated OUT of the gate mid-r07 for the three NEW operator families
+    # (ann_sq8_topk / winnow_fingerprint / stream_sample); every operator
+    # they carried keeps >= 1 green gate row:
+    "ann_lsh_topk": q_ann_lsh_topk,  # RP-LSH bucket join gated via stream_embed_near_dup; ANN family keeps ann_topk + ann_ivf_topk + ann_sq8_topk gate rows
+    "doc_fingerprint": q_doc_fingerprint,  # fingerprint family's gate row is now the richer winnow_fingerprint; min-shingle form stays locally oracle-checked + degenerate-docs pytest
+    "attendance_daily_compacted": q_attendance_daily_compacted,  # S5/S6/A7/A8 batch form: mv_cascade_daily's streaming cascade runs the same write_sorted + summing compaction + merge read; pruning/plan pytests unchanged
     # rotated OUT of the gate in r07 for semantic_dedup / stream_funnel /
     # snapshot_changelog (VERDICT r6 #2); every §2 operator they carried
     # keeps ≥1 green gate row:

@@ -148,8 +148,9 @@ def test_spread_small_registry_plans_have_no_double_exchange(spark, sf_dir):
     leg means the guard held everywhere it is used."""
     import re
 
+    all_queries = {**Q.QUERIES, **Q.EXTRA_QUERIES}
     for name in ("ann_topk", "dedup_minhash_lsh", "doc_fingerprint"):
-        plan = formatted_plan(Q.QUERIES[name](spark, sf_dir))
+        plan = formatted_plan(all_queries[name](spark, sf_dir))
         # RoundRobin exchanges stacked directly on one another would show as
         # consecutive Exchange RoundRobinPartitioning nodes in the tree
         assert not re.search(
