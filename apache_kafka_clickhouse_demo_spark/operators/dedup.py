@@ -465,6 +465,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT gram-containment pairs: (id_a, id_b) with
+    |grams(A) ∩ grams(B)| / |grams(A)| >= threshold, a != b — the
+    near-SUPERSET relation Jaccard misses: a short document quoted whole
+    inside a long one has tiny Jaccard but containment ~1.  This is the
+    boilerplate/quotation-inclusion dedup class (RefinedWeb's "contained"
+    duplicates) a training-data pipeline filters separately from
+    near-identity.
+
+    Exact prefix filtering, one-sided: containment >= t needs overlap
+    >= ceil(t*|A|), so by pigeonhole A's (|A| - ceil(t*|A|) + 1)
+    globally-RAREST grams contain a common gram — but B contributes the
+    gram from ANYWHERE in its set (no length relation constrains B), so
+    the index holds ALL of B's grams while only A's short rare-gram
+    prefix probes it.  The index is linear in corpus grams; the join is
+    keyed on the PROBE side's rare grams, so the corpus's frequent grams
+    (the skew killers) sit in the index but are never probed.  Verify is
+    the exact intersect over the containee's set — linear per candidate.
+
+    Output: (id_a, id_b, containment) — id_a is the CONTAINED side;
+    both directions of a mutual near-duplicate pair appear.
+    """
+    from pyspark.sql import Window as W
+
+    toks = TX.tokens(text_col)
+    sets = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(TX.word_shingles(toks, shingle_n)).alias("grams"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    tokens = sets.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("g")
+    )
+    freq = tokens.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    _EPS = 1e-9
+    w = W.partitionBy("doc_id").orderBy("df", "g")
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(_EPS)) + 1
+    ).cast("int")
+    probe = (
+        tokens.join(freq, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"), "g")
+    )
+    cand = (
+        probe.join(
+            tokens.select(F.col("doc_id").alias("id_b"), "g"),
+            on=["g"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sa.grams", "sb.grams"))
+    return (
+        cand.join(sets.alias("sa"), cand.id_a == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), cand.id_b == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.size("sa.grams")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -1740,6 +1740,16 @@ def q_doc_fingerprint(spark, sf_dir):
     return text_analysis.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Near-superset dedup (dedup.containment_pairs): gram containment
+    |A∩B|/|A| >= 0.8 — the quotation/boilerplate-inclusion duplicate
+    class Jaccard misses; one-sided prefix-filtered probe against a full
+    gram index, exact verify."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=NGRAM_N, threshold=0.8
+    )
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (text_analysis.winnow_fingerprints):
     per-window min of word-4-gram h48s, the local alignment-free
@@ -2896,6 +2906,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collapsing_balance": q_collapsing_balance,  # S-engine family: gate rows via replacing_latest + attendance_daily_compacted
     "replacing_deletes": q_replacing_deletes,  # r7: ReplacingMergeTree(ver, is_deleted) tombstone round trip
     "type_day_cube": q_type_day_cube,  # r7: CUBE grouping sets + grouping_id (ROLLUP sibling)
+    "containment_pairs": q_containment_pairs,  # r7: near-superset (quotation-inclusion) dedup class
     "value_window_analytics": q_value_window_analytics,  # r7: rank-family windows + time-RANGE frame
     "ttl_cleanup": q_ttl_cleanup,  # same engine family; partition-drop path pinned in tests/test_mergetree_engines.py
     "retention_cohort": q_retention_cohort,  # behavioral family: gate row via funnel_levels
@@ -4385,6 +4396,18 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sets a JOIN sets b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         / len(list_distinct(list_concat(a.grams, b.grams))) >= {NGRAM_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+        "containment_pairs": f"""
+WITH sets AS (
+  SELECT doc_id, list_distinct({TX.sql_word_shingles(_sql_toks(), NGRAM_N)}) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams)
+         AS containment
+FROM sets a JOIN sets b ON a.doc_id != b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) >= 0.8
 ORDER BY id_a, id_b
 """,
         "embedding_near_dup": _oracle_embedding_near_dup(),

@@ -184,3 +184,25 @@ def test_winnow_fingerprints_match_oracle_with_degenerate_docs(sdocs, duck):
     want = _drows(duck, Q._all_oracles()["winnow_fingerprint"])
     assert {r[0] for r in got} == {d for d, _ in DOCS}  # every doc has a row
     assert got == want
+
+
+def test_containment_superset_pair_and_degenerate_docs(sdocs, duck):
+    # a doc fully quoted inside a longer one: containment(A in B) = 1
+    # regardless of B's extra content (the class Jaccard misses), NULL
+    # docs pair with nothing, and the oracle agrees exactly
+    import pandas as pd
+
+    rows = DOCS + [
+        (10, "the quick brown fox jumps over the lazy dog plus much "
+             "additional unrelated trailing content follows here"),
+    ]
+    sdf = sdocs.sparkSession.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = _rows(dedup.containment_pairs(sdf, shingle_n=2, threshold=0.8))
+    want = _drows(con, Q._all_oracles()["containment_pairs"])
+    assert got == want
+    pairs = {(a, b) for a, b, _c in got}
+    assert (3, 10) in pairs and (4, 10) in pairs  # quoted docs contained in 10
+    assert (10, 3) not in pairs  # the superset is NOT contained in the quote
+    assert not any(0 in (a, b) for a, b in pairs)  # NULL doc pairs nothing

@@ -550,3 +550,28 @@ def test_optimize_keep_where_retention_rewrite(spark, tmp_path):
     assert sorted(r["id"] for r in t.read(spark).collect()) == [5, 6, 7]
     # pinned snapshot still sees everything (no vacuum yet)
     assert t.read(spark, pinned).count() == 8
+
+
+def test_append_with_added_column_reads_merged_schema(spark, tmp_path):
+    """Schema evolution pin (ALTER TABLE ADD COLUMN analogue): an append
+    carrying a NEW column must not corrupt the table — a snapshot read
+    with mergeSchema surfaces the union schema with NULLs for old rows,
+    and the plain read keeps working on the original columns."""
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+    )
+
+    files = t.data_files()
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", t.path)
+        .parquet(*files)
+    )
+    rows = {r["id"]: (r["v"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # plain snapshot read still answers on the common columns
+    assert {r["id"] for r in t.read(spark).select("id").collect()} == {1, 2}
