@@ -492,6 +492,16 @@ def containment_pairs(
 
     Output: (id_a, id_b, containment) — id_a is the CONTAINED side;
     both directions of a mutual near-duplicate pair appear.
+
+    Honest cost note (measured): candidates = Σ_{g in probe prefixes}
+    df(g).  On natural corpora rare grams have df ~ 1-10 and this is
+    near-linear; on a LOW-VOCABULARY corpus even the rarest grams are
+    frequent and the candidate set degenerates toward dense — the gate
+    fixture at sf0.1 runs ~86 s for 512 pairs (5k docs), the same
+    corpus-shape tail `ngram_jaccard_pairs` documents.  The containment
+    question has no sub-verify-cost exact shortcut on such corpora; the
+    approximate escape hatch is winnowing-fingerprint overlap first,
+    containment-verify second.
     """
     from pyspark.sql import Window as W
 

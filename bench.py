@@ -101,6 +101,12 @@ HEADLINE = [
     "stream_funnel",
     "snapshot_changelog",
     "ann_sq8_topk",
+    # added late-r7 with the second rotation (the other two new gate
+    # families; containment_pairs stays extra-only — its corpus-shape
+    # tail is documented in dedup.py, ~86 s at sf0.1 on this low-vocab
+    # fixture, and a bench headliner at that cost buys no trend signal)
+    "winnow_fingerprint",
+    "stream_sample",
 ]
 
 
@@ -159,6 +165,9 @@ BASELINE_SEC = {
     "stream_funnel": 5.885,
     "snapshot_changelog": 0.439,
     "ann_sq8_topk": 0.942,
+    # late-r7 trend starts (same seeding)
+    "winnow_fingerprint": 1.278,
+    "stream_sample": 4.078,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
