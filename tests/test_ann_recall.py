@@ -68,10 +68,11 @@ def test_recall_beats_examined_fraction_on_structureless_data(spark, sf_dir):
     ~0.25 at the gate parameters; floors leave regression slack."""
     from apache_kafka_clickhouse_demo_spark import queries as Q
 
-    exact = Q.QUERIES["ann_topk"](spark, sf_dir).select("query_id", "neighbor_id")
+    all_queries = {**Q.QUERIES, **Q.EXTRA_QUERIES}
+    exact = all_queries["ann_topk"](spark, sf_dir).select("query_id", "neighbor_id")
     total = exact.count()
     for name, floor in (("ann_lsh_topk", 0.085), ("ann_ivf_topk", 0.18)):
-        approx = Q.QUERIES[name](spark, sf_dir).select("query_id", "neighbor_id")
+        approx = all_queries[name](spark, sf_dir).select("query_id", "neighbor_id")
         hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
         recall = hits / total
         print(f"{name}: recall@10 = {recall:.3f}")
