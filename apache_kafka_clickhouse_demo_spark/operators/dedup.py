@@ -465,6 +465,13 @@ def ngram_jaccard_pairs(
     )
 
 
+# containment_pairs verify-strategy switch: bitmap-popcount verify is only
+# worth building (and only sane to densify) when the gram dictionary fits a
+# small fixed bitmap — 16384 grams = 256 longs (2 KB) per doc.  Natural
+# corpora blow far past this and take the sparse distinct+intersect path.
+_BITMAP_MAX_VOCAB = 16384
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -493,15 +500,46 @@ def containment_pairs(
     Output: (id_a, id_b, containment) — id_a is the CONTAINED side;
     both directions of a mutual near-duplicate pair appear.
 
-    Honest cost note (measured): candidates = Σ_{g in probe prefixes}
-    df(g).  On natural corpora rare grams have df ~ 1-10 and this is
-    near-linear; on a LOW-VOCABULARY corpus even the rarest grams are
-    frequent and the candidate set degenerates toward dense — the gate
-    fixture at sf0.1 runs ~86 s for 512 pairs (5k docs), the same
-    corpus-shape tail `ngram_jaccard_pairs` documents.  The containment
-    question has no sub-verify-cost exact shortcut on such corpora; the
-    approximate escape hatch is winnowing-fingerprint overlap first,
-    containment-verify second.
+    Low-vocabulary corpora (r7 verdict fix): with the bare prefix probe,
+    candidates = Σ_{g in probe prefixes} df(g), which degenerates toward
+    dense when even the rarest grams are frequent (~86 s at sf0.1 for 512
+    pairs on the gate fixture).  The containment analogues of PPJoin's
+    length and positional filters close that tail while keeping the
+    operator EXACT (both are necessary conditions, applied per matched
+    join row BEFORE the distinct/verify):
+
+    - length: overlap <= min(|A|,|B|) and overlap >= ceil(t*|A|) force
+      |B| >= t*|A| — a containee cannot be meaningfully larger than its
+      container.
+    - positional: order BOTH sides' grams by the one global (df, g)
+      total order.  For a true pair, its FIRST common gram (at positions
+      pa in A, pb in B) lies inside A's rare-gram prefix (else A's whole
+      prefix misses B and overlap <= ceil(t*|A|)-1) and bounds the
+      overlap by 1 + min(|A|-pa, |B|-pb) >= ceil(t*|A|).  A frequent
+      gram ranks LATE in every doc that holds it, so exactly the probes
+      that fan out widest (frequent-gram matches) die on |B|-pb being
+      too small — the degenerate corpus is the one this filter prunes
+      hardest.  Keeping a pair when ANY matched row passes preserves
+      exactness: the first-common-gram row always passes for true pairs.
+
+    Verify strategy is corpus-adaptive (measured at sf0.1: the filters
+    alone left a near-dense 6.1M-candidate set on the 931-gram fixture —
+    low-vocab corpora make EVERY pair a candidate, so the verify is the
+    whole game there):
+
+    - vocab <= _BITMAP_MAX_VOCAB: dictionary-encode grams to bit
+      positions and verify overlap = Σ popcount(va[i] & vb[i]) on the
+      matched join rows DIRECTLY — ~|V|/64 long-ops per candidate vs a
+      hash-intersect of two string arrays, and the 6M-row distinct
+      shuffle disappears (surviving rows are ~|result| * prefix-multiplicity,
+      deduped after the filter for pennies).  The decision needs one
+      bounded driver scalar (the memoized distinct-gram count).
+    - otherwise (natural corpora — rare grams prune hard, candidates are
+      sparse, and a |V|-bit bitmap would be absurd): distinct the
+      candidate pairs, then exact string-array intersect, as before.
+
+    Both branches compute the identical containment = |A∩B|/|A| double,
+    so the oracle is one SQL text regardless of branch.
     """
     from pyspark.sql import Window as W
 
@@ -520,21 +558,105 @@ def containment_pairs(
     prefix_len = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(_EPS)) + 1
     ).cast("int")
-    probe = (
+    # one ranked pass feeds BOTH sides: the probe keeps only A's rare-gram
+    # prefix; the index holds all of B's grams but carries pb for the
+    # positional prune (persisted — read by the two self-join sides)
+    ranked = (
         tokens.join(freq, "g")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= prefix_len)
-        .select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"), "g")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand = (
-        probe.join(
-            tokens.select(F.col("doc_id").alias("id_b"), "g"),
-            on=["g"],
+    # explicit string aliases on each side: a bare `probe.g == index.g`
+    # on two frames sharing `ranked`'s lineage resolves both sides to the
+    # SAME attribute (Spark warns "trivially true equals predicate") and
+    # the gram key silently drops out of the join
+    probe = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sza"),
+        F.col("pos").alias("pa"),
+        "g",
+    ).alias("pr")
+    index = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("szb"),
+        F.col("pos").alias("pb"),
+        "g",
+    ).alias("ix")
+    need = F.ceil(F.lit(threshold) * F.col("pr.sza") - F.lit(_EPS))
+    matched = probe.join(
+        index,
+        on=[
+            F.col("pr.g") == F.col("ix.g"),
+            F.col("pr.id_a") != F.col("ix.id_b"),
+            # length filter: overlap <= |B| must reach ceil(t*|A|)
+            F.col("ix.szb")
+            >= F.lit(threshold) * F.col("pr.sza") - F.lit(_EPS),
+            # positional filter: overlap <= 1 + min(|A|-pa, |B|-pb)
+            F.lit(1)
+            + F.least(
+                F.col("pr.sza") - F.col("pr.pa"),
+                F.col("ix.szb") - F.col("ix.pb"),
+            )
+            >= need,
+        ],
+    )
+
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        _memoized_count,
+    )
+
+    vocab = _memoized_count(freq)
+    if vocab <= _BITMAP_MAX_VOCAB:
+        # dense / low-vocab corpus: popcount-bitmap verify on matched rows
+        nwords = (vocab + 63) // 64
+        # gid assignment is a single-partition window — bounded by the
+        # branch condition to <= _BITMAP_MAX_VOCAB rows, never corpus-sized
+        from pyspark.sql import Window as WG
+
+        gid = freq.select(
+            "g",
+            (F.row_number().over(WG.orderBy("g")) - 1).alias("gid"),
         )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        bits = (
+            tokens.join(gid, "g")
+            .groupBy("doc_id")
+            .agg(F.collect_set("gid").alias("gids"))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"transform(sequence(0, {nwords - 1}), wd -> "
+                    f"aggregate(filter(gids, b -> (b div 64) = wd), "
+                    f"cast(0 as bigint), "
+                    f"(acc, b) -> acc | shiftleft(cast(1 as bigint), "
+                    f"cast(b % 64 as int))))"
+                ).alias("vec"),
+            )
+        )
+        overlap = F.expr(
+            "aggregate(zip_with(va, vb, (x, y) -> bit_count(x & y)), "
+            "0, (acc, c) -> acc + c)"
+        )
+        return (
+            matched.select("id_a", "sza", "id_b")
+            .join(
+                bits.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("va")),
+                "id_a",
+            )
+            .join(
+                bits.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (overlap.cast("double") / F.col("sza")).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+            .orderBy("id_a", "id_b")
+        )
+
+    cand = matched.select("id_a", "id_b").distinct()
     inter = F.size(F.array_intersect("sa.grams", "sb.grams"))
     return (
         cand.join(sets.alias("sa"), cand.id_a == F.col("sa.doc_id"))

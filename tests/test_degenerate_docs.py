@@ -206,3 +206,23 @@ def test_containment_superset_pair_and_degenerate_docs(sdocs, duck):
     assert (3, 10) in pairs and (4, 10) in pairs  # quoted docs contained in 10
     assert (10, 3) not in pairs  # the superset is NOT contained in the quote
     assert not any(0 in (a, b) for a, b in pairs)  # NULL doc pairs nothing
+
+
+def test_containment_sparse_branch_agrees_with_bitmap(sdocs, duck, monkeypatch):
+    # r8: containment_pairs picks its verify by vocab size (bitmap popcount
+    # vs distinct + array_intersect).  Small fixtures always take the bitmap
+    # branch, so force the sparse branch and pin that both produce the same
+    # exact answer — the branch switch must never change results.
+    import pandas as pd
+
+    rows = DOCS + [
+        (10, "the quick brown fox jumps over the lazy dog plus much "
+             "additional unrelated trailing content follows here"),
+    ]
+    sdf = sdocs.sparkSession.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = _drows(con, Q._all_oracles()["containment_pairs"])
+    monkeypatch.setattr(dedup, "_BITMAP_MAX_VOCAB", 0)
+    got = _rows(dedup.containment_pairs(sdf, shingle_n=2, threshold=0.8))
+    assert got == want
