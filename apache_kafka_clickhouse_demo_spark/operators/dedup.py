@@ -425,7 +425,7 @@ def ngram_jaccard_pairs(
         (F.col("a.sz") == F.col("b.sz"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    cand = (
+    matched = (
         # the index side is PRE-filtered to its short index prefix (not an
         # ON-clause condition): the join's build input shrinks ~40% before
         # hashing instead of per-matched-row evaluation
@@ -442,9 +442,52 @@ def ngram_jaccard_pairs(
                 ubound >= alpha,
             ],
         )
+    )
+
+    # Sketch prefilter (r8, VERDICT r7 #3): on a low-vocab corpus the
+    # PPJoin filters stop pruning (2.4M near-dense distinct candidates at
+    # sf0.1 for 256 results) and the distinct shuffle + string intersect
+    # become the whole cost.  Bound each matched row's possible overlap
+    # with the 1024-bit hashed sketch and drop rows that cannot reach the
+    # equivalent-overlap threshold alpha = ceil(t/(1+t)*(|A|+|B|)); the
+    # bound is exact-safe (see _SKETCH_WORDS), so the surviving-candidate
+    # exact verify below keeps the operator's contract unchanged.
+    sk = _gram_sketches(tokens)
+    alpha2 = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("sza") + F.col("szb"))
+        - F.lit(_EPS)
+    )
+    ub_overlap = _sketch_and_pc("va", "vb") + F.least(
+        F.col("sza") - F.col("pca"), F.col("szb") - F.col("pcb")
+    )
+    cand = (
+        matched.select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .join(
+            sk.select(
+                F.col("doc_id").alias("ida"),
+                F.col("vec").alias("va"),
+                F.col("pc").alias("pca"),
+            ),
+            "ida",
+        )
+        .join(
+            sk.select(
+                F.col("doc_id").alias("idb"),
+                F.col("vec").alias("vb"),
+                F.col("pc").alias("pcb"),
+            ),
+            "idb",
+        )
+        .filter(ub_overlap >= alpha2)
         .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
         )
         .distinct()
     )
@@ -465,11 +508,74 @@ def ngram_jaccard_pairs(
     )
 
 
-# containment_pairs verify-strategy switch: bitmap-popcount verify is only
-# worth building (and only sane to densify) when the gram dictionary fits a
-# small fixed bitmap — 16384 grams = 256 longs (2 KB) per doc.  Natural
-# corpora blow far past this and take the sparse distinct+intersect path.
-_BITMAP_MAX_VOCAB = 16384
+# Fixed-width hashed gram sketch, shared by ngram_jaccard_pairs /
+# containment_pairs.  An EXACT-upper-bound prefilter applied to the matched
+# candidate rows before the distinct + exact verify:
+#
+#   overlap <= popcount(va & vb) + min(|A| - popcount(va), |B| - popcount(vb))
+#
+# (every common gram's bit is set in both sketches, so distinct common bits
+# <= popcount(AND); collisions *within the intersection* are collisions
+# within either set, bounded by |S| - popcount(vS)).  Candidates whose bound
+# can't reach the verify threshold are dropped — and on a low-vocab corpus,
+# where the PPJoin filters stop pruning and candidates go near-dense, the
+# true overlaps are tiny, so the bound kills almost everything before the
+# expensive distinct-shuffle + string-array intersect.
+#
+# Width is FIXED (1024 bits = 16 longs) so the per-candidate cost is O(16)
+# long-ops at ANY corpus scale.  A per-corpus exact-vocab bitmap was the
+# measured r8 dead end: verify cost = matched_rows x vocab/64 grows
+# quadratically with scale (both factors linear) — 67 s / 99 s at 10x vs
+# the sketch's flat constant.  Docs with >> 1024 grams saturate the sketch
+# and the bound degrades gracefully to "no prune" (never wrong).  The
+# popcount sum is UNROLLED into 16 scalar bit_count terms: higher-order
+# functions (aggregate/zip_with) run interpreted per element, while the
+# unrolled form stays inside whole-stage codegen.
+_SKETCH_WORDS = 16
+
+
+def _gram_sketches(tokens: DataFrame) -> DataFrame:
+    """(doc_id, vec: array<bigint>[_SKETCH_WORDS], pc: popcount(vec)) from
+    the exploded (doc_id, g) token rows — per-gram h48 runs in whole-stage
+    codegen on rows (not inside an array lambda), then one tiny groupBy
+    shuffle of (doc_id, 16 longs) with map-side partial bit_or."""
+    nbits = _SKETCH_WORDS * 64
+    bp = F.pmod(H.h48(F.col("g")), F.lit(nbits)).cast("int")
+    base = tokens.select("doc_id", bp.alias("bp")).select(
+        "doc_id",
+        F.shiftright("bp", 6).alias("wd"),
+        F.expr("shiftleft(cast(1 as bigint), pmod(bp, 64))").alias("bit"),
+    )
+    words = base.groupBy("doc_id").agg(
+        *[
+            F.bit_or(
+                F.when(F.col("wd") == i, F.col("bit")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias(f"w{i}")
+            for i in range(_SKETCH_WORDS)
+        ]
+    )
+    pc = None
+    for i in range(_SKETCH_WORDS):
+        t = F.bit_count(F.col(f"w{i}"))
+        pc = t if pc is None else pc + t
+    return words.select(
+        "doc_id",
+        F.array(*[f"w{i}" for i in range(_SKETCH_WORDS)]).alias("vec"),
+        pc.alias("pc"),
+    )
+
+
+def _sketch_and_pc(va: str, vb: str) -> Column:
+    """popcount(va & vb) as an unrolled whole-stage-codegen sum."""
+    out = None
+    for i in range(_SKETCH_WORDS):
+        t = F.bit_count(
+            F.element_at(va, i + 1).bitwiseAND(F.element_at(vb, i + 1))
+        )
+        out = t if out is None else out + t
+    return out
 
 
 def containment_pairs(
@@ -522,24 +628,13 @@ def containment_pairs(
       hardest.  Keeping a pair when ANY matched row passes preserves
       exactness: the first-common-gram row always passes for true pairs.
 
-    Verify strategy is corpus-adaptive (measured at sf0.1: the filters
-    alone left a near-dense 6.1M-candidate set on the 931-gram fixture —
-    low-vocab corpora make EVERY pair a candidate, so the verify is the
-    whole game there):
-
-    - vocab <= _BITMAP_MAX_VOCAB: dictionary-encode grams to bit
-      positions and verify overlap = Σ popcount(va[i] & vb[i]) on the
-      matched join rows DIRECTLY — ~|V|/64 long-ops per candidate vs a
-      hash-intersect of two string arrays, and the 6M-row distinct
-      shuffle disappears (surviving rows are ~|result| * prefix-multiplicity,
-      deduped after the filter for pennies).  The decision needs one
-      bounded driver scalar (the memoized distinct-gram count).
-    - otherwise (natural corpora — rare grams prune hard, candidates are
-      sparse, and a |V|-bit bitmap would be absurd): distinct the
-      candidate pairs, then exact string-array intersect, as before.
-
-    Both branches compute the identical containment = |A∩B|/|A| double,
-    so the oracle is one SQL text regardless of branch.
+    Measured at sf0.1, the filters alone still left a near-dense 6.1M
+    distinct-candidate set on the 931-gram fixture (low-vocab corpora
+    make EVERY pair a candidate), so a fixed-width hashed gram sketch
+    (see _SKETCH_WORDS) bounds each matched row's possible overlap and
+    drops the rows that cannot reach ceil(t*|A|) BEFORE the distinct +
+    exact verify.  The bound is a necessary condition, so the operator
+    stays exact and the oracle is one SQL text.
     """
     from pyspark.sql import Window as W
 
@@ -601,62 +696,39 @@ def containment_pairs(
         ],
     )
 
-    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
-        _memoized_count,
+    # Sketch prefilter (r8; see _SKETCH_WORDS): bound each matched row's
+    # possible overlap and drop rows that cannot reach ceil(t*|A|) before
+    # the distinct + exact verify — on the low-vocab corpus this is what
+    # turns a 6.1M near-dense candidate set into ~|result|.
+    sk = _gram_sketches(tokens)
+    ub_overlap = _sketch_and_pc("va", "vb") + F.least(
+        F.col("sza") - F.col("pca"), F.col("szb") - F.col("pcb")
     )
-
-    vocab = _memoized_count(freq)
-    if vocab <= _BITMAP_MAX_VOCAB:
-        # dense / low-vocab corpus: popcount-bitmap verify on matched rows
-        nwords = (vocab + 63) // 64
-        # gid assignment is a single-partition window — bounded by the
-        # branch condition to <= _BITMAP_MAX_VOCAB rows, never corpus-sized
-        from pyspark.sql import Window as WG
-
-        gid = freq.select(
-            "g",
-            (F.row_number().over(WG.orderBy("g")) - 1).alias("gid"),
+    cand = (
+        matched.select("id_a", "sza", "id_b", "szb")
+        .join(
+            sk.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("vec").alias("va"),
+                F.col("pc").alias("pca"),
+            ),
+            "id_a",
         )
-        bits = (
-            tokens.join(gid, "g")
-            .groupBy("doc_id")
-            .agg(F.collect_set("gid").alias("gids"))
-            .select(
-                "doc_id",
-                F.expr(
-                    f"transform(sequence(0, {nwords - 1}), wd -> "
-                    f"aggregate(filter(gids, b -> (b div 64) = wd), "
-                    f"cast(0 as bigint), "
-                    f"(acc, b) -> acc | shiftleft(cast(1 as bigint), "
-                    f"cast(b % 64 as int))))"
-                ).alias("vec"),
-            )
+        .join(
+            sk.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("vec").alias("vb"),
+                F.col("pc").alias("pcb"),
+            ),
+            "id_b",
         )
-        overlap = F.expr(
-            "aggregate(zip_with(va, vb, (x, y) -> bit_count(x & y)), "
-            "0, (acc, c) -> acc + c)"
+        .filter(
+            ub_overlap
+            >= F.ceil(F.lit(threshold) * F.col("sza") - F.lit(_EPS))
         )
-        return (
-            matched.select("id_a", "sza", "id_b")
-            .join(
-                bits.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("va")),
-                "id_a",
-            )
-            .join(
-                bits.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vb")),
-                "id_b",
-            )
-            .select(
-                "id_a",
-                "id_b",
-                (overlap.cast("double") / F.col("sza")).alias("containment"),
-            )
-            .filter(F.col("containment") >= threshold)
-            .dropDuplicates(["id_a", "id_b"])
-            .orderBy("id_a", "id_b")
-        )
-
-    cand = matched.select("id_a", "id_b").distinct()
+        .select("id_a", "id_b")
+        .distinct()
+    )
     inter = F.size(F.array_intersect("sa.grams", "sb.grams"))
     return (
         cand.join(sets.alias("sa"), cand.id_a == F.col("sa.doc_id"))

@@ -102,11 +102,15 @@ HEADLINE = [
     "snapshot_changelog",
     "ann_sq8_topk",
     # added late-r7 with the second rotation (the other two new gate
-    # families; containment_pairs stays extra-only — its corpus-shape
-    # tail is documented in dedup.py, ~86 s at sf0.1 on this low-vocab
-    # fixture, and a bench headliner at that cost buys no trend signal)
+    # families)
     "winnow_fingerprint",
     "stream_sample",
+    # added r8 with the gate rotation (VERDICT r7 #1/#7): every gate-bearing
+    # family keeps a perf trend.  containment_pairs joins now that its
+    # low-vocab tail is fixed (~86 s -> ~4 s at sf0.1; SCALING.md r8 deltas)
+    "replacing_deletes",
+    "type_day_cube",
+    "containment_pairs",
 ]
 
 
@@ -168,6 +172,12 @@ BASELINE_SEC = {
     # late-r7 trend starts (same seeding)
     "winnow_fingerprint": 1.278,
     "stream_sample": 4.078,
+    # r8 trend starts (same larger-of-two-record-runs seeding at sf0.1;
+    # containment_pairs seeded AFTER its r8 low-vocab fix on purpose —
+    # the fixed operator is the one whose line must hold)
+    "replacing_deletes": 1.592,
+    "type_day_cube": 0.576,
+    "containment_pairs": 3.461,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

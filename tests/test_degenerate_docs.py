@@ -208,11 +208,12 @@ def test_containment_superset_pair_and_degenerate_docs(sdocs, duck):
     assert not any(0 in (a, b) for a, b in pairs)  # NULL doc pairs nothing
 
 
-def test_containment_sparse_branch_agrees_with_bitmap(sdocs, duck, monkeypatch):
-    # r8: containment_pairs picks its verify by vocab size (bitmap popcount
-    # vs distinct + array_intersect).  Small fixtures always take the bitmap
-    # branch, so force the sparse branch and pin that both produce the same
-    # exact answer — the branch switch must never change results.
+def test_containment_exact_when_sketch_prunes_nothing(sdocs, duck, monkeypatch):
+    # r8: the hashed-sketch prefilter must be a pure NECESSARY-condition
+    # prune.  Shrink the sketch to 1 word (64 bits — heavy collisions, the
+    # bound saturates toward "no prune") and pin that the exact verify
+    # still produces the oracle answer: a sketch that cannot prune must
+    # never change results, only cost.
     import pandas as pd
 
     rows = DOCS + [
@@ -223,6 +224,6 @@ def test_containment_sparse_branch_agrees_with_bitmap(sdocs, duck, monkeypatch):
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     want = _drows(con, Q._all_oracles()["containment_pairs"])
-    monkeypatch.setattr(dedup, "_BITMAP_MAX_VOCAB", 0)
+    monkeypatch.setattr(dedup, "_SKETCH_WORDS", 1)
     got = _rows(dedup.containment_pairs(sdf, shingle_n=2, threshold=0.8))
     assert got == want

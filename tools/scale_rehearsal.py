@@ -83,6 +83,8 @@ FAMILIES = [
     "top_users_sketch",
     "passage_dedup",
     "semantic_dedup",
+    # r8: containment dedup joins the measured set (VERDICT r7 #2)
+    "containment_pairs",
 ]
 
 PASSES = 2
