@@ -164,6 +164,40 @@ def _stamp_feed_block(feed: str, stamped: set, block_idx: int, base: float) -> N
             stamped.add(p)
 
 
+def _write_feed_blocks(df, work: str, blk_col, n: int = 4) -> str:
+    """Write an n-block file-stream feed in ONE Spark job (r8, VERDICT r7
+    #4): the per-block form ran n filtered coalesce(1) write jobs — pure
+    fixed cost billed to every streaming gate query.  `blk_col` is an int
+    column 0..n-1 assigning each row its arrival block (the caller states
+    the same boundaries the old filters used).  One partitioned write
+    lands each block as one file (repartition by blk -> one task holds a
+    given blk value); the files are then MOVED into the flat feed dir
+    with the strictly-increasing mtimes `_stamp_feed_block` documents, so
+    FileStreamSource delivery order is unchanged and deterministic."""
+    import glob
+    import shutil
+    import time as _time
+
+    feed = f"{work}/feed"
+    tmp = f"{work}/feed_tmp"
+    (
+        df.withColumn("blk", blk_col)
+        .repartition(F.col("blk"))
+        .write.partitionBy("blk")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(feed, exist_ok=True)
+    base = _time.time()
+    for i in range(n):
+        for j, p in enumerate(sorted(glob.glob(f"{tmp}/blk={i}/part-*.parquet"))):
+            dest = os.path.join(feed, f"block{i}-{j}.parquet")
+            os.rename(p, dest)
+            os.utime(dest, (base + i * 10, base + i * 10))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return feed
+
+
 def _dec2(c) -> "F.Column":
     """Exact decimal(18,2) copy of a money column (every fixture money/value
     column carries at most 2 decimals, so this cast is lossless)."""
@@ -525,8 +559,6 @@ def q_stream_near_dup(spark, sf_dir):
     survivors = documents minus every `id_b` of the batch LSH pair set —
     equal iff the continuous filter makes exactly the decisions the batch
     pair-finder would."""
-    import time
-
     from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
         minhash_dedup_stream,
     )
@@ -534,21 +566,20 @@ def q_stream_near_dup(spark, sf_dir):
     work = _workdir("stream_neardup_")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0]
-    lo = -1
-    base = time.time()
-    stamped: set = set()
-    for i in range(4):  # sequential id-ordered chunks; stamped mtime = arrival order
-        b = (hi * (i + 1)) // 4 if i < 3 else hi
-        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= b)).coalesce(
-            1
-        ).write.mode("append").parquet(f"{work}/feed")
-        _stamp_feed_block(f"{work}/feed", stamped, i, base)
-        lo = b
+    # sequential id-ordered chunks, same quartile boundaries as the old
+    # per-block filters; one write job (see _write_feed_blocks)
+    blk = (
+        F.when(F.col("doc_id") <= (hi * 1) // 4, 0)
+        .when(F.col("doc_id") <= (hi * 2) // 4, 1)
+        .when(F.col("doc_id") <= (hi * 3) // 4, 2)
+        .otherwise(3)
+    )
+    feed = _write_feed_blocks(docs, work, blk)
 
     src = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{work}/feed")
+        .parquet(feed)
     )
     q = minhash_dedup_stream(
         spark,
@@ -579,8 +610,6 @@ def q_stream_embed_near_dup(spark, sf_dir):
     bucketed against the accumulating vector store and cosine-verified
     near-duplicates of any earlier vector are dropped.  Oracle: survivors =
     embeddings minus the batch LSH pair set's id_b side."""
-    import time
-
     from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
         embedding_dedup_stream,
     )
@@ -588,16 +617,15 @@ def q_stream_embed_near_dup(spark, sf_dir):
     work = _workdir("stream_embdup_")
     emb = _t(spark, sf_dir, "embeddings")
     hi = emb.agg(F.max("vec_id")).first()[0]
-    lo = -1
-    base = time.time()
-    stamped: set = set()
-    for i in range(4):  # sequential id-ordered chunks; stamped mtime = arrival order
-        b = (hi * (i + 1)) // 4 if i < 3 else hi
-        emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= b)).coalesce(
-            1
-        ).write.mode("append").parquet(f"{work}/feed")
-        _stamp_feed_block(f"{work}/feed", stamped, i, base)
-        lo = b
+    # sequential id-ordered chunks, same quartile boundaries as the old
+    # per-block filters; one write job (see _write_feed_blocks)
+    blk = (
+        F.when(F.col("vec_id") <= (hi * 1) // 4, 0)
+        .when(F.col("vec_id") <= (hi * 2) // 4, 1)
+        .when(F.col("vec_id") <= (hi * 3) // 4, 2)
+        .otherwise(3)
+    )
+    feed = _write_feed_blocks(emb, work, blk)
 
     src = (
         spark.readStream.schema(emb.schema)
@@ -2599,8 +2627,6 @@ def q_stream_funnel(spark, sf_dir):
     emitted depth is the answer.  Oracle: the batch funnel's per-user
     window-function SQL rolled up to (funnel_level, n_users) — equal iff
     the stream's constant-state fold reproduces the batch fold."""
-    import time as _time
-
     from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
         running_funnel,
     )
@@ -2609,19 +2635,15 @@ def q_stream_funnel(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) / 4
-    prev = None
-    feed = f"{work}/feed"
-    base = _time.time()
-    stamped: set = set()
-    for i in range(4):  # ts-ordered blocks; stamped mtime = arrival order
-        upper = lo + span * (i + 1) if i < 3 else hi
-        blk = ev.filter(
-            (F.col("ts") <= F.lit(upper))
-            & (F.col("ts") > F.lit(prev) if prev is not None else F.lit(True))
-        )
-        blk.coalesce(1).write.mode("append").parquet(feed)
-        _stamp_feed_block(feed, stamped, i, base)
-        prev = upper
+    # ts-ordered blocks, same quartile boundaries as the old per-block
+    # filters; one write job (see _write_feed_blocks)
+    blk = (
+        F.when(F.col("ts") <= F.lit(lo + span * 1), 0)
+        .when(F.col("ts") <= F.lit(lo + span * 2), 1)
+        .when(F.col("ts") <= F.lit(lo + span * 3), 2)
+        .otherwise(3)
+    )
+    feed = _write_feed_blocks(ev, work, blk)
 
     src = (
         spark.readStream.schema(ev.schema)
@@ -2670,17 +2692,15 @@ def q_stream_sample(spark, sf_dir):
     work = _workdir("stream_sample_")
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     hi = ev.agg(F.max("event_id")).first()[0]
-    lo = -1
-    feed = f"{work}/feed"
-    base = __import__("time").time()
-    stamped: set = set()
-    for i in range(4):  # id-ordered blocks; stamped mtime = arrival order
-        b = (hi * (i + 1)) // 4 if i < 3 else hi
-        ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= b)).coalesce(
-            1
-        ).write.mode("append").parquet(feed)
-        _stamp_feed_block(feed, stamped, i, base)
-        lo = b
+    # id-ordered blocks, same quartile boundaries as the old per-block
+    # filters; one write job (see _write_feed_blocks)
+    blk = (
+        F.when(F.col("event_id") <= (hi * 1) // 4, 0)
+        .when(F.col("event_id") <= (hi * 2) // 4, 1)
+        .when(F.col("event_id") <= (hi * 3) // 4, 2)
+        .otherwise(3)
+    )
+    feed = _write_feed_blocks(ev, work, blk)
 
     src = (
         spark.readStream.schema(ev.schema)

@@ -197,6 +197,20 @@ class TransactionalTable:
                 txns.add(txn)
         return txns, marks
 
+    def commit_files(self, version: int) -> list[str] | None:
+        """TABLE-RELATIVE file names of exactly one commit, or None when
+        that commit's JSON is gone (folded into a checkpoint + pruned).
+        Bounded driver work: one small JSON read — lets a writer that just
+        committed partitioned data recover WHICH partition dirs it touched
+        without running a Spark job over the data (streaming/stateful.py
+        derives a block's band shards this way, r8)."""
+        path = os.path.join(self.log_dir, f"{version:0{_VERSION_DIGITS}d}.json")
+        try:
+            with open(path) as fh:
+                return list(json.load(fh)["files"])
+        except (FileNotFoundError, KeyError):
+            return None
+
     def committed_txns(self) -> set[str]:
         """The EXPLICITLY recorded txn ids (commit `txn` fields plus a
         checkpoint's verbatim `txns` list).  Watermark-compacted ids (see
