@@ -388,7 +388,13 @@ def read_replacing_final(
     exactly ClickHouse's rule)."""
     out = final_rows(df, keys, [version_col, *(tiebreak or [])])
     if deleted_col is not None:
-        out = out.filter(F.col(deleted_col) == 0).drop(deleted_col)
+        # NULL tombstone flag = LIVE (review r7): ClickHouse's is_deleted
+        # is a non-nullable UInt8, but a CDC feed missing the flag on some
+        # rows must not silently LOSE those keys — a bare `== 0` filters
+        # NULL out, which is neither live nor deleted semantics
+        out = out.filter(F.coalesce(F.col(deleted_col), F.lit(0)) == 0).drop(
+            deleted_col
+        )
     return out
 
 

@@ -438,7 +438,19 @@ class TransactionalTable:
             )
             if self._publish(payload, commit_path):
                 return version
-            # data files remain unpublished (invisible to readers)
+            # Best-effort delete of the just-moved files (review r7): they
+            # are known by name and referenced by NO commit, so removing
+            # them reclaims disk immediately instead of leaving a full
+            # block of orphaned parquet per rejected batch for vacuum()'s
+            # grace window (a topK/reservoir stream losing repeated CAS
+            # races would otherwise accumulate them).  Crash-between-
+            # move-and-delete still leaves orphans — vacuum remains the
+            # backstop for those.
+            for rel in moved:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass
             raise ConcurrentWriteError(
                 f"{self.path}: version {version} already committed — "
                 f"table advanced past the caller's read at {cas_version}"

@@ -1047,8 +1047,14 @@ class _ReservoirStreamWriter:
         if self.store.txn_committed(txn):  # replayed batch
             return
         cols = [self.id_col, *self.payload_cols]
+        # dedup by id BEFORE the bottom-k trim (review r7): duplicate rows
+        # of one id inside a single micro-batch (the at-least-once overlap
+        # case) would each occupy a k-slot and could displace a genuinely
+        # new id whose rank belongs in the feed's true bottom-k
         cand = self._bottom_k(
-            block.select(*cols, self._rank().alias("rank"))
+            block.select(*cols, self._rank().alias("rank")).dropDuplicates(
+                [self.id_col]
+            )
         )
         prev, prev_gen, snap_v = self._latest()
         merged = cand if prev is None else prev.unionByName(cand)

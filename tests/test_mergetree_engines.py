@@ -296,3 +296,25 @@ def test_replacing_cleanup_requires_deleted_col(spark, tmp_path):
         compact_replacing(
             spark, path, keys=["k"], version_col="ver", cleanup=True
         )
+
+
+def test_replacing_null_tombstone_flag_is_live(spark):
+    """Review r7: a CDC row missing the is_deleted flag (NULL) is neither
+    live nor deleted under a bare `== 0` filter — the key silently
+    vanishes.  NULL must read as LIVE (ClickHouse's is_deleted is a
+    non-nullable UInt8; a feed that omits it means 'no delete')."""
+    rows = [
+        ("a", 1, 1, "a-v1", None),   # NULL flag on the winning version
+        ("b", 1, 2, "b-v1", 0),
+        ("b", 2, 3, "b-gone", 1),    # real tombstone still deletes
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ver int, seq int, payload string, is_deleted int"
+    )
+    got = {
+        (r["k"], r["payload"])
+        for r in read_replacing_final(
+            df, ["k"], "ver", ["seq"], deleted_col="is_deleted"
+        ).collect()
+    }
+    assert got == {("a", "a-v1")}

@@ -930,3 +930,75 @@ def test_reservoir_new_run_handover_and_duplicate_ids(spark, tmp_path):
     }
     assert set(got) == expect
     assert s1  # run 1 produced a sample (sanity)
+
+
+def test_reservoir_in_block_duplicates_cannot_displace_new_ids(spark, tmp_path):
+    """Review r7: duplicate rows of ONE id inside a single micro-batch
+    (at-least-once overlap) must not each occupy a bottom-k slot.  Feed a
+    block holding k copies of one id plus every other id once — the
+    sample must equal the batch bottom-k over DISTINCT ids, even when the
+    duplicated id's rank would let its copies crowd out the rest."""
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        reservoir_stream_writer,
+    )
+
+    k = 5
+    ids = list(range(30))
+    base = spark.createDataFrame([(i, "t") for i in ids], "event_id long, tag string")
+    rank_col = H.h48(F.concat(F.lit("sample:"), F.col("event_id").cast("string")))
+    # the id with the SMALLEST rank duplicated k times: pre-fix, its k
+    # copies filled the whole block trim and legitimate bottom-k ids lost
+    min_id = base.withColumn("rank", rank_col).orderBy("rank").first()["event_id"]
+    rows = [(i, "t") for i in ids] + [(min_id, "t")] * k
+    blk = spark.createDataFrame(rows, "event_id long, tag string")
+    w = reservoir_stream_writer(
+        spark, str(tmp_path / "store"), "event_id", k=k, payload_cols=["tag"]
+    )
+    w.process(blk, 0)
+    got = sorted(r["event_id"] for r in w.sample().collect())
+
+    expect = sorted(
+        r["event_id"]
+        for r in blk.dropDuplicates(["event_id"])
+        .withColumn(
+            "rank",
+            H.h48(F.concat(F.lit("sample:"), F.col("event_id").cast("string"))),
+        )
+        .orderBy("rank", "event_id")
+        .limit(k)
+        .collect()
+    )
+    assert got == expect
+
+
+def test_cas_loser_files_are_reclaimed_immediately(spark, tmp_path):
+    """Review r7: a ConcurrentWriteError must not leave the loser's staged
+    block on disk until vacuum's grace window — the moved-but-uncommitted
+    files are deleted in the failure path itself."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+        ConcurrentWriteError,
+        TransactionalTable,
+    )
+
+    t = TransactionalTable(str(tmp_path / "cas_tbl"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    v0 = t.append(df)
+    committed = set(t.data_files())
+
+    with _pytest.raises(ConcurrentWriteError):
+        # stale CAS: claims the version that v0 already took
+        t.append(spark.createDataFrame([(2, "b")], "id long, v string"),
+                 cas_version=v0 - 1)
+
+    on_disk = {
+        _os.path.join(dp, f)
+        for dp, _dn, fn in _os.walk(t.path)
+        for f in fn
+        if f.endswith(".parquet")
+    }
+    assert on_disk == committed  # no orphaned loser files
