@@ -461,6 +461,140 @@ def winnow_fingerprints(
     )
 
 
+def substring_dedup(
+    docs: DataFrame,
+    window_words: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-substring removal (the ExactSubstr rule of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), at token-
+    window granularity: every OVERLAPPING `window_words`-token window
+    (stride 1) that re-occurs anywhere in the corpus is removed from all
+    but its globally FIRST occurrence (first = smallest (doc_id, position)),
+    and each document is rebuilt from the tokens not covered by any removed
+    window.  Unlike `chunk_dedup` (non-overlapping passages, whole-passage
+    drop), this removes arbitrary-alignment repeated SPANS — overlapping
+    duplicated windows merge into maximal spans, so a long quote copied
+    mid-sentence disappears wherever it recurs while the earliest document
+    keeps it verbatim.  The suffix-array formulation of the paper is
+    inherently sequential; the window-hash formulation is the
+    shuffle-friendly restatement: a span of >= window_words repeated tokens
+    is exactly a run of duplicated windows.
+
+    Output: (doc_id, n_tokens, n_dup_tokens, kept_text), one row per input
+    document (docs shorter than the window have no windows and pass
+    through whole); unordered.
+
+    Plan shape at 100 TB: windowing is row-local (sequence + posexplode in
+    codegen); occurrences shuffle ONCE keyed by the 6-byte h48(window) for
+    the global first-occurrence aggregate (map-side combinable min of the
+    (doc_id, pos) int64 encoding — same contract as `chunk_dedup`:
+    positions < 2^20, doc_ids < 2^43); duplicates join back on the same
+    key (AQE absorbs boilerplate skew); the per-doc span collection is the
+    second exchange and the rebuild join on doc_id the third.  Span
+    merging + token rebuild are single-pass row-local folds (O(tokens)
+    per document, not O(tokens * spans)).  The h48-collision guard is
+    `chunk_dedup`'s, in the fail-safe direction: a later window is removed
+    only when its text EQUALS the first occurrence's text, so a distinct
+    window colliding with an earlier hash is kept, never destroyed.
+    """
+    if window_words <= 0:
+        raise ValueError("window_words must be positive")
+    w = window_words
+    toks = TX.tokens(text_col)
+    starts = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(0), F.size(toks) - w)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, w), " "))
+    occ = (
+        spread_small(docs)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(wins).alias("wpos", "wtext"))
+        .select(
+            "doc_id",
+            "wpos",
+            "wtext",
+            H.h48("wtext").alias("whash"),
+            (F.col("doc_id") * F.lit(1 << 20) + F.col("wpos")).alias("occ_key"),
+        )
+        # both the first-occurrence aggregate and the join probe read occ;
+        # without materialization the tokenize+hash scan runs twice
+        .persist()
+    )
+    firsts = occ.groupBy("whash").agg(
+        F.min("occ_key").alias("first_key"),
+        F.min_by("wtext", "occ_key").alias("first_text"),
+    )
+    dup_starts = (
+        occ.join(firsts, "whash")
+        .filter((F.col("occ_key") != F.col("first_key")) & (F.col("wtext") == F.col("first_text")))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("wpos")).alias("dups"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("int").alias("n_tokens"),
+    )
+    joined = base.join(dup_starts, "doc_id", "left").withColumn(
+        "dups", F.coalesce("dups", F.array().cast("array<int>"))
+    )
+    # merge sorted window starts into disjoint spans [s, e): extend the
+    # last span while the next start falls inside it, else open a new one.
+    # try_element_at(acc, -1) is NULL on the empty accumulator (ANSI-safe),
+    # making the first element open the first span.
+    spans = F.aggregate(
+        F.col("dups"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            F.try_element_at(acc, F.lit(-1))["e"] >= p,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.try_element_at(acc, F.lit(-1))["s"].alias("s"),
+                        F.greatest(
+                            F.try_element_at(acc, F.lit(-1))["e"], p + F.lit(w)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(p.alias("s"), (p + F.lit(w)).alias("e")))
+            )
+        ),
+    )
+    with_spans = joined.withColumn("_spans", spans)
+    # rebuild: single cursor fold over the disjoint sorted spans — emit the
+    # tokens between the cursor and each span start, jump the cursor to the
+    # span end, then flush the tail.  O(tokens) per row.
+    rebuilt = F.aggregate(
+        F.col("_spans"),
+        F.struct(
+            F.lit(0).alias("cur"), F.array().cast("array<string>").alias("parts")
+        ),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("cur"),
+            F.concat(
+                acc["parts"], F.slice(F.col("_toks"), acc["cur"] + 1, sp["s"] - acc["cur"])
+            ).alias("parts"),
+        ),
+        lambda acc: F.concat(
+            acc["parts"],
+            F.slice(F.col("_toks"), acc["cur"] + 1, F.col("n_tokens") - acc["cur"]),
+        ),
+    )
+    return with_spans.select(
+        "doc_id",
+        "n_tokens",
+        F.aggregate(
+            "_spans", F.lit(0), lambda a, sp: a + (sp["e"] - sp["s"])
+        ).cast("int").alias("n_dup_tokens"),
+        F.array_join(rebuilt, " ").alias("kept_text"),
+    )
+
+
 def chunk_dedup(
     docs: DataFrame,
     chunk_words: int = 8,

@@ -117,6 +117,10 @@ RETENTION_OFFSETS = [0, 1, 2, 3, 4, 5, 6]
 TOPK_K = 10
 TOPK_CAPACITY = 1 << 14
 PASSAGE_WORDS = 8
+#: ExactSubstr window (Lee et al. 2022 use 50 BPE tokens at crawl scale;
+#: 13 whitespace tokens matches DECON_SHINGLE_N and the fixture's planted
+#: repeated-run lengths)
+SUBSTR_WINDOW = 13
 WINNOW_K = 4
 WINNOW_WINDOW = 5
 SAMPLE_K = 200
@@ -2820,6 +2824,19 @@ def q_passage_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Repeated-substring removal (ExactSubstr, Lee et al. 2022) over the
+    documents table: every overlapping SUBSTR_WINDOW-token window that
+    re-occurs in the corpus is removed from all but its globally first
+    occurrence; documents are rebuilt from the uncovered tokens
+    (text_analysis.substring_dedup).  Complements passage_dedup's
+    non-overlapping whole-passage rule with arbitrary-alignment span
+    removal."""
+    return text_analysis.substring_dedup(
+        _t(spark, sf_dir, "documents"), SUBSTR_WINDOW
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated into the gate in r08 (VERDICT r7 #1: the strongest
     #    never-driver-attested operator families).  Displaced rows keep
@@ -2981,6 +2998,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_type_rollup": q_daily_type_rollup,  # strict subset of type_day_cube's grouping-sets family (same day-grain aggregate); A5 composite-key also gated via mv_cascade_attendance/sql_busy_days
     "embedding_near_dup": q_embedding_near_dup,  # RP-LSH bucket join gated via ann_lsh_topk + stream_embed_near_dup (same operator + cosine verify)
     "media_frame_sample": q_media_frame_sample,  # mapInPandas multimodal family keeps media_features gate row; frame sampling pinned in tests + local oracle
+    # r8 addition (gate slots full): ExactSubstr repeated-span removal —
+    # the overlapping-window complement of passage_dedup's gate row
+    "substring_dedup": q_substring_dedup,
 }
 
 
@@ -3667,6 +3687,48 @@ GROUP BY k.doc_id, n.n_chunks ORDER BY doc_id
 """
 
 
+def _substring_dedup_oracle() -> str:
+    w = SUBSTR_WINDOW
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks()} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS wpos,
+         array_to_string(toks[CAST(i + 1 AS BIGINT) : CAST(i + {w} AS BIGINT)], ' ') AS wtext
+  FROM toks, UNNEST(range(0, greatest(len(toks) - {w} + 1, 0))) AS t(i)
+), h AS (
+  SELECT doc_id, wpos, wtext, {H.sql_h48("wtext")} AS whash,
+         doc_id * 1048576 + wpos AS occ_key
+  FROM occ
+), firsts AS (
+  -- first_text mirrors the engine's h48-collision guard: a later window is
+  -- removed only when its text EQUALS the first occurrence's, so a distinct
+  -- window colliding with an earlier hash is kept, never destroyed
+  SELECT whash, min(occ_key) AS first_key, arg_min(wtext, occ_key) AS first_text
+  FROM h GROUP BY whash
+), dupw AS (
+  SELECT h.doc_id, h.wpos FROM h JOIN firsts USING (whash)
+  WHERE occ_key <> first_key AND wtext = first_text
+), tok AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS ti, toks[CAST(i + 1 AS BIGINT)] AS tok,
+         len(toks) AS n_tokens
+  FROM toks, UNNEST(range(0, len(toks))) AS t(i)
+), removed AS (
+  -- the engine merges duplicated windows into disjoint spans and folds a
+  -- cursor over them; covered-token identity is the same either way
+  SELECT DISTINCT t.doc_id, t.ti
+  FROM tok t JOIN dupw d
+    ON t.doc_id = d.doc_id AND t.ti >= d.wpos AND t.ti < d.wpos + {w}
+)
+SELECT t.doc_id,
+       CAST(max(t.n_tokens) AS INTEGER) AS n_tokens,
+       CAST(count(r.ti) AS INTEGER) AS n_dup_tokens,
+       coalesce(string_agg(CASE WHEN r.ti IS NULL THEN t.tok END, ' ' ORDER BY t.ti), '') AS kept_text
+FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.ti = r.ti
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def _all_oracles() -> dict[str, str]:
     minhash_sql = _oracle_minhash_lsh()
     return {
@@ -3708,6 +3770,7 @@ FROM events GROUP BY user_id
 ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
 """,
         "passage_dedup": _passage_dedup_oracle(),
+        "substring_dedup": _substring_dedup_oracle(),
         "semantic_dedup": _oracle_semantic_dedup(),
         # same answer shape and semantics as the gated batch funnel — the
         # stream must land on the identical cumulative report
