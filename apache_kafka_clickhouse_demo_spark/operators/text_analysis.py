@@ -461,6 +461,67 @@ def winnow_fingerprints(
     )
 
 
+def unigram_rarity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-statistics quality scoring: the unigram-LM surprisal filter
+    of CCNet / Gopher (drop documents whose tokens are improbably rare
+    under a language model of the corpus itself), restated log-free so
+    the aggregate is EXACT and order-independent at any scale.  Each
+    token contributes floor(total_tokens / df(token)) — the reciprocal of
+    its unigram probability, a monotone surrogate for -log p — and a
+    document's score is the per-token mean of that integer mass.  Rare-
+    token-heavy documents (gibberish, codes, boilerplate IDs) score high;
+    stopword-heavy prose scores low.  Avoiding log keeps the per-doc sum
+    an integer (no float accumulation order to mirror), the house rule
+    for oracle-exact aggregates; floor() runs on an IEEE double quotient
+    computed identically by both engines, and is exact while
+    total_tokens < 2^53 (a 100 TB corpus is ~1e13).  int64 bounds: max
+    contrib = total (a df=1 token), so a doc's mass overflows only past
+    ~1e6 singleton tokens at 1e13 corpus tokens — the ANSI sum fails
+    loudly there instead of wrapping.
+
+    Output: (doc_id, n_tokens, rarity_mass, avg_rarity), one row per
+    document with >= 1 token (tokenization never yields zero tokens);
+    unordered.
+
+    Plan shape at 100 TB: tokenize+explode is row-local; the vocabulary
+    aggregate shuffles once keyed by token (map-side combinable count —
+    the df table is the corpus vocabulary, NOT broadcast: it can be
+    billions of rows and joins hash-to-hash); the corpus total is a
+    single-row aggregate attached by broadcast; the occurrence-vocab join
+    shuffles on the same token key (AQE absorbs stopword skew — "the"
+    carries ~5% of all occurrences); the per-doc sum is the last
+    exchange.
+    """
+    occ = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TX.tokens(text_col)).alias("tok"),
+    )
+    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total_row = vocab.agg(F.sum("df").alias("_total"))
+    contrib = F.floor(F.col("_total").cast("double") / F.col("df")).cast("long")
+    out = (
+        occ.join(vocab, "tok")
+        .crossJoin(F.broadcast(total_row))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(contrib).cast("long").alias("rarity_mass"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "rarity_mass",
+        F.round(
+            F.col("rarity_mass").cast("double") / F.col("n_tokens"), 4
+        ).alias("avg_rarity"),
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     window_words: int = 13,

@@ -2824,6 +2824,16 @@ def q_passage_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_unigram_rarity(spark, sf_dir):
+    """Unigram-LM surprisal quality filter (CCNet/Gopher perplexity-filter
+    family) over the documents table: per-document reciprocal-frequency
+    mass under the corpus's own unigram model
+    (text_analysis.unigram_rarity)."""
+    return text_analysis.unigram_rarity(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def q_substring_dedup(spark, sf_dir):
     """Repeated-substring removal (ExactSubstr, Lee et al. 2022) over the
     documents table: every overlapping SUBSTR_WINDOW-token window that
@@ -3001,6 +3011,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8 addition (gate slots full): ExactSubstr repeated-span removal —
     # the overlapping-window complement of passage_dedup's gate row
     "substring_dedup": q_substring_dedup,
+    # r8 addition: unigram-LM surprisal quality filter (the corpus-model
+    # complement of text_profile's row-local heuristics)
+    "unigram_rarity": q_unigram_rarity,
 }
 
 
@@ -3771,6 +3784,27 @@ ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
 """,
         "passage_dedup": _passage_dedup_oracle(),
         "substring_dedup": _substring_dedup_oracle(),
+        "unigram_rarity": f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks()} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, toks[CAST(i + 1 AS BIGINT)] AS tok
+  FROM toks, UNNEST(range(0, len(toks))) AS t(i)
+), vocab AS (
+  SELECT tok, count(*) AS df FROM occ GROUP BY tok
+), tot AS (
+  SELECT sum(df) AS total FROM vocab
+), mass AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         CAST(sum(CAST(floor(CAST(total AS DOUBLE) / df) AS BIGINT))
+              AS BIGINT) AS rarity_mass
+  FROM occ JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, rarity_mass,
+       round(CAST(rarity_mass AS DOUBLE) / n_tokens, 4) AS avg_rarity
+FROM mass ORDER BY doc_id
+""",
         "semantic_dedup": _oracle_semantic_dedup(),
         # same answer shape and semantics as the gated batch funnel — the
         # stream must land on the identical cumulative report

@@ -99,3 +99,26 @@ def test_hash_collision_keeps_distinct_span(spark, monkeypatch):
     assert got[1] == (3, 0, "a b c")
     assert got[2] == (3, 0, "d e f")  # distinct text survives the collision
     assert got[3] == (3, 3, "")  # true duplicate still removed
+
+
+# ---------------------------------------------------------------------------
+# Unigram-rarity quality scoring (text_analysis.unigram_rarity)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_rarity_planted_counts(spark):
+    from apache_kafka_clickhouse_demo_spark.operators.text_analysis import (
+        unigram_rarity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b rare"), (3, "a")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["rarity_mass"], r["avg_rarity"])
+        for r in unigram_rarity(df).collect()
+    }
+    # total=7; df: a=4, b=2, rare=1 -> contribs floor(7/4)=1, 3, 7
+    assert got[1] == (3, 5, 1.6667)
+    assert got[2] == (3, 11, 3.6667)
+    assert got[3] == (1, 1, 1.0)
