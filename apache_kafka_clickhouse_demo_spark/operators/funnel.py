@@ -153,6 +153,58 @@ def window_funnel(
     )
 
 
+def sequence_count(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: Sequence[Column],
+) -> DataFrame:
+    """ClickHouse `sequenceCount('(?1).*(?2)...(?N)')(ts, cond1..condN)`:
+    per key, how many NON-OVERLAPPING complete chains cond1 < cond2 < ...
+    < condN occur in time order, gaps allowed (the `.*` pattern form — the
+    one a distributed engine can make deterministic; see window_funnel's
+    module docstring for why insertion-order forms cannot be).
+    `sequenceMatch` of the same pattern is `n_matches >= 1`.
+
+    Greedy earliest-match counting: a single pointer advances on the next
+    wanted step and resets after each complete chain — the classic greedy
+    argument makes this the MAXIMUM number of disjoint chains, matching
+    ClickHouse's non-overlapping count.  Same event total order and
+    one-vote-per-(key, ts, step) contract as `window_funnel` (shared
+    `tick_expr`); same single-exchange plan shape: one hash aggregate
+    collecting each key's matching-event ticks, then a codegen fold.
+    Keys with zero complete chains are absent (the level-0 rule).
+
+    Output: (k, n_matches), n_matches >= 1.
+    """
+    n = len(steps)
+    if not 1 <= n <= _TICK_BASE:
+        raise ValueError(f"1..{_TICK_BASE} steps supported, got {n}")
+
+    ticks = (
+        df.select(
+            F.col(key_col).alias("k"),
+            tick_expr(ts_col, steps).alias("tick"),
+        )
+        .filter(F.col("tick").isNotNull())
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_set("tick")).alias("ticks"))
+    )
+
+    def fold(acc: Column, t: Column) -> Column:
+        step = t % _TICK_BASE
+        p2 = F.when(step == acc[0], acc[0] + 1).otherwise(acc[0])
+        return F.when(
+            p2 == n, F.array(F.lit(0).cast("long"), acc[1] + 1)
+        ).otherwise(F.array(p2, acc[1]))
+
+    init = F.array(F.lit(0).cast("long"), F.lit(0).cast("long"))
+    cnt = F.aggregate("ticks", init, fold, lambda a: a[1])
+    return ticks.select(F.col("k"), cnt.alias("n_matches")).filter(
+        F.col("n_matches") >= 1
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     key_col: str,

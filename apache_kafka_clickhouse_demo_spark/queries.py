@@ -2824,6 +2824,19 @@ def q_passage_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_sequence_count(spark, sf_dir):
+    """sequenceCount('(?1).*(?2).*(?3)') parity: per user, how many
+    non-overlapping view -> click -> purchase chains occur in time order,
+    gaps allowed (operators/funnel.py sequence_count; sequenceMatch of the
+    same pattern is n_matches >= 1)."""
+    steps = [F.col("event_type") == s for s in FUNNEL_STEPS]
+    return (
+        funnel.sequence_count(_t(spark, sf_dir, "events"), "user_id", "ts", steps)
+        .select(F.col("k").alias("user_id"), "n_matches")
+        .orderBy("user_id")
+    )
+
+
 def q_unigram_rarity(spark, sf_dir):
     """Unigram-LM surprisal quality filter (CCNet/Gopher perplexity-filter
     family) over the documents table: per-document reciprocal-frequency
@@ -3014,6 +3027,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8 addition: unigram-LM surprisal quality filter (the corpus-model
     # complement of text_profile's row-local heuristics)
     "unigram_rarity": q_unigram_rarity,
+    # r8 addition: sequenceCount/sequenceMatch parity (non-overlapping
+    # chain counting; the funnel family's gate row is funnel_levels)
+    "sequence_count": q_sequence_count,
 }
 
 
@@ -3775,6 +3791,30 @@ FROM events WHERE ts >= TIMESTAMP '{TTL_CUTOFF}'
 GROUP BY day ORDER BY day
 """,
         "funnel_levels": _funnel_oracle(),
+        # greedy earliest-match fold mirrored with DuckDB's list_reduce
+        # (init element prepended; acc = [pointer, count] BIGINT pair)
+        "sequence_count": f"""
+WITH ev AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) * 8 + CASE event_type WHEN 'view' THEN 0
+                                            WHEN 'click' THEN 1 ELSE 2 END AS tick
+  FROM events WHERE event_type IN ('view','click','purchase')
+), seqs AS (
+  SELECT u, list(tick ORDER BY tick) AS ticks FROM ev GROUP BY u
+), folded AS (
+  SELECT u, list_reduce(
+    list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                 list_transform(ticks, t -> [t % 8, CAST(0 AS BIGINT)])),
+    (acc, x) -> CASE
+        WHEN (CASE WHEN x[1] = acc[1] THEN acc[1] + 1 ELSE acc[1] END) = 3
+        THEN [CAST(0 AS BIGINT), acc[2] + 1]
+        ELSE [CASE WHEN x[1] = acc[1] THEN acc[1] + 1 ELSE acc[1] END, acc[2]]
+      END) AS r
+  FROM seqs
+)
+SELECT u AS user_id, r[2] AS n_matches FROM folded
+WHERE r[2] >= 1 ORDER BY user_id
+""",
         "retention_cohort": _retention_oracle(),
         "top_users_sketch": f"""
 SELECT CAST(user_id AS VARCHAR) AS value,

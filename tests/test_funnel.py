@@ -168,3 +168,64 @@ def test_post_epoch_guard_is_transparent(spark):
         (1, "click", "1970-01-01 00:10:00"),
     ]
     assert _levels(spark, rows) == {1: 2}
+
+
+# ---------------------------------------------------------------------------
+# sequenceCount (operators/funnel.sequence_count)
+# ---------------------------------------------------------------------------
+
+
+def _counts(spark, rows):
+    df = _events(spark, rows)
+    return {
+        r["k"]: r["n_matches"]
+        for r in funnel.sequence_count(df, "u", "ts", _steps()).collect()
+    }
+
+
+def test_sequence_count_non_overlapping_greedy(spark):
+    rows = [
+        # u1: two disjoint complete chains with gaps and noise between
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "other", "2024-01-01 10:01:00"),
+        (1, "click", "2024-01-01 10:02:00"),
+        (1, "view", "2024-01-01 10:03:00"),  # gap event: pointer ignores it
+        (1, "buy", "2024-01-01 10:04:00"),
+        (1, "view", "2024-01-01 11:00:00"),
+        (1, "click", "2024-01-01 11:01:00"),
+        (1, "buy", "2024-01-01 11:02:00"),
+        # u2: steps present but never in order -> absent
+        (2, "buy", "2024-01-01 10:00:00"),
+        (2, "click", "2024-01-01 10:01:00"),
+        (2, "view", "2024-01-01 10:02:00"),
+        # u3: interleaved halves make exactly ONE chain (greedy, no overlap):
+        # view click view buy buy -> first chain consumes view+click+buy;
+        # leftover view (pos 3) has no later click
+        (3, "view", "2024-01-01 10:00:00"),
+        (3, "click", "2024-01-01 10:01:00"),
+        (3, "view", "2024-01-01 10:02:00"),
+        (3, "buy", "2024-01-01 10:03:00"),
+        (3, "buy", "2024-01-01 10:04:00"),
+    ]
+    got = _counts(spark, rows)
+    assert got == {1: 2, 3: 1}
+
+
+def test_sequence_count_no_window_constraint(spark):
+    # unlike window_funnel, chains may span any duration
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-06-01 00:00:00"),
+        (1, "buy", "2024-12-31 00:00:00"),
+    ]
+    assert _counts(spark, rows) == {1: 1}
+
+
+def test_sequence_count_equal_ts_orders_by_step(spark):
+    # equal timestamps chain in step order (the tick encoding's low bits)
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:00:00"),
+        (1, "buy", "2024-01-01 10:00:00"),
+    ]
+    assert _counts(spark, rows) == {1: 1}
