@@ -104,3 +104,43 @@ def test_sq8_planted_duplicate_rank1_and_topk_recall(spark):
         hits += len(approx & exact_sets[qid])
         total += len(exact_sets[qid])
     assert hits / total >= 0.8, f"sq8 recall@10 {hits}/{total}"
+
+
+def test_two_level_assignment_identical_to_one_hop(spark, monkeypatch):
+    """VERDICT r7 #5: the two-level (super-centroid pruned) assignment
+    must make EXACTLY the one-hop decision — same centroid, same
+    tie-break — for every vector, so every downstream oracle hash
+    (ivf_topk, semantic_dedup) is unchanged.  Forced on by dropping the
+    switch to 0; compared against the one-hop path on the same corpus
+    with enough centroids for real multi-cell pruning."""
+    corpus, _q = _fixture(spark)
+    target = 64  # ~64 cells over 408 vectors: several centroids per cell
+
+    cents, assign1 = S.ivf_quantize(
+        corpus, target, "embedding", "vec_id", "ivf:", corpus_count=408
+    )
+    one_hop = {
+        r["vid"]: r["cent_id"] for r in assign1.select("vid", "cent_id").collect()
+    }
+
+    monkeypatch.setattr(S, "_TWO_LEVEL_MIN_CENTROIDS", 0)
+    _c2, assign2 = S.ivf_quantize(
+        corpus, target, "embedding", "vec_id", "ivf:", corpus_count=408
+    )
+    two_level = {
+        r["vid"]: r["cent_id"] for r in assign2.select("vid", "cent_id").collect()
+    }
+    assert two_level == one_hop
+    assert len(one_hop) == 408  # every vector assigned
+
+
+def test_two_level_ivf_topk_results_identical(spark, monkeypatch):
+    """End-to-end: ivf_topk under the forced two-level assignment returns
+    byte-identical rows to the one-hop plan (same cells probed, same
+    rerank, same ranks)."""
+    corpus, queries = _fixture(spark)
+    kw = dict(k=5, dim=DIM, target_centroids=64, nprobe=2, corpus_count=408)
+    want = sorted(map(tuple, S.ivf_topk(corpus, queries, **kw).collect()))
+    monkeypatch.setattr(S, "_TWO_LEVEL_MIN_CENTROIDS", 0)
+    got = sorted(map(tuple, S.ivf_topk(corpus, queries, **kw).collect()))
+    assert got == want

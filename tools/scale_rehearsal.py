@@ -85,6 +85,9 @@ FAMILIES = [
     "semantic_dedup",
     # r8: containment dedup joins the measured set (VERDICT r7 #2)
     "containment_pairs",
+    # r8: ExactSubstr span removal + unigram-rarity scoring
+    "substring_dedup",
+    "unigram_rarity",
 ]
 
 PASSES = 2
@@ -203,9 +206,130 @@ def measure(spark, names: list[str]) -> None:
         print(f"| {name} | {s1:.2f} | {s10:.2f} | {r:.2f}x | {n1} | {n10} |")
 
 
+def measure_stream_store_growth(spark) -> None:
+    """VERDICT r7 #6: the drains' per-block-flat claim, measured against a
+    store pre-seeded with the FULL blow-up corpus (COPIES x the gate
+    fixture) instead of the 16x protocol of r6.  Seeds the minhash store
+    by driving writer.process over the blown-up documents in large
+    blocks + maintain(), then times gate-size (1250-doc, fresh-id) blocks
+    against (a) a small sf0.1-seeded store and (b) the big store, and
+    asserts the big store's pruned band read touches at most one file per
+    shard (the post-maintenance layout contract)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_stream_writer,
+    )
+
+    def fresh_writer(root, tag):
+        return minhash_stream_writer(
+            spark,
+            out_dir=f"{root}/kept_{tag}",
+            store_dir=f"{root}/store_{tag}",
+            band_shards=16,
+            id_shards=8,
+            writer_id=tag,
+        )
+
+    def seed(writer, docs_df, n_blocks, base_id):
+        docs_df = docs_df.select(
+            (F.col("doc_id") + F.lit(base_id)).alias("doc_id"), "text"
+        )
+        hi = docs_df.agg(F.max("doc_id")).first()[0]
+        lo = docs_df.agg(F.min("doc_id")).first()[0] - 1
+        span = (hi - lo) // n_blocks + 1
+        for i in range(n_blocks):
+            blk = docs_df.filter(
+                (F.col("doc_id") > lo + i * span)
+                & (F.col("doc_id") <= lo + (i + 1) * span)
+            )
+            writer.process(blk, i)
+        writer.maintain()
+
+    def probe_blocks(writer, start_batch):
+        """Four gate-size blocks of FRESH synthetic docs; per-block sec."""
+        secs = []
+        for j in range(4):
+            rows = [
+                (10_000_000 + start_batch * 100_000 + j * 5000 + i,
+                 " ".join(f"w{start_batch}b{j}r{i}t{t}" for t in range(40)))
+                for i in range(1250)
+            ]
+            blk = spark.createDataFrame(rows, "doc_id long, text string")
+            t0 = _time.time()
+            writer.process(blk, start_batch + j)
+            secs.append(_time.time() - t0)
+        return secs
+
+    root = tempfile.mkdtemp(prefix="stream_scale_")
+    try:
+        small_docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+        big_docs = spark.read.parquet(f"{SCALE_DIR}/documents.parquet")
+        w_small = fresh_writer(root, "small")
+        seed(w_small, small_docs, 2, 0)
+        w_big = fresh_writer(root, "big")
+        seed(w_big, big_docs, 10, 0)
+        n_small = TransactionalTable(f"{root}/store_small/store").read(spark).count()
+        n_big = TransactionalTable(f"{root}/store_big/store").read(spark).count()
+
+        s_small = probe_blocks(w_small, 100)
+        s_big = probe_blocks(w_big, 100)
+        print(f"store rows: small={n_small} big={n_big} ({n_big/n_small:.0f}x)")
+        print("per-block sec small store:", " ".join(f"{x:.2f}" for x in s_small))
+        print("per-block sec big   store:", " ".join(f"{x:.2f}" for x in s_big))
+        ratio = min(s_big) / min(s_small)
+        print(f"per-block min ratio big/small: {ratio:.2f}x "
+              f"(store grew {n_big/n_small:.0f}x)")
+
+        # files-read assertion: the big store's pruned band read touches at
+        # most one file per band shard (post-maintenance layout)
+        from apache_kafka_clickhouse_demo_spark.sources import txlog as TX
+
+        calls = []
+        orig = TX.TransactionalTable.read_where
+
+        def spy(self, spark_, col, values, version=None):
+            df = orig(self, spark_, col, values, version=version)
+            calls.append((sorted(values), df.inputFiles()))
+            return df
+
+        w_big.maintain()  # back to one file per shard before the assert
+        TX.TransactionalTable.read_where = spy
+        try:
+            w_big.process(
+                spark.createDataFrame(
+                    [(99_000_000 + i, " ".join(f"q{i}t{t}" for t in range(40)))
+                     for i in range(1250)],
+                    "doc_id long, text string",
+                ),
+                999,
+            )
+        finally:
+            TX.TransactionalTable.read_where = orig
+        band_call = next(c for c in calls if all(v.startswith("b") for v in c[0]))
+        shards, files = band_call
+        per_shard: dict = {}
+        for f in files:
+            sh = f.split("shard=")[1].split("/")[0]
+            per_shard[sh] = per_shard.get(sh, 0) + 1
+        print(f"band read touched {len(files)} files over {len(shards)} shards; "
+              f"max files/shard = {max(per_shard.values())}")
+        # post-maintenance + pre-append-pinned read: exactly the compacted
+        # layout, one file per touched band shard
+        assert max(per_shard.values()) == 1, per_shard
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> int:
     args = sys.argv[1:]
     build_only = "--build-only" in args
+    streams = "--streams" in args
     names = [a for a in args if not a.startswith("--")] or FAMILIES
     spark = get_spark(app_name="scale_rehearsal")
     # sentinel written after the LAST build step — checking only the first
@@ -215,7 +339,9 @@ def main() -> int:
         build(spark)
         with open(f"{SCALE_DIR}/_BUILT", "w") as fh:
             fh.write("ok\n")
-    if not build_only:
+    if streams:
+        measure_stream_store_growth(spark)
+    elif not build_only:
         measure(spark, names)
     spark.stop()
     return 0
