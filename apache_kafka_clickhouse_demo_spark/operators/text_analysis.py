@@ -522,6 +522,120 @@ def unigram_rarity(
     )
 
 
+#: hashing-trick feature buckets for the quality classifier (2^12 — small
+#: enough that a TRAINED weight table broadcasts as a few KB at any corpus
+#: scale, large enough that bucket collisions stay rare at this vocabulary)
+QC_BUCKETS = 4096
+#: weights live in integer milli-units in [-QC_WEIGHT_SPAN, QC_WEIGHT_SPAN]
+QC_WEIGHT_SPAN = 1000
+#: keep threshold: mean weight per feature >= tau_millis / 1000
+QC_TAU_MILLIS = 0
+
+
+def _qc_bucket(feat: Column) -> Column:
+    """Feature -> hashing-trick bucket in [0, QC_BUCKETS)."""
+    return H.h48(feat) % QC_BUCKETS
+
+
+def _qc_weight(bucket: Column) -> Column:
+    """Deterministic per-bucket weight in [-QC_WEIGHT_SPAN, QC_WEIGHT_SPAN].
+
+    Stands in for a TRAINED weight vector: this container has no training
+    corpus or fastText binary, so the demo model derives each bucket's
+    weight from a second h48 — the `weights` argument of
+    `quality_classifier` is where a real trained vector plugs in, and the
+    pytest proves the two paths agree when fed the same values.
+    """
+    return (
+        H.h48(F.concat(F.lit("qw:"), bucket.cast("string")))
+        % (2 * QC_WEIGHT_SPAN + 1)
+        - QC_WEIGHT_SPAN
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_millis: int = QC_TAU_MILLIS,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Model-based quality scoring — the fastText-style linear classifier
+    of the DataComp-LM / RefinedWeb curation recipes (a supervised bag of
+    hashed word n-grams), restated in exact integer arithmetic.  Features
+    are unigrams + word bigrams (fastText ``wordNgrams=2``); each feature
+    hashes into one of QC_BUCKETS buckets (the hashing trick, so the model
+    is fixed-size no matter the vocabulary) and contributes that bucket's
+    integer milli-unit weight; a document KEEPs when its mean weight per
+    feature clears ``tau_millis``.  The sigmoid of the real classifier is
+    monotone in this mean, so thresholding the integer mean is equivalent
+    to thresholding the probability — and keeps the aggregate exact and
+    order-independent, the house rule for oracle-exact operators.
+
+    ``weights=None`` uses the deterministic built-in demo model (weight =
+    second h48 of the bucket id); passing a ``(bucket int, weight long)``
+    DataFrame scores with a real trained vector instead.
+
+    Output: (doc_id, n_features, weight_sum, avg_weight, keep), one row
+    per document (NULL text scores as empty text); unordered.
+
+    Plan shape at 100 TB: the default path is FULLY row-local — tokenize,
+    shingle, hash, and sum all run inside one projection, so the operator
+    executes at scan throughput with ZERO exchanges (the ideal curation
+    filter: it composes with any downstream op without a shuffle).  The
+    trained-weights path explodes features and broadcast-joins the
+    bucket->weight table (<= QC_BUCKETS rows, a few KB — broadcastable at
+    any scale) then re-aggregates per doc: one exchange, keyed by doc_id.
+    int64 bounds: |weight| <= 1000, so a doc overflows only past ~9e15
+    features — unreachable.
+    """
+    toks = TX.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    feats = F.concat(toks, TX.word_shingles(toks, 2))
+    # stage the feature array as a real projected column (see _staged_lang:
+    # HOF lambdas sit outside codegen CSE, so an unstaged array would be
+    # recomputed by every reference)
+    staged = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), feats.alias("_feats")
+    )
+    if weights is None:
+        scored = staged.select(
+            "doc_id",
+            F.size("_feats").cast("int").alias("n_features"),
+            F.aggregate(
+                F.col("_feats"),
+                F.lit(0).cast("long"),
+                lambda acc, f: acc + _qc_weight(_qc_bucket(f)),
+            ).alias("weight_sum"),
+        )
+    else:
+        occ = staged.select(
+            "doc_id",
+            F.size("_feats").cast("int").alias("n_features"),
+            F.explode("_feats").alias("_f"),
+        ).withColumn("_bucket", _qc_bucket(F.col("_f")).cast("int"))
+        w = weights.select(
+            F.col("bucket").cast("int").alias("_bucket"),
+            F.col("weight").cast("long").alias("_w"),
+        )
+        scored = (
+            occ.join(F.broadcast(w), "_bucket", "left")
+            .groupBy("doc_id", "n_features")
+            .agg(F.sum(F.coalesce(F.col("_w"), F.lit(0))).alias("weight_sum"))
+            .select("doc_id", "n_features", "weight_sum")
+        )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "weight_sum",
+        F.round(
+            F.col("weight_sum").cast("double") / F.col("n_features"), 4
+        ).alias("avg_weight"),
+        (
+            F.col("weight_sum") * 1000 >= F.lit(int(tau_millis)) * F.col("n_features")
+        ).alias("keep"),
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     window_words: int = 13,

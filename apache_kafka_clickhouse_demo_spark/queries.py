@@ -2860,6 +2860,17 @@ def q_substring_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring over the documents table: DCLM/
+    RefinedWeb-style fastText-analog linear classifier — hashed unigram +
+    bigram features, integer milli-unit weights, keep when the mean
+    weight per feature clears the threshold
+    (text_analysis.quality_classifier; fully row-local, zero exchanges)."""
+    return text_analysis.quality_classifier(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated into the gate in r09 (VERDICT r8 #1: the three r8
     #    operators judge-re-verified locally but never driver-attested).
@@ -3035,6 +3046,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated OUT of the gate in r09 for substring_dedup / unigram_rarity /
     # sequence_count (VERDICT r8 #1); every operator they carried keeps
     # >= 1 green gate row:
+    # r9 addition (gate slots full): fastText-analog quality classifier —
+    # the model-based complement of text_profile's heuristics and
+    # unigram_rarity's corpus statistics (DCLM/RefinedWeb curation recipe)
+    "quality_classifier": q_quality_classifier,
     "winnow_fingerprint": q_winnow_fingerprint,  # window-hash fingerprint family keeps substring_dedup (same h48 rolling-window machinery) + passage_dedup gate rows; density bound pytest-pinned (tests/test_sketches.py); still benched in HEADLINE
     "stream_sample": q_stream_sample,  # streaming-stateful family keeps stream_funnel + both near-dup drain gate rows; reservoir k-slot semantics pytest-pinned (tests/test_streaming_stateful.py) + stream_topk extra oracle-checked; still benched in HEADLINE
     "click_purchase_users": q_click_purchase_users,  # set-ops family gated via user_set_ops (union/intersect/except over the same user sets)
@@ -3852,6 +3867,25 @@ WITH toks AS (
 SELECT doc_id, n_tokens, rarity_mass,
        round(CAST(rarity_mass AS DOUBLE) / n_tokens, 4) AS avg_rarity
 FROM mass ORDER BY doc_id
+""",
+        "quality_classifier": f"""
+WITH base AS (
+  SELECT doc_id, {_sql_toks("coalesce(text, '')")} AS toks FROM documents
+), f AS (
+  SELECT doc_id, list_concat(toks, {TX.sql_word_shingles("toks", 2)}) AS feats
+  FROM base
+), scored AS (
+  SELECT doc_id, CAST(len(feats) AS INTEGER) AS n_features,
+         CAST(coalesce(list_sum(list_transform(feats, x ->
+           {H.sql_h48(f"'qw:' || CAST(({H.sql_h48('x')} % {text_analysis.QC_BUCKETS}) AS VARCHAR)")}
+             % {2 * text_analysis.QC_WEIGHT_SPAN + 1} - {text_analysis.QC_WEIGHT_SPAN}
+         )), 0) AS BIGINT) AS weight_sum
+  FROM f
+)
+SELECT doc_id, n_features, weight_sum,
+       round(CAST(weight_sum AS DOUBLE) / n_features, 4) AS avg_weight,
+       (weight_sum * 1000 >= {text_analysis.QC_TAU_MILLIS} * n_features) AS keep
+FROM scored ORDER BY doc_id
 """,
         "semantic_dedup": _oracle_semantic_dedup(),
         # same answer shape and semantics as the gated batch funnel — the

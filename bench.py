@@ -111,6 +111,30 @@ HEADLINE = [
     "replacing_deletes",
     "type_day_cube",
     "containment_pairs",
+    # added r9 (VERDICT r8 #2): HEADLINE now covers EVERY gate row, so a
+    # regression in any gate query shows in the bench trend.  The three
+    # r9 gate newcomers plus the 15 cheap one-exchange rows that never
+    # had a trend; names stable from r9 on.  (winnow_fingerprint /
+    # stream_sample stay above though rotated out of the gate — trends
+    # continue.)
+    "substring_dedup",
+    "unigram_rarity",
+    "sequence_count",
+    "pii_scrub",
+    "train_test_split",
+    "user_set_ops",
+    "value_percentiles",
+    "daily_big_values_filled",
+    "corpus_curation",
+    "q4_order_priority",
+    "q17_small_quantity_revenue",
+    "customers_no_orders",
+    "sql_busy_days",
+    "user_cumulative_value",
+    "user_event_sequence",
+    "uniq_users_approx",
+    "entry_house_points",
+    "mv_cascade_attendance",
 ]
 
 
@@ -178,6 +202,26 @@ BASELINE_SEC = {
     "replacing_deletes": 1.592,
     "type_day_cube": 0.576,
     "containment_pairs": 3.461,
+    # r9 trend starts (same larger-of-two-record-runs seeding at sf0.1,
+    # idle machine; tools/seed_bench.py output 2026-08-14)
+    "substring_dedup": 1.830,
+    "unigram_rarity": 0.830,
+    "sequence_count": 0.479,
+    "pii_scrub": 0.332,
+    "train_test_split": 0.210,
+    "user_set_ops": 0.432,
+    "value_percentiles": 0.338,
+    "daily_big_values_filled": 0.243,
+    "corpus_curation": 4.405,
+    "q4_order_priority": 0.609,
+    "q17_small_quantity_revenue": 0.417,
+    "customers_no_orders": 0.260,
+    "sql_busy_days": 0.692,
+    "user_cumulative_value": 0.330,
+    "user_event_sequence": 0.381,
+    "uniq_users_approx": 0.291,
+    "entry_house_points": 2.188,
+    "mv_cascade_attendance": 3.209,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
