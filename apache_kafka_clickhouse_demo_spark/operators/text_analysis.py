@@ -538,19 +538,38 @@ def _qc_bucket(feat: Column) -> Column:
 
 
 def _qc_weight(bucket: Column) -> Column:
-    """Deterministic per-bucket weight in [-QC_WEIGHT_SPAN, QC_WEIGHT_SPAN].
-
-    Stands in for a TRAINED weight vector: this container has no training
-    corpus or fastText binary, so the demo model derives each bucket's
-    weight from a second h48 — the `weights` argument of
-    `quality_classifier` is where a real trained vector plugs in, and the
-    pytest proves the two paths agree when fed the same values.
-    """
+    """Deterministic per-bucket weight in [-QC_WEIGHT_SPAN, QC_WEIGHT_SPAN]
+    as a Spark expression (h48 of the bucket id) — the defining formula the
+    oracle mirrors.  The operator itself uses `qc_weight_table()` instead:
+    same md5 math precomputed driver-side over all QC_BUCKETS ids, staged
+    as a constant-folded literal array, which halves the per-feature md5
+    count (one bucket hash instead of bucket + weight hashes)."""
     return (
         H.h48(F.concat(F.lit("qw:"), bucket.cast("string")))
         % (2 * QC_WEIGHT_SPAN + 1)
         - QC_WEIGHT_SPAN
     )
+
+
+def qc_weight_table() -> list[int]:
+    """The demo model's full weight vector, bucket id -> milli-unit weight.
+
+    Stands in for a TRAINED fastText weight vector: this container has no
+    training corpus or fastText binary, so the demo model derives each
+    bucket's weight from a second md5 — computed here in Python with the
+    SAME bit math as `functions.hashing.h48` (first 12 hex chars of md5 as
+    an integer), so the expression form `_qc_weight`, this table, and the
+    DuckDB oracle agree bit-for-bit (pinned by pytest).  A real deployment
+    replaces this with the trained vector via the `weights` argument.
+    """
+    import hashlib
+
+    span = 2 * QC_WEIGHT_SPAN + 1
+    return [
+        int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[:12], 16) % span
+        - QC_WEIGHT_SPAN
+        for b in range(QC_BUCKETS)
+    ]
 
 
 def quality_classifier(
@@ -598,13 +617,18 @@ def quality_classifier(
         F.col(id_col).alias("doc_id"), feats.alias("_feats")
     )
     if weights is None:
+        # all-literal CreateArray: Catalyst's ConstantFolding collapses it
+        # to ONE literal array, so element_at is an O(1) lookup per feature
+        # rather than a per-row 4096-element construction
+        wtab = F.array(*[F.lit(w).cast("long") for w in qc_weight_table()])
         scored = staged.select(
             "doc_id",
             F.size("_feats").cast("int").alias("n_features"),
             F.aggregate(
                 F.col("_feats"),
                 F.lit(0).cast("long"),
-                lambda acc, f: acc + _qc_weight(_qc_bucket(f)),
+                lambda acc, f: acc
+                + F.element_at(wtab, _qc_bucket(f).cast("int") + 1),
             ).alias("weight_sum"),
         )
     else:
