@@ -88,6 +88,8 @@ FAMILIES = [
     # r8: ExactSubstr span removal + unigram-rarity scoring
     "substring_dedup",
     "unigram_rarity",
+    # r9: fastText-analog hashed linear quality classifier
+    "quality_classifier",
 ]
 
 PASSES = 2
@@ -178,10 +180,15 @@ def measure(spark, names: list[str]) -> None:
                 spark.catalog.clearCache()
                 t0 = time.time()
                 df = fn(spark, sf)
-                n = df.count()
+                # noop sink (same action bench.py times): forces EVERY
+                # column of every stage.  count() let Catalyst prune
+                # prunable final projections / eliminate 1:1 left joins —
+                # for row-local operators (quality_classifier) it timed
+                # plan compilation, not work (caught in r9).
+                df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             secs[label] = best
-            out_rows[label] = n
+            out_rows[label] = fn(spark, sf).count()
         big = f"{COPIES}x"
         rows.append(
             (
@@ -226,13 +233,19 @@ def measure_stream_store_growth(spark) -> None:
         minhash_stream_writer,
     )
 
+    # r9 (VERDICT r8 #5): the shard counts are the store's corpus-scale
+    # knob — STREAM_BAND_SHARDS/STREAM_ID_SHARDS rehearse the >= 1k-shard
+    # regime production sizing (shards_for_store) would pick at real scale
+    band_shards = int(os.environ.get("STREAM_BAND_SHARDS", "16"))
+    id_shards = int(os.environ.get("STREAM_ID_SHARDS", "8"))
+
     def fresh_writer(root, tag):
         return minhash_stream_writer(
             spark,
             out_dir=f"{root}/kept_{tag}",
             store_dir=f"{root}/store_{tag}",
-            band_shards=16,
-            id_shards=8,
+            band_shards=band_shards,
+            id_shards=id_shards,
             writer_id=tag,
         )
 
