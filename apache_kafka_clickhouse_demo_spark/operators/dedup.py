@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from apache_kafka_clickhouse_demo_spark.functions import hashing as H
-from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
+from apache_kafka_clickhouse_demo_spark.sources.tables import (
+    is_wide_source,
+    pin_wide,
+    spread_small,
+)
 from apache_kafka_clickhouse_demo_spark.functions import text as TX
 from apache_kafka_clickhouse_demo_spark.functions import vectors as V
 
@@ -122,7 +126,13 @@ def minhash_signatures(
         ]
     )
     sig = F.array(*[F.col(f"_m{k}") for k in range(num_perm)])
-    return base.join(mins, "doc_id").select("doc_id", "shingles", sig.alias("sig"))
+    # pin_wide (r9): `mins` is one row per DOCUMENT — corpus-sized — and
+    # its static estimate shrinks through the aggregate; on a wide source
+    # pin the doc_id shuffle join instead of risking a driver-collect
+    # broadcast (the failure the 100x rehearsal caught on substring_dedup)
+    return base.join(pin_wide(mins, is_wide_source(docs)), "doc_id").select(
+        "doc_id", "shingles", sig.alias("sig")
+    )
 
 
 def band_keys_array(num_perm: int, bands: int) -> Column:
@@ -183,15 +193,19 @@ def minhash_lsh_pairs(
     # The signature table feeds three plan branches (banding + both verify
     # sides); persist so the expensive row-local signature pass runs once.
     # At cluster scale this would be a checkpoint to engine storage instead.
+    wide = is_wide_source(docs)
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     banded = band_key_rows(sigs, num_perm, bands)
 
+    # pin_wide on the self-join + verify sides (r9): every one of these
+    # frames is corpus-sized; their static estimates pass through persists
+    # and aggregates and can land under the broadcast threshold at scale
     cand = (
         banded.alias("a")
         .join(
-            banded.alias("b"),
+            pin_wide(banded, wide).alias("b"),
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.band_key") == F.col("b.band_key"),
@@ -202,7 +216,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = sigs.select("doc_id", "shingles")
+    sh = pin_wide(sigs.select("doc_id", "shingles"), wide)
     verified = (
         cand.join(sh.alias("sa"), cand.id_a == F.col("sa.doc_id"))
         .join(sh.alias("sb"), cand.id_b == F.col("sb.doc_id"))
@@ -285,10 +299,12 @@ def simhash_pairs(
     )
     chunked = sims.select("doc_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
 
+    # pin_wide (r9): the chunk self-join's sides are corpus-sized; on a
+    # wide source pin the shuffle join (the 100x plan broadcast one side)
     pairs = (
         chunked.alias("a")
         .join(
-            chunked.alias("b"),
+            pin_wide(chunked, is_wide_source(docs)).alias("b"),
             on=[
                 F.col("a.chunk_idx") == F.col("b.chunk_idx"),
                 F.col("a.chunk_val") == F.col("b.chunk_val"),
@@ -336,6 +352,11 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
+    # pin_wide on every corpus-derived join side below (r9): occurrence
+    # tables, prefix indexes, sketches, and shingle sets are all
+    # corpus-sized, and their static estimates shrink through aggregates /
+    # persists — the class of misplan the 100x rehearsal caught
+    wide = is_wide_source(docs)
     toks = TX.tokens(text_col)
     # shingle sets feed tokenization AND both verify sides — one pass
     sets = spread_small(docs).select(
@@ -387,7 +408,9 @@ def ngram_jaccard_pairs(
         )
         + 1
     ).cast("int")
-    ranked = tokens.join(freq, "g").withColumn("pos", F.row_number().over(w))
+    ranked = tokens.join(pin_wide(freq, wide), "g").withColumn(
+        "pos", F.row_number().over(w)
+    )
     pref = (
         ranked.filter(F.col("pos") <= prefix_len)
         .select(
@@ -432,7 +455,7 @@ def ngram_jaccard_pairs(
         pref.filter(F.col("in_index"))
         .alias("a")
         .join(
-            pref.alias("b"),
+            pin_wide(pref, wide).alias("b"),
             on=[
                 F.col("a.g") == F.col("b.g"),
                 smaller_first,
@@ -469,18 +492,24 @@ def ngram_jaccard_pairs(
             F.col("b.sz").alias("szb"),
         )
         .join(
-            sk.select(
-                F.col("doc_id").alias("ida"),
-                F.col("vec").alias("va"),
-                F.col("pc").alias("pca"),
+            pin_wide(
+                sk.select(
+                    F.col("doc_id").alias("ida"),
+                    F.col("vec").alias("va"),
+                    F.col("pc").alias("pca"),
+                ),
+                wide,
             ),
             "ida",
         )
         .join(
-            sk.select(
-                F.col("doc_id").alias("idb"),
-                F.col("vec").alias("vb"),
-                F.col("pc").alias("pcb"),
+            pin_wide(
+                sk.select(
+                    F.col("doc_id").alias("idb"),
+                    F.col("vec").alias("vb"),
+                    F.col("pc").alias("pcb"),
+                ),
+                wide,
             ),
             "idb",
         )
@@ -500,8 +529,8 @@ def ngram_jaccard_pairs(
     # cheaper by exactly the dictionary window + encoded-token persist it
     # added — while slowing the 1x run ~60%; see SCALING.md.
     return (
-        cand.join(sets.alias("sa"), cand.id_a == F.col("sa.doc_id"))
-        .join(sets.alias("sb"), cand.id_b == F.col("sb.doc_id"))
+        cand.join(pin_wide(sets, wide).alias("sa"), cand.id_a == F.col("sa.doc_id"))
+        .join(pin_wide(sets, wide).alias("sb"), cand.id_b == F.col("sb.doc_id"))
         .select("id_a", "id_b", jaccard_of("sa.grams", "sb.grams").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
@@ -638,6 +667,10 @@ def containment_pairs(
     """
     from pyspark.sql import Window as W
 
+    # pin_wide on every corpus-derived join side (r9) — same rationale as
+    # ngram_jaccard_pairs: static estimates of these aggregates/persists
+    # are unreliable, and a misplanned broadcast is fatal at corpus scale
+    wide = is_wide_source(docs)
     toks = TX.tokens(text_col)
     sets = spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -657,7 +690,7 @@ def containment_pairs(
     # prefix; the index holds all of B's grams but carries pb for the
     # positional prune (persisted — read by the two self-join sides)
     ranked = (
-        tokens.join(freq, "g")
+        tokens.join(pin_wide(freq, wide), "g")
         .withColumn("pos", F.row_number().over(w))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -679,7 +712,7 @@ def containment_pairs(
     ).alias("ix")
     need = F.ceil(F.lit(threshold) * F.col("pr.sza") - F.lit(_EPS))
     matched = probe.join(
-        index,
+        pin_wide(index, wide),
         on=[
             F.col("pr.g") == F.col("ix.g"),
             F.col("pr.id_a") != F.col("ix.id_b"),
@@ -707,18 +740,24 @@ def containment_pairs(
     cand = (
         matched.select("id_a", "sza", "id_b", "szb")
         .join(
-            sk.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("vec").alias("va"),
-                F.col("pc").alias("pca"),
+            pin_wide(
+                sk.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("vec").alias("va"),
+                    F.col("pc").alias("pca"),
+                ),
+                wide,
             ),
             "id_a",
         )
         .join(
-            sk.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("vec").alias("vb"),
-                F.col("pc").alias("pcb"),
+            pin_wide(
+                sk.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("vec").alias("vb"),
+                    F.col("pc").alias("pcb"),
+                ),
+                wide,
             ),
             "id_b",
         )
@@ -731,8 +770,8 @@ def containment_pairs(
     )
     inter = F.size(F.array_intersect("sa.grams", "sb.grams"))
     return (
-        cand.join(sets.alias("sa"), cand.id_a == F.col("sa.doc_id"))
-        .join(sets.alias("sb"), cand.id_b == F.col("sb.doc_id"))
+        cand.join(pin_wide(sets, wide).alias("sa"), cand.id_a == F.col("sa.doc_id"))
+        .join(pin_wide(sets, wide).alias("sb"), cand.id_b == F.col("sb.doc_id"))
         .select(
             "id_a",
             "id_b",
@@ -860,8 +899,11 @@ def cross_split_contamination(
     ).select("doc_id", "split", H.h48("s").alias("h"))
     against_h = sh.filter(F.col("split") == against_split).select("h").distinct()
     return (
+        # pin_wide (r9): both shingle-hash sides are corpus-sized when the
+        # source is — the "flip to broadcast" note in the docstring is for
+        # a caller whose against-side is KNOWN small, not a static guess
         sh.filter(F.col("split") == report_split)
-        .join(against_h, "h")
+        .join(pin_wide(against_h, is_wide_source(docs)), "h")
         .groupBy("doc_id")
         .agg(F.countDistinct("h").alias("n_shared_shingles"))
         .orderBy("doc_id")

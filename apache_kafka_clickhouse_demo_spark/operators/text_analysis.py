@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
+from apache_kafka_clickhouse_demo_spark.sources.tables import (
+    is_wide_source,
+    pin_wide,
+    spread_small,
+)
 
 from apache_kafka_clickhouse_demo_spark.functions import hashing as H
 from apache_kafka_clickhouse_demo_spark.functions import text as TX
@@ -331,7 +335,9 @@ def tfidf_top_terms(
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     scored = (
-        tf.join(df_, "term")
+        # pin_wide (r9): the document-frequency table is the corpus
+        # vocabulary; see unigram_rarity for the misplan class
+        tf.join(pin_wide(df_, is_wide_source(docs)), "term")
         .crossJoin(F.broadcast(n))
         # DECIMAL(38,0) keeps the product exact at any corpus size —
         # tf * 1e6 * (n_docs+1) overflows int64 around n_docs ~ 1e9 with
@@ -504,7 +510,13 @@ def unigram_rarity(
     total_row = vocab.agg(F.sum("df").alias("_total"))
     contrib = F.floor(F.col("_total").cast("double") / F.col("df")).cast("long")
     out = (
-        occ.join(vocab, "tok")
+        # pin_wide (r9): the vocabulary is corpus-sized, but Catalyst's
+        # static size estimate shrinks through the aggregate and planned a
+        # BROADCAST of it at the 100x rehearsal — the driver-collect this
+        # docstring promises never happens.  Above the source-size bound
+        # the hint pins the hash-to-hash shuffle join (the aggregate's own
+        # token partitioning is reused on that side).
+        occ.join(pin_wide(vocab, is_wide_source(docs)), "tok")
         .crossJoin(F.broadcast(total_row))
         .groupBy("doc_id")
         .agg(
@@ -617,10 +629,11 @@ def quality_classifier(
         F.col(id_col).alias("doc_id"), feats.alias("_feats")
     )
     if weights is None:
-        # all-literal CreateArray: Catalyst's ConstantFolding collapses it
-        # to ONE literal array, so element_at is an O(1) lookup per feature
-        # rather than a per-row 4096-element construction
-        wtab = F.array(*[F.lit(w).cast("long") for w in qc_weight_table()])
+        # one array Literal (NOT CreateArray of 4096 Literal children —
+        # that folded to the same runtime plan but cost ~3 s of driver-side
+        # tree walking per cold plan, measured r9); element_at on it is an
+        # O(1) lookup per feature
+        wtab = F.lit([int(w) for w in qc_weight_table()]).cast("array<long>")
         scored = staged.select(
             "doc_id",
             F.size("_feats").cast("int").alias("n_features"),
@@ -724,8 +737,15 @@ def substring_dedup(
         F.min("occ_key").alias("first_key"),
         F.min_by("wtext", "occ_key").alias("first_text"),
     )
+    wide = is_wide_source(docs)
     dup_starts = (
-        occ.join(firsts, "whash")
+        # pin_wide (r9, caught by the 100x rehearsal): `firsts` has one
+        # row per DISTINCT WINDOW — corpus-sized — but Catalyst's static
+        # estimate shrinks through the aggregate and planned a broadcast
+        # that aborted the driver at 100x (>1 GiB collect).  Same for
+        # `dup_starts` below.  The hints pin spill-safe shuffle joins on
+        # the keys both aggregates are already partitioned by.
+        occ.join(pin_wide(firsts, wide), "whash")
         .filter((F.col("occ_key") != F.col("first_key")) & (F.col("wtext") == F.col("first_text")))
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("wpos")).alias("dups"))
@@ -735,7 +755,7 @@ def substring_dedup(
         toks.alias("_toks"),
         F.size(toks).cast("int").alias("n_tokens"),
     )
-    joined = base.join(dup_starts, "doc_id", "left").withColumn(
+    joined = base.join(pin_wide(dup_starts, wide), "doc_id", "left").withColumn(
         "dups", F.coalesce("dups", F.array().cast("array<int>"))
     )
     # merge sorted window starts into disjoint spans [s, e): extend the
@@ -870,7 +890,12 @@ def chunk_dedup(
         F.min("occ_key").alias("first_key"),
         F.min_by("ctext", "occ_key").alias("first_text"),
     )
-    kept = occ.join(firsts, "chash").filter(
+    # pin_wide (r9, caught by the 100x rehearsal): `firsts` is one row
+    # per DISTINCT PASSAGE — corpus-sized — but the static size estimate
+    # shrinks through the aggregate and Catalyst planned a broadcast of it
+    # at 100x.  The hint pins the spill-safe shuffle join on chash, the
+    # key the aggregate is already partitioned by.
+    kept = occ.join(pin_wide(firsts, is_wide_source(docs)), "chash").filter(
         (F.col("occ_key") == F.col("first_key"))
         | (F.col("ctext") != F.col("first_text"))
     )

@@ -46,7 +46,12 @@ from apache_kafka_clickhouse_demo_spark.operators import (
     text_analysis,
 )
 from apache_kafka_clickhouse_demo_spark.schemas import TESTDATA_TABLES
-from apache_kafka_clickhouse_demo_spark.sources.tables import load_table, register_views
+from apache_kafka_clickhouse_demo_spark.sources.tables import (
+    is_wide_source,
+    load_table,
+    pin_wide,
+    register_views,
+)
 
 # ---------------------------------------------------------------------------
 # Tuning constants (shared by Spark queries and oracle generators)
@@ -1716,6 +1721,7 @@ def q_text_prep(spark, sf_dir):
     stage anywhere.  LEFT join for the term so degenerate (NULL-text) train
     docs keep their single NULL chunk row instead of vanishing."""
     docs = _t(spark, sf_dir, "documents")
+    wide = is_wide_source(docs)  # pin_wide rationale: sources/tables.py
     bucket = H.h48(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
     with_split = docs.withColumn(
         "split",
@@ -1729,7 +1735,7 @@ def q_text_prep(spark, sf_dir):
     ).select("doc_id")
     clean_train = (
         with_split.filter(F.col("split") == "train")
-        .join(contaminated, "doc_id", "left_anti")
+        .join(pin_wide(contaminated, wide), "doc_id", "left_anti")
         .select("doc_id", "text")
     )
     chunks = text_analysis.doc_chunks(
@@ -1741,7 +1747,7 @@ def q_text_prep(spark, sf_dir):
         F.col("score_micro").alias("top_score_micro"),
     )
     return (
-        chunks.join(top1, "doc_id", "left")
+        chunks.join(pin_wide(top1, wide), "doc_id", "left")
         .select(
             "doc_id", "chunk_idx", "chunk_text", "n_tokens",
             "top_term", "top_score_micro",

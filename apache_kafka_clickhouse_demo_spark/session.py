@@ -34,6 +34,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # 64 MB static broadcast threshold: right for genuinely-small
+        # sides (TPC-H dims, bounded sketches; disabling it entirely was
+        # measured 2x on q5 at sf0.1).  Corpus-sized aggregate sides are
+        # individually pinned to shuffle joins with merge hints in the
+        # operators — Catalyst's size-only estimator shrinks them below
+        # ANY threshold, which aborted substring_dedup's 100x rehearsal
+        # on a >1 GiB estimate-based broadcast (r9).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver fixtures store events.ts as TIMESTAMP(NANOS); read as long
         # and convert in sources.tables.load_table

@@ -117,6 +117,47 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+#: Above this many bytes of SOURCE SCAN, corpus-derived join sides are
+#: pinned to shuffle joins (`pin_wide`).  Calibrated by the r9 100x
+#: rehearsal: a 5.9 MB documents scan (10x) still broadcasts its distinct-
+#: window aggregate safely, a 58 MB scan (100x) aborted the driver with a
+#: >1 GiB estimate-based broadcast collect — 16 MB sits under the failing
+#: point with ~3x margin over the largest measured-safe scan.
+WIDE_SOURCE_BYTES = 16 * 1024 * 1024
+
+
+def is_wide_source(df: DataFrame, bound_bytes: int = WIDE_SOURCE_BYTES) -> bool:
+    """True when `df`'s optimized-plan size statistic exceeds the bound.
+
+    For scan-rooted inputs — every operator's entry contract — the
+    statistic is the actual on-disk byte count, the ONE size Catalyst gets
+    right.  Estimates DERIVED from it (through aggregates, joins,
+    explodes) are unreliable in both directions, which is exactly why
+    corpus-sized aggregates slip under any broadcast threshold: the
+    size-only estimator shrinks a distinct-window or vocabulary aggregate
+    below 64 MB while its true materialized size is GBs.  Operators
+    therefore consult the SOURCE and pin their corpus-derived join sides
+    with `pin_wide` when it is large; a small source keeps Catalyst's
+    broadcast plans (measured ~2x faster at test scale).  Unknown size
+    (non-JVM-backed frames) fails toward the scale-safe answer."""
+    try:
+        return (
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            > bound_bytes
+        )
+    except Exception:
+        return True
+
+
+def pin_wide(side: DataFrame, wide: bool) -> DataFrame:
+    """Pin a corpus-derived join side to a spill-safe shuffle join when the
+    operator's source is wide (`wide = is_wide_source(source)`, computed
+    once per operator).  The merge hint survives AQE re-optimization, so
+    the side can never be broadcast off a wrong static estimate; at small
+    scale the un-hinted plan keeps its (measured-faster) broadcasts."""
+    return side.hint("merge") if wide else side
+
+
 def spread_small(df: DataFrame) -> DataFrame:
     """Round-robin repartition a small-but-CPU-heavy input up to the
     session's default parallelism.
