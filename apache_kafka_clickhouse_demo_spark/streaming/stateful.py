@@ -111,6 +111,34 @@ def _pay_type(sigs: DataFrame):
     return sigs.schema["payload"].dataType
 
 
+#: one store-shard directory should stay around this many rows at the
+#: EXPECTED corpus size — small enough that a block's pruned read of one
+#: shard is a bounded scan, large enough that shard-directory count (and
+#: the one-file-per-shard maintenance layout) stays object-store-friendly
+SHARD_TARGET_ROWS = 4_000_000
+
+
+def shards_for_store(expected_rows: int, rows_per_shard: int = SHARD_TARGET_ROWS) -> int:
+    """Shard-count sizing rule (the store's knob for corpus scale): the
+    writers' shard-granular pruning bounds FILES, not rows — one shard
+    directory is the unit a block's pruned read pays for, so its row
+    count must stay bounded as the corpus grows.  Returns the smallest
+    power of two with <= `rows_per_shard` rows per shard at
+    `expected_rows` total (power of two keeps `pmod(xxhash64, n)`
+    uniform), floored at the test-scale default 16 and capped at 2^20
+    directories.
+
+    At 100 TB: ~1e11 docs x 4 band keys = 4e11 band rows -> 131072 band
+    shards of ~3M rows each; ~1e11 payload rows -> 32768 payload shards.
+    Both are directory counts a real object store handles, and every
+    block's pruned read stays O(its own band keys) files of bounded size.
+    """
+    n = 16
+    while n < (1 << 20) and expected_rows > n * rows_per_shard:
+        n <<= 1
+    return n
+
+
 class _NearDupStreamWriter:
     """foreachBatch body shared by `minhash_dedup_stream` and
     `embedding_dedup_stream`: continuous near-duplicate filtering of an
@@ -433,10 +461,21 @@ def minhash_stream_writer(
     compact_every: int | None = None,
     writer_id: str = "",
     out_files: int | None = None,
+    expected_corpus_rows: int | None = None,
 ) -> _NearDupStreamWriter:
     """The MinHash-LSH near-dup stream's foreachBatch writer — exposed so
     tests can drive `writer.process(block, batch_id)` directly (retry
-    idempotence, pruning asserts) without a streaming query around it."""
+    idempotence, pruning asserts) without a streaming query around it.
+
+    `expected_corpus_rows` sizes the store's shard counts for the corpus
+    the stream is expected to accumulate (`shards_for_store`; band side
+    holds `bands` rows per doc, payload side one) — overriding the
+    test-scale `band_shards`/`id_shards` defaults.  Pass it in production;
+    the r9 rehearsal drives the >= 1k-shard regime it produces.
+    """
+    if expected_corpus_rows is not None:
+        band_shards = shards_for_store(expected_corpus_rows * bands)
+        id_shards = shards_for_store(expected_corpus_rows)
     from apache_kafka_clickhouse_demo_spark.operators.dedup import (
         band_keys_array,
         jaccard_of,
@@ -488,6 +527,7 @@ def minhash_dedup_stream(
     id_shards: int = 8,
     compact_every: int | None = None,
     out_files: int | None = None,
+    expected_corpus_rows: int | None = None,
 ):
     """Streaming NEAR-duplicate dedup: continuous MinHash-LSH filtering of
     an unbounded document feed against an accumulating signature store —
@@ -518,6 +558,7 @@ def minhash_dedup_stream(
         threshold=threshold,
         band_shards=band_shards,
         id_shards=id_shards,
+        expected_corpus_rows=expected_corpus_rows,
         compact_every=compact_every,
         writer_id=checkpoint,
         out_files=out_files,
@@ -584,10 +625,16 @@ def embedding_stream_writer(
     compact_every: int | None = None,
     writer_id: str = "",
     out_files: int | None = None,
+    expected_corpus_rows: int | None = None,
 ) -> _NearDupStreamWriter:
     """The embedding near-dup stream's foreachBatch writer — exposed for
     direct `writer.process(block, batch_id)` testing, like
-    `minhash_stream_writer`."""
+    `minhash_stream_writer`.  `expected_corpus_rows` sizes the shard
+    counts for the expected corpus (band side holds `num_tables` rows per
+    vector) — see `shards_for_store`."""
+    if expected_corpus_rows is not None:
+        band_shards = shards_for_store(expected_corpus_rows * num_tables)
+        id_shards = shards_for_store(expected_corpus_rows)
     from apache_kafka_clickhouse_demo_spark.functions import vectors as V
     from apache_kafka_clickhouse_demo_spark.operators.similarity import (
         rp_bucket,
@@ -644,6 +691,7 @@ def embedding_dedup_stream(
     id_shards: int = 8,
     compact_every: int | None = None,
     out_files: int | None = None,
+    expected_corpus_rows: int | None = None,
 ):
     """Streaming embedding near-dup dedup — the cosine sibling of
     `minhash_dedup_stream`: each arriving block is multi-table RP-LSH
@@ -669,6 +717,7 @@ def embedding_dedup_stream(
         seed=seed,
         band_shards=band_shards,
         id_shards=id_shards,
+        expected_corpus_rows=expected_corpus_rows,
         compact_every=compact_every,
         writer_id=checkpoint,
         out_files=out_files,

@@ -1002,3 +1002,61 @@ def test_cas_loser_files_are_reclaimed_immediately(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert on_disk == committed  # no orphaned loser files
+
+
+def test_shards_for_store_sizing_rule():
+    """shards_for_store (VERDICT r8 #5): monotone in expected rows, power
+    of two, floored at the test default 16, capped at 2^20, and hits the
+    documented 100 TB design point (4e11 band rows -> 131072 shards)."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        SHARD_TARGET_ROWS,
+        shards_for_store,
+    )
+
+    assert shards_for_store(0) == 16
+    assert shards_for_store(16 * SHARD_TARGET_ROWS) == 16  # exactly full
+    assert shards_for_store(16 * SHARD_TARGET_ROWS + 1) == 32
+    assert shards_for_store(int(4e11)) == 131072
+    assert shards_for_store(10**18) == 1 << 20  # cap
+    prev = 0
+    for exp in range(6, 15):
+        n = shards_for_store(10**exp)
+        assert n >= prev and (n & (n - 1)) == 0 and 16 <= n <= (1 << 20)
+        prev = n
+        # the rule's invariant: rows per shard bounded (unless capped)
+        if n < (1 << 20):
+            assert 10**exp <= n * SHARD_TARGET_ROWS
+
+
+def test_expected_corpus_rows_sizes_writer_shards(spark, tmp_path):
+    """The stream entry points derive band/id shard counts from the
+    expected corpus: band side carries bands (resp. num_tables) rows per
+    document, payload side one."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        SHARD_TARGET_ROWS,
+        embedding_stream_writer,
+        minhash_stream_writer,
+        shards_for_store,
+    )
+
+    n = 40 * SHARD_TARGET_ROWS  # 160M docs
+    w = minhash_stream_writer(
+        spark,
+        out_dir=str(tmp_path / "o1"),
+        store_dir=str(tmp_path / "s1"),
+        bands=4,
+        expected_corpus_rows=n,
+    )
+    # band side: 640M rows -> 256 shards; payload side: 160M -> 64
+    assert w.band_shards == shards_for_store(4 * n) == 256
+    assert w.id_shards == shards_for_store(n) == 64
+
+    we = embedding_stream_writer(
+        spark,
+        out_dir=str(tmp_path / "o2"),
+        store_dir=str(tmp_path / "s2"),
+        num_tables=8,
+        expected_corpus_rows=n,
+    )
+    assert we.band_shards == shards_for_store(8 * n) == 512
+    assert we.id_shards == 64
