@@ -163,29 +163,33 @@ class _NearDupStreamWriter:
     concurrent readers.  The namespaced shard value keeps `read_where`
     pruning exact per row kind: a band read touches only `shard=b*` dirs
     that collide, a payload read only the candidate `shard=p*` dirs.
-    Per block (append-first, r8 — see `process` for the exact protocol
-    and its retry/exactness arguments; 3 Spark jobs per block):
+    Per block (concurrent append-first, r9 — see `process` for the exact
+    protocol and its retry/exactness arguments):
 
       1. compute the block's (id, payload, bkeys) once — same codegen
          expressions as the batch operators, so the stream makes exactly
-         the batch pair-finder's decisions — and `append_once` its band
-         and payload rows in ONE commit (job 1, which also materializes
-         the persisted block signatures);
-      2. read ONLY the store's colliding band shards at the PRE-APPEND
-         version — the shard names come from the commit's own file list
-         (one small JSON), not a Spark job — (`TransactionalTable.
-         read_where` prunes driver-side off the commit log: O(matching
-         buckets) files, however big the store);
+         the batch pair-finder's decisions — pin the store's pre-append
+         version, and `append_once` the band and payload rows in ONE
+         commit ON A SIDE THREAD (the write job also materializes the
+         persisted block signatures);
+      2. concurrently with that commit: read ONLY the store's colliding
+         band shards AT THE PIN (`TransactionalTable.read_where` prunes
+         driver-side off the commit log: O(matching buckets) files,
+         however big the store — the pinned snapshot makes the side
+         thread's commit invisible to every read in the block);
       3. band-equality candidate join (block vs pruned store + earlier
-         in-block ids; job 2 collects the candidate ids' payload
-         shards), then read ONLY those payload shards, verify exactly
-         (Jaccard / cosine), and `append_once` the survivors (job 3) —
-         both commits keyed by the micro-batch id, so a retried batch
-         re-runs as a no-op instead of duplicating rows (VERDICT r5 #3).
+         in-block ids; one collect for the candidate ids' payload
+         shards), read ONLY those payload shards at the pin, verify
+         exactly (Jaccard / cosine), then BARRIER on the append thread
+         and `append_once` the survivors — both commits keyed by the
+         micro-batch id, so a retried batch re-runs as a no-op instead
+         of duplicating rows (VERDICT r5 #3), and the out commit still
+         strictly follows the store commit.
 
-    The one `.first()` per block collects DISTINCT SHARD IDS — a set
-    bounded by the constant shard count P, never by data size: the same
-    bounded-driver-action class as the IVF memoized count.
+    The two `.first()` per block collect DISTINCT SHARD IDS — sets
+    bounded by the constant shard counts B and P, never by data size: the
+    same bounded-driver-action class as the IVF memoized count.  Both
+    ride inside the append thread's wall.
 
     Scale: per-block work is O(block + colliding buckets), so a stream
     that has already ingested 100 TB pays the same per block as one that
@@ -282,36 +286,36 @@ class _NearDupStreamWriter:
         ).select("id", "payload")
 
     def process(self, block: DataFrame, batch_id: int) -> None:
-        """Per-block pipeline, APPEND-FIRST (r8, VERDICT r7 #4 — measured:
-        each block ran 4 Spark jobs whose walls were dominated by fixed
-        per-job cost, ~3 s/block at gate scale; this runs 3).
+        """Per-block pipeline, CONCURRENT APPEND-FIRST (r9, VERDICT r8 #3;
+        r8's sequential append-first protocol ran 3 Spark jobs back to
+        back and its profile showed the two write jobs carrying ~2/3 of
+        in-block wall — the candidate chain was pure added latency).
 
-        1. Commit the block's band+payload rows to the store FIRST.  The
-           commit's own file list (one small JSON — `commit_files`) then
-           names exactly the band shards the block touched, replacing the
-           collect_set job that previously computed them.  The store
-           write job doubles as the materializer of the persisted block
-           signatures every later step reuses.
-        2. Read the store's colliding band shards AT THE PRE-APPEND
-           VERSION (txlog snapshot read): the view is byte-identical to
-           the old read-then-append ordering, so the files-read pruning
-           contract and the dedup decisions are unchanged.  (Reading the
-           post-append version would ALSO be correct — the block union +
-           distinct absorbs the store's copy of the block's own rows —
-           but would make the pruned read's file set include the block's
-           own commit, weakening the O(colliding buckets of PRIOR data)
-           property the tests pin.)
-        3. Candidate join + payload-shard collect (one job), payload
-           read, verify, anti-join, out commit (one write job).
-
-        Retry semantics are unchanged-or-better: a fully-committed batch
-        (both txns in their logs) now short-circuits to a no-op with ZERO
-        Spark jobs; a batch that crashed between the two commits re-runs
-        with the store append no-opping (txn guard) and the band read
-        falling back to the CURRENT version — over-inclusive only of the
-        block's own rows, which the union+distinct argument above makes
-        harmless — and the out append publishing once.
+        1. Pin the store snapshot: `pin = store.version()` BEFORE the
+           append — on the normal path the same pre-append version the r8
+           protocol read (its `v - 1`), so the files-read pruning
+           contract and every dedup decision are unchanged.
+        2. Commit the block's band+payload rows to the store on a SIDE
+           THREAD while the main thread runs the candidate chain: band-
+           shard collect (bounded: <= band_shards names), pruned band
+           read AT `pin`, candidate join + payload-shard collect.  Both
+           reads are pinned, so nothing the side thread writes is
+           visible to them — the overlap changes wall time, not plans.
+           (The block-shard collect job is back versus r8's commit-file
+           derivation, but it rides entirely inside the append's wall.)
+        3. BARRIER: join the append thread (re-raising its error), THEN
+           payload read at `pin`, verify, anti-join, out commit.  The
+           out commit still strictly follows the store commit, so the
+           crash-window argument is r8's: a batch that dies between the
+           two commits re-runs with the store append no-opping (txn
+           guard) and `pin` now INCLUDING its own earlier rows — over-
+           inclusive only of the block's own rows, which the block
+           union + distinct absorbs — and the out append publishing once.
+           A fully-committed batch short-circuits to a no-op with zero
+           Spark jobs.
         """
+        import threading
+
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn) and self.out.txn_committed(txn):
             return  # fully-committed replay: no-op, no jobs
@@ -347,32 +351,37 @@ class _NearDupStreamWriter:
                 ).alias("shard"),
             )
         )
-        # ONE staged write + ONE commit publishes the block's bands and
-        # payloads atomically (no bands-without-payloads window)
-        v = self.store.append_once(
-            store_rows.repartition(F.col("shard")),
-            txn=txn,
-            partition_by="shard",
-        )
-        if v is not None:
-            # normal path: the commit names the block's touched shards —
-            # bounded driver work (one JSON), no Spark job
-            files = self.store.commit_files(v) or []
-            block_shards = sorted(
-                {
-                    f.split("shard=", 1)[1].split(os.sep, 1)[0]
-                    for f in files
-                    if "shard=b" in f
-                }
-            )
-            pin = v - 1  # pre-append snapshot: the block's own rows excluded
-        else:
-            # store-committed retry (crash between the two commits): the
-            # commit JSON may be checkpoint-folded, so fall back to the
-            # collect_set job at CURRENT version — own rows included,
-            # harmless per the docstring's union+distinct argument
-            block_shards = (banded_b.agg(F.collect_set("shard")).first()[0]) or []
-            pin = None
+        # Pin BEFORE the append (docstring step 1).  Normal path: equal to
+        # the r8 protocol's `v - 1`, own rows excluded.  Store-committed
+        # retry: version() already includes the earlier attempt's rows —
+        # own rows included, harmless per the union+distinct argument.
+        pin = self.store.version()
+
+        # Store commit on a side thread (docstring step 2).  ONE staged
+        # write + ONE commit publishes the block's bands and payloads
+        # atomically (no bands-without-payloads window); the write job
+        # also materializes the persisted block signatures the candidate
+        # chain reuses (the cache's per-partition locks serialize the
+        # overlap safely).
+        append_exc: list[BaseException] = []
+
+        def _append() -> None:
+            try:
+                self.store.append_once(
+                    store_rows.repartition(F.col("shard")),
+                    txn=txn,
+                    partition_by="shard",
+                )
+            except BaseException as e:  # re-raised after join()
+                append_exc.append(e)
+
+        appender = threading.Thread(target=_append, daemon=True)
+        appender.start()
+
+        # bounded driver action: <= band_shards distinct names.  Runs
+        # inside the append's wall, and against the PINNED snapshot, so
+        # the side thread's commit is invisible to it by construction.
+        block_shards = (banded_b.agg(F.collect_set("shard")).first()[0]) or []
         try:
             store_bands = self.store.read_where(
                 self.spark, "shard", block_shards, version=pin
@@ -396,12 +405,11 @@ class _NearDupStreamWriter:
             .persist()
         )
 
-        # bounded driver action: ≤ id_shards distinct shard names — the
-        # ONE collect job the normal path still runs.  It cannot derive
-        # from the commit: the payload shards to read are those of
-        # CANDIDATE ids, which only exist after the band-pruned store
-        # read.  It is not pure overhead either — it is the job that
-        # materializes the persisted candidate join `dropped` reuses.
+        # bounded driver action: ≤ id_shards distinct shard names.  The
+        # payload shards to read are those of CANDIDATE ids, which only
+        # exist after the band-pruned store read; this collect is also the
+        # job that materializes the persisted candidate join `dropped`
+        # reuses, and it typically still overlaps the append thread.
         cand_shards = (
             cand.agg(
                 F.collect_set(
@@ -439,6 +447,13 @@ class _NearDupStreamWriter:
         out_df = (
             survivors if self.out_files is None else survivors.coalesce(self.out_files)
         )
+        # BARRIER (docstring step 3): the out commit must strictly follow
+        # the store commit — join the appender and surface its failure
+        # BEFORE publishing survivors, else a failed store append could
+        # leave survivors whose suppressing rows never landed.
+        appender.join()
+        if append_exc:
+            raise append_exc[0]
         self.out.append_once(out_df, txn=txn)
         cand.unpersist()
         sigs_b.unpersist()
