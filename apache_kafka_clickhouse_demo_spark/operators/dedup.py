@@ -35,6 +35,8 @@ spilled blocks accumulate for its lifetime.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -904,6 +906,122 @@ def cross_split_contamination(
         # a caller whose against-side is KNOWN small, not a static guess
         sh.filter(F.col("split") == report_split)
         .join(pin_wide(against_h, is_wide_source(docs)), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+#: Bloom filter defaults: 2^23 bits (1 MiB broadcast) at k=4 probes gives
+#: ~2.4% false-positive rate at 1M distinct test grams — FPs cost only a
+#: little extra exact-verify work, never correctness
+BLOOM_BITS = 1 << 23
+BLOOM_PROBES = 4
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    shingle_n: int = 13,
+    text_col: str = "text",
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    report_split: str = "train",
+    against_split: str = "test",
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_PROBES,
+) -> DataFrame:
+    """`cross_split_contamination` through a Bloom-filter prefilter — the
+    DCLM/Dolma-style decontamination pass shaped for the corpus-scale
+    asymmetry: the TEST/eval side is small and fixed, the TRAIN side is
+    the whole 100 TB corpus.  The direct equi-join shuffles EVERY train
+    gram; here the test side's distinct gram hashes are folded into a
+    fixed-size Bloom bitmap (`m_bits` bits as m/64 longs — a table whose
+    size is set by CONSTRUCTION, never by data), the bitmap words are
+    broadcast, and every train gram probes them row-locally in codegen.
+    Only the hits — true contaminated grams plus the filter's small FP
+    rate — enter the exact hash equi-join, so the train-side shuffle
+    shrinks from O(corpus grams) to O(contamination).
+
+    EXACT by two-phase construction: a Bloom filter has no false
+    negatives (every true shared gram hits all k probes), and every hit
+    is confirmed by the same exact h48 equi-join the direct operator
+    runs — false positives die there, costing only work.  Output is
+    byte-identical to `cross_split_contamination` (same oracle SQL):
+    (doc_id, n_shared_shingles) over the report side.
+
+    Plan shape at 100 TB: test grams fold with one groupBy(word_idx)
+    bit_or — at most m/64 rows out; the word table broadcasts (explicit,
+    bounded: 1 MiB at the default m); train probes are a row-local
+    broadcast-hash join + k element_at/bit tests in whole-stage codegen;
+    the surviving hits shuffle into the exact join.  Size `m_bits` at
+    ~10 bits per expected distinct test gram; undersizing only raises the
+    FP rate (more exact-verify work), never changes the answer.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    sh = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(split_col).alias("split"),
+        F.explode(
+            F.array_distinct(TX.word_shingles(TX.tokens(text_col), shingle_n))
+        ).alias("s"),
+    ).select("doc_id", "split", H.h48("s").alias("h"))
+    against_h = sh.filter(F.col("split") == against_split).select("h").distinct()
+
+    # probe positions: k independent 64-bit rehashes of the 48-bit gram
+    # hash (JVM-side only — the filter is invisible in the output, so the
+    # oracle never mirrors it).  SQL-expr form because the PySpark
+    # `shiftleft` wrapper only takes a literal shift amount.
+    def word_idx(i: int) -> Column:
+        return F.expr(f"cast(pmod(xxhash64(h, {i}), {m_bits}) div 64 as int)")
+
+    def bit(i: int) -> Column:
+        return F.expr(
+            f"shiftleft(cast(1 as bigint),"
+            f" cast(pmod(xxhash64(h, {i}), {m_bits}) % 64 as int))"
+        )
+
+    # fold the test grams into bitmap words: one shuffle keyed by word
+    # index (<= m/64 distinct keys), map-side combinable bit_or
+    words = (
+        against_h.select(
+            F.explode(
+                F.array(*[
+                    F.struct(word_idx(i).alias("word_idx"), bit(i).alias("bit"))
+                    for i in range(k)
+                ])
+            ).alias("p")
+        )
+        .select("p.word_idx", "p.bit")
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+    # row-local probe: LEFT broadcast join per probe word; a train gram is
+    # a bloom hit iff EVERY probe bit is set.  k joins against the same
+    # <= m/64-row broadcast table keep the whole check inside one codegen
+    # stage — no train-side exchange before the hit filter.
+    train = sh.filter(F.col("split") == report_split)
+    hit_cond = []
+    for i in range(k):
+        w = words.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_wd{i}")
+        )
+        train = train.join(
+            F.broadcast(w), word_idx(i) == F.col(f"_wi{i}"), "left"
+        )
+        hit_cond.append(
+            F.coalesce(
+                F.col(f"_wd{i}").bitwiseAND(bit(i)) != 0, F.lit(False)
+            )
+        )
+    hits = train.filter(reduce(lambda a, b: a & b, hit_cond)).select(
+        "doc_id", "h"
+    )
+
+    # exact confirm — identical decision rule to cross_split_contamination
+    return (
+        hits.join(pin_wide(against_h, is_wide_source(docs)), "h")
         .groupBy("doc_id")
         .agg(F.countDistinct("h").alias("n_shared_shingles"))
         .orderBy("doc_id")

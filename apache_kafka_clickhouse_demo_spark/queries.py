@@ -1696,6 +1696,28 @@ def q_decontaminate_split(spark, sf_dir):
     return dedup.cross_split_contamination(with_split, shingle_n=DECON_SHINGLE_N)
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Corpus-prep decontamination through the Bloom prefilter
+    (dedup.bloom_decontaminate): TRAIN docs sharing a 13-gram with any
+    TEST doc, found by probing a broadcast fixed-size Bloom bitmap of the
+    test grams row-locally and exact-verifying only the hits — the
+    100 TB shape of decontaminate_split's direct equi-join (which
+    shuffles every train gram).  Exact by two-phase construction; the
+    oracle is the direct join SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = H.h48(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    with_split = docs.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train")).otherwise(F.lit("test")),
+    )
+    return dedup.bloom_decontaminate(
+        with_split,
+        shingle_n=DECON_SHINGLE_N,
+        report_split="train",
+        against_split="test",
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 characteristic terms, exact-integer TF-IDF."""
     return text_analysis.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3).orderBy(
@@ -2988,6 +3010,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,  # r03 addition; gate slots were full
     "repetition_stats": q_repetition_stats,  # r03 addition; gate slots were full
     "decontaminate_split": q_decontaminate_split,  # r03 addition; gate slots were full
+    "bloom_decontaminate": q_bloom_decontaminate,  # r9: Bloom-prefilter corpus-prep direction (DCLM/Dolma recipe), exact via two-phase verify
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
     "sample_stratified": q_sample_stratified,  # r06 addition; gate slots full
@@ -4656,6 +4679,28 @@ WITH base AS (
 SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shared_shingles
 FROM shingled JOIN tr USING (h)
 WHERE split = 'test'
+GROUP BY doc_id ORDER BY doc_id
+""",
+        # the Bloom prefilter is invisible in the output (no false
+        # negatives; hits exact-verified), so the oracle is the DIRECT
+        # join with the report/against roles of the corpus-prep direction
+        "bloom_decontaminate": f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN ({H.sql_h48(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} % 100)
+                   < {SPLIT_TRAIN_PCT}
+              THEN 'train' ELSE 'test' END AS split,
+         list_distinct({TX.sql_word_shingles(_sql_toks(), DECON_SHINGLE_N)}) AS sh
+  FROM documents
+), shingled AS (
+  SELECT doc_id, split, {H.sql_h48('s.s')} AS h
+  FROM base, UNNEST(sh) AS s(s)
+), te AS (
+  SELECT DISTINCT h FROM shingled WHERE split = 'test'
+)
+SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shared_shingles
+FROM shingled JOIN te USING (h)
+WHERE split = 'train'
 GROUP BY doc_id ORDER BY doc_id
 """,
         "tfidf_top_terms": f"""

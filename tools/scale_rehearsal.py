@@ -88,8 +88,10 @@ FAMILIES = [
     # r8: ExactSubstr span removal + unigram-rarity scoring
     "substring_dedup",
     "unigram_rarity",
-    # r9: fastText-analog hashed linear quality classifier
+    # r9: fastText-analog hashed linear quality classifier + Bloom-filter
+    # corpus-prep decontamination
     "quality_classifier",
+    "bloom_decontaminate",
 ]
 
 PASSES = 2
