@@ -135,6 +135,10 @@ HEADLINE = [
     "uniq_users_approx",
     "entry_house_points",
     "mv_cascade_attendance",
+    # added late-r9: the two new operator families (extras — gate full),
+    # benched so their trends start with their birth round
+    "quality_classifier",
+    "bloom_decontaminate",
 ]
 
 
@@ -222,6 +226,9 @@ BASELINE_SEC = {
     "uniq_users_approx": 0.291,
     "entry_house_points": 2.188,
     "mv_cascade_attendance": 3.209,
+    # r9 seeds (tools/seed_bench.py, idle machine, sf0.1)
+    "quality_classifier": 3.018,
+    "bloom_decontaminate": 2.028,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

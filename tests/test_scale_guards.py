@@ -80,8 +80,22 @@ def test_pin_wide_is_identity_when_small(spark, sf_dir):
         lambda d: text_analysis.unigram_rarity(d),
         lambda d: text_analysis.tfidf_top_terms(d, k=1),
         lambda d: dedup.minhash_signatures(d),
+        lambda d: dedup.minhash_lsh_pairs(d),
+        lambda d: dedup.simhash_pairs(d),
+        lambda d: dedup.ngram_jaccard_pairs(d),
+        lambda d: dedup.containment_pairs(d),
     ],
-    ids=["substring", "chunk", "rarity", "tfidf", "minhash_sigs"],
+    ids=[
+        "substring",
+        "chunk",
+        "rarity",
+        "tfidf",
+        "minhash_sigs",
+        "minhash_pairs",
+        "simhash_pairs",
+        "ngram_pairs",
+        "containment",
+    ],
 )
 def test_wide_source_plans_have_no_broadcast_joins(wide_docs, op):
     """Above the bound every corpus-derived join side is pinned: zero
