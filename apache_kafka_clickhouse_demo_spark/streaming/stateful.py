@@ -378,64 +378,73 @@ class _NearDupStreamWriter:
         appender = threading.Thread(target=_append, daemon=True)
         appender.start()
 
-        # bounded driver action: <= band_shards distinct names.  Runs
-        # inside the append's wall, and against the PINNED snapshot, so
-        # the side thread's commit is invisible to it by construction.
-        block_shards = (banded_b.agg(F.collect_set("shard")).first()[0]) or []
+        # The candidate chain runs under try/finally on the appender join:
+        # if it raises, the batch must not fail (and get retried by
+        # foreachBatch) while the orphaned append thread is still running —
+        # append_once's idempotence contract requires retries of one txn to
+        # be SEQUENTIAL.
         try:
-            store_bands = self.store.read_where(
-                self.spark, "shard", block_shards, version=pin
-            )
-        except FileNotFoundError:  # no commits below the pin — first block
-            store_bands = banded_b.limit(0)
-        earlier_bands = store_bands.select("id", "bkey").unionByName(
-            banded_b.select("id", "bkey")
-        )
-        cand = (
-            banded_b.alias("b")
-            .join(
-                earlier_bands.alias("a"),
-                on=[
-                    F.col("a.bkey") == F.col("b.bkey"),
-                    F.col("a.id") < F.col("b.id"),
-                ],
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
-            .persist()
-        )
-
-        # bounded driver action: ≤ id_shards distinct shard names.  The
-        # payload shards to read are those of CANDIDATE ids, which only
-        # exist after the band-pruned store read; this collect is also the
-        # job that materializes the persisted candidate join `dropped`
-        # reuses, and it typically still overlaps the append thread.
-        cand_shards = (
-            cand.agg(
-                F.collect_set(
-                    F.concat(F.lit("p"), self._shard("id_a", self.id_shards))
+            # bounded driver action: <= band_shards distinct names.  Runs
+            # inside the append's wall, and against the PINNED snapshot,
+            # so the side thread's commit is invisible to it.
+            block_shards = (banded_b.agg(F.collect_set("shard")).first()[0]) or []
+            try:
+                store_bands = self.store.read_where(
+                    self.spark, "shard", block_shards, version=pin
                 )
-            ).first()[0]
-        ) or []
-        try:
-            store_pay = self.store.read_where(
-                self.spark, "shard", cand_shards, version=pin
-            ).select("id", "payload")
-        except FileNotFoundError:
-            store_pay = sigs_b.select("id", "payload").limit(0)
-        earlier_pay = store_pay.unionByName(sigs_b.select("id", "payload"))
-
-        dropped = (
-            cand.join(earlier_pay.alias("pa"), cand.id_a == F.col("pa.id"))
-            .join(
-                sigs_b.select("id", "payload").alias("pb"),
-                cand.id_b == F.col("pb.id"),
+            except FileNotFoundError:  # no commits below the pin — first block
+                store_bands = banded_b.limit(0)
+            earlier_bands = store_bands.select("id", "bkey").unionByName(
+                banded_b.select("id", "bkey")
             )
-            .filter(self.verify("pa.payload", "pb.payload"))
-            .select(F.col("id_b").alias(self.id_col))
-            .distinct()
-        )
-        survivors = block.join(dropped, self.id_col, "left_anti")
+            cand = (
+                banded_b.alias("b")
+                .join(
+                    earlier_bands.alias("a"),
+                    on=[
+                        F.col("a.bkey") == F.col("b.bkey"),
+                        F.col("a.id") < F.col("b.id"),
+                    ],
+                )
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                .distinct()
+                .persist()
+            )
+
+            # bounded driver action: ≤ id_shards distinct shard names.
+            # The payload shards to read are those of CANDIDATE ids, which
+            # only exist after the band-pruned store read; this collect is
+            # also the job that materializes the persisted candidate join
+            # `dropped` reuses, and it typically still overlaps the
+            # append thread.
+            cand_shards = (
+                cand.agg(
+                    F.collect_set(
+                        F.concat(F.lit("p"), self._shard("id_a", self.id_shards))
+                    )
+                ).first()[0]
+            ) or []
+            try:
+                store_pay = self.store.read_where(
+                    self.spark, "shard", cand_shards, version=pin
+                ).select("id", "payload")
+            except FileNotFoundError:
+                store_pay = sigs_b.select("id", "payload").limit(0)
+            earlier_pay = store_pay.unionByName(sigs_b.select("id", "payload"))
+
+            dropped = (
+                cand.join(earlier_pay.alias("pa"), cand.id_a == F.col("pa.id"))
+                .join(
+                    sigs_b.select("id", "payload").alias("pb"),
+                    cand.id_b == F.col("pb.id"),
+                )
+                .filter(self.verify("pa.payload", "pb.payload"))
+                .select(F.col("id_b").alias(self.id_col))
+                .distinct()
+            )
+            survivors = block.join(dropped, self.id_col, "left_anti")
+        finally:
+            appender.join()
 
         # survivors inherit the block's task layout — for a micro-batch
         # that is N mostly-tiny files per commit.  `out_files` coalesces
@@ -447,11 +456,10 @@ class _NearDupStreamWriter:
         out_df = (
             survivors if self.out_files is None else survivors.coalesce(self.out_files)
         )
-        # BARRIER (docstring step 3): the out commit must strictly follow
-        # the store commit — join the appender and surface its failure
-        # BEFORE publishing survivors, else a failed store append could
-        # leave survivors whose suppressing rows never landed.
-        appender.join()
+        # BARRIER (docstring step 3): the appender is joined by the
+        # finally above; surface its failure BEFORE publishing survivors,
+        # else a failed store append could leave survivors whose
+        # suppressing rows never landed.
         if append_exc:
             raise append_exc[0]
         self.out.append_once(out_df, txn=txn)
