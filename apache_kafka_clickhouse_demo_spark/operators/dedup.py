@@ -818,6 +818,9 @@ def embedding_near_dup_pairs(
         rp_hyperplanes,
     )
 
+    # pin_wide on the bucket self-join + verify sides (r9): all three
+    # frames are corpus-sized; see sources/tables.py for the misplan class
+    wide = is_wide_source(emb)
     # pre-normalize once (behind the persist): every pairwise verify is then
     # a single dot product instead of dot + two norms
     vecs = spread_small(emb).select(
@@ -839,7 +842,7 @@ def embedding_near_dup_pairs(
     cand = (
         tabled.alias("a")
         .join(
-            tabled.alias("b"),
+            pin_wide(tabled, wide).alias("b"),
             on=[
                 F.col("a.tbl") == F.col("b.tbl"),
                 F.col("a.bucket") == F.col("b.bucket"),
@@ -851,8 +854,8 @@ def embedding_near_dup_pairs(
     )
 
     return (
-        cand.join(vecs.alias("va"), cand.id_a == F.col("va.vid"))
-        .join(vecs.alias("vb"), cand.id_b == F.col("vb.vid"))
+        cand.join(pin_wide(vecs, wide).alias("va"), cand.id_a == F.col("va.vid"))
+        .join(pin_wide(vecs, wide).alias("vb"), cand.id_b == F.col("vb.vid"))
         .select("id_a", "id_b", V.dot("va.nv", "vb.nv").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")

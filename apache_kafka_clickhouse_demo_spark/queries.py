@@ -1425,11 +1425,12 @@ def q_corpus_curation(spark, sf_dir):
         .select("doc_id")
     )
     bucket = H.h48(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+    wide = is_wide_source(docs)  # per-doc sides are corpus-sized; pin_wide
     return (
         docs.select("doc_id")
-        .join(canon, "doc_id")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
+        .join(pin_wide(canon, wide), "doc_id")
+        .join(pin_wide(lang, wide), "doc_id")
+        .join(pin_wide(qual, wide), "doc_id")
         .filter((F.col("pred_lang") == "en") & (F.col("quality") >= CURATION_MIN_QUALITY))
         .select(
             "doc_id",
