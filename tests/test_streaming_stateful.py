@@ -1060,3 +1060,63 @@ def test_expected_corpus_rows_sizes_writer_shards(spark, tmp_path):
     )
     assert we.band_shards == shards_for_store(8 * n) == 512
     assert we.id_shards == 64
+
+
+def test_candidate_chain_failure_joins_appender_and_retry_is_clean(
+    spark, tmp_path, monkeypatch
+):
+    """r9 concurrent protocol: when the candidate chain fails mid-block,
+    process() must JOIN the side append thread before the failure
+    propagates (append_once retries of one txn must be sequential), and
+    the foreachBatch retry of the same batch must produce the same final
+    state a crash-free run would — no duplicate store commits for the
+    txn, correct survivors."""
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TX
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_stream_writer,
+    )
+
+    writer = minhash_stream_writer(
+        spark,
+        out_dir=str(tmp_path / "kept"),
+        store_dir=str(tmp_path / "store"),
+        threshold=0.5,
+    )
+    texts = _distinct_texts(5, "seed")
+    writer.process(_docs_df(spark, list(enumerate(texts))), 0)
+
+    # fail the batch AFTER the append thread has started: the band-pruned
+    # store read raises once, simulating a transient executor/read error
+    orig = TX.TransactionalTable.read_where
+    calls = {"n": 0}
+
+    def flaky(self, spark_, col, values, version=None):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected transient read failure")
+        return orig(self, spark_, col, values, version=version)
+
+    monkeypatch.setattr(TX.TransactionalTable, "read_where", flaky)
+    block = _docs_df(spark, [(50, texts[0] + " tail"), (51, "all novel terms")])
+    with pytest.raises(RuntimeError, match="injected"):
+        writer.process(block, 1)
+    monkeypatch.setattr(TX.TransactionalTable, "read_where", orig)
+
+    store = TransactionalTable(str(tmp_path / "store" / "store"))
+    # the failed attempt's append thread was joined before the raise, so
+    # its commit (if any) is fully published — never in-flight here
+    v_failed = store.version()
+
+    # the retry (same batch id) must no-op the store append and publish
+    # the out exactly once, with the same decisions
+    writer.process(block, 1)
+    assert store.version() == v_failed  # no second commit for the txn
+    txns = [
+        t for t in store.committed_txns() if t.endswith(":1")
+    ]
+    assert len(txns) == 1
+
+    out = TransactionalTable(str(tmp_path / "kept"))
+    kept = sorted(r["doc_id"] for r in out.read(spark).collect())
+    assert 51 in kept and 50 not in kept
