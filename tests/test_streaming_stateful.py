@@ -1120,3 +1120,59 @@ def test_candidate_chain_failure_joins_appender_and_retry_is_clean(
     out = TransactionalTable(str(tmp_path / "kept"))
     kept = sorted(r["doc_id"] for r in out.read(spark).collect())
     assert 51 in kept and 50 not in kept
+
+
+def test_concurrent_writer_stale_pin_keeps_then_next_block_suppresses(
+    spark, tmp_path, monkeypatch
+):
+    """r9 pin semantics with TWO writers sharing one store: a block whose
+    pin predates a concurrent writer's commit must still run cleanly —
+    it simply cannot consult rows it never saw, so an unseen near-dup is
+    KEPT (the fail-safe direction) — while the writer's NEXT block, whose
+    fresh pin covers everything, suppresses a further copy."""
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TX
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        minhash_stream_writer,
+    )
+
+    def writer(tag):
+        return minhash_stream_writer(
+            spark,
+            out_dir=str(tmp_path / f"kept_{tag}"),
+            store_dir=str(tmp_path / "store"),  # SHARED store
+            threshold=0.5,
+            writer_id=tag,
+        )
+
+    w_a, w_b = writer("A"), writer("B")
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    w_a.process(_docs_df(spark, [(1, base)]), 0)
+    v_with_a = TransactionalTable(str(tmp_path / "store" / "store")).version()
+
+    # B's pin is STALE: version() reports the pre-A state, as if A's
+    # commit landed between B's pin capture and its band read
+    orig_version = TX.TransactionalTable.version
+
+    def stale(self):
+        v = orig_version(self)
+        return -1 if v == v_with_a and "store" in self.path else v
+
+    monkeypatch.setattr(TX.TransactionalTable, "version", stale)
+    w_b.process(_docs_df(spark, [(10, base + " extra")]), 0)
+    monkeypatch.setattr(TX.TransactionalTable, "version", orig_version)
+
+    kept_b = sorted(
+        r["doc_id"]
+        for r in TransactionalTable(str(tmp_path / "kept_B")).read(spark).collect()
+    )
+    assert kept_b == [10]  # unseen concurrent near-dup: kept, not dropped
+
+    # next block, fresh pin: sees A's doc 1 AND B's doc 10 — a further
+    # copy is suppressed against the shared store
+    w_b.process(_docs_df(spark, [(20, base + " tail")]), 1)
+    kept_b2 = sorted(
+        r["doc_id"]
+        for r in TransactionalTable(str(tmp_path / "kept_B")).read(spark).collect()
+    )
+    assert kept_b2 == [10]  # 20 dropped
