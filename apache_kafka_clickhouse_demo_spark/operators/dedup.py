@@ -960,8 +960,13 @@ def bloom_decontaminate(
     ~10 bits per expected distinct test gram; undersizing only raises the
     FP rate (more exact-verify work), never changes the answer.
     """
-    if m_bits % 64 != 0:
-        raise ValueError("m_bits must be a multiple of 64")
+    if m_bits <= 0 or m_bits % 64 != 0:
+        # m_bits=0 would make every pmod(x, 0) probe NULL — silent false
+        # negatives (empty output), the one failure a Bloom prefilter must
+        # never have.  Reject instead of mis-filtering.
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     sh = spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
         F.col(split_col).alias("split"),

@@ -294,7 +294,13 @@ class _NearDupStreamWriter:
         1. Pin the store snapshot: `pin = store.version()` BEFORE the
            append — on the normal path the same pre-append version the r8
            protocol read (its `v - 1`), so the files-read pruning
-           contract and every dedup decision are unchanged.
+           contract and every dedup decision are unchanged.  Multi-writer
+           note: a CONCURRENT writer's commit landing between this pin and
+           our own append is invisible to this block's candidate reads, so
+           cross-writer suppression is best-effort within one block
+           (fail-safe direction — a near-dup is KEPT, never wrongly
+           dropped) and converges on the next block's fresh pin, which
+           does see the other writer's rows.
         2. Commit the block's band+payload rows to the store on a SIDE
            THREAD while the main thread runs the candidate chain: band-
            shard collect (bounded: <= band_shards names), pruned band
@@ -314,13 +320,32 @@ class _NearDupStreamWriter:
            A fully-committed batch short-circuits to a no-op with zero
            Spark jobs.
         """
-        import threading
-
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn) and self.out.txn_committed(txn):
             return  # fully-committed replay: no-op, no jobs
 
         sigs_b = self.prepare(block).persist()
+        # cand is persisted mid-chain (stashed on self._cand_scratch);
+        # unpersist BOTH in the outer finally so an append failure or
+        # candidate-chain raise doesn't leak cached blocks into the retry
+        # (which re-persists fresh copies).
+        self._cand_scratch = None
+        try:
+            self._process_inner(block, batch_id, txn, sigs_b)
+        finally:
+            cand = getattr(self, "_cand_scratch", None)
+            if cand is not None:
+                cand.unpersist()
+                self._cand_scratch = None
+            sigs_b.unpersist()
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            self.maintain()
+
+    def _process_inner(
+        self, block: DataFrame, batch_id: int, txn: str, sigs_b: DataFrame
+    ) -> None:
+        import threading
+
         banded_b = sigs_b.select(
             "id", F.explode("bkeys").alias("bkey")
         ).withColumn(
@@ -410,6 +435,7 @@ class _NearDupStreamWriter:
                 .distinct()
                 .persist()
             )
+            self._cand_scratch = cand
 
             # bounded driver action: ≤ id_shards distinct shard names.
             # The payload shards to read are those of CANDIDATE ids, which
@@ -463,10 +489,6 @@ class _NearDupStreamWriter:
         if append_exc:
             raise append_exc[0]
         self.out.append_once(out_df, txn=txn)
-        cand.unpersist()
-        sigs_b.unpersist()
-        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
-            self.maintain()
 
 
 def minhash_stream_writer(

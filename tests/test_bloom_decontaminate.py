@@ -66,10 +66,19 @@ def test_rejects_unaligned_bitmap(spark):
     )
     with pytest.raises(ValueError):
         dedup.bloom_decontaminate(docs, m_bits=100)
+    # m_bits=0 would silently NULL every pmod probe (false negatives);
+    # k=0 would raise a confusing TypeError deep in reduce() — both must
+    # fail loudly at the door instead.
+    with pytest.raises(ValueError):
+        dedup.bloom_decontaminate(docs, m_bits=0)
+    with pytest.raises(ValueError):
+        dedup.bloom_decontaminate(docs, m_bits=-64)
+    with pytest.raises(ValueError):
+        dedup.bloom_decontaminate(docs, k=0)
 
 
 def test_shared_gram_counts_are_exact(spark):
-    """Hand-built corpus: train doc 1 shares exactly two distinct 3-grams
+    """Hand-built corpus: train doc 1 shares exactly three distinct 3-grams
     with the test side, train doc 2 shares none."""
     docs = spark.createDataFrame(
         [
