@@ -2901,6 +2901,17 @@ def q_quality_classifier(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated into the gate in r10 (VERDICT r9 #1: the only operator
+    #    families never driver-attested — both r9 extras, locally
+    #    hash-green since they landed).  Displaced rows keep their
+    #    operator coverage gated elsewhere (see EXTRA_QUERIES):
+    #    ann_sq8_topk's ANN family keeps the ann_topk gate row plus the
+    #    recall-contract pytests (tests/test_ann_recall.py pins SQ8
+    #    recall directly) and stays benched in HEADLINE; sequence_count
+    #    is a strict subset of the funnel family, which keeps
+    #    funnel_levels + stream_funnel gate rows.  Front-loaded: --
+    "quality_classifier": q_quality_classifier,
+    "bloom_decontaminate": q_bloom_decontaminate,
     # -- rotated into the gate in r09 (VERDICT r8 #1: the three r8
     #    operators judge-re-verified locally but never driver-attested).
     #    Displaced rows keep their operator coverage gated elsewhere (see
@@ -2914,13 +2925,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    Front-loaded: --
     "substring_dedup": q_substring_dedup,
     "unigram_rarity": q_unigram_rarity,
-    "sequence_count": q_sequence_count,
     # -- rotated into the gate in r08 (VERDICT r7 #1: the strongest
     #    never-driver-attested operator families).  Displaced rows keep
     #    their operator coverage gated elsewhere (see EXTRA_QUERIES):
     #    ann_ivf_topk's IVF quantizer is load-bearing inside semantic_dedup
     #    (provably shared code path) with ann_topk/ann_sq8_topk carrying
-    #    the ANN family; stream_dedup's dropDuplicatesWithinWatermark is
+    #    the ANN family (ann_sq8_topk rotated out in r10, see above);
+    #    stream_dedup's dropDuplicatesWithinWatermark is
     #    pytest-pinned and its streaming family keeps 4 gate rows
     #    (stream_funnel + both near-dup drains);
     #    daily_type_rollup's day-grain aggregate is a strict subset of
@@ -2936,7 +2947,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r07 in-round additions, one per genuinely NEW operator family
     #    (int8-quantized ANN / MOSS winnowing / streaming uniform
     #    sampling): front-loaded --
-    "ann_sq8_topk": q_ann_sq8_topk,
     # -- rotated into the gate in r06 (landed r05 after slots filled;
     #    never driver-checked): front-loaded --
     "pack_sequences": q_pack_sequences,
@@ -3011,7 +3021,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,  # r03 addition; gate slots were full
     "repetition_stats": q_repetition_stats,  # r03 addition; gate slots were full
     "decontaminate_split": q_decontaminate_split,  # r03 addition; gate slots were full
-    "bloom_decontaminate": q_bloom_decontaminate,  # r9: Bloom-prefilter corpus-prep direction (DCLM/Dolma recipe), exact via two-phase verify
     "q10_returned_items": q10_returned_items,  # join shape covered by q3
     "brand_revenue": q_brand_revenue,  # join shape covered by q3/q17
     "sample_stratified": q_sample_stratified,  # r06 addition; gate slots full
@@ -3076,10 +3085,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated OUT of the gate in r09 for substring_dedup / unigram_rarity /
     # sequence_count (VERDICT r8 #1); every operator they carried keeps
     # >= 1 green gate row:
-    # r9 addition (gate slots full): fastText-analog quality classifier —
-    # the model-based complement of text_profile's heuristics and
-    # unigram_rarity's corpus statistics (DCLM/RefinedWeb curation recipe)
-    "quality_classifier": q_quality_classifier,
+    # rotated OUT of the gate in r10 for quality_classifier /
+    # bloom_decontaminate (VERDICT r9 #1); every operator they carried
+    # keeps >= 1 green gate row:
+    "ann_sq8_topk": q_ann_sq8_topk,  # ANN family keeps ann_topk gate row; SQ8 recall contract pinned in tests/test_ann_recall.py; still benched in HEADLINE
+    "sequence_count": q_sequence_count,  # strict subset of funnel family, which keeps funnel_levels + stream_funnel gate rows; still benched in HEADLINE
     "winnow_fingerprint": q_winnow_fingerprint,  # window-hash fingerprint family keeps substring_dedup (same h48 rolling-window machinery) + passage_dedup gate rows; density bound pytest-pinned (tests/test_sketches.py); still benched in HEADLINE
     "stream_sample": q_stream_sample,  # streaming-stateful family keeps stream_funnel + both near-dup drain gate rows; reservoir k-slot semantics pytest-pinned (tests/test_streaming_stateful.py) + stream_topk extra oracle-checked; still benched in HEADLINE
     "click_purchase_users": q_click_purchase_users,  # set-ops family gated via user_set_ops (union/intersect/except over the same user sets)
