@@ -311,6 +311,7 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    wide: bool | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by a TF-IDF-style score.
 
@@ -334,10 +335,18 @@ def tfidf_top_terms(
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    if wide is None:
+        # reliable only when `docs` is scan-rooted; a caller handing a
+        # DERIVED frame (joins/aggregates upstream) must pass its own
+        # source-computed flag — the derived estimate is exactly what the
+        # r9 misplan class showed cannot be trusted (r10 sweep finding:
+        # text_prep's anti-joined train split shrank under the bound and
+        # silently disarmed this pin)
+        wide = is_wide_source(docs)
     scored = (
         # pin_wide (r9): the document-frequency table is the corpus
         # vocabulary; see unigram_rarity for the misplan class
-        tf.join(pin_wide(df_, is_wide_source(docs)), "term")
+        tf.join(pin_wide(df_, wide), "term")
         .crossJoin(F.broadcast(n))
         # DECIMAL(38,0) keeps the product exact at any corpus size —
         # tf * 1e6 * (n_docs+1) overflows int64 around n_docs ~ 1e9 with

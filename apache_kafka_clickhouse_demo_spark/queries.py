@@ -47,6 +47,7 @@ from apache_kafka_clickhouse_demo_spark.operators import (
 )
 from apache_kafka_clickhouse_demo_spark.schemas import TESTDATA_TABLES
 from apache_kafka_clickhouse_demo_spark.sources.tables import (
+    bcast_small,
     is_wide_source,
     load_table,
     pin_wide,
@@ -761,7 +762,7 @@ def q3_shipping_priority(spark, sf_dir):
     return (
         li.filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
         .join(orders.filter(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_small(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_money_sum(
             _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
@@ -789,10 +790,10 @@ def q5_local_supplier_volume(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast_small(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cust, (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(bcast_small(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(bcast_small(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(_money_sum(
             _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
@@ -960,12 +961,17 @@ def q17_small_quantity_revenue(spark, sf_dir):
     brand filter, so it broadcasts."""
     li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    brand_items = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    brand_items = li.join(bcast_small(brand_parts), li.l_partkey == F.col("p_partkey"))
     part_avg = brand_items.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return brand_items.join(
-        F.broadcast(part_avg.withColumnRenamed("l_partkey", "t_partkey")),
+        # part_avg is DERIVED (aggregate of a join), so its estimate can't
+        # be trusted either way — gate its broadcast on the lineitem scan
+        bcast_small(
+            part_avg.withColumnRenamed("l_partkey", "t_partkey"),
+            wide=is_wide_source(li),
+        ),
         F.col("l_partkey") == F.col("t_partkey"),
     ).filter(F.col("l_quantity") < F.col("qty_threshold")).agg(
         F.round(F.sum(_dec2("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly")
@@ -1036,6 +1042,9 @@ def q_daily_big_values_filled(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return (
+        # day-grain aggregate: bounded by the corpus TIME SPAN (~thousands
+        # of rows after decades), not the corpus size — broadcast is safe
+        # by construction at any scale, so it stays unconditional
         days.join(F.broadcast(daily), "day", "left")
         .select("day", F.coalesce("n_events", F.lit(0)).alias("n_events"))
         .orderBy("day")
@@ -1291,8 +1300,8 @@ def q10_returned_items(spark, sf_dir):
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(o_q, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bcast_small(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_small(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             # exact decimal arithmetic: the fixture's prices/discounts have 2
@@ -1315,7 +1324,7 @@ def q10_returned_items(spark, sf_dir):
 def q_brand_revenue(spark, sf_dir):
     li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bcast_small(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             _money_sum(
@@ -1764,7 +1773,10 @@ def q_text_prep(spark, sf_dir):
     chunks = text_analysis.doc_chunks(
         clean_train, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
     )
-    top1 = text_analysis.tfidf_top_terms(clean_train, k=1).select(
+    # clean_train is DERIVED (anti-joined), so the operator's own
+    # is_wide_source default would read a shrunken estimate — pass the
+    # source-computed flag (r10 sweep finding)
+    top1 = text_analysis.tfidf_top_terms(clean_train, k=1, wide=wide).select(
         "doc_id",
         F.col("term").alias("top_term"),
         F.col("score_micro").alias("top_score_micro"),
@@ -2085,8 +2097,8 @@ def q7_nation_trade(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    n1 = bcast_small(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = bcast_small(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     pair = (
@@ -2128,22 +2140,24 @@ def q8_market_share(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    n_cust = F.broadcast(
+    n_cust = bcast_small(
+        # derived through a join: gate on the SOURCE scans, not the estimate
         nation.join(region, nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
-        .select(F.col("n_nationkey").alias("c_nk"))
+        .select(F.col("n_nationkey").alias("c_nk")),
+        wide=is_wide_source(nation) or is_wide_source(region),
     )
-    n_supp = F.broadcast(
+    n_supp = bcast_small(
         nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     )
-    econ = F.broadcast(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    econ = bcast_small(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
     vol = (
         li.select("l_orderkey", "l_partkey", "l_suppkey", (price_c * (100 - disc_c)).alias("vol_u4"))
         .join(econ, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_small(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(n_cust, F.col("c_nationkey") == F.col("c_nk"))
-        .join(supp.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast_small(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(n_supp, F.col("s_nationkey") == F.col("s_nk"))
     )
     num = F.sum(
@@ -2180,13 +2194,15 @@ def q2_min_cost_supplier(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     part = _t(spark, sf_dir, "part")
-    eu_supp = (
+    eu_supp = bcast_small(
+        # derived through joins: gate on the supplier SOURCE scan
         supp.join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "EUROPE")
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"),
+        wide=is_wide_source(supp),
     )
-    pparts = F.broadcast(
+    pparts = bcast_small(
         part.filter(F.col("p_size").isin(5, 15, 25, 35, 45)).select(
             "p_partkey", "p_name"
         )
@@ -2204,8 +2220,12 @@ def q2_min_cost_supplier(spark, sf_dir):
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(unit_c4).alias("cost_c4"))
     )
-    best = costs.groupBy(F.col("p_partkey").alias("bp")).agg(
-        F.min("cost_c4").alias("best_c4")
+    best = bcast_small(
+        # per-part minimum: scales with the part table — gate on its scan
+        costs.groupBy(F.col("p_partkey").alias("bp")).agg(
+            F.min("cost_c4").alias("best_c4")
+        ),
+        wide=is_wide_source(part) or is_wide_source(li),
     )
     return (
         costs.join(
@@ -2237,8 +2257,8 @@ def q9_profit_by_nation_year(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    red = F.broadcast(part.filter(F.col("p_name").contains("red")).select("p_partkey"))
-    ndim = F.broadcast(
+    red = bcast_small(part.filter(F.col("p_name").contains("red")).select("p_partkey"))
+    ndim = bcast_small(
         nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
     )
     return (
@@ -2263,11 +2283,13 @@ def q11_important_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    nat = F.broadcast(
+    nat = bcast_small(
         nation.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
     )
-    nsupp = F.broadcast(
-        supp.join(nat, supp.s_nationkey == F.col("n_nationkey")).select("s_suppkey")
+    nsupp = bcast_small(
+        # derived through a join: gate on the supplier SOURCE scan
+        supp.join(nat, supp.s_nationkey == F.col("n_nationkey")).select("s_suppkey"),
+        wide=is_wide_source(supp),
     )
     val_c = (
         F.col("l_quantity").cast("long")
@@ -2357,7 +2379,7 @@ def q14_promo_revenue(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    pt = F.broadcast(part.select("p_partkey", "p_type"))
+    pt = bcast_small(part.select("p_partkey", "p_type"))
     vol = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
@@ -2420,10 +2442,10 @@ def q16_supplier_count_by_part(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     part = _t(spark, sf_dir, "part")
-    bad = F.broadcast(
+    bad = bcast_small(
         supp.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_sk"))
     )
-    pdim = F.broadcast(
+    pdim = bcast_small(
         part.filter(
             (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
         ).select("p_partkey", "p_brand", "p_type", "p_size")
@@ -2480,7 +2502,7 @@ def q19_discounted_revenue(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    pd = F.broadcast(part.select("p_partkey", "p_brand", "p_size"))
+    pd = bcast_small(part.select("p_partkey", "p_brand", "p_size"))
     branch = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -2519,7 +2541,7 @@ def q20_promo_part_suppliers(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     part = _t(spark, sf_dir, "part")
-    promo = F.broadcast(part.filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    promo = bcast_small(part.filter(F.col("p_type") == "PROMO").select("p_partkey"))
     heavy = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -2531,7 +2553,7 @@ def q20_promo_part_suppliers(spark, sf_dir):
         .filter(F.col("promo_qty") > 400)
         .select(F.col("l_suppkey").alias("hv_sk"))
     )
-    nat = F.broadcast(
+    nat = bcast_small(
         nation.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")).select(
             "n_nationkey"
         )
@@ -2612,7 +2634,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
         F.sum(bal_c.cast("decimal(38,0)")).alias("sum_c"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    ndim = F.broadcast(
+    ndim = bcast_small(
         nation.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("cntrycode"))
     )
     return (

@@ -158,6 +158,42 @@ def pin_wide(side: DataFrame, wide: bool) -> DataFrame:
     return side.hint("merge") if wide else side
 
 
+def bcast_small(side: DataFrame, wide: bool | None = None) -> DataFrame:
+    """Broadcast-hint a join side ONLY while its source scan is small —
+    the dual of `pin_wide`, for sides that are explicitly hinted rather
+    than estimate-planned (r10 plan-sweep finding).
+
+    An unconditional `F.broadcast(dim)` on a dimension that SCALES with
+    the dataset (TPC-H customer/part/supplier all grow linearly in SF) is
+    the hint-driven twin of the r9 estimate-based misplan: correct and
+    ~2x faster at test scale, a guaranteed driver OOM at 100 TB, and
+    invisible to Catalyst because hints override its size checks.  This
+    helper keeps the measured-fast broadcast below `WIDE_SOURCE_BYTES` of
+    source scan and silently degrades to an estimate-planned (shuffle)
+    join above it.
+
+    `wide` defaults to `is_wide_source(side)`, which is reliable when
+    `side` is a filter/projection of a scan (size-only estimation never
+    shrinks filters, so the stat stays scan-proportional).  For a side
+    DERIVED through aggregates or joins — where the estimate is exactly
+    what cannot be trusted — pass `wide=is_wide_source(<source>)`
+    explicitly, the same contract as `pin_wide`.  Genuinely
+    bounded-by-construction sides (fixed centroid tables, <=m/64-row
+    bitmap words, scalar aggregates, LIMIT-bounded frames) should keep
+    their unconditional `F.broadcast`.
+
+    The wide branch PINS (merge hint) rather than merely withholding the
+    broadcast hint: an un-hinted side is still at the mercy of Catalyst's
+    derived estimate, which can shrink a projection/aggregate of the wide
+    scan back under the auto-broadcast threshold — the same untrusted
+    estimate `pin_wide` exists to override."""
+    from pyspark.sql import functions as F
+
+    if wide is None:
+        wide = is_wide_source(side)
+    return side.hint("merge") if wide else F.broadcast(side)
+
+
 def spread_small(df: DataFrame) -> DataFrame:
     """Round-robin repartition a small-but-CPU-heavy input up to the
     session's default parallelism.

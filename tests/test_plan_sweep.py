@@ -1,0 +1,164 @@
+"""Registry-wide broadcast-misplan sweep (r10, VERDICT r9 #3).
+
+The r9 100x rehearsal caught Catalyst planning a >1 GiB broadcast collect
+off a shrunken size estimate (substring_dedup), and an ad-hoc 117-query
+plan sweep found six more latent cases of the same class.  This module
+pins that sweep as a regression test over EVERY batch query in the gate
+and extras registries: with every table source widened past
+WIDE_SOURCE_BYTES, a query's plan may contain a BroadcastHashJoin ONLY if
+its build side is bounded by construction (fixed query sets, <=m/64-row
+bitmap words, day-grain calendars, 1-row scalars) — each such case is an
+audited ALLOWED_BHJ entry.  Any future operator that broadcasts a
+corpus-derived side (unpinned aggregate, explicit hint on a scaling
+dimension) shows up as an unexplained BroadcastHashJoin and fails here.
+
+Widening recipe: union each real fixture table with a runtime-empty pad
+(`range(N).filter(id < 0)`) whose columns are DERIVED from `id` — derived,
+not literal NULLs, because a NULL-literal pad folds to an empty relation
+the moment a join pushes `isNotNull(key)` into it, collapsing the union
+back to the small real table and silently disarming the whole sweep
+(found while building this test).  Size-only estimation never shrinks a
+Filter, so the pad keeps its `N * 8 B` range statistic: `is_wide_source`
+sees a wide scan, while every query computes its real fixture answer.
+
+The r10 sweep this test bakes in found two real latent misplans, both
+fixed alongside it: text_prep handed tfidf_top_terms a DERIVED
+(anti-joined) frame whose shrunken estimate disarmed the operator's
+is_wide_source pin (fixed by threading the caller's source-computed flag),
+and every TPC-H dim broadcast was an unconditional F.broadcast on a
+dimension that scales with SF — a guaranteed driver OOM at 100 TB, now
+`bcast_small` (sources/tables.py), which keeps the measured-fast broadcast
+under the bound and degrades to a shuffle join above it.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apache_kafka_clickhouse_demo_spark import queries as Q
+from apache_kafka_clickhouse_demo_spark.sources import tables as TBL
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# 64x over the wide bound from the range statistic alone — big enough that
+# even a table pruned to ONE int column keeps a scan-rooted estimate above
+# the session's 64 MB auto-broadcast threshold (at 4x, a pruned `region`
+# estimated 48 MiB and Catalyst's broadcast of it was an HONEST mid-scale
+# choice, not a misplan); derived aggregates still shrink under the
+# threshold through stacked width ratios, which is the class this sweep
+# exists to catch.  The pad is runtime-empty, so only queries with
+# internal driver actions pay a (sub-second) scan-and-discard per action.
+N_PAD = 64 * TBL.WIDE_SOURCE_BYTES // 8
+
+#: Queries whose build step IS execution (streaming drains, sink-writing
+#: round-trips): their join-side scale behavior is pinned by dedicated
+#: tests (test_streaming_stateful/test_mergetree_engines/test_storage and
+#: the measured drain profiles in SCALING.md), and running them here would
+#: re-run checkpointed streams against widened feeds for no added plan
+#: coverage.
+EXECUTING = {
+    "stream_dedup", "stream_sample", "stream_topk", "stream_funnel",
+    "stream_near_dup", "stream_embed_near_dup",
+    "mv_cascade_attendance", "mv_cascade_daily", "snapshot_changelog",
+    "replacing_latest", "replacing_deletes", "collapsing_balance",
+    "ttl_cleanup", "projection_routing", "attendance_daily_compacted",
+    "shuffle_export", "entry_house_points", "entry_attendance",
+    "extract_typed_events", "show_tables",
+}
+
+#: Audited bounded-by-construction broadcast builds (count per query).
+#: Every entry names WHY the build side cannot grow with the corpus.
+ALLOWED_BHJ = {
+    # the ANN query side is ANN_NUM_QUERIES (=32) rows by construction
+    "ann_lsh_topk": 1,
+    # k=4 probe joins against the <=m_bits/64-row Bloom bitmap word table
+    # (size fixed by the m_bits constructor argument, never by data)
+    "bloom_decontaminate": 4,
+    # day-grain calendar: bounded by the corpus TIME SPAN, not its size
+    "daily_big_values_filled": 1,
+    # 1-row scalar max (empty-grouping aggregate) joined on equality
+    "q15_top_supplier": 1,
+}
+
+
+def _synth(dt: T.DataType):
+    """A non-foldable, correctly-typed expression derived from `id`."""
+    if isinstance(dt, T.ArrayType):
+        return F.array(_synth(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return F.struct(*[_synth(f.dataType).alias(f.name) for f in dt.fields])
+    return F.col("id").cast(dt)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def widened_loads(spark):
+    """Patch BOTH load_table bindings (tables module + queries' import)
+    to union every fixture table with the runtime-empty wide pad."""
+    real_load = TBL.load_table
+
+    def widened(spark_, sf_dir, name):
+        real = real_load(spark_, sf_dir, name)
+        pad = (
+            spark_.range(N_PAD)
+            .filter(F.col("id") < 0)
+            .select(*[_synth(f.dataType).alias(f.name) for f in real.schema.fields])
+        )
+        wide = real.unionByName(pad)
+        assert TBL.is_wide_source(wide), name
+        return wide
+
+    TBL.load_table = widened
+    Q.load_table = widened
+    try:
+        yield
+    finally:
+        TBL.load_table = real_load
+        Q.load_table = real_load
+
+
+def _counts(df) -> dict[str, int]:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    # "formatted" names each node twice: once in the tree, once in details
+    return {
+        k: len(re.findall(p, s)) // 2
+        for k, p in {
+            "bhj": r"BroadcastHashJoin",
+            "cartesian": r"CartesianProduct",
+        }.items()
+    }
+
+
+SWEEP = sorted(set({**Q.QUERIES, **Q.EXTRA_QUERIES}) - EXECUTING)
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_no_corpus_broadcast_under_wide_sources(spark, name):
+    fn = {**Q.QUERIES, **Q.EXTRA_QUERIES}[name]
+    c = _counts(fn(spark, SF_DIR))
+    assert c["cartesian"] == 0, f"{name}: cartesian product in plan"
+    allowed = ALLOWED_BHJ.get(name, 0)
+    assert c["bhj"] == allowed, (
+        f"{name}: {c['bhj']} BroadcastHashJoin(s) under wide sources, "
+        f"{allowed} audited as bounded-by-construction — a new broadcast "
+        f"build must be pinned (pin_wide / bcast_small) or audited into "
+        f"ALLOWED_BHJ with its boundedness argument"
+    )
+
+
+def test_sweep_covers_every_registry_entry():
+    """The EXECUTING skip list must not silently absorb new queries:
+    every registry entry is either swept or explicitly skip-listed, and
+    every skip-list / allowlist name still exists."""
+    reg = set({**Q.QUERIES, **Q.EXTRA_QUERIES})
+    assert EXECUTING <= reg, EXECUTING - reg
+    assert set(ALLOWED_BHJ) <= reg, set(ALLOWED_BHJ) - reg
+    assert set(SWEEP) | EXECUTING == reg
