@@ -1199,3 +1199,100 @@ def semantic_dedup(
         .join(dropped, id_col, "left_anti")
         .orderBy(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / host-level dedup (r10): the CCNet/RefinedWeb dedupe-by-URL pass
+# that runs BEFORE any content dedup — the cheapest dedup in the pipeline
+# (no shingling, no signatures) and the one that removes re-crawls of the
+# same page outright.  Beyond-parity LLM-pipeline layer; the reference has
+# no URL operators (its whole spec is README.rst's school-attendance SQL).
+# ---------------------------------------------------------------------------
+
+
+def url_parts(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffixes: tuple[str, ...] = TX.PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """(doc_id, url_norm, reg_domain) per document — the shared row-local
+    front of both URL operators.  Pure builtin string/array expressions
+    (functions/text.py URL primitives): whole-stage codegen, zero
+    exchanges, scan throughput at 100 TB.
+
+    NULL or unparseable URLs (no `scheme://`) yield NULL url_norm and
+    NULL reg_domain rather than collapsing into a shared '' / '://' key —
+    the repo-wide degenerate-doc contract (see exact_dedup): a corpus of
+    extraction failures must never fold into one giant bogus duplicate
+    group."""
+    u = F.col(url_col)
+    valid = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    host = TX.url_host(u)
+    return spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.when(valid, TX.url_normalize(u)).alias("url_norm"),
+        F.when(valid, TX.registered_domain(host, suffixes)).alias("reg_domain"),
+    )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffixes: tuple[str, ...] = TX.PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """Exact URL-level dedup after canonicalization: one survivor (lowest
+    id — deterministic, retryable) per canonical URL.
+
+    Plan shape at 100 TB: the row-local `url_parts` projection, then ONE
+    hash shuffle keyed by url_norm with map-side partial min — the same
+    single-exchange shape as `dedup_exact`, and strictly cheaper than any
+    content dedup that would otherwise see the re-crawls.  reg_domain is
+    functionally dependent on url_norm (derived from its host), so
+    grouping by both adds no key cardinality and keeps the column without
+    a second pass.  Invalid-URL docs (NULL url_norm) key on their own id —
+    each survives as its own group with a NULL canonical URL."""
+    parts = url_parts(docs, url_col, id_col, suffixes)
+    key = F.coalesce(
+        F.col("url_norm"), F.concat(F.lit("invalid:"), F.col("doc_id").cast("string"))
+    )
+    return (
+        parts.groupBy(key.alias("_k"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("url_norm").alias("url_norm"),
+            F.min("reg_domain").alias("reg_domain"),
+        )
+        .select("doc_id", "url_norm", "reg_domain")
+    )
+
+
+def domain_doc_counts(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffixes: tuple[str, ...] = TX.PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """Per-registered-domain rollup: total docs and distinct canonical
+    URLs — the statistics a per-domain quota / domain-mix policy consumes
+    (CCNet keeps per-domain counts to cap over-represented hosts).
+
+    Plan shape at 100 TB: two-level aggregate — partial count per
+    (reg_domain, url_norm), then per-domain counts — both shuffles are
+    map-side combinable and the second one's input is one row per
+    DISTINCT URL, already far smaller than the corpus.  A skewed mega-
+    domain only concentrates its post-distinct row set, which AQE's skew
+    handling splits if it matters."""
+    per_url = (
+        url_parts(docs, url_col, id_col, suffixes)
+        .groupBy("reg_domain", "url_norm")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        per_url.groupBy("reg_domain")
+        .agg(
+            F.sum("n_dup").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )

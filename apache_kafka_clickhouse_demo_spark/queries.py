@@ -2922,6 +2922,87 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def _synth_url() -> "Column":
+    """Deterministic per-doc URL for the URL-dedup operators (the fixture
+    has no url column, same pattern as entry_pipeline's synthesized Kafka
+    messages).  The residue classes are chosen so every canonicalization
+    rule does real work AND creates duplicate groups: scheme case (%2),
+    strippable www. vs meaningful blog. (%3), 23 domains x 4 TLDs (two of
+    them multi-label public suffixes), default port (%5), trailing slash
+    (%6), tracking-only vs real vs mixed vs order-scrambled query (%5),
+    fragment (%9).  Mirrored literally by _SQL_SYNTH_URL."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    sub = (
+        F.when(d % 3 == 1, F.lit("www."))
+        .when(d % 3 == 2, F.lit("blog."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(d % 4 == 0, F.lit("com"))
+        .when(d % 4 == 1, F.lit("co.uk"))
+        .when(d % 4 == 2, F.lit("org"))
+        .otherwise(F.lit("io"))
+    )
+    host = F.concat(sub, F.lit("site"), (d % 23).cast("string"), F.lit("."), tld)
+    port = F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 7).cast("string"),
+        F.when(d % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = (
+        F.when(d % 5 == 0, F.lit("?utm_source=feed"))
+        .when(d % 5 == 1, F.concat(F.lit("?id="), (d % 11).cast("string")))
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("?id="), (d % 11).cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .when(d % 5 == 3, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 9 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, q, frag)
+
+
+_SQL_SYNTH_URL = """
+(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://'
+ || CASE WHEN doc_id % 3 = 1 THEN 'www.'
+         WHEN doc_id % 3 = 2 THEN 'blog.' ELSE '' END
+ || 'site' || CAST(doc_id % 23 AS VARCHAR) || '.'
+ || CASE WHEN doc_id % 4 = 0 THEN 'com'
+         WHEN doc_id % 4 = 1 THEN 'co.uk'
+         WHEN doc_id % 4 = 2 THEN 'org' ELSE 'io' END
+ || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+ || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+ || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+ || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed'
+         WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR)
+         WHEN doc_id % 5 = 2 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_campaign=x'
+         WHEN doc_id % 5 = 3 THEN '?b=2&a=1' ELSE '' END
+ || CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END)
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level exact dedup after canonicalization (dedup.url_dedup) —
+    the CCNet/RefinedWeb dedupe-by-URL pass that precedes content dedup.
+    Row-local normalize + registered-domain extraction (functions/text.py
+    URL primitives, pure codegen) then ONE min-aggregate shuffle keyed by
+    canonical URL; scan-bound at 100 TB like dedup_exact."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _synth_url().alias("url"))
+    return dedup.url_dedup(docs).orderBy("doc_id")
+
+
+def q_domain_doc_counts(spark, sf_dir):
+    """Per-registered-domain doc/URL rollup (dedup.domain_doc_counts) —
+    the statistics a per-domain quota policy consumes.  Public-suffix
+    extraction is an InSet per candidate depth (row-local); two map-side
+    combinable aggregate shuffles, the second over DISTINCT URLs only."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _synth_url().alias("url"))
+    return dedup.domain_doc_counts(docs).orderBy("reg_domain")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated into the gate in r10 (VERDICT r9 #1: the only operator
     #    families never driver-attested — both r9 extras, locally
@@ -3115,6 +3196,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,  # window-hash fingerprint family keeps substring_dedup (same h48 rolling-window machinery) + passage_dedup gate rows; density bound pytest-pinned (tests/test_sketches.py); still benched in HEADLINE
     "stream_sample": q_stream_sample,  # streaming-stateful family keeps stream_funnel + both near-dup drain gate rows; reservoir k-slot semantics pytest-pinned (tests/test_streaming_stateful.py) + stream_topk extra oracle-checked; still benched in HEADLINE
     "click_purchase_users": q_click_purchase_users,  # set-ops family gated via user_set_ops (union/intersect/except over the same user sets)
+    # r10 additions (gate slots full): URL/host-level dedup family —
+    # canonicalization + public-suffix registered-domain extraction
+    # (CCNet/RefinedWeb dedupe-by-URL before content dedup) and the
+    # per-domain rollup a domain-quota policy consumes
+    "url_dedup": q_url_dedup,
+    "domain_doc_counts": q_domain_doc_counts,
 }
 
 
@@ -4689,6 +4776,27 @@ ORDER BY id_a, id_b
         "ann_lsh_topk": _oracle_ann_topk(use_lsh=True),
         "ann_ivf_topk": _oracle_ann_ivf(),
         "ann_sq8_topk": _oracle_ann_sq8(),
+        "url_dedup": f"""
+WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
+n AS (SELECT doc_id,
+             {TX.sql_url_normalize('url')} AS url_norm,
+             {TX.sql_registered_domain(TX.sql_url_host('url'))} AS reg_domain
+      FROM u)
+SELECT min(doc_id) AS doc_id, url_norm, reg_domain
+FROM n GROUP BY url_norm, reg_domain ORDER BY doc_id
+""",
+        "domain_doc_counts": f"""
+WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
+n AS (SELECT doc_id,
+             {TX.sql_url_normalize('url')} AS url_norm,
+             {TX.sql_registered_domain(TX.sql_url_host('url'))} AS reg_domain
+      FROM u),
+per_url AS (
+  SELECT reg_domain, url_norm, count(*) AS n_dup FROM n GROUP BY 1, 2
+)
+SELECT reg_domain, CAST(sum(n_dup) AS BIGINT) AS n_docs, count(*) AS n_urls
+FROM per_url GROUP BY reg_domain ORDER BY reg_domain
+""",
         "lang_id": _oracle_lang_id(),
         "text_quality": _oracle_text_quality(),
         "token_counts": _oracle_token_counts(),

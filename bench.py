@@ -139,6 +139,9 @@ HEADLINE = [
     # benched so their trends start with their birth round
     "quality_classifier",
     "bloom_decontaminate",
+    # added r10: URL/host-level dedup family (extras — gate full)
+    "url_dedup",
+    "domain_doc_counts",
 ]
 
 
@@ -229,6 +232,9 @@ BASELINE_SEC = {
     # r9 seeds (tools/seed_bench.py, idle machine, sf0.1)
     "quality_classifier": 3.018,
     "bloom_decontaminate": 2.028,
+    # r10 seeds (seed_bench at sf0.1; SCALING.md round-10 deltas)
+    "url_dedup": 1.090,
+    "domain_doc_counts": 1.010,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

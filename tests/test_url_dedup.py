@@ -1,0 +1,126 @@
+"""URL/host-level dedup (r10, VERDICT r9 #4): canonicalization,
+public-suffix registered-domain extraction, URL-level dedup, and the
+per-domain rollup.  Cross-engine value equality is pinned by the
+url_dedup/domain_doc_counts oracle rows (tools/oracle_check.py); these
+tests pin the SEMANTICS on hand-built cases the synthesized fixture URLs
+cannot isolate (degenerate inputs, each canonicalization rule alone)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions import text as TX
+from apache_kafka_clickhouse_demo_spark.operators import dedup
+
+
+def _norm(spark, *urls: str) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(TX.url_normalize("url")).collect()]
+
+
+def _regdom(spark, *hosts: str) -> list[str]:
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    return [r[0] for r in df.select(TX.registered_domain(F.col("host"))).collect()]
+
+
+def test_each_canonicalization_rule(spark):
+    assert _norm(
+        spark,
+        "HTTP://WWW.Site1.CO.UK:443/p/3/?utm_source=x&b=2&a=1#frag",  # all rules
+        "https://site.com:80/a",       # default http port stripped
+        "https://site.com:8080/a",     # non-default port KEPT
+        "https://site.com/a/",         # trailing slash
+        "https://site.com/a?b=2&a=1",  # param order canonicalized
+        "https://site.com/a?utm_campaign=x&fbclid=1",  # tracking-only -> no query
+        "https://site.com/a?id=",      # empty VALUE is a real param, kept
+    ) == [
+        "http://site1.co.uk/p/3?a=1&b=2",
+        "https://site.com/a",
+        "https://site.com:8080/a",
+        "https://site.com/a",
+        "https://site.com/a?a=1&b=2",
+        "https://site.com/a",
+        "https://site.com/a?id=",
+    ]
+
+
+def test_registered_domain_psl_rules(spark):
+    assert _regdom(
+        spark,
+        "x.y.example.com",   # 1-label suffix, deep subdomain
+        "blog.site1.co.uk",  # 2-label suffix
+        "site1.co.uk",       # exactly registered domain already
+        "co.uk",             # host IS a public suffix (degenerate)
+        "foo.bar.weirdtld",  # unknown TLD: PSL default '*' rule -> last 2
+        "localhost",         # single label
+    ) == [
+        "example.com",
+        "site1.co.uk",
+        "site1.co.uk",
+        "co.uk",
+        "bar.weirdtld",
+        "localhost",
+    ]
+
+
+def test_url_dedup_keeps_min_id_and_groups_correctly(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.site.com/a/"),
+            (2, "HTTPS://site.com:443/a?utm_source=x"),  # dup of 1
+            (3, "https://blog.site.com/a"),  # blog. is NOT strippable
+            (4, "https://site.com/a?id=7"),  # real param -> distinct
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r["url_norm"] for r in dedup.url_dedup(docs).collect()}
+    assert rows == {
+        1: "https://site.com/a",
+        3: "https://blog.site.com/a",
+        4: "https://site.com/a?id=7",
+    }
+
+
+def test_invalid_urls_never_collapse(spark):
+    """Degenerate-doc contract: NULL and unparseable URLs each survive as
+    their own group (NULL canonical), never one shared '' bucket."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "not a url"), (4, "also-not-one"),
+         (5, "https://real.com/x")],
+        "doc_id long, url string",
+    )
+    out = dedup.url_dedup(docs).collect()
+    assert len(out) == 5
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 4, 5]
+    by_id = {r["doc_id"]: r for r in out}
+    for bad in (1, 2, 3, 4):
+        assert by_id[bad]["url_norm"] is None
+        assert by_id[bad]["reg_domain"] is None
+    assert by_id[5]["reg_domain"] == "real.com"
+
+
+def test_domain_doc_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.site.com/a"),
+            (2, "https://site.com/a#frag"),   # same canonical URL
+            (3, "https://site.com/b"),        # same domain, new URL
+            (4, "https://sub.site.co.uk/a"),  # different registered domain
+        ],
+        "doc_id long, url string",
+    )
+    rows = {
+        r["reg_domain"]: (r["n_docs"], r["n_urls"])
+        for r in dedup.domain_doc_counts(docs).collect()
+    }
+    assert rows == {"site.com": (3, 2), "site.co.uk": (1, 1)}
+
+
+def test_plan_is_row_local_plus_single_aggregate(spark):
+    """url_dedup at scale: no join anywhere (the suffix list is an InSet,
+    not a table), exactly one exchange — the min-aggregate shuffle."""
+    docs = spark.createDataFrame(
+        [(1, "https://site.com/a")], "doc_id long, url string"
+    )
+    plan = dedup.url_dedup(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan

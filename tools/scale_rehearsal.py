@@ -92,6 +92,9 @@ FAMILIES = [
     # corpus-prep decontamination
     "quality_classifier",
     "bloom_decontaminate",
+    # r10: URL/host-level dedup (canonicalize + registered domain)
+    "url_dedup",
+    "domain_doc_counts",
 ]
 
 PASSES = 2
