@@ -18,6 +18,12 @@ Two hash modes, both always run:
   (r02 `user_event_sequence`).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+       python tools/oracle_check.py [sf_dir] --json ARTIFACT.json
+
+--json writes a machine-readable per-query record (rows / schema / hash /
+pandas-hash agreement, wall seconds, error) for every query checked —
+the committed EXTRAS_ORACLE_r{N}.json artifact that makes the "extras are
+locally oracle-checked" claim auditable per round (VERDICT r9 #6).
 """
 
 from __future__ import annotations
@@ -111,10 +117,17 @@ def pandas_hash(pdf) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--vanilla"]
+    vanilla = "--vanilla" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    records: dict[str, dict] = {}
 
     if vanilla:
         # the external driver's environment: a bare SparkSession with NONE
@@ -148,10 +161,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            records[name] = {"err": f"spark: {e}"}
             continue
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
+            records[name] = {
+                "rows": len(srows), "oracle": None, "sec": round(spark_s, 2),
+                "err": None,
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -161,6 +179,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            records[name] = {"err": f"duckdb: {e}"}
             continue
         ok_count = len(srows) == len(drows)
         ok_cols = sorted(scols) == sorted(dcols)
@@ -175,6 +194,16 @@ def main() -> int:
             ok_pd = False
             pd_msg = f"canon-error: {type(e).__name__}: {e}"
         status = "OK  " if (ok_count and ok_cols and ok_hash and ok_pd) else "FAIL"
+        records[name] = {
+            "rows_spark": len(srows),
+            "rows_oracle": len(drows),
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "pandas_match": ok_pd,
+            "sec": round(spark_s, 2),
+            "err": None,
+        }
         print(
             f"{status}  {name}: rows {len(srows)}/{len(drows)} cols={'=' if ok_cols else 'DIFF'} "
             f"hash={'=' if ok_hash else f'{sh}!={dh}'} pd={pd_msg} [{spark_s:.1f}s]"
@@ -194,6 +223,31 @@ def main() -> int:
                 print(f"      spark dtypes: {dict(spdf.dtypes.astype(str))}")
                 print(f"      duck  dtypes: {dict(dpdf.dtypes.astype(str))}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json
+
+        gate = {k: v for k, v in records.items() if not k.startswith("extra:")}
+        extra = {
+            k.removeprefix("extra:"): v
+            for k, v in records.items()
+            if k.startswith("extra:")
+        }
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "vanilla": vanilla,
+                    "n_gate": len(gate),
+                    "n_extra": len(extra),
+                    "n_failures": len(failures),
+                    "failures": failures,
+                    "gate": gate,
+                    "extras": extra,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     spark.stop()
     return 1 if failures else 0
 
