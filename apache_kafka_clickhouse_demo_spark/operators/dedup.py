@@ -1296,3 +1296,140 @@ def domain_doc_counts(
             F.count(F.lit(1)).alias("n_urls"),
         )
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffixes: tuple[str, ...] = TX.PUBLIC_SUFFIXES,
+    pre_shards: int = 16,
+) -> DataFrame:
+    """Per-domain quota: keep at most `cap` docs per registered domain —
+    the LOWEST ids, so the result is deterministic and retry-stable
+    (CCNet-style capping of over-represented hosts after URL dedup).
+
+    Exact SKEW-SAFE top-k in two levels: a naive
+    `row_number() OVER (PARTITION BY domain ORDER BY id)` puts a mega-
+    domain's every row into ONE sorted task — a 1B-doc domain at 100 TB
+    is a ~50 GB single-partition sort.  Instead (1) rank within
+    (domain, id-hash shard) partitions and keep each shard's `cap`
+    smallest — the global cap smallest are necessarily among the union of
+    per-shard cap smallest — then (2) rank the <= pre_shards x cap
+    survivors per domain.  Phase 2's partitions are bounded by
+    CONSTRUCTION, so no key distribution can recreate the skew."""
+    from pyspark.sql import Window as W
+
+    parts = url_parts(docs, url_col, id_col, suffixes)
+    shard = F.pmod(F.xxhash64("doc_id"), F.lit(pre_shards))
+    w1 = W.partitionBy("reg_domain", shard.alias("_s")).orderBy("doc_id")
+    pre = (
+        parts.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = W.partitionBy("reg_domain").orderBy("doc_id")
+    return (
+        pre.withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+        .select("doc_id", "url_norm", "reg_domain", "domain_rank")
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+    suffixes: tuple[str, ...] = TX.PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """Domain-level boilerplate-line removal (the RefinedWeb/CCNet
+    line-wise correction): a line occurring in at least `min_frac` of a
+    registered domain's docs (and at least `min_docs` of them) is
+    boilerplate — nav bars, cookie banners, copyright footers — and is
+    stripped from every doc of that domain.  Returns
+    (doc_id, clean_text, n_lines, n_removed).
+
+    Plan shape at 100 TB: posexplode lines (row-local) -> distinct
+    (domain, line, doc) -> per-(domain, line) distinct-doc count joined
+    against per-domain doc counts (both map-side combinable aggregates
+    keyed by domain[, line]) -> LEFT ANTI join of the line rows against
+    the boilerplate set (equi-join on (domain, line); the set is
+    corpus-derived, so it is pin_wide-pinned on wide sources) -> regroup
+    surviving lines by doc in original order.  Line rows ~ corpus size:
+    every stage is an equi-keyed shuffle or row-local; nothing all-pairs,
+    nothing driver-side.  Docs whose every line is boilerplate keep an
+    empty clean_text (''), and NULL-text docs pass through with
+    clean_text NULL — extraction failures are preserved, not invented."""
+    wide = is_wide_source(docs)
+    base = url_parts(docs, url_col, id_col, suffixes).select("doc_id", "reg_domain")
+    lines = (
+        spread_small(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .join(pin_wide(base, wide), "doc_id")
+        .select(
+            "doc_id",
+            "reg_domain",
+            F.posexplode_outer(F.split("text", "\n")).alias("pos", "line"),
+        )
+    )
+    per_line = (
+        lines.filter(F.col("line").isNotNull())
+        .select("reg_domain", "line", "doc_id")
+        .distinct()
+        .groupBy("reg_domain", "line")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    per_domain = base.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).alias("n_domain_docs")
+    )
+    boiler = (
+        per_line.join(pin_wide(per_domain, wide), "reg_domain")
+        .filter(
+            (F.col("n_docs_with") >= min_docs)
+            & (
+                F.col("n_docs_with").cast("double")
+                >= F.lit(min_frac) * F.col("n_domain_docs").cast("double")
+            )
+        )
+        .select("reg_domain", "line")
+    )
+    kept = lines.join(
+        pin_wide(boiler, wide), ["reg_domain", "line"], "left_anti"
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        # NULL-text docs have one (pos NULL, line NULL) row: max(pos)
+        # NULL -> clean_text NULL, n_lines 0 (count skips NULLs)
+        F.when(
+            F.max("pos").isNotNull(),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ),
+        ).alias("clean_text"),
+        F.count("line").alias("n_kept"),
+    )
+    # LEFT join from the doc universe: a doc whose EVERY line is
+    # boilerplate has no surviving line rows at all, but must still come
+    # out (with clean_text '') rather than silently vanish
+    universe = lines.groupBy("doc_id").agg(F.count("line").alias("n_lines"))
+    return (
+        universe.join(pin_wide(kept_agg, wide), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("n_lines") > 0,
+                F.coalesce(F.col("clean_text"), F.lit("")),
+            ).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

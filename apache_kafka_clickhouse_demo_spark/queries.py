@@ -2984,6 +2984,58 @@ _SQL_SYNTH_URL = """
 """
 
 
+DOMAIN_CAP_K = 3
+BOILER_MIN_FRAC = 0.5
+BOILER_MIN_DOCS = 2
+
+
+def _synth_multiline_text() -> "Column":
+    """Deterministic multi-line text for the boilerplate operator: a
+    universal footer line (100% of every domain -> always boilerplate), a
+    cookie banner on every third doc (~33% < the 50% threshold -> kept
+    unless a small domain's residues cross it — either way both engines
+    compute the same answer), then the doc's own text as its content
+    line.  NULL text propagates through concat -> NULL doc (the
+    degenerate path).  Mirrored literally by _SQL_SYNTH_MLTEXT."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("copyright notice\n"),
+        F.when(d % 3 == 0, F.lit("cookie banner\n")).otherwise(F.lit("")),
+        F.col("text"),
+    )
+
+
+_SQL_SYNTH_MLTEXT = """
+('copyright notice' || chr(10)
+ || CASE WHEN doc_id % 3 = 0 THEN 'cookie banner' || chr(10) ELSE '' END
+ || text)
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain quota (dedup.domain_cap): keep the DOMAIN_CAP_K
+    lowest-id docs per registered domain — CCNet-style capping of
+    over-represented hosts.  Exact two-level top-k: per-(domain, id-hash
+    shard) rank first, so a mega-domain never lands in one sorted task;
+    phase 2's partitions are bounded by construction."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _synth_url().alias("url"))
+    return dedup.domain_cap(docs, cap=DOMAIN_CAP_K).orderBy("doc_id")
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Domain-level boilerplate-line removal (dedup.boilerplate_lines) —
+    the RefinedWeb/CCNet line-wise correction: lines present in >=50% of
+    a registered domain's docs (min 2) are stripped from every doc.
+    Line-grain equi-keyed shuffles only; corpus-derived join sides
+    pin_wide-pinned."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"), _synth_multiline_text().alias("text")
+    )
+    return dedup.boilerplate_lines(
+        docs, min_frac=BOILER_MIN_FRAC, min_docs=BOILER_MIN_DOCS
+    ).orderBy("doc_id")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level exact dedup after canonicalization (dedup.url_dedup) —
     the CCNet/RefinedWeb dedupe-by-URL pass that precedes content dedup.
@@ -3202,6 +3254,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per-domain rollup a domain-quota policy consumes
     "url_dedup": q_url_dedup,
     "domain_doc_counts": q_domain_doc_counts,
+    "domain_cap": q_domain_cap,
+    "boilerplate_lines": q_boilerplate_lines,
 }
 
 
@@ -4796,6 +4850,63 @@ per_url AS (
 )
 SELECT reg_domain, CAST(sum(n_dup) AS BIGINT) AS n_docs, count(*) AS n_urls
 FROM per_url GROUP BY reg_domain ORDER BY reg_domain
+""",
+        "domain_cap": f"""
+WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
+n AS (SELECT doc_id,
+             {TX.sql_url_normalize('url')} AS url_norm,
+             {TX.sql_registered_domain(TX.sql_url_host('url'))} AS reg_domain
+      FROM u),
+r AS (SELECT doc_id, url_norm, reg_domain,
+             row_number() OVER (PARTITION BY reg_domain ORDER BY doc_id)
+               AS domain_rank
+      FROM n)
+SELECT doc_id, url_norm, reg_domain, domain_rank
+FROM r WHERE domain_rank <= {DOMAIN_CAP_K} ORDER BY doc_id
+""",
+        "boilerplate_lines": f"""
+WITH u AS (
+  SELECT doc_id, {_SQL_SYNTH_URL} AS url, {_SQL_SYNTH_MLTEXT} AS text
+  FROM documents
+),
+n AS (SELECT doc_id,
+             {TX.sql_registered_domain(TX.sql_url_host('url'))} AS reg_domain,
+             text
+      FROM u),
+l AS (
+  SELECT doc_id, reg_domain,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM n
+),
+per_line AS (
+  SELECT reg_domain, line, count(DISTINCT doc_id) AS n_docs_with
+  FROM l GROUP BY 1, 2
+),
+per_dom AS (SELECT reg_domain, count(*) AS n_domain_docs FROM n GROUP BY 1),
+boiler AS (
+  SELECT reg_domain, line
+  FROM per_line JOIN per_dom USING (reg_domain)
+  WHERE n_docs_with >= {BOILER_MIN_DOCS}
+    AND CAST(n_docs_with AS DOUBLE)
+        >= {BOILER_MIN_FRAC} * CAST(n_domain_docs AS DOUBLE)
+),
+kept AS (SELECT l.* FROM l ANTI JOIN boiler USING (reg_domain, line)),
+kept_agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+lines_cnt AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1)
+SELECT n.doc_id,
+       CASE WHEN n.text IS NULL THEN NULL
+            ELSE coalesce(k.clean_text, '') END AS clean_text,
+       coalesce(c.n_lines, 0) AS n_lines,
+       coalesce(c.n_lines, 0) - coalesce(k.n_kept, 0) AS n_removed
+FROM n
+LEFT JOIN kept_agg k USING (doc_id)
+LEFT JOIN lines_cnt c USING (doc_id)
+ORDER BY n.doc_id
 """,
         "lang_id": _oracle_lang_id(),
         "text_quality": _oracle_text_quality(),

@@ -142,6 +142,8 @@ HEADLINE = [
     # added r10: URL/host-level dedup family (extras — gate full)
     "url_dedup",
     "domain_doc_counts",
+    "domain_cap",
+    "boilerplate_lines",
 ]
 
 
@@ -235,6 +237,8 @@ BASELINE_SEC = {
     # r10 seeds (seed_bench at sf0.1; SCALING.md round-10 deltas)
     "url_dedup": 1.090,
     "domain_doc_counts": 1.010,
+    "domain_cap": 1.405,
+    "boilerplate_lines": 2.635,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

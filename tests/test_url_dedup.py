@@ -124,3 +124,84 @@ def test_plan_is_row_local_plus_single_aggregate(spark):
     )
     plan = dedup.url_dedup(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_domain_cap_keeps_lowest_ids(spark):
+    docs = spark.createDataFrame(
+        [(i, f"https://big.com/p/{i}") for i in range(10)]
+        + [(100, "https://small.org/x"), (101, "https://small.org/y")],
+        "doc_id long, url string",
+    )
+    out = dedup.domain_cap(docs, cap=3).collect()
+    got = sorted((r["reg_domain"], r["doc_id"], r["domain_rank"]) for r in out)
+    assert got == [
+        ("big.com", 0, 1), ("big.com", 1, 2), ("big.com", 2, 3),
+        ("small.org", 100, 1), ("small.org", 101, 2),
+    ]
+
+
+def test_domain_cap_two_level_matches_naive_window(spark):
+    """The skew-safe two-level top-k must equal the naive single window
+    for every (cap, pre_shards) — exactness of the per-shard prefilter."""
+    from pyspark.sql import Window as W
+
+    docs = spark.createDataFrame(
+        [(i, f"https://dom{i % 5}.com/p/{i % 13}") for i in range(200)],
+        "doc_id long, url string",
+    )
+    for cap, shards in ((1, 2), (4, 3), (7, 16)):
+        fast = {
+            (r["reg_domain"], r["doc_id"])
+            for r in dedup.domain_cap(docs, cap=cap, pre_shards=shards).collect()
+        }
+        parts = dedup.url_parts(docs)
+        w = W.partitionBy("reg_domain").orderBy("doc_id")
+        naive = {
+            (r["reg_domain"], r["doc_id"])
+            for r in parts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= cap)
+            .collect()
+        }
+        assert fast == naive, (cap, shards)
+
+
+def test_boilerplate_lines_strips_and_keeps(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://site.com/a", "FOOTER\ncontent one"),
+            (2, "https://site.com/b", "FOOTER\ncontent two"),
+            (3, "https://site.com/c", "content three"),   # no footer
+            (4, "https://other.org/a", "FOOTER\nsolo"),   # 1 doc < min_docs
+        ],
+        "doc_id long, url string, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in dedup.boilerplate_lines(docs, min_frac=0.5, min_docs=2).collect()
+    }
+    # FOOTER in 2/3 site.com docs (>=50%, >=2) -> stripped there; other.org
+    # has it in 1 doc only -> kept (min_docs guard)
+    assert rows == {
+        1: ("content one", 2, 1),
+        2: ("content two", 2, 1),
+        3: ("content three", 1, 0),
+        4: ("FOOTER\nsolo", 2, 0),
+    }
+
+
+def test_boilerplate_lines_degenerate_docs(spark):
+    """All-boilerplate docs come out EMPTY (not missing); NULL-text docs
+    pass through with NULL clean_text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "https://s.com/a", "FOOTER"),
+            (2, "https://s.com/b", "FOOTER"),
+            (3, "https://s.com/c", None),
+        ],
+        "doc_id long, url string, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in dedup.boilerplate_lines(docs, min_frac=0.5, min_docs=2).collect()
+    }
+    assert rows == {1: ("", 1, 1), 2: ("", 1, 1), 3: (None, 0, 0)}

@@ -92,9 +92,12 @@ FAMILIES = [
     # corpus-prep decontamination
     "quality_classifier",
     "bloom_decontaminate",
-    # r10: URL/host-level dedup (canonicalize + registered domain)
+    # r10: URL/host-level dedup (canonicalize + registered domain) +
+    # per-domain quota cap + domain boilerplate-line removal
     "url_dedup",
     "domain_doc_counts",
+    "domain_cap",
+    "boilerplate_lines",
 ]
 
 PASSES = 2
