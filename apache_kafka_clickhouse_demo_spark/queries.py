@@ -1089,6 +1089,44 @@ def q_user_event_sequence(spark, sf_dir):
     )
 
 
+ARRAYF_T_CENTS = 5000  # arrayFilter threshold: 50.00 in cents
+
+
+def q_array_functions(spark, sf_dir):
+    """ClickHouse array-function family parity (`README.rst:283`'s linked
+    array-functions topic) in ONE query: groupArray (ordered collect) ->
+    arrayMap (x*2) -> arrayFilter (> threshold) -> arraySum fold, plus
+    arraySort/arrayDistinct/arraySlice (top-3 distinct) and has() — each
+    mapped to the Spark higher-order builtin (transform / filter /
+    aggregate / array_sort / array_distinct / slice / array_contains),
+    all row-local after the single grouping shuffle.  Money kept in
+    integer cents so every fold is exact and order-independent."""
+    v_c = F.round(F.col("value") * 100).cast("long")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", v_c.alias("v")))),
+        lambda s: s.v,
+    )
+    doubled_big = F.filter(
+        F.transform(vals, lambda x: x * 2), lambda x: x > ARRAYF_T_CENTS
+    )
+    top3 = F.slice(F.reverse(F.array_sort(F.array_distinct(vals))), 1, 3)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.size(vals).alias("n_vals"),
+            F.aggregate(
+                doubled_big, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("big_doubled_sum_c"),
+            F.concat_ws("|", F.transform(top3, lambda x: x.cast("string"))).alias(
+                "top3_c"
+            ),
+            F.array_contains(vals, F.lit(0).cast("long")).alias("has_zero"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_daily_type_rollup(spark, sf_dir):
     """ROLLUP grouping sets: per-(day, type) + per-day + grand total in one
     pass — Catalyst expands to a single Expand + hash aggregate."""
@@ -3256,6 +3294,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_doc_counts": q_domain_doc_counts,
     "domain_cap": q_domain_cap,
     "boilerplate_lines": q_boilerplate_lines,
+    # r10: ClickHouse array-function family parity (README.rst:283's
+    # linked topic) — groupArray/arrayMap/arrayFilter/arraySum/arraySort/
+    # arrayDistinct/arraySlice/has as Spark higher-order builtins
+    "array_functions": q_array_functions,
 }
 
 
@@ -4850,6 +4892,25 @@ per_url AS (
 )
 SELECT reg_domain, CAST(sum(n_dup) AS BIGINT) AS n_docs, count(*) AS n_urls
 FROM per_url GROUP BY reg_domain ORDER BY reg_domain
+""",
+        "array_functions": f"""
+WITH per_user AS (
+  SELECT user_id,
+         list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id)
+           AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(vals) AS n_vals,
+       CAST(coalesce(
+         list_sum(list_filter(list_transform(vals, x -> x * 2),
+                              x -> x > {ARRAYF_T_CENTS})), 0) AS BIGINT)
+         AS big_doubled_sum_c,
+       array_to_string(
+         list_transform(list_reverse_sort(list_distinct(vals))[1:3],
+                        x -> CAST(x AS VARCHAR)), '|') AS top3_c,
+       list_contains(vals, 0) AS has_zero
+FROM per_user ORDER BY user_id
 """,
         "domain_cap": f"""
 WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),

@@ -144,6 +144,7 @@ HEADLINE = [
     "domain_doc_counts",
     "domain_cap",
     "boilerplate_lines",
+    "array_functions",
 ]
 
 
@@ -239,6 +240,7 @@ BASELINE_SEC = {
     "domain_doc_counts": 1.010,
     "domain_cap": 1.405,
     "boilerplate_lines": 2.635,
+    "array_functions": 0.982,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

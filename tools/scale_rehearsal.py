@@ -98,6 +98,8 @@ FAMILIES = [
     "domain_doc_counts",
     "domain_cap",
     "boilerplate_lines",
+    # r10: ClickHouse array-function parity over events
+    "array_functions",
 ]
 
 PASSES = 2
