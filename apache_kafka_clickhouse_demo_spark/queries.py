@@ -3084,6 +3084,47 @@ def q_url_dedup(spark, sf_dir):
     return dedup.url_dedup(docs).orderBy("doc_id")
 
 
+def q_stream_url_dedup(spark, sf_dir):
+    """Streaming URL-level dedup (stateful.url_dedup_stream): the doc
+    feed arrives as four id-ordered blocks; each block canonicalizes its
+    URLs row-locally, min-reduces per canonical key, and drops keys
+    already in the accumulating shard-pruned store (first-arrival-wins).
+    On the id-ordered feed this equals the batch operator exactly, so the
+    oracle is url_dedup's min-id-per-canonical-URL SQL verbatim."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        url_dedup_stream,
+    )
+
+    work = _workdir("stream_urldedup_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url")
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    blk = (
+        F.when(F.col("doc_id") <= (hi * 1) // 4, 0)
+        .when(F.col("doc_id") <= (hi * 2) // 4, 1)
+        .when(F.col("doc_id") <= (hi * 3) // 4, 2)
+        .otherwise(3)
+    )
+    _write_feed_blocks(docs, work, blk)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = url_dedup_stream(
+        spark,
+        src,
+        out_dir=f"{work}/kept",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        out_files=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{work}/kept").orderBy("doc_id")
+
+
 def q_domain_doc_counts(spark, sf_dir):
     """Per-registered-domain doc/URL rollup (dedup.domain_doc_counts) —
     the statistics a per-domain quota policy consumes.  Public-suffix
@@ -3298,6 +3339,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # linked topic) — groupArray/arrayMap/arrayFilter/arraySum/arraySort/
     # arrayDistinct/arraySlice/has as Spark higher-order builtins
     "array_functions": q_array_functions,
+    # r10: streaming twin of url_dedup (first-arrival-wins crawl dedup);
+    # oracle identical to url_dedup's on the id-ordered feed
+    "stream_url_dedup": q_stream_url_dedup,
 }
 
 
@@ -4873,6 +4917,15 @@ ORDER BY id_a, id_b
         "ann_ivf_topk": _oracle_ann_ivf(),
         "ann_sq8_topk": _oracle_ann_sq8(),
         "url_dedup": f"""
+WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
+n AS (SELECT doc_id,
+             {TX.sql_url_normalize('url')} AS url_norm,
+             {TX.sql_registered_domain(TX.sql_url_host('url'))} AS reg_domain
+      FROM u)
+SELECT min(doc_id) AS doc_id, url_norm, reg_domain
+FROM n GROUP BY url_norm, reg_domain ORDER BY doc_id
+""",
+        "stream_url_dedup": f"""
 WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
 n AS (SELECT doc_id,
              {TX.sql_url_normalize('url')} AS url_norm,

@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from apache_kafka_clickhouse_demo_spark.functions import text as TX_FN
+
 
 def streaming_dedup(
     source: DataFrame,
@@ -1275,3 +1277,184 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {upper}"))
     )
     return l_.join(r_, cond)
+
+
+# ---------------------------------------------------------------------------
+# Streaming URL-level dedup (r10): the crawl-pipeline twin of
+# `dedup.url_dedup` — first-arrival-wins filtering of an unbounded feed
+# against an accumulating canonical-URL key store.
+# ---------------------------------------------------------------------------
+
+
+class _UrlDedupStreamWriter:
+    """foreachBatch body of `url_dedup_stream`: continuous EXACT dedup of
+    a crawl feed by canonical URL, against ONE transactional key store
+    (`shard=<hash(key) % key_shards>` layout; every read is shard-pruned,
+    so a block pays O(its own keys) store files however big the store).
+
+    Per block:
+
+    1. Canonicalize row-locally (the same `dedup.url_parts` expressions
+       as the batch operator, so stream and batch make identical
+       normalization decisions) and reduce to the block-local MIN doc_id
+       per key — one aggregate that removes within-block choice
+       ambiguity, making every decision deterministic; the key is
+       `coalesce(url_norm, 'invalid:' || doc_id)` per the repo's
+       degenerate-doc contract (invalid URLs never collapse).
+    2. Pin the store version, collect the block's touched shard names
+       (bounded by `key_shards`, never by data), read ONLY those shards
+       at the pin, and suppress rows whose key exists in the store with
+       a DIFFERENT doc_id.  The != guard is what makes a store-committed
+       RETRY self-tolerant: the earlier attempt's own rows match on
+       doc_id and do not suppress, so the retry re-derives identical
+       survivors.
+    3. `append_once` the survivors' key rows to the store, THEN
+       `append_once` the survivors to out — same crash-window order as
+       the near-dup writers: dying between the commits re-runs the batch
+       with the store append a txn no-op and the out append publishing
+       once.
+
+    Semantics: FIRST-ARRIVAL-WINS per canonical URL (what a crawl
+    pipeline wants — the first fetch is kept, re-crawls drop).  On an
+    id-ordered feed this equals the batch operator's min-id-per-URL
+    rule, which is what the oracle checks.
+    """
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        store_dir: str,
+        url_col: str = "url",
+        id_col: str = "doc_id",
+        suffixes: tuple[str, ...] = TX_FN.PUBLIC_SUFFIXES,
+        key_shards: int = 16,
+        writer_id: str = "",
+        out_files: int | None = None,
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+        self.spark = spark
+        self.url_col = url_col
+        self.id_col = id_col
+        self.suffixes = suffixes
+        self.key_shards = key_shards
+        self.writer_id = writer_id
+        self.out_files = out_files
+        self.out = TransactionalTable(out_dir)
+        self.store = TransactionalTable(os.path.join(store_dir, "store"))
+
+    def maintain(self) -> None:
+        """Same store-maintenance contract as _NearDupStreamWriter."""
+        self.store.optimize(self.spark, partition_by="shard")
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
+        self.store.vacuum()
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from apache_kafka_clickhouse_demo_spark.operators.dedup import url_parts
+
+        txn = f"{self.writer_id}:{batch_id}"
+        if self.store.txn_committed(txn) and self.out.txn_committed(txn):
+            return  # fully-committed replay: no-op, no jobs
+
+        parts = url_parts(block, self.url_col, self.id_col, self.suffixes)
+        key = F.coalesce(
+            F.col("url_norm"),
+            F.concat(F.lit("invalid:"), F.col("doc_id").cast("string")),
+        )
+        # block-local min doc_id per key; struct min is lexicographic on
+        # the leading doc_id, so url_norm/reg_domain stay aligned with it
+        reduced = (
+            parts.groupBy(key.alias("key"))
+            .agg(F.min(F.struct("doc_id", "url_norm", "reg_domain")).alias("m"))
+            .select(
+                "key",
+                F.col("m.doc_id").alias("doc_id"),
+                F.col("m.url_norm").alias("url_norm"),
+                F.col("m.reg_domain").alias("reg_domain"),
+            )
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64("key"), F.lit(self.key_shards)).cast("string"),
+            )
+            .persist()
+        )
+        try:
+            pin = self.store.version()
+            # bounded driver action: <= key_shards distinct names
+            touched = (reduced.agg(F.collect_set("shard")).first()[0]) or []
+            try:
+                seen = self.store.read_where(
+                    self.spark, "shard", touched, version=pin
+                ).select("key", F.col("doc_id").alias("store_id"))
+            except FileNotFoundError:  # no commits below the pin
+                seen = reduced.select(
+                    "key", F.col("doc_id").alias("store_id")
+                ).limit(0)
+            survivors = (
+                reduced.join(seen, "key", "left")
+                .filter(
+                    F.col("store_id").isNull()
+                    | (F.col("store_id") == F.col("doc_id"))
+                )
+                .select("key", "doc_id", "url_norm", "reg_domain", "shard")
+            )
+            # store commit FIRST (crash-window argument in the class doc);
+            # align tasks with the shard layout like the near-dup writers
+            self.store.append_once(
+                survivors.select("key", "doc_id", "shard").repartition(
+                    F.col("shard")
+                ),
+                txn=txn,
+                partition_by="shard",
+            )
+            out_df = survivors.select("doc_id", "url_norm", "reg_domain")
+            if self.out_files is not None:
+                out_df = out_df.coalesce(self.out_files)
+            self.out.append_once(out_df, txn=txn)
+        finally:
+            reduced.unpersist()
+
+
+def url_dedup_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffixes: tuple[str, ...] = TX_FN.PUBLIC_SUFFIXES,
+    key_shards: int = 16,
+    out_files: int | None = None,
+    expected_corpus_rows: int | None = None,
+):
+    """Streaming URL-level dedup: the streaming twin of
+    `dedup.url_dedup`, and the FIRST filter a continuously-crawling
+    training-data pipeline runs (cheaper than any content dedup — a
+    re-crawled page drops before it is ever shingled).  Mechanics,
+    exactly-once guarantees, and the first-arrival semantics: see
+    `_UrlDedupStreamWriter`.  `expected_corpus_rows` sizes the store's
+    shard count for the corpus the stream will accumulate
+    (`shards_for_store`; one key row per surviving URL)."""
+    if expected_corpus_rows is not None:
+        key_shards = shards_for_store(expected_corpus_rows)
+    writer = _UrlDedupStreamWriter(
+        spark,
+        out_dir,
+        store_dir,
+        url_col=url_col,
+        id_col=id_col,
+        suffixes=suffixes,
+        key_shards=key_shards,
+        writer_id=checkpoint,
+        out_files=out_files,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -145,6 +145,7 @@ HEADLINE = [
     "domain_cap",
     "boilerplate_lines",
     "array_functions",
+    "stream_url_dedup",
 ]
 
 
@@ -241,6 +242,7 @@ BASELINE_SEC = {
     "domain_cap": 1.405,
     "boilerplate_lines": 2.635,
     "array_functions": 0.982,
+    "stream_url_dedup": 7.186,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

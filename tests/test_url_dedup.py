@@ -205,3 +205,116 @@ def test_boilerplate_lines_degenerate_docs(spark):
         for r in dedup.boilerplate_lines(docs, min_frac=0.5, min_docs=2).collect()
     }
     assert rows == {1: ("", 1, 1), 2: ("", 1, 1), 3: (None, 0, 0)}
+
+
+# ---------------------------------------------------------------------------
+# Streaming URL dedup writer (driven directly, no stream harness)
+# ---------------------------------------------------------------------------
+
+
+def _url_writer(spark, tmp_path, tag="w"):
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _UrlDedupStreamWriter,
+    )
+
+    return _UrlDedupStreamWriter(
+        spark,
+        out_dir=str(tmp_path / f"out_{tag}"),
+        store_dir=str(tmp_path / f"store_{tag}"),
+        key_shards=4,
+        writer_id=tag,
+    )
+
+
+def _out_rows(spark, writer):
+    return {
+        r["doc_id"]: r["url_norm"]
+        for r in writer.out.read(spark).collect()
+    }
+
+
+def test_stream_url_dedup_first_arrival_across_blocks(spark, tmp_path):
+    w = _url_writer(spark, tmp_path)
+    b0 = spark.createDataFrame(
+        [(1, "https://www.site.com/a/"), (2, "https://site.com/a?utm_source=x"),
+         (3, "https://other.org/x")],
+        "doc_id long, url string",
+    )
+    w.process(b0, 0)
+    # block 1 re-crawls site.com/a (drops) and adds a fresh URL
+    b1 = spark.createDataFrame(
+        [(10, "HTTPS://site.com:443/a"), (11, "https://fresh.io/y")],
+        "doc_id long, url string",
+    )
+    w.process(b1, 1)
+    assert _out_rows(spark, w) == {
+        1: "https://site.com/a",
+        3: "https://other.org/x",
+        11: "https://fresh.io/y",
+    }
+
+
+def test_stream_url_dedup_retry_is_idempotent(spark, tmp_path):
+    """A replayed batch id (foreachBatch retry) must publish nothing new —
+    including the half-committed case where the store landed but out did
+    not (the != doc_id guard's whole purpose)."""
+    w = _url_writer(spark, tmp_path)
+    b0 = spark.createDataFrame(
+        [(1, "https://a.com/1"), (2, "https://a.com/1#frag")],
+        "doc_id long, url string",
+    )
+    w.process(b0, 0)
+    first = _out_rows(spark, w)
+    w.process(b0, 0)  # full replay
+    assert _out_rows(spark, w) == first == {1: "https://a.com/1"}
+    # half-committed replay: wipe ONLY the out table's txn marker by
+    # simulating a new writer against the same store with the same txn —
+    # the store append no-ops, survivors re-derive identically, and the
+    # out append must publish the SAME single row (not zero, not two)
+    w2 = _url_writer(spark, tmp_path, tag="w")
+    w2.out = type(w.out)(str(tmp_path / "out_fresh"))
+    w2.process(b0, 0)
+    assert _out_rows(spark, w2) == first
+
+
+def test_stream_url_dedup_invalid_urls_never_collapse(spark, tmp_path):
+    w = _url_writer(spark, tmp_path)
+    b0 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "garbage")], "doc_id long, url string"
+    )
+    w.process(b0, 0)
+    out = _out_rows(spark, w)
+    assert sorted(out) == [1, 2, 3]
+    assert all(v is None for v in out.values())
+
+
+def test_stream_url_dedup_store_read_is_shard_pruned(spark, tmp_path):
+    """The suppression read must touch only the block's own key shards."""
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
+
+    w = _url_writer(spark, tmp_path)
+    w.process(
+        spark.createDataFrame(
+            [(i, f"https://s{i}.com/p") for i in range(20)],
+            "doc_id long, url string",
+        ),
+        0,
+    )
+    calls = []
+    orig = TXL.TransactionalTable.read_where
+
+    def spy(self, spark_, col, values, version=None):
+        calls.append(sorted(values))
+        return orig(self, spark_, col, values, version=version)
+
+    TXL.TransactionalTable.read_where = spy
+    try:
+        w.process(
+            spark.createDataFrame(
+                [(100, "https://s1.com/p")], "doc_id long, url string"
+            ),
+            1,
+        )
+    finally:
+        TXL.TransactionalTable.read_where = orig
+    assert len(calls) == 1 and len(calls[0]) == 1  # one shard for one key
