@@ -3074,6 +3074,60 @@ def q_boilerplate_lines(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+WEBCUR_CAP = 4
+
+
+def q_web_curation(spark, sf_dir):
+    """End-to-end WEB-corpus curation composition — the URL-family twin
+    of corpus_curation's content pipeline, in the order a real crawl
+    pipeline runs its stages (cheapest first):
+
+      1. url_dedup         — drop re-crawls by canonical URL
+      2. domain_cap        — cap over-represented hosts (lowest ids win)
+      3. boilerplate_lines — strip domain-frequent nav/footer lines
+      4. keep docs with >= 1 surviving content line
+      5. exact dedup on the CLEANED text (boilerplate removal exposes
+         content dupes the raw bytes hid) — md5 key, min id survives
+
+    Plan shape at 100 TB: stages 1-2 carry only (doc_id, url) columns;
+    the full text is joined in once (semi-joins pinned via pin_wide);
+    stage 3 is line-grain equi-keyed shuffles; stage 5 is one
+    constant-width-key (md5) aggregate.  Nothing all-pairs, nothing
+    driver-side."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"), _synth_multiline_text().alias("text")
+    )
+    wide = is_wide_source(docs)
+    s1 = dedup.url_dedup(docs).select("doc_id")
+    d1 = docs.join(pin_wide(s1, wide), "doc_id", "left_semi")
+    s2 = dedup.domain_cap(d1, cap=WEBCUR_CAP).select("doc_id", "reg_domain")
+    d2 = d1.join(pin_wide(s2.select("doc_id"), wide), "doc_id", "left_semi")
+    bp = dedup.boilerplate_lines(
+        d2, min_frac=BOILER_MIN_FRAC, min_docs=BOILER_MIN_DOCS
+    )
+    enriched = bp.join(pin_wide(s2, wide), "doc_id")
+    filt = enriched.filter(
+        ((F.col("n_lines") - F.col("n_removed")) >= 1)
+        & F.col("clean_text").isNotNull()
+    )
+    final = (
+        filt.groupBy(F.md5("clean_text").alias("_k"))
+        .agg(
+            F.min(
+                F.struct("doc_id", "reg_domain", "clean_text", "n_removed")
+            ).alias("m")
+        )
+        .select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.reg_domain").alias("reg_domain"),
+            F.length("m.clean_text").alias("n_clean_chars"),
+            F.col("m.n_removed").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+    return final
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level exact dedup after canonicalization (dedup.url_dedup) —
     the CCNet/RefinedWeb dedupe-by-URL pass that precedes content dedup.
@@ -3342,6 +3396,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: streaming twin of url_dedup (first-arrival-wins crawl dedup);
     # oracle identical to url_dedup's on the id-ordered feed
     "stream_url_dedup": q_stream_url_dedup,
+    # r10: end-to-end web-curation composition (url_dedup -> domain_cap ->
+    # boilerplate_lines -> content filter -> exact dedup on cleaned text)
+    "web_curation": q_web_curation,
 }
 
 
@@ -4924,6 +4981,71 @@ n AS (SELECT doc_id,
       FROM u)
 SELECT min(doc_id) AS doc_id, url_norm, reg_domain
 FROM n GROUP BY url_norm, reg_domain ORDER BY doc_id
+""",
+        "web_curation": f"""
+WITH u AS (
+  SELECT doc_id, {_SQL_SYNTH_URL} AS url, {_SQL_SYNTH_MLTEXT} AS text
+  FROM documents
+),
+n AS (SELECT doc_id,
+             {TX.sql_url_normalize('url')} AS url_norm,
+             {TX.sql_registered_domain(TX.sql_url_host('url'))} AS reg_domain,
+             text
+      FROM u),
+s1 AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY url_norm),
+n1 AS (SELECT n.* FROM n JOIN s1 USING (doc_id)),
+s2 AS (
+  SELECT doc_id, reg_domain FROM (
+    SELECT doc_id, reg_domain,
+           row_number() OVER (PARTITION BY reg_domain ORDER BY doc_id) AS rk
+    FROM n1
+  ) WHERE rk <= {WEBCUR_CAP}
+),
+n2 AS (SELECT n1.* FROM n1 JOIN s2 USING (doc_id)),
+l AS (
+  SELECT doc_id, reg_domain,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM n2
+),
+per_line AS (
+  SELECT reg_domain, line, count(DISTINCT doc_id) AS n_docs_with
+  FROM l GROUP BY 1, 2
+),
+per_dom AS (SELECT reg_domain, count(*) AS n_domain_docs FROM n2 GROUP BY 1),
+boiler AS (
+  SELECT reg_domain, line
+  FROM per_line JOIN per_dom USING (reg_domain)
+  WHERE n_docs_with >= {BOILER_MIN_DOCS}
+    AND CAST(n_docs_with AS DOUBLE)
+        >= {BOILER_MIN_FRAC} * CAST(n_domain_docs AS DOUBLE)
+),
+kept AS (SELECT l.* FROM l ANTI JOIN boiler USING (reg_domain, line)),
+kept_agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+lines_cnt AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1),
+bp AS (
+  SELECT n2.doc_id, n2.reg_domain,
+         CASE WHEN n2.text IS NULL THEN NULL
+              ELSE coalesce(k.clean_text, '') END AS clean_text,
+         coalesce(c.n_lines, 0) AS n_lines,
+         coalesce(c.n_lines, 0) - coalesce(k.n_kept, 0) AS n_removed
+  FROM n2
+  LEFT JOIN kept_agg k USING (doc_id)
+  LEFT JOIN lines_cnt c USING (doc_id)
+),
+filt AS (
+  SELECT * FROM bp
+  WHERE n_lines - n_removed >= 1 AND clean_text IS NOT NULL
+)
+SELECT min(doc_id) AS doc_id,
+       arg_min(reg_domain, doc_id) AS reg_domain,
+       CAST(length(arg_min(clean_text, doc_id)) AS INTEGER) AS n_clean_chars,
+       arg_min(n_removed, doc_id) AS n_removed
+FROM filt GROUP BY md5(clean_text) ORDER BY doc_id
 """,
         "stream_url_dedup": f"""
 WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),

@@ -146,6 +146,7 @@ HEADLINE = [
     "boilerplate_lines",
     "array_functions",
     "stream_url_dedup",
+    "web_curation",
 ]
 
 
@@ -243,6 +244,7 @@ BASELINE_SEC = {
     "boilerplate_lines": 2.635,
     "array_functions": 0.982,
     "stream_url_dedup": 7.186,
+    "web_curation": 5.081,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -100,6 +100,8 @@ FAMILIES = [
     "boilerplate_lines",
     # r10: ClickHouse array-function parity over events
     "array_functions",
+    # r10: end-to-end web-curation composition
+    "web_curation",
 ]
 
 PASSES = 2
