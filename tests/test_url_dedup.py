@@ -152,7 +152,9 @@ def test_domain_cap_two_level_matches_naive_window(spark):
     for cap, shards in ((1, 2), (4, 3), (7, 16)):
         fast = {
             (r["reg_domain"], r["doc_id"])
-            for r in dedup.domain_cap(docs, cap=cap, pre_shards=shards).collect()
+            for r in dedup.domain_cap(
+                docs, cap=cap, pre_shards=shards, two_level=True
+            ).collect()
         }
         parts = dedup.url_parts(docs)
         w = W.partitionBy("reg_domain").orderBy("doc_id")
