@@ -114,3 +114,32 @@ def test_small_source_keeps_broadcast_plans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bhj, _ = _counts(text_analysis.substring_dedup(docs, 13))
     assert bhj >= 1
+
+
+def test_bcast_small_keeps_broadcasts_under_the_bound(spark, sf_dir):
+    """bcast_small's small side (r10): at fixture scale the TPC-H dim
+    broadcasts must SURVIVE — the guard degrades hints above the bound,
+    it must not tax the measured-faster plans below it."""
+    from apache_kafka_clickhouse_demo_spark import queries as Q
+
+    bhj, _ = _counts(Q.QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert bhj >= 3  # supp, nation, region(+filter) all stay broadcast
+
+
+def test_bcast_small_pins_wide_sides(spark):
+    """Above the bound bcast_small must MERGE-PIN (not merely un-hint):
+    an un-hinted projection of a wide scan can shrink back under the
+    auto-broadcast threshold and re-broadcast off the derived estimate."""
+    from apache_kafka_clickhouse_demo_spark.sources.tables import bcast_small
+
+    n = 4 * WIDE_SOURCE_BYTES // 8
+    wide = spark.range(n).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    bhj, smj = _counts(probe.join(bcast_small(wide.select("k")), "k"))
+    assert bhj == 0 and smj == 1
+    # and under the bound the hint is a real broadcast
+    small = spark.range(50).select(F.col("id").alias("k"))
+    bhj2, _ = _counts(probe.join(bcast_small(small), "k"))
+    assert bhj2 == 1
