@@ -922,3 +922,288 @@ def chunk_dedup(
             ).alias("kept_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (keyword search over the corpus)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scales for the two BM25 factors (micro-units each)
+BM25_IDF_SCALE = 1_000_000
+BM25_TF_SCALE = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 keyword retrieval (Robertson et al., TREC-3): top-k
+    documents per query string, restated in exact integer arithmetic.
+
+    With the standard constants k1 = 6/5 and b = 3/4, clearing
+    denominators turns BM25's two factors into integer ratios:
+
+        idf(df)        ~ (N - df + 0.5)/(df + 0.5)  = (2N - 2df + 1)/(2df + 1)
+        tf_sat(tf, dl) = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))
+                       = 44*tf*TOT / (20*tf*TOT + 6*TOT + 18*dl*N)
+
+    where N = corpus document count, TOT = corpus token count (so
+    avgdl = TOT/N enters exactly, never as a rounded double).  Each factor
+    is computed as an exact DECIMAL(38,0) product floor-divided once into
+    micro-units (`div`, both operands positive, so Spark's truncation and
+    DuckDB's `//` agree), and the per-term contributions — integers —
+    sum order-independently per (query, doc).  DEVIATION FROM TEXTBOOK
+    BM25, stated honestly: the idf factor is the Robertson odds RATIO
+    itself, not its log — per-term rankings are identical (the ratio is
+    monotone in df exactly as the log is) but cross-term weighting trades
+    log-compression for integer exactness, the house rule that keeps the
+    operator hash-exact against the DuckDB oracle (same trade as
+    `tfidf_top_terms`).  Queries are tokenized driver-side by the same
+    lower/split rule as `TX.tokens` and deduplicated (classic BM25 with
+    qtf = 1 for short queries).
+
+    Output: (query_id, rank, doc_id, bm25_score_micro long), rank 1..k by
+    (score desc, doc_id asc); queries matching no document emit no rows;
+    like tfidf_top_terms, ranking uses the untruncated decimal and the
+    emitted long is NULL (not garbage) past ~1e9-doc corpora.
+
+    Plan shape at 100 TB: the explode is filtered to QUERY TERMS before
+    the (doc, term) aggregate, so the one corpus-scale shuffle carries
+    only matching occurrences; document frequency aggregates to <= |query
+    vocabulary| rows and the corpus (N, TOT) to one row — both
+    bounded-by-construction broadcasts (the literal `isin` bounds them,
+    not an estimate).  Per-query top-k runs the same two-phase
+    partial/merge reduction as `similarity._two_phase_topk` — a window
+    partitioned by the handful of query ids would funnel every candidate
+    row through one task per query at scale.  Doc length rides the
+    explode (grouping key constant per doc), so no corpus-side join or
+    second scan feeds the score.
+    """
+    qt_rows = sorted(
+        {(int(qid), t) for qid, q in queries for t in (q or "").lower().split()}
+    )
+    if not qt_rows:
+        raise ValueError("bm25_topk: queries contain no terms")
+    all_terms = sorted({t for _, t in qt_rows})
+
+    toks = TX.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("long").alias("tot_tokens"),
+    )
+    occ = base.select(
+        "doc_id", F.size("_toks").cast("long").alias("dl"), F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(all_terms))
+    tf = occ.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+
+    scored = (
+        # dfreq <= |all_terms| rows and stats is 1 row: bounded by
+        # construction, so the unconditional broadcasts are scale-safe
+        # (bcast_small's "genuinely bounded" carve-out)
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.expr(
+                f"CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * {BM25_IDF_SCALE}"
+                " div (2*df + 1)"
+            ),
+        )
+        .withColumn(
+            "_tfs",
+            F.expr(
+                f"CAST(44 AS DECIMAL(38,0)) * tf * tot_tokens * {BM25_TF_SCALE}"
+                " div (CAST(20 AS DECIMAL(38,0))*tf*tot_tokens"
+                " + 6*tot_tokens + 18*dl*n_docs)"
+            ),
+        )
+        # long * long would wrap past ~1e9 docs; the decimal product is
+        # exact and the final emit degrades to NULL like tfidf_top_terms
+        .withColumn("_w", F.expr("CAST(_idf AS DECIMAL(38,0)) * _tfs"))
+        .join(F.broadcast(qt), "term")
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(F.sum("_w").alias("_score"))
+
+    entry = F.struct(
+        (-F.col("_score")).alias("neg_score"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("_score").alias("score"),
+    )
+    partial = per_doc.select("query_id", entry.alias("e")).groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("topk"))
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("topk"))), 1, k).alias("topk")
+    )
+    return (
+        merged.select("query_id", F.posexplode("topk").alias("_pos", "e"))
+        .select(
+            "query_id",
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+            F.col("e.doc_id").alias("doc_id"),
+            F.col("e.score").cast("long").alias("bm25_score_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: DSIR shares the classifier family's hashed feature space (QC_BUCKETS
+#: buckets over unigram+bigram features via `_qc_bucket`) so the two
+#: operators' feature extraction provably cannot drift; the demo lambda
+#: table is salted differently ("dw:") so their demo models are distinct.
+DSIR_WEIGHT_SPAN = 1000
+
+
+def _dsir_demo_lambda(bucket: Column) -> Column:
+    """Deterministic demo log-ratio (milli-units) per bucket — the Spark
+    expression form the oracle mirrors; `dsir_lambda_table()` precomputes
+    the same md5 math driver-side (see `_qc_weight` for the rationale)."""
+    return (
+        H.h48(F.concat(F.lit("dw:"), bucket.cast("string")))
+        % (2 * DSIR_WEIGHT_SPAN + 1)
+        - DSIR_WEIGHT_SPAN
+    )
+
+
+def dsir_lambda_table() -> list[int]:
+    """Demo importance-weight table, bucket id -> milli-unit log-ratio."""
+    import hashlib
+
+    out = []
+    for b in range(QC_BUCKETS):
+        h = int(hashlib.md5(f"dw:{b}".encode()).hexdigest()[:12], 16)
+        out.append(h % (2 * DSIR_WEIGHT_SPAN + 1) - DSIR_WEIGHT_SPAN)
+    return out
+
+
+def dsir_fit(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    alpha: int = 1,
+    scale_millis: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[int]:
+    """Learn the DSIR importance log-ratio table from a target-domain
+    sample vs the raw corpus (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed unigram+bigram
+    bag-of-n-grams distributions p_target / p_raw with add-alpha
+    smoothing, lambda(b) = log(p_target(b)) - log(p_raw(b)) in integer
+    milli-units.
+
+    Driver-side learning, engine-side application — the same split as
+    `quality_classifier`'s trained-weights path: each distribution is ONE
+    hash-aggregate whose result is bounded by construction (<= QC_BUCKETS
+    rows, collect is a few KB at any corpus size), and the float `log`
+    runs in Python only — the learned table is integers, so applying it
+    (`dsir_weights` / `dsir_select`) stays hash-exact cross-engine.
+    """
+    import math
+
+    def counts(df: DataFrame) -> tuple[dict[int, int], int]:
+        toks = TX.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        feats = F.concat(toks, TX.word_shingles(toks, 2))
+        rows = (
+            spread_small(df)
+            .select(F.explode(feats).alias("_f"))
+            .groupBy(_qc_bucket(F.col("_f")).cast("int").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        cmap = {r["b"]: r["c"] for r in rows}
+        return cmap, sum(cmap.values())
+
+    tmap, t_tot = counts(target_docs)
+    rmap, r_tot = counts(raw_docs)
+    td = t_tot + alpha * QC_BUCKETS
+    rd = r_tot + alpha * QC_BUCKETS
+    return [
+        round(
+            scale_millis
+            * (
+                math.log((tmap.get(b, 0) + alpha) / td)
+                - math.log((rmap.get(b, 0) + alpha) / rd)
+            )
+        )
+        for b in range(QC_BUCKETS)
+    ]
+
+
+def dsir_weights(
+    docs: DataFrame,
+    lam: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance weight: sum of the lambda table over
+    the doc's hashed unigram+bigram features (the log importance ratio of
+    the doc under the learned bag-of-n-grams model — sums of integer
+    milli-log-ratios, exact and order-independent).
+
+    `lam=None` applies the deterministic demo table; pass `dsir_fit`'s
+    result for a learned one.  Output: (doc_id, n_features,
+    weight_millis), one row per doc, NULL text scoring as empty.
+
+    Plan shape at 100 TB: fully row-local — the table rides along as one
+    array Literal (same staging rationale as `quality_classifier`) and
+    the whole operator is one projection, zero exchanges, scan-bound.
+    int64 bounds: |lambda| <= ~20*scale at any realistic smoothing, so a
+    doc overflows only past ~4e14 features — unreachable.
+    """
+    table = lam if lam is not None else dsir_lambda_table()
+    if len(table) != QC_BUCKETS:
+        raise ValueError(f"lambda table must have {QC_BUCKETS} entries")
+    toks = TX.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    feats = F.concat(toks, TX.word_shingles(toks, 2))
+    staged = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), feats.alias("_feats")
+    )
+    ltab = F.lit([int(w) for w in table]).cast("array<long>")
+    return staged.select(
+        "doc_id",
+        F.size("_feats").cast("int").alias("n_features"),
+        F.aggregate(
+            F.col("_feats"),
+            F.lit(0).cast("long"),
+            lambda acc, f: acc + F.element_at(ltab, _qc_bucket(f).cast("int") + 1),
+        ).alias("weight_millis"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    k: int,
+    lam: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the k documents with the highest DSIR importance weight —
+    the deterministic top-k variant of the paper's Gumbel-top-k
+    resampling (stated honestly: Gumbel noise requires a per-row
+    `-log(-log(u))`, whose cross-engine log-bit differences would break
+    the oracle's exact-hash contract; top-k-by-weight is the noise-free
+    limit and the paper's own "top-k heuristic" comparison point).
+    Ties break on doc_id ascending, so the selected SET is deterministic.
+
+    Plan shape: `dsir_weights` (row-local) then orderBy+limit — Catalyst
+    plans TakeOrderedAndProject, the true distributed top-k (per-partition
+    k-heaps, one k-row merge), never a global sort.
+    """
+    return (
+        dsir_weights(docs, lam=lam, text_col=text_col, id_col=id_col)
+        .orderBy(F.col("weight_millis").desc(), F.col("doc_id"))
+        .limit(k)
+    )

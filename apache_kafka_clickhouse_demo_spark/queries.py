@@ -3128,6 +3128,46 @@ def q_web_curation(spark, sf_dir):
     return final
 
 
+#: BM25 demo query set — terms drawn from the synthetic fixture vocabulary
+#: so every query matches a meaningful candidate set at gate scale
+BM25_K = 10
+BM25_QUERIES = [
+    (1, "fast hash join"),
+    (2, "window agg stream"),
+    (3, "slow table scan"),
+    (4, "customer query sort"),
+    (5, "vector merge batch"),
+]
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword retrieval (text_analysis.bm25_topk): top-10
+    documents per query for five fixed keyword queries — integer-exact
+    restatement (rational idf surrogate + cleared-denominator tf
+    saturation; deviation documented in the operator docstring).  The
+    explode is filtered to query terms BEFORE the (doc, term) aggregate
+    and the per-query top-k is the two-phase partial/merge reduction, so
+    nothing funnels through a per-query window task at 100 TB."""
+    return text_analysis.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_QUERIES, k=BM25_K
+    ).orderBy("query_id", "rank")
+
+
+DSIR_K = 50
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-weighted data selection (text_analysis.dsir_select,
+    Xie et al. 2023): top-50 documents by hashed-n-gram importance weight
+    under the deterministic demo lambda table (the learned-table path is
+    pytest-pinned — fit runs driver-side like quality_classifier's trained
+    weights).  Row-local scoring + TakeOrderedAndProject top-k: scan-bound
+    at 100 TB with zero exchanges before the k-row merge."""
+    return text_analysis.dsir_select(
+        _t(spark, sf_dir, "documents"), k=DSIR_K
+    ).orderBy(F.col("weight_millis").desc(), "doc_id")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level exact dedup after canonicalization (dedup.url_dedup) —
     the CCNet/RefinedWeb dedupe-by-URL pass that precedes content dedup.
@@ -3399,6 +3439,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: end-to-end web-curation composition (url_dedup -> domain_cap ->
     # boilerplate_lines -> content filter -> exact dedup on cleaned text)
     "web_curation": q_web_curation,
+    # r10: Okapi BM25 keyword retrieval (integer-exact restatement;
+    # query-term-filtered explode + two-phase per-query top-k)
+    "bm25_search": q_bm25_search,
+    # r10: DSIR importance-weighted data selection (demo lambda table;
+    # dsir_fit's learned-table path pytest-pinned in tests/test_dsir.py)
+    "dsir_select": q_dsir_select,
 }
 
 
@@ -3409,6 +3455,14 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _sql_toks(text_expr: str = "text") -> str:
     return TX.sql_tokens(text_expr)
+
+
+def _sql_bm25_qt() -> str:
+    """(query_id, term) VALUES rows — the SAME driver-side tokenize +
+    dedup the Spark operator applies to BM25_QUERIES, so both engines
+    retrieve over an identical query-term set."""
+    rows = sorted({(qid, t) for qid, q in BM25_QUERIES for t in q.lower().split()})
+    return ", ".join(f"({qid}, '{t}')" for qid, t in rows)
 
 
 def _oracle_minhash_lsh() -> str:
@@ -4232,6 +4286,23 @@ SELECT doc_id, n_features, weight_sum,
        round(CAST(weight_sum AS DOUBLE) / n_features, 4) AS avg_weight,
        (weight_sum * 1000 >= {text_analysis.QC_TAU_MILLIS} * n_features) AS keep
 FROM scored ORDER BY doc_id
+""",
+        "dsir_select": f"""
+WITH base AS (
+  SELECT doc_id, {_sql_toks("coalesce(text, '')")} AS toks FROM documents
+), f AS (
+  SELECT doc_id, list_concat(toks, {TX.sql_word_shingles("toks", 2)}) AS feats
+  FROM base
+), scored AS (
+  SELECT doc_id, CAST(len(feats) AS INTEGER) AS n_features,
+         CAST(coalesce(list_sum(list_transform(feats, x ->
+           {H.sql_h48(f"'dw:' || CAST(({H.sql_h48('x')} % {text_analysis.QC_BUCKETS}) AS VARCHAR)")}
+             % {2 * text_analysis.DSIR_WEIGHT_SPAN + 1} - {text_analysis.DSIR_WEIGHT_SPAN}
+         )), 0) AS BIGINT) AS weight_millis
+  FROM f
+)
+SELECT doc_id, n_features, weight_millis
+FROM scored ORDER BY weight_millis DESC, doc_id LIMIT {DSIR_K}
 """,
         "semantic_dedup": _oracle_semantic_dedup(),
         # same answer shape and semantics as the gated batch funnel — the
@@ -5213,6 +5284,40 @@ WITH terms AS (
 )
 SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score_micro
 FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""",
+        "bm25_search": f"""
+WITH qt(query_id, term) AS (VALUES {_sql_bm25_qt()}),
+toks AS (
+  SELECT doc_id, {_sql_toks("coalesce(text, '')")} AS toks FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS tot
+  FROM toks
+), occ AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+  FROM toks
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM occ
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         ((2*s.n_docs - 2*d.df + 1) * {text_analysis.BM25_IDF_SCALE} // (2*d.df + 1))
+         * (44 * tf.tf * s.tot * {text_analysis.BM25_TF_SCALE}
+            // (20*tf.tf*s.tot + 6*s.tot + 18*tf.dl*s.n_docs)) AS w
+  FROM tf JOIN dfreq d USING (term) JOIN qt USING (term), stats s
+), per AS (
+  SELECT query_id, doc_id, sum(w) AS score FROM scored GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM per
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       doc_id, CAST(score AS BIGINT) AS bm25_score_micro
+FROM ranked WHERE rnk <= {BM25_K} ORDER BY query_id, rank
 """,
         "doc_chunks": f"""
 WITH toks AS (

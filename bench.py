@@ -147,6 +147,10 @@ HEADLINE = [
     "array_functions",
     "stream_url_dedup",
     "web_curation",
+    # added late-r10: BM25 keyword retrieval + DSIR data selection
+    # (extras — gate full)
+    "bm25_search",
+    "dsir_select",
 ]
 
 
@@ -245,6 +249,8 @@ BASELINE_SEC = {
     "array_functions": 0.982,
     "stream_url_dedup": 7.186,
     "web_curation": 5.081,
+    "bm25_search": 3.437,
+    "dsir_select": 4.878,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -44,6 +44,7 @@ _NESTED_LOOP_OK = {
     "semantic_dedup",  # corpus x broadcast(fixed-target centroid table), like ann_ivf_topk
     "q11_important_parts",  # per-part values x broadcast(1-row scoped-total agg); inequality threshold keeps it a nested loop by construction
     "q22_global_sales_opportunity",  # customers x broadcast(1-row sum/count agg); same scalar-threshold class
+    "bm25_search",  # matched (doc, term) rows x broadcast(1-row N/TOT corpus agg); same class as tfidf_top_terms
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

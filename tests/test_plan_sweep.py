@@ -84,6 +84,11 @@ ALLOWED_BHJ = {
     "daily_big_values_filled": 1,
     # 1-row scalar max (empty-grouping aggregate) joined on equality
     "q15_top_supplier": 1,
+    # (a) the literal (query_id, term) table — fixed query set; (b) the
+    # document-frequency aggregate, whose row count is bounded by the
+    # literal `isin(query terms)` filter upstream (<= |query vocabulary|
+    # rows at ANY corpus size), not by an estimate
+    "bm25_search": 2,
 }
 
 

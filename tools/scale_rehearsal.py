@@ -102,6 +102,15 @@ FAMILIES = [
     "array_functions",
     # r10: end-to-end web-curation composition
     "web_curation",
+    # r10: Okapi BM25 keyword retrieval (integer-exact restatement).
+    # Token remap caveat: the blow-up suffixes every word with c{k}, so
+    # only copy 0 matches the fixed query terms — matching occurrences
+    # stay constant while the SCANNED corpus (and N, TOT in the scoring)
+    # grows k-fold, which is exactly the operator's scan-bound regime.
+    "bm25_search",
+    # r10: DSIR importance-weighted selection (row-local scoring +
+    # TakeOrderedAndProject top-k — expected scan-bound)
+    "dsir_select",
 ]
 
 PASSES = 2
