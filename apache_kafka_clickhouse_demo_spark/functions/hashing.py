@@ -51,6 +51,16 @@ def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def py_h48(s: str) -> int:
+    """Driver-side h48 — the third mirror of the same function (Spark
+    expression / DuckDB SQL / Python), used where a DRIVER must agree
+    with the engines on a hash route (e.g. which index shard a query
+    term's postings live in)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:H48_HEX_CHARS], 16)
+
+
 # ---------------------------------------------------------------------------
 # Spark side
 # ---------------------------------------------------------------------------

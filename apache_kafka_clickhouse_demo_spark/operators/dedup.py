@@ -1131,6 +1131,59 @@ def connected_components(
     )
 
 
+def cluster_representatives(
+    labeled: DataFrame,
+    scored: DataFrame,
+    wide: bool,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score_milli",
+) -> DataFrame:
+    """Pick ONE representative per duplicate cluster — the "which copy do
+    we keep" policy step between `connected_components` and the final
+    corpus (near-dup pipelines keep the BEST copy, not an arbitrary one:
+    cf. the quality-ranked dedup of the RefinedWeb/FineWeb recipes).
+
+    labeled = (id, cluster_id) from connected_components; scored =
+    (id, score) from any integer-exact scorer (e.g. quality_classifier's
+    milli-weights).  Output: (cluster_id, rep_doc_id, cluster_size,
+    rep_score_milli) — the member with the highest score, ties broken on
+    smallest id so the kept set is deterministic.
+
+    `wide` is the operator's source-computed wideness flag (pin_wide
+    contract: both inputs are DERIVED frames — a CC fixpoint and a
+    scorer aggregate — whose size estimates are exactly what cannot be
+    trusted, so the caller passes is_wide_source(<source scan>)).
+
+    Plan shape at 100 TB: one id-keyed equi-join (shuffle, both sides
+    corpus-sized — pinned when wide) and ONE min-aggregate per cluster
+    keyed by cluster_id with map-side partials; the arg-max is the
+    sortable-struct min (neg score, id) — never a per-cluster window,
+    which would funnel mega-clusters (the realistic skew case: boiler-
+    plate cliques) through single tasks.
+    """
+    j = labeled.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster_id")
+    ).join(
+        pin_wide(
+            scored.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s")),
+            wide,
+        ),
+        "_id",
+    )
+    return j.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("_s")).alias("ns"), F.col("_id").alias("id"))).alias(
+            "_m"
+        ),
+        F.count(F.lit(1)).cast("int").alias("cluster_size"),
+    ).select(
+        "cluster_id",
+        F.col("_m.id").alias("rep_doc_id"),
+        "cluster_size",
+        (-F.col("_m.ns")).alias("rep_score_milli"),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -1,0 +1,186 @@
+"""Persisted inverted index with shard-pruned term lookup.
+
+The scan-based retrieval operators (`text_analysis.bm25_topk`,
+`phrase_matches`) pay one full corpus scan per query batch — right for
+one-off analytics, wrong for a SERVING corpus queried repeatedly.  This
+module materializes the classic IR structure instead: a positional-free
+term->postings index, stored once, with every later query reading ONLY
+the shards its terms hash to.
+
+Storage is a `TransactionalTable` (sources/txlog.py) partitioned by a
+namespaced shard key — the exact architecture the streaming near-dup
+stores proved out (`streaming/stateful.py`: shard-aligned appends,
+driver-side commit-log pruning via `read_where`, O(matching files) reads
+no matter how large the table grows):
+
+    shard = "t<h48(term) % n_shards>"   posting rows (term, doc_id, tf, dl)
+    shard = "m"                         ONE meta row (n_docs, tot_tokens)
+
+Shard count derives from corpus scale through the same
+`shards_for_store` sizing rule as the streaming stores, so a posting
+shard's row count stays bounded as the corpus grows.  Stopword terms
+spread across documents, not shards — a hot term's postings are one
+shard's bounded scan, and `bm25_lookup` aggregates them with map-side
+partials, never a driver collect.
+
+At 100 TB: build is one (doc, term) aggregate + one shard-partitioned
+append (the heavy shuffle happens ONCE, at build); each query then costs
+O(|query terms|) shard files instead of a corpus scan.  The index-backed
+`bm25_lookup` is pinned bit-identical to the scan-based `bm25_topk` by
+tests/test_search_index.py, and the pruned-read file count is asserted
+the same way the streaming stores assert theirs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+from apache_kafka_clickhouse_demo_spark.functions import text as TX
+from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
+from apache_kafka_clickhouse_demo_spark.streaming.stateful import shards_for_store
+from apache_kafka_clickhouse_demo_spark.operators.text_analysis import (
+    bm25_score_topk,
+)
+
+#: meta partition value (single row carrying corpus statistics)
+META_SHARD = "m"
+
+
+def build_term_index(
+    docs: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    expected_corpus_rows: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> TransactionalTable:
+    """Build (or extend) the inverted index at `path` from `docs`.
+
+    One explode -> (doc, term) count aggregate (the build's single
+    corpus-scale shuffle, map-side partials), doc length carried through
+    the explode as a grouping constant (no second scan), then ONE
+    shard-partitioned transactional append publishing postings and the
+    meta row atomically — a reader never sees postings without their
+    corpus stats.  `n_shards` defaults to the `shards_for_store` sizing
+    rule on `expected_corpus_rows` (estimated VOCABULARY-side rows; the
+    caller passes corpus token count when known, else docs-count x ~1e2).
+    """
+    if n_shards is None:
+        if expected_corpus_rows is None:
+            expected_corpus_rows = docs.count() * 100
+        n_shards = shards_for_store(expected_corpus_rows)
+    toks = TX.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    )
+    postings = (
+        base.select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            F.concat(F.lit("t"), (H.h48("term") % n_shards).cast("string")).alias(
+                "shard"
+            ),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("tot_tokens"),
+        )
+    )
+    meta = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("long").alias("tot_tokens"),
+    ).select(
+        F.lit(META_SHARD).alias("shard"),
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("dl"),
+        "n_docs",
+        "tot_tokens",
+    )
+    table = TransactionalTable(path)
+    table.append(postings.unionByName(meta), partition_by="shard")
+    return table
+
+
+def _term_shards(terms: list[str], n_shards: int) -> set[str]:
+    return {f"t{H.py_h48(t) % n_shards}" for t in terms}
+
+
+def index_shard_count(table: TransactionalTable) -> int:
+    """Recover n_shards from the committed layout (max t<n> + 1 is wrong —
+    shards can be empty; instead the builder's power-of-two rule means the
+    count is the smallest power of two above every observed index)."""
+    import os
+
+    top = {
+        os.path.relpath(f, table.path).split(os.sep)[0]
+        for f in table.data_files()
+    }
+    idxs = [int(s.split("=t")[1]) for s in top if "=t" in s]
+    n = 16
+    while idxs and n <= max(idxs):
+        n <<= 1
+    return n
+
+
+def term_lookup(
+    spark: SparkSession,
+    table: TransactionalTable,
+    terms: list[str],
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Postings for `terms`: (term, doc_id, tf, dl), reading ONLY the
+    shards the terms hash to (driver-side commit-log pruning — the same
+    `read_where` the streaming stores use; cost O(|terms|) files)."""
+    if n_shards is None:
+        n_shards = index_shard_count(table)
+    rows = table.read_where(spark, "shard", sorted(_term_shards(terms, n_shards)))
+    return rows.filter(F.col("term").isin(terms)).select("term", "doc_id", "tf", "dl")
+
+
+def index_meta(spark: SparkSession, table: TransactionalTable) -> DataFrame:
+    """The 1-row (n_docs, tot_tokens) corpus stats partition."""
+    return table.read_where(spark, "shard", [META_SHARD]).select(
+        "n_docs", "tot_tokens"
+    )
+
+
+def bm25_lookup(
+    spark: SparkSession,
+    table: TransactionalTable,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Index-backed BM25: the same integer-exact scoring as
+    `text_analysis.bm25_topk` (same idf surrogate, same cleared-denominator
+    tf saturation, same two-phase top-k — bit-identical output, pinned by
+    test) fed from pruned posting reads instead of a corpus scan.
+
+    Per query batch this touches O(|query vocabulary|) shard files plus
+    the 1-row meta partition; document frequency re-aggregates from the
+    pruned postings (bounded by |query vocabulary| rows).
+    """
+    qt_rows = sorted(
+        {(int(qid), t) for qid, q in queries for t in (q or "").lower().split()}
+    )
+    if not qt_rows:
+        raise ValueError("bm25_lookup: queries contain no terms")
+    all_terms = sorted({t for _, t in qt_rows})
+
+    tf = term_lookup(spark, table, all_terms, n_shards=n_shards)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = index_meta(spark, table)
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    return bm25_score_topk(tf, dfreq, stats, qt, k)

@@ -1006,8 +1006,24 @@ def bm25_topk(
     spark = docs.sparkSession
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
 
+    return bm25_score_topk(tf, dfreq, stats, qt, k)
+
+
+def bm25_score_topk(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    qt: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Shared BM25 scoring + per-query two-phase top-k — extracted so the
+    scan path (`bm25_topk`) and the index-backed path
+    (`search_index.bm25_lookup`) provably compute the SAME integer
+    formula (their bit-identity is a test contract, and a copy would let
+    them silently drift).  tf = (doc_id, dl, term, tf); dfreq = (term,
+    df); stats = 1 row (n_docs, tot_tokens); qt = (query_id, term)."""
     scored = (
-        # dfreq <= |all_terms| rows and stats is 1 row: bounded by
+        # dfreq <= |query vocabulary| rows and stats is 1 row: bounded by
         # construction, so the unconditional broadcasts are scale-safe
         # (bcast_small's "genuinely bounded" carve-out)
         tf.join(F.broadcast(dfreq), "term")
@@ -1206,4 +1222,76 @@ def dsir_select(
         dsir_weights(docs, lam=lam, text_col=text_col, id_col=id_col)
         .orderBy(F.col("weight_millis").desc(), F.col("doc_id"))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase matching (exact multi-word occurrence counting)
+# ---------------------------------------------------------------------------
+
+
+def phrase_matches(
+    docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact positional phrase search: for each (phrase_id, phrase) count
+    the occurrences of the phrase's token sequence in every document —
+    the quoted-query primitive BM25's bag-of-words scoring cannot express
+    (and the contamination-checking shape for exact-string probes at
+    word grain).
+
+    Phrases are tokenized driver-side by the same lower/split rule as
+    `TX.tokens`; a document row is emitted per matching phrase with its
+    occurrence count (non-matching pairs are dropped, so output is
+    match-sparse).  Counting is a row-local sliding-window array compare:
+    n_matches = |{i : toks[i : i+m] == phrase}| — overlapping occurrences
+    count individually ("a a a" contains "a a" twice).
+
+    Plan shape at 100 TB: ONE projection + explode of a |phrases|-length
+    struct array, zero exchanges — scan throughput, composes with any
+    downstream op.  Each phrase walks the token array once inside the
+    HOF evaluator (lambdas sit outside codegen CSE), so cost is
+    O(|phrases| * doc length) per row — linear fan-out a cluster absorbs
+    by partitioning, never a join.
+    """
+    ptoks = [(int(pid), (p or "").lower().split()) for pid, p in phrases]
+    if not ptoks or any(not t for _, t in ptoks):
+        raise ValueError("phrase_matches: every phrase needs >= 1 token")
+
+    toks = TX.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    staged = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    )
+
+    def count_expr(terms: list[str]) -> Column:
+        m = len(terms)
+        lit = F.array(*[F.lit(t) for t in terms])
+        hits = F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("_toks") - m + 1),
+                lambda i: F.slice("_toks", i, m) == lit,
+            )
+        )
+        # guard: Spark's sequence(1, b) DESCENDS for b < 1 (it would probe
+        # bogus windows), so short docs short-circuit to 0
+        return F.when(F.size("_toks") >= m, hits).otherwise(F.lit(0))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("phrase_id"), count_expr(t).alias("n_matches")
+            )
+            for pid, t in ptoks
+        ]
+    )
+    return (
+        staged.select("doc_id", F.explode(entries).alias("e"))
+        .select(
+            F.col("e.phrase_id").cast("int").alias("phrase_id"),
+            "doc_id",
+            F.col("e.n_matches").cast("int").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
     )

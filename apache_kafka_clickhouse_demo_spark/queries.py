@@ -3153,6 +3153,75 @@ def q_bm25_search(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_cluster_representatives(spark, sf_dir):
+    """Quality-ranked duplicate-cluster representative selection
+    (dedup.cluster_representatives): MinHash-LSH pairs -> connected
+    components -> keep the member with the highest classifier score per
+    cluster (RefinedWeb/FineWeb keep-the-best-copy policy).  The score is
+    the shifted mean milli-weight (weight_sum + 1000*n_features)*1000 div
+    n_features — non-negative by construction (every feature weight >=
+    -1000), so Spark's truncating `div` and DuckDB's `//` agree, and
+    ranking by it equals ranking by the mean.  One id-keyed join + one
+    per-cluster sortable-struct min — never a per-cluster window."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = is_wide_source(docs)
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        num_perm=MINHASH_PERM,
+        bands=MINHASH_BANDS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+    labeled = dedup.connected_components(docs, pairs)
+    qc = text_analysis.quality_classifier(docs).select(
+        "doc_id",
+        F.expr(
+            "CAST(weight_sum + 1000*n_features AS DECIMAL(38,0)) * 1000"
+            " div n_features"
+        ).alias("score_milli"),
+    )
+    return dedup.cluster_representatives(labeled, qc, wide).orderBy("cluster_id")
+
+
+#: phrase-search demo set: bigrams frequent in the fixture vocabulary plus
+#: one trigram and one miss, so sparsity and multi-length paths both run
+PHRASES = [
+    (1, "table hash"),
+    (2, "customer join"),
+    (3, "slow key"),
+    (4, "merge group big"),
+    (5, "no such phrase"),
+]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact positional phrase search (text_analysis.phrase_matches):
+    occurrence counts of five fixed token sequences per document — the
+    quoted-query primitive alongside bm25_search's bag-of-words ranking.
+    One row-local projection + explode, zero exchanges."""
+    return text_analysis.phrase_matches(
+        _t(spark, sf_dir, "documents"), PHRASES
+    ).orderBy("phrase_id", "doc_id")
+
+
+def q_bm25_indexed(spark, sf_dir):
+    """Index-backed BM25 (operators/search_index.py): build the persisted
+    shard-partitioned inverted index once, then answer the SAME five
+    queries as bm25_search through shard-pruned posting reads — O(|query
+    vocabulary|) files instead of a corpus scan.  Scoring is
+    bm25_score_topk, provably shared with the scan path, so the oracle
+    is bm25_search's SQL verbatim; the pruned-read file count is pinned
+    in tests/test_search_index.py."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+
+    docs = _t(spark, sf_dir, "documents")
+    work = _workdir("bm25_index_")
+    table = SI.build_term_index(docs, f"{work}/idx", n_shards=64)
+    return SI.bm25_lookup(spark, table, BM25_QUERIES, k=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 DSIR_K = 50
 
 
@@ -3445,6 +3514,16 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: DSIR importance-weighted data selection (demo lambda table;
     # dsir_fit's learned-table path pytest-pinned in tests/test_dsir.py)
     "dsir_select": q_dsir_select,
+    # r10: keep-the-best-copy policy over near-dup clusters (CC labels
+    # joined with classifier scores, per-cluster sortable-struct arg-max)
+    "cluster_representatives": q_cluster_representatives,
+    # r10: exact positional phrase search (row-local sliding-window
+    # array compare; the quoted-query primitive next to bm25_search)
+    "phrase_search": q_phrase_search,
+    # r10: index-backed BM25 over the persisted shard-pruned inverted
+    # index (same oracle as bm25_search — the two paths share
+    # bm25_score_topk and must return identical rows)
+    "bm25_indexed": q_bm25_indexed,
 }
 
 
@@ -3455,6 +3534,24 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _sql_toks(text_expr: str = "text") -> str:
     return TX.sql_tokens(text_expr)
+
+
+def _sql_phrase_arms() -> str:
+    """One UNION ALL arm per PHRASES entry: sliding-window list compare
+    with the same 1-based inclusive window domain as the Spark operator
+    (DuckDB's range is exclusive-ascending, so len < m yields no
+    candidate windows — no short-doc guard needed on this side)."""
+    arms = []
+    for pid, p in PHRASES:
+        terms = p.lower().split()
+        m = len(terms)
+        lit = TX.sql_string_array_literal(terms)
+        arms.append(
+            f"SELECT doc_id, {pid} AS phrase_id, "
+            f"CAST(len(list_filter(range(1, len(t) - {m} + 2), "
+            f"i -> t[i : i + {m - 1}] = {lit})) AS INTEGER) AS n_matches FROM toks"
+        )
+    return "\nUNION ALL\n".join(arms)
 
 
 def _sql_bm25_qt() -> str:
@@ -4183,7 +4280,7 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 
 def _all_oracles() -> dict[str, str]:
     minhash_sql = _oracle_minhash_lsh()
-    return {
+    sqls = {
         "replacing_latest": """
 SELECT user_id, event_id AS last_event_id, event_type,
        CAST(round(value * 100) AS BIGINT) AS value_cents
@@ -4286,6 +4383,43 @@ SELECT doc_id, n_features, weight_sum,
        round(CAST(weight_sum AS DOUBLE) / n_features, 4) AS avg_weight,
        (weight_sum * 1000 >= {text_analysis.QC_TAU_MILLIS} * n_features) AS keep
 FROM scored ORDER BY doc_id
+""",
+        "cluster_representatives": f"""
+WITH clusters AS (
+  SELECT * FROM ({_oracle_dedup_clusters()})
+), qc AS (
+  SELECT doc_id, ((ws + 1000*nf) * 1000 // nf) AS score_milli
+  FROM (
+    SELECT doc_id, CAST(len(feats) AS INTEGER) AS nf,
+           CAST(coalesce(list_sum(list_transform(feats, x ->
+             {H.sql_h48(f"'qw:' || CAST(({H.sql_h48('x')} % {text_analysis.QC_BUCKETS}) AS VARCHAR)")}
+               % {2 * text_analysis.QC_WEIGHT_SPAN + 1} - {text_analysis.QC_WEIGHT_SPAN}
+           )), 0) AS BIGINT) AS ws
+    FROM (
+      SELECT doc_id, list_concat(toks, {TX.sql_word_shingles("toks", 2)}) AS feats
+      FROM (SELECT doc_id, {_sql_toks("coalesce(text, '')")} AS toks FROM documents)
+    )
+  )
+), j AS (
+  SELECT c.cluster_id, c.doc_id, q.score_milli,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.score_milli DESC, c.doc_id) AS rn
+  FROM clusters c JOIN qc q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(cluster_size AS INTEGER) AS cluster_size,
+       score_milli AS rep_score_milli
+FROM j WHERE rn = 1 ORDER BY cluster_id
+""",
+        "phrase_search": f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks("coalesce(text, '')")} AS t FROM documents
+), arms AS (
+  {_sql_phrase_arms()}
+)
+SELECT CAST(phrase_id AS INTEGER) AS phrase_id, doc_id, n_matches
+FROM arms WHERE n_matches > 0 ORDER BY phrase_id, doc_id
 """,
         "dsir_select": f"""
 WITH base AS (
@@ -5472,6 +5606,10 @@ SELECT doc_id,
 FROM s ORDER BY doc_id
 """,
     }
+    # the index-backed path must return bm25_search's rows verbatim (both
+    # feed bm25_score_topk) — one oracle, two engines-side plans
+    sqls["bm25_indexed"] = sqls["bm25_search"]
+    return sqls
 
 
 def oracles() -> dict[str, str]:

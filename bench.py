@@ -151,6 +151,9 @@ HEADLINE = [
     # (extras — gate full)
     "bm25_search",
     "dsir_select",
+    "cluster_representatives",
+    "phrase_search",
+    "bm25_indexed",
 ]
 
 
@@ -251,6 +254,9 @@ BASELINE_SEC = {
     "web_curation": 5.081,
     "bm25_search": 3.437,
     "dsir_select": 4.878,
+    "cluster_representatives": 4.249,
+    "phrase_search": 1.017,
+    "bm25_indexed": 2.654,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

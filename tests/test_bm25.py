@@ -113,3 +113,32 @@ def test_empty_queries_raise(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         TA.bm25_topk(docs, [(1, "   ")])
+
+
+# ---------------------------------------------------------------------------
+# phrase_matches (positional phrase search)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_matches_counts_and_overlaps(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # "a a" overlaps: 2 occurrences
+            (2, "x a a y a a"),  # 2 non-adjacent occurrences
+            (3, "a b a"),        # none
+            (4, None),           # NULL text matches nothing
+            (5, "a"),            # shorter than the phrase
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in TA.phrase_matches(docs, [(1, "a a"), (2, "a b a")]).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 2, (2, 3): 1}
+
+
+def test_phrase_matches_rejects_empty_phrase(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TA.phrase_matches(docs, [(1, "  ")])

@@ -61,3 +61,26 @@ def test_semantic_dedup_empty_centroid_sample_keeps_corpus(spark):
         emb, threshold=0.5, target_centroids=16, corpus_count=1_000_000_000
     )
     assert [r["vec_id"] for r in out.collect()] == [0, 1, 2, 3, 4]
+
+
+def test_cluster_representatives_best_score_wins_ties_on_id(spark):
+    """Keep-the-best-copy policy: highest score wins per cluster, score
+    ties break on smallest id, singletons keep themselves, and
+    cluster_size counts members."""
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    labeled = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 4), (9, 4)],
+        "doc_id long, score_milli long",
+    )
+    got = {
+        r["cluster_id"]: (r["rep_doc_id"], r["cluster_size"], r["rep_score_milli"])
+        for r in cluster_representatives(labeled, scored, wide=False).collect()
+    }
+    assert got == {1: (2, 3, 99), 7: (7, 1, 5), 8: (8, 2, 4)}

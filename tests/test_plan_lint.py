@@ -45,6 +45,7 @@ _NESTED_LOOP_OK = {
     "q11_important_parts",  # per-part values x broadcast(1-row scoped-total agg); inequality threshold keeps it a nested loop by construction
     "q22_global_sales_opportunity",  # customers x broadcast(1-row sum/count agg); same scalar-threshold class
     "bm25_search",  # matched (doc, term) rows x broadcast(1-row N/TOT corpus agg); same class as tfidf_top_terms
+    "bm25_indexed",  # same scoring join (shared bm25_score_topk) fed from pruned posting reads
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

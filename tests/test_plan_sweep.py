@@ -70,6 +70,11 @@ EXECUTING = {
     "ttl_cleanup", "projection_routing", "attendance_daily_compacted",
     "shuffle_export", "entry_house_points", "entry_attendance",
     "extract_typed_events", "show_tables",
+    # builds + commits the persisted inverted index at query build; its
+    # pruned-read behavior and scan-path bit-identity are pinned by
+    # tests/test_search_index.py, and the scan path itself IS swept
+    # (bm25_search)
+    "bm25_indexed",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

@@ -1,0 +1,108 @@
+"""Persisted inverted index (operators/search_index.py) contracts:
+
+- bm25_lookup over the built index is BIT-IDENTICAL to the scan-based
+  bm25_topk on the same corpus and queries (they share bm25_score_topk;
+  this pins that the index's tf/dl/df/meta reproduce the scan's inputs);
+- term_lookup returns exactly the scan-derived (term, doc_id, tf, dl)
+  postings, reading ONLY the shards the query terms hash to (files-read
+  assertion via the inputFiles of the pruned scan);
+- postings and the meta row publish in ONE commit (a reader at any
+  committed version sees both or neither);
+- index_shard_count recovers the power-of-two shard count from layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+from apache_kafka_clickhouse_demo_spark.operators import text_analysis as TA
+from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+QUERIES = [(1, "fast hash join"), (2, "slow table scan")]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_bm25_lookup_bitidentical_to_scan_path(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+    via_scan = [
+        tuple(r)
+        for r in TA.bm25_topk(docs, QUERIES, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    via_index = [
+        tuple(r)
+        for r in SI.bm25_lookup(spark, table, QUERIES, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert via_scan == via_index
+    assert len(via_scan) > 0
+
+
+def test_term_lookup_matches_scan_and_prunes_shards(spark, tmp_path):
+    rows = [
+        (1, "alpha beta alpha"),
+        (2, "beta gamma"),
+        (3, None),
+        (4, "alpha delta delta delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in SI.term_lookup(spark, table, ["alpha", "delta"]).collect()
+    }
+    assert got == {
+        ("alpha", 1): (2, 3),
+        ("alpha", 4): (1, 4),
+        ("delta", 4): (3, 4),
+    }
+
+    # files-read: the pruned scan's inputFiles sit ONLY under the two
+    # terms' hash shards (plus nothing else — no meta, no other shards)
+    want_shards = {f"t{H.py_h48(t) % 16}" for t in ("alpha", "delta")}
+    scan = table.read_where(spark, "shard", sorted(want_shards))
+    touched = {f.split("shard=")[1].split("/")[0] for f in scan.inputFiles()}
+    assert touched <= want_shards
+    # and the index is genuinely sharded (more than one shard on disk)
+    all_shards = {f.split("shard=")[1].split("/")[0] for f in table.data_files()}
+    assert len(all_shards) > 2
+
+
+def test_postings_and_meta_publish_atomically(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "y z z")], "doc_id long, text string"
+    )
+    table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+    assert table.version() == 0  # ONE commit published everything
+    meta = SI.index_meta(spark, table).collect()
+    assert [(r["n_docs"], r["tot_tokens"]) for r in meta] == [(2, 5)]
+
+
+def test_index_shard_count_recovers_power_of_two(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(40)], "doc_id long, text string"
+    )
+    table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=64)
+    n = SI.index_shard_count(table)
+    # recovered count is a power of two covering every observed shard
+    # index; with 41 distinct terms over 64 shards the high indices are
+    # occupied with overwhelming probability, recovering exactly 64
+    assert n == 64
+
+
+def test_empty_queries_raise(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+    import pytest
+
+    with pytest.raises(ValueError):
+        SI.bm25_lookup(spark, table, [(1, " ")])

@@ -111,6 +111,18 @@ FAMILIES = [
     # r10: DSIR importance-weighted selection (row-local scoring +
     # TakeOrderedAndProject top-k — expected scan-bound)
     "dsir_select",
+    # r10: keep-the-best-copy policy (CC labels x classifier scores);
+    # the blow-up preserves within-copy near-dup structure, so clusters
+    # (and the rep-selection workload) scale linearly with copies
+    "cluster_representatives",
+    # r10: positional phrase search (row-local sliding-window compare;
+    # the token remap confines matches to copy 0 — scan-bound regime,
+    # same caveat as bm25_search)
+    "phrase_search",
+    # r10: index-backed BM25 round trip (build + pruned lookup per run;
+    # the BUILD's one (doc, term) shuffle dominates — the lookup itself
+    # is O(query vocabulary) files by construction, pinned by test)
+    "bm25_indexed",
 ]
 
 PASSES = 2
