@@ -94,6 +94,7 @@ def build_term_index(
             "dl",
             F.lit(None).cast("long").alias("n_docs"),
             F.lit(None).cast("long").alias("tot_tokens"),
+            F.lit(None).cast("long").alias("n_shards"),
         )
     )
     meta = base.agg(
@@ -107,6 +108,13 @@ def build_term_index(
         F.lit(None).cast("long").alias("dl"),
         "n_docs",
         "tot_tokens",
+        # the hash-route parameter is DATA, not layout: recovering it
+        # from observed shard directories would mis-route lookups on a
+        # sparse index (a 3-term corpus built at 64 shards occupies few
+        # directories, and a wrong modulus silently reads the wrong
+        # shard and returns empty postings — a correctness bug, not a
+        # perf one)
+        F.lit(int(n_shards)).cast("long").alias("n_shards"),
     )
     table = TransactionalTable(path)
     table.append(postings.unionByName(meta), partition_by="shard")
@@ -117,21 +125,12 @@ def _term_shards(terms: list[str], n_shards: int) -> set[str]:
     return {f"t{H.py_h48(t) % n_shards}" for t in terms}
 
 
-def index_shard_count(table: TransactionalTable) -> int:
-    """Recover n_shards from the committed layout (max t<n> + 1 is wrong —
-    shards can be empty; instead the builder's power-of-two rule means the
-    count is the smallest power of two above every observed index)."""
-    import os
-
-    top = {
-        os.path.relpath(f, table.path).split(os.sep)[0]
-        for f in table.data_files()
-    }
-    idxs = [int(s.split("=t")[1]) for s in top if "=t" in s]
-    n = 16
-    while idxs and n <= max(idxs):
-        n <<= 1
-    return n
+def index_shard_count(spark: SparkSession, table: TransactionalTable) -> int:
+    """The index's hash-route parameter, read from the meta row.  Stored
+    as data, never inferred from layout: a sparse index (few distinct
+    terms) occupies few shard directories, and a layout-derived modulus
+    would route lookups to the WRONG shard — empty postings, silently."""
+    return int(index_meta(spark, table).first()["n_shards"])
 
 
 def term_lookup(
@@ -144,15 +143,15 @@ def term_lookup(
     shards the terms hash to (driver-side commit-log pruning — the same
     `read_where` the streaming stores use; cost O(|terms|) files)."""
     if n_shards is None:
-        n_shards = index_shard_count(table)
+        n_shards = index_shard_count(spark, table)
     rows = table.read_where(spark, "shard", sorted(_term_shards(terms, n_shards)))
     return rows.filter(F.col("term").isin(terms)).select("term", "doc_id", "tf", "dl")
 
 
 def index_meta(spark: SparkSession, table: TransactionalTable) -> DataFrame:
-    """The 1-row (n_docs, tot_tokens) corpus stats partition."""
+    """The 1-row (n_docs, tot_tokens, n_shards) corpus stats partition."""
     return table.read_where(spark, "shard", [META_SHARD]).select(
-        "n_docs", "tot_tokens"
+        "n_docs", "tot_tokens", "n_shards"
     )
 
 
@@ -181,6 +180,6 @@ def bm25_lookup(
 
     tf = term_lookup(spark, table, all_terms, n_shards=n_shards)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = index_meta(spark, table)
+    stats = index_meta(spark, table).select("n_docs", "tot_tokens")
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
     return bm25_score_topk(tf, dfreq, stats, qt, k)

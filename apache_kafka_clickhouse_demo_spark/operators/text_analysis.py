@@ -1295,3 +1295,104 @@ def phrase_matches(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+def bigram_rarity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram-LM surprisal filter — the next LM order up
+    from `unigram_rarity` (toward the 5-gram KenLM filter of CCNet),
+    restated log- and float-free so the aggregate is exact and
+    order-independent.
+
+    Model: p(cur | prev) interpolated half-and-half with the unigram,
+        p_hat = (1/2) * c_bg/c_prev + (1/2) * c_uni/T
+    Each bigram position contributes the integer reciprocal
+        floor(1 / p_hat) = (2 * c_prev * T) div (c_bg * T + c_uni * c_prev)
+    — one exact integer division (all terms positive, so Spark's
+    truncating `div` and DuckDB's `//` agree), never a float quotient;
+    a document's score is the per-bigram mean.  Unseen-bigram smoothing
+    comes from the unigram interpolation term (c_bg >= 1 for every
+    OBSERVED bigram, and only observed bigrams occur in scoring — the
+    interpolation is what keeps rare continuations from scoring as
+    infinities in the real model, mirrored here).
+
+    Output: (doc_id, n_bigrams, bigram_mass, avg_rarity), one row per
+    document with >= 2 tokens (single-token docs have no bigram and emit
+    no row — stated contract, mirrored by the oracle); unordered.
+
+    Plan shape at 100 TB: bigram pairs build row-locally (adjacent-token
+    zip, no self-join); the unigram and bigram vocabularies are two
+    corpus-keyed aggregates (map-side combinable); counts are attached
+    VOCAB-side — the bigram vocabulary joins the unigram table twice (on
+    prev, on cur), orders of magnitude fewer rows than occurrences —
+    then occurrences join the enriched bigram vocab ONCE on the bigram
+    key.  Every corpus-derived join side is pin_wide-pinned (the r9
+    misplan class); the corpus total is a 1-row broadcast.  DECIMAL(38,0)
+    keeps c_prev*T exact past int64 (T ~ 1e13 at 100 TB); the emitted
+    per-position value is <= 2*T, comfortably long.
+    """
+    wide = is_wide_source(docs)
+    toks = TX.tokens(text_col)
+    base = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    )
+    occ_uni = base.select("doc_id", F.explode("_t").alias("tok"))
+    uni = occ_uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    total_row = uni.agg(F.sum("c_uni").alias("_total"))
+
+    # adjacent-token zip, row-local; the size filter BEFORE the sequence
+    # guards Spark's descending sequence(1, b<1) footgun on 0/1-token
+    # docs (they have no bigram and emit no row — stated contract)
+    pairs = (
+        base.filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("prev"),
+                        F.element_at("_t", i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    bg_vocab = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    enriched = (
+        bg_vocab.join(
+            pin_wide(uni.select(F.col("tok").alias("prev"), F.col("c_uni").alias("c_prev")), wide),
+            "prev",
+        )
+        .join(
+            pin_wide(uni.select(F.col("tok").alias("cur"), F.col("c_uni").alias("c_cur")), wide),
+            "cur",
+        )
+    )
+    scored = (
+        pairs.join(pin_wide(enriched, wide), ["prev", "cur"])
+        .crossJoin(F.broadcast(total_row))
+        .withColumn(
+            "_contrib",
+            F.expr(
+                "CAST(2 AS DECIMAL(38,0)) * c_prev * _total"
+                " div (CAST(c_bg AS DECIMAL(38,0)) * _total + c_cur * c_prev)"
+            ),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum("_contrib").cast("long").alias("bigram_mass"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "bigram_mass",
+        F.round(
+            F.col("bigram_mass").cast("double") / F.col("n_bigrams"), 4
+        ).alias("avg_rarity"),
+    )

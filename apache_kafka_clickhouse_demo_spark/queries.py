@@ -3222,6 +3222,18 @@ def q_bm25_indexed(spark, sf_dir):
     )
 
 
+def q_bigram_rarity(spark, sf_dir):
+    """Interpolated bigram-LM surprisal scoring (text_analysis.
+    bigram_rarity) — the next LM order up from unigram_rarity, toward
+    CCNet's KenLM filter; integer-division reciprocal of the half-and-
+    half interpolated probability, exact in both engines.  Vocabulary
+    joins pinned; counts attached vocab-side (two unigram joins onto the
+    bigram VOCAB, then one occurrence join)."""
+    return text_analysis.bigram_rarity(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 DSIR_K = 50
 
 
@@ -3524,6 +3536,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # index (same oracle as bm25_search — the two paths share
     # bm25_score_topk and must return identical rows)
     "bm25_indexed": q_bm25_indexed,
+    # r10: interpolated bigram-LM rarity (unigram_rarity's family, one
+    # LM order up toward the CCNet KenLM filter)
+    "bigram_rarity": q_bigram_rarity,
 }
 
 
@@ -4420,6 +4435,35 @@ WITH toks AS (
 )
 SELECT CAST(phrase_id AS INTEGER) AS phrase_id, doc_id, n_matches
 FROM arms WHERE n_matches > 0 ORDER BY phrase_id, doc_id
+""",
+        "bigram_rarity": f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks()} AS t FROM documents
+), occ AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), uni AS (
+  SELECT tok, count(*) AS c_uni FROM occ GROUP BY tok
+), total AS (
+  SELECT CAST(sum(c_uni) AS BIGINT) AS tt FROM uni
+), pairs AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), bg AS (
+  SELECT prev, cur, count(*) AS c_bg FROM pairs GROUP BY prev, cur
+), enr AS (
+  SELECT bg.prev, bg.cur, bg.c_bg, up.c_uni AS c_prev, uc.c_uni AS c_cur
+  FROM bg JOIN uni up ON bg.prev = up.tok JOIN uni uc ON bg.cur = uc.tok
+), scored AS (
+  SELECT p.doc_id,
+         (2 * CAST(e.c_prev AS HUGEINT) * t.tt)
+           // (CAST(e.c_bg AS HUGEINT) * t.tt + CAST(e.c_cur AS HUGEINT) * e.c_prev)
+           AS contrib
+  FROM pairs p JOIN enr e USING (prev, cur), total t
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+       CAST(sum(contrib) AS BIGINT) AS bigram_mass,
+       round(CAST(sum(contrib) AS DOUBLE) / count(*), 4) AS avg_rarity
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """,
         "dsir_select": f"""
 WITH base AS (

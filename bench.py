@@ -154,6 +154,7 @@ HEADLINE = [
     "cluster_representatives",
     "phrase_search",
     "bm25_indexed",
+    "bigram_rarity",
 ]
 
 
@@ -257,6 +258,7 @@ BASELINE_SEC = {
     "cluster_representatives": 4.249,
     "phrase_search": 1.017,
     "bm25_indexed": 2.654,
+    "bigram_rarity": 1.647,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

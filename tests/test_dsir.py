@@ -126,3 +126,58 @@ def test_bad_table_length_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         TA.dsir_weights(docs, lam=[1, 2, 3])
+
+
+# ---------------------------------------------------------------------------
+# bigram_rarity (interpolated bigram-LM surprisal)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_rarity_matches_pure_python(spark):
+    rows = [
+        (1, "a b a b c"),
+        (2, "a a"),
+        (3, "zz"),     # single token: no bigram, no output row
+        (4, None),     # NULL text: no output row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_mass"])
+        for r in TA.bigram_rarity(docs).collect()
+    }
+    toks = {d: t.lower().split() for d, t in rows if t}
+    uni: dict[str, int] = {}
+    bg: dict[tuple[str, str], int] = {}
+    for tk in toks.values():
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for p, c in zip(tk, tk[1:]):
+            bg[(p, c)] = bg.get((p, c), 0) + 1
+    tt = sum(uni.values())
+    want = {}
+    for d, tk in toks.items():
+        ps = list(zip(tk, tk[1:]))
+        if not ps:
+            continue
+        mass = sum(
+            (2 * uni[p] * tt) // (bg[(p, c)] * tt + uni[c] * uni[p])
+            for p, c in ps
+        )
+        want[d] = (len(ps), mass)
+    assert got == want
+    assert 3 not in got and 4 not in got
+
+
+def test_bigram_rarity_rare_continuation_scores_higher(spark):
+    """Rare continuations of a COMMON prefix must out-score the prefix's
+    dominant continuation — the conditional-surprisal direction that
+    distinguishes the bigram filter from the unigram one.  Doc 1 repeats
+    'the cat' (p(cat|the) = 1/2 across the corpus); doc 2 pairs the same
+    'the' with ten one-off continuations (p(ri|the) = 1/20 each)."""
+    doc1 = "the cat " * 10
+    doc2 = " ".join(f"the r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, doc1.strip()), (2, doc2)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["avg_rarity"] for r in TA.bigram_rarity(docs).collect()}
+    assert got[2] > got[1]

@@ -87,16 +87,21 @@ def test_postings_and_meta_publish_atomically(spark, tmp_path):
     assert [(r["n_docs"], r["tot_tokens"]) for r in meta] == [(2, 5)]
 
 
-def test_index_shard_count_recovers_power_of_two(spark, tmp_path):
+def test_shard_count_is_stored_data_even_on_sparse_index(spark, tmp_path):
+    """A 2-term corpus built at 64 shards occupies at most 2 shard
+    directories — a layout-inferred modulus would mis-route later
+    lookups (wrong shard, silently empty postings).  The meta row stores
+    the true parameter, and lookups on the sparse index stay correct."""
     docs = spark.createDataFrame(
-        [(i, f"w{i} common") for i in range(40)], "doc_id long, text string"
+        [(1, "alpha beta"), (2, "alpha")], "doc_id long, text string"
     )
     table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=64)
-    n = SI.index_shard_count(table)
-    # recovered count is a power of two covering every observed shard
-    # index; with 41 distinct terms over 64 shards the high indices are
-    # occupied with overwhelming probability, recovering exactly 64
-    assert n == 64
+    assert SI.index_shard_count(spark, table) == 64
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in SI.term_lookup(spark, table, ["alpha", "beta"]).collect()
+    }
+    assert got == {("alpha", 1): 1, ("alpha", 2): 1, ("beta", 1): 1}
 
 
 def test_empty_queries_raise(spark, tmp_path):

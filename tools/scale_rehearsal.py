@@ -123,6 +123,10 @@ FAMILIES = [
     # the BUILD's one (doc, term) shuffle dominates — the lookup itself
     # is O(query vocabulary) files by construction, pinned by test)
     "bm25_indexed",
+    # r10: interpolated bigram-LM rarity (unigram_rarity's plan family:
+    # two vocabulary aggregates + vocab-side enrichment + one occurrence
+    # join — the blow-up's token remap scales the vocabularies linearly)
+    "bigram_rarity",
 ]
 
 PASSES = 2
