@@ -57,7 +57,12 @@ def build_term_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> TransactionalTable:
-    """Build (or extend) the inverted index at `path` from `docs`.
+    """Build the inverted index at `path` from `docs` — BUILD-ONCE: a
+    path that already holds a committed index raises instead of
+    appending (a second append would publish a SECOND meta row, and
+    doubled corpus stats silently corrupt every later BM25 score;
+    rebuild into a fresh path and swap, the same pattern as the
+    compaction hooks).
 
     One explode -> (doc, term) count aggregate (the build's single
     corpus-scale shuffle, map-side partials), doc length carried through
@@ -117,6 +122,11 @@ def build_term_index(
         F.lit(int(n_shards)).cast("long").alias("n_shards"),
     )
     table = TransactionalTable(path)
+    if table.version() >= 0:
+        raise ValueError(
+            f"index at {path} already built (version {table.version()}); "
+            "rebuild into a fresh path"
+        )
     table.append(postings.unionByName(meta), partition_by="shard")
     return table
 

@@ -8,7 +8,8 @@
   assertion via the inputFiles of the pruned scan);
 - postings and the meta row publish in ONE commit (a reader at any
   committed version sees both or neither);
-- index_shard_count recovers the power-of-two shard count from layout.
+- the hash-route modulus is stored data (meta row), correct even on a
+  sparse index; rebuilding over an existing index raises (build-once).
 """
 
 from __future__ import annotations
@@ -111,3 +112,15 @@ def test_empty_queries_raise(spark, tmp_path):
 
     with pytest.raises(ValueError):
         SI.bm25_lookup(spark, table, [(1, " ")])
+
+
+def test_rebuild_over_existing_index_raises(spark, tmp_path):
+    """Build-once contract: a second build would publish a second meta
+    row and doubled corpus stats would silently corrupt every later
+    BM25 score — raise instead."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+    with pytest.raises(ValueError, match="already built"):
+        SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
