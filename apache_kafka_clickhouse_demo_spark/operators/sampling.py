@@ -155,3 +155,44 @@ def mixture_sample(
     )
     bucket = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
     return df.filter(bucket < thresh)
+
+
+def diverse_sample(
+    emb: DataFrame,
+    n_per_cell: int,
+    target_centroids: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ivf_salt: str = "ivf:",
+    strat_salt: str = "divs:",
+) -> DataFrame:
+    """Cluster-balanced diverse sampling over an embedding column — the
+    semantic-diversity selection of the DataComp/SemDeDup recipes (cap
+    how much any one embedding-space region contributes to the training
+    mix, instead of letting the head clusters dominate a uniform draw).
+
+    Composition of two PROVABLY-shared primitives: the IVF coarse
+    quantizer (`similarity.ivf_quantize` — the same centroids/assignment
+    as ivf_topk and semantic_dedup; pass their salt to share the
+    quantization decision outright) assigns every vector to a cell, then
+    `stratified_sample` keeps an exact deterministic quota per cell (the
+    skew-safe two-phase reduction — a head cell's 100 TB worth never
+    funnels through one task).
+
+    Output: (cent_id, <id_col>, strat_rank), rank 1..n_per_cell per cell
+    by (h48(salt||id), id).
+
+    Plan shape at 100 TB: quantizer = one bounded-centroid broadcast
+    argmax (two-level above 4096 centroids) + one per-vector aggregate;
+    quota = the two-phase slice reduction, shuffle volume
+    O(cells x n x partitions), never O(rows).
+    """
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        ivf_quantize,
+    )
+
+    _, assign = ivf_quantize(emb, target_centroids, vec_col, id_col, ivf_salt)
+    cells = assign.select(F.col("vid").alias(id_col), "cent_id")
+    return stratified_sample(
+        cells, "cent_id", n_per_cell, id_col, salt=strat_salt
+    )

@@ -1396,3 +1396,65 @@ def bigram_rarity(
             F.col("bigram_mass").cast("double") / F.col("n_bigrams"), 4
         ).alias("avg_rarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (typed detect-and-replace with per-type counts)
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) — applied IN ORDER, each pattern counted
+#: against the text as it stands when its turn comes (progressive), so
+#: counts always equal the number of replacements actually made.
+#: Patterns deliberately use only the regex subset Java (Spark) and RE2
+#: (DuckDB) implement identically: ASCII classes, bounded repetition,
+#: word boundaries — no backreferences, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Typed PII redaction — the corpus-prep pass that strips contact
+    details before training (emails, IPv4 addresses, phone-like numbers),
+    with per-type counts so a pipeline can FILTER on PII density as well
+    as redact (both are standard web-curation stages; `pii_scrub` keeps
+    the reference-era digit scrub, this is the typed family).
+
+    Each pattern is counted and replaced against the PROGRESSIVE text
+    (after the previous patterns' replacements), staged as a real column
+    per step — both engines therefore see identical intermediate strings
+    and the counts exactly equal the replacements made, whatever the
+    overlap between patterns (an IP inside an already-redacted email can
+    never double-count).
+
+    Output: (doc_id, redacted, n_email, n_ipv4, n_phone); NULL text
+    passes through as NULL with zero counts.
+
+    Plan shape at 100 TB: one projection chain, zero exchanges —
+    scan-bound, JVM-side regex in whole-stage codegen.
+    """
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    out = spread_small(docs).select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    stage = out.withColumn("_s0", cur)
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        stage = stage.withColumn(
+            f"n_{name}", F.regexp_count(F.col(f"_s{i}"), F.lit(pat)).cast("int")
+        ).withColumn(f"_s{i+1}", F.regexp_replace(F.col(f"_s{i}"), pat, repl))
+        counts.append(f"n_{name}")
+    last = f"_s{len(PII_PATTERNS)}"
+    return stage.select(
+        "doc_id",
+        # NULL in -> NULL out (the empty-string working copy was only for
+        # the regex chain)
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(F.col(last)).alias(
+            "redacted"
+        ),
+        *counts,
+    )

@@ -3234,6 +3234,80 @@ def q_bigram_rarity(spark, sf_dir):
     )
 
 
+DIVERSE_N_PER_CELL = 3
+
+
+def q_diverse_sample(spark, sf_dir):
+    """Cluster-balanced diverse sampling (sampling.diverse_sample): IVF
+    cells via the SHARED quantizer (same salt as ann_ivf_topk /
+    semantic_dedup, so the oracle reuses the proven quantizer CTE
+    verbatim), then an exact per-cell quota through the skew-safe
+    two-phase stratified reduction."""
+    from apache_kafka_clickhouse_demo_spark.operators import sampling
+
+    return sampling.diverse_sample(
+        _t(spark, sf_dir, "embeddings"),
+        n_per_cell=DIVERSE_N_PER_CELL,
+        ivf_salt=IVF_SALT,
+    ).orderBy("cent_id", "strat_rank")
+
+
+def _synth_pii_text() -> "Column":
+    """Deterministic PII-bearing text (the fixture has no contact data;
+    same pattern as _synth_url).  Residues vary which types appear per
+    doc so counts take several values; mirrored by _SQL_SYNTH_PII."""
+    d = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    email = F.when(
+        d % 3 != 0,
+        F.concat(
+            F.lit(" reach user"), d.cast("string"),
+            F.lit("@mail"), (d % 5).cast("string"), F.lit(".com"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 4 != 0,
+        F.concat(
+            F.lit(" from 10."), (d % 200).cast("string"),
+            F.lit(".0."), (d % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 5 != 0,
+        F.concat(
+            F.lit(" tel +1-555-01"), F.lpad((d % 100).cast("string"), 2, "0")
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(base, email, ip, phone)
+
+
+_SQL_SYNTH_PII = """
+(coalesce(text, '')
+ || CASE WHEN doc_id % 3 <> 0
+         THEN ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+         ELSE '' END
+ || CASE WHEN doc_id % 4 <> 0
+         THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         ELSE '' END
+ || CASE WHEN doc_id % 5 <> 0
+         THEN ' tel +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         ELSE '' END)
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """Typed PII redaction with per-type counts (text_analysis.pii_redact)
+    over synthesized contact-bearing text — emails, IPv4s, phone-like
+    numbers replaced progressively so counts equal replacements made.
+    Row-local regex chain in codegen; zero exchanges."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_pii_text().alias("text")
+    )
+    return text_analysis.pii_redact(docs).orderBy("doc_id")
+
+
 DSIR_K = 50
 
 
@@ -3539,6 +3613,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: interpolated bigram-LM rarity (unigram_rarity's family, one
     # LM order up toward the CCNet KenLM filter)
     "bigram_rarity": q_bigram_rarity,
+    # r10: cluster-balanced diverse sampling (shared IVF quantizer +
+    # skew-safe per-cell quota — DataComp-style semantic diversity cap)
+    "diverse_sample": q_diverse_sample,
+    # r10: typed PII redaction with per-type counts (email/IPv4/phone;
+    # progressive replace so counts equal replacements made)
+    "pii_redact": q_pii_redact,
 }
 
 
@@ -3567,6 +3647,29 @@ def _sql_phrase_arms() -> str:
             f"i -> t[i : i + {m - 1}] = {lit})) AS INTEGER) AS n_matches FROM toks"
         )
     return "\nUNION ALL\n".join(arms)
+
+
+def _sql_pii_redact() -> str:
+    """Progressive redaction chain generated FROM text_analysis.
+    PII_PATTERNS (one CTE per pattern, counting against the previous
+    step's text), so pattern order and content cannot drift between the
+    Spark operator and this mirror."""
+    ctes = [f"p0 AS (SELECT doc_id, {_SQL_SYNTH_PII} AS t0 FROM documents)"]
+    names = []
+    for i, (name, pat, repl) in enumerate(text_analysis.PII_PATTERNS):
+        ctes.append(
+            f"p{i + 1} AS (SELECT *,"
+            f" CAST(len(regexp_extract_all(t{i}, '{pat}')) AS INTEGER) AS n_{name},"
+            f" regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}"
+            f" FROM p{i})"
+        )
+        names.append(f"n_{name}")
+    last = len(text_analysis.PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t{last} AS redacted, " + ", ".join(names)
+        + f"\nFROM p{last} ORDER BY doc_id"
+    )
 
 
 def _sql_bm25_qt() -> str:
@@ -4435,6 +4538,21 @@ WITH toks AS (
 )
 SELECT CAST(phrase_id AS INTEGER) AS phrase_id, doc_id, n_matches
 FROM arms WHERE n_matches > 0 ORDER BY phrase_id, doc_id
+""",
+        "pii_redact": _sql_pii_redact(),
+        "diverse_sample": f"""
+WITH {_sql_ivf_quantizer('vec_id', "greatest(1, CAST(floor(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE))) AS BIGINT))")},
+ranked AS (
+  SELECT cent_id, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cent_id
+           ORDER BY {H.sql_h48("'divs:' || CAST(vec_id AS VARCHAR)")}, vec_id
+         ) AS strat_rank
+  FROM assign
+)
+SELECT cent_id, vec_id, strat_rank FROM ranked
+WHERE strat_rank <= {DIVERSE_N_PER_CELL}
+ORDER BY cent_id, strat_rank
 """,
         "bigram_rarity": f"""
 WITH toks AS (

@@ -155,6 +155,8 @@ HEADLINE = [
     "phrase_search",
     "bm25_indexed",
     "bigram_rarity",
+    "diverse_sample",
+    "pii_redact",
 ]
 
 
@@ -259,6 +261,8 @@ BASELINE_SEC = {
     "phrase_search": 1.017,
     "bm25_indexed": 2.654,
     "bigram_rarity": 1.647,
+    "diverse_sample": 1.171,
+    "pii_redact": 0.692,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -185,3 +185,30 @@ def test_sampling_ops_on_empty_input(spark):
     assert sh.columns == ["doc_id", "shard", "seq"] and sh.count() == 0
     m = mixture_sample(empty, "source", {"a": 0.5}, "doc_id")
     assert m.columns == ["doc_id", "source"] and m.count() == 0
+
+
+def test_diverse_sample_caps_head_cluster(spark):
+    """A dominant embedding-space region (90% of vectors in one tight
+    cluster) contributes exactly n_per_cell rows per cell — the
+    diversity cap diverse_sample exists for — while every cell obeys the
+    quota and ranks are 1..quota by the deterministic hash order."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import diverse_sample
+
+    rows = [(i, [10.0, 0.1 * (i % 3)]) for i in range(90)] + [
+        (100 + i, [-5.0 * (i + 1), 7.0 * (i + 1)]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = diverse_sample(emb, n_per_cell=2, target_centroids=4).collect()
+    per_cell: dict = {}
+    for r in got:
+        per_cell.setdefault(r["cent_id"], []).append(r["strat_rank"])
+    assert per_cell, "no cells sampled"
+    for ranks in per_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2
+    # the head cluster (~90 vectors, a handful of cells) is capped at
+    # 2/cell: the sample can never be >~ cells*2 rows
+    assert len(got) <= 2 * len(per_cell)
+    # deterministic: a second run returns the identical sample
+    again = diverse_sample(emb, n_per_cell=2, target_centroids=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -127,6 +127,11 @@ FAMILIES = [
     # two vocabulary aggregates + vocab-side enrichment + one occurrence
     # join — the blow-up's token remap scales the vocabularies linearly)
     "bigram_rarity",
+    # r10: cluster-balanced diverse sampling (shared IVF quantizer +
+    # two-phase per-cell quota; isqrt(n) centroids self-scale)
+    "diverse_sample",
+    # r10: typed PII redaction (row-local regex chain; scan-bound)
+    "pii_redact",
 ]
 
 PASSES = 2
