@@ -14,7 +14,10 @@ driver-side commit-log pruning via `read_where`, O(matching files) reads
 no matter how large the table grows):
 
     shard = "t<h48(term) % n_shards>"   posting rows (term, doc_id, tf, dl)
-    shard = "m"                         ONE meta row (n_docs, tot_tokens)
+    shard = "m"                         ONE meta row (n_docs, tot_tokens,
+                                        n_shards — the hash-route modulus
+                                        is stored data, never inferred
+                                        from layout)
 
 Shard count derives from corpus scale through the same
 `shards_for_store` sizing rule as the streaming stores, so a posting
@@ -127,7 +130,12 @@ def build_term_index(
             f"index at {path} already built (version {table.version()}); "
             "rebuild into a fresh path"
         )
-    table.append(postings.unionByName(meta), partition_by="shard")
+    # CAS at version 0: two concurrent builders both passing the check
+    # above would otherwise both append (retrying version numbers is
+    # append()'s normal contention behavior) and publish TWO meta rows —
+    # the exact corruption the build-once contract exists to prevent.
+    # The loser gets ConcurrentWriteError instead.
+    table.append(postings.unionByName(meta), partition_by="shard", cas_version=-1)
     return table
 
 
