@@ -52,34 +52,11 @@ from apache_kafka_clickhouse_demo_spark.operators.text_analysis import (
 META_SHARD = "m"
 
 
-def build_term_index(
-    docs: DataFrame,
-    path: str,
-    n_shards: int | None = None,
-    expected_corpus_rows: int | None = None,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> TransactionalTable:
-    """Build the inverted index at `path` from `docs` — BUILD-ONCE: a
-    path that already holds a committed index raises instead of
-    appending (a second append would publish a SECOND meta row, and
-    doubled corpus stats silently corrupt every later BM25 score;
-    rebuild into a fresh path and swap, the same pattern as the
-    compaction hooks).
-
-    One explode -> (doc, term) count aggregate (the build's single
-    corpus-scale shuffle, map-side partials), doc length carried through
-    the explode as a grouping constant (no second scan), then ONE
-    shard-partitioned transactional append publishing postings and the
-    meta row atomically — a reader never sees postings without their
-    corpus stats.  `n_shards` defaults to the `shards_for_store` sizing
-    rule on `expected_corpus_rows` (estimated VOCABULARY-side rows; the
-    caller passes corpus token count when known, else docs-count x ~1e2).
-    """
-    if n_shards is None:
-        if expected_corpus_rows is None:
-            expected_corpus_rows = docs.count() * 100
-        n_shards = shards_for_store(expected_corpus_rows)
+def _segment_frames(
+    docs: DataFrame, n_shards: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One segment's postings + meta row as a single frame (the unit both
+    build and extend publish atomically)."""
     toks = TX.tokens(F.coalesce(F.col(text_col), F.lit("")))
     base = spread_small(docs).select(
         F.col(id_col).alias("doc_id"), toks.alias("_toks")
@@ -124,18 +101,76 @@ def build_term_index(
         # perf one)
         F.lit(int(n_shards)).cast("long").alias("n_shards"),
     )
+    return postings.unionByName(meta)
+
+
+def build_term_index(
+    docs: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    expected_corpus_rows: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> TransactionalTable:
+    """Create the inverted index at `path` from `docs` (the first
+    SEGMENT); grow it later with `extend_term_index`.  A path that
+    already holds a committed index raises — re-running a create over an
+    existing index would double-publish segment 0's stats; extension is
+    the explicit API, not a silent second create.
+
+    One explode -> (doc, term) count aggregate (the build's single
+    corpus-scale shuffle, map-side partials), doc length carried through
+    the explode as a grouping constant (no second scan), then ONE
+    shard-partitioned transactional append publishing postings and the
+    segment's meta row atomically — a reader never sees postings without
+    their corpus stats.  `n_shards` defaults to the `shards_for_store`
+    sizing rule on `expected_corpus_rows` (estimated VOCABULARY-side
+    rows; pass the EVENTUAL corpus size when the index will grow — the
+    modulus is fixed at creation).
+    """
+    if n_shards is None:
+        if expected_corpus_rows is None:
+            expected_corpus_rows = docs.count() * 100
+        n_shards = shards_for_store(expected_corpus_rows)
+    seg = _segment_frames(docs, n_shards, text_col, id_col)
     table = TransactionalTable(path)
     if table.version() >= 0:
         raise ValueError(
             f"index at {path} already built (version {table.version()}); "
-            "rebuild into a fresh path"
+            "grow it with extend_term_index, or rebuild into a fresh path"
         )
-    # CAS at version 0: two concurrent builders both passing the check
+    # CAS at version 0: two concurrent creators both passing the check
     # above would otherwise both append (retrying version numbers is
-    # append()'s normal contention behavior) and publish TWO meta rows —
-    # the exact corruption the build-once contract exists to prevent.
-    # The loser gets ConcurrentWriteError instead.
-    table.append(postings.unionByName(meta), partition_by="shard", cas_version=-1)
+    # append()'s normal contention behavior) and publish TWO segment-0
+    # meta rows.  The loser gets ConcurrentWriteError instead.
+    table.append(seg, partition_by="shard", cas_version=-1)
+    return table
+
+
+def extend_term_index(
+    docs: DataFrame,
+    table: TransactionalTable,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> TransactionalTable:
+    """Append a segment of NEW documents to an existing index — the
+    Lucene-segment model: each extension publishes its own postings plus
+    its own meta row in one atomic commit, and readers SUM the meta rows
+    (`index_meta`), so corpus stats are exact at every committed version
+    with no read-modify-write on shared state (concurrent extensions
+    compose — append retries version numbers; nothing is overwritten).
+
+    Contract: each doc_id appears in exactly ONE segment (an append-only
+    corpus).  A doc re-ingested in a second segment would carry two
+    posting rows per term and inflate df/tf — dedupe upstream
+    (`url_dedup` / `dedup_exact` are the pipeline stages for exactly
+    that).  The shard modulus is read from the existing index, so every
+    segment routes terms identically.
+    """
+    n_shards = index_shard_count(docs.sparkSession, table)
+    table.append(
+        _segment_frames(docs, n_shards, text_col, id_col), partition_by="shard"
+    )
     return table
 
 
@@ -144,7 +179,7 @@ def _term_shards(terms: list[str], n_shards: int) -> set[str]:
 
 
 def index_shard_count(spark: SparkSession, table: TransactionalTable) -> int:
-    """The index's hash-route parameter, read from the meta row.  Stored
+    """The index's hash-route parameter, read from the meta rows.  Stored
     as data, never inferred from layout: a sparse index (few distinct
     terms) occupies few shard directories, and a layout-derived modulus
     would route lookups to the WRONG shard — empty postings, silently."""
@@ -167,9 +202,28 @@ def term_lookup(
 
 
 def index_meta(spark: SparkSession, table: TransactionalTable) -> DataFrame:
-    """The 1-row (n_docs, tot_tokens, n_shards) corpus stats partition."""
-    return table.read_where(spark, "shard", [META_SHARD]).select(
-        "n_docs", "tot_tokens", "n_shards"
+    """1-row (n_docs, tot_tokens, n_shards) corpus stats: the SUM over
+    the per-segment meta rows (one per build/extend commit — the segment
+    model's merge-on-read, the same algebra as the MergeTree state
+    columns).  n_shards is invariant across segments by construction
+    (extend reads it from the index); min==max is asserted so a
+    hand-corrupted store fails loudly instead of mis-routing."""
+    rows = table.read_where(spark, "shard", [META_SHARD])
+    # the assert rides INSIDE the consumed value (assert_true is NULL on
+    # success, so coalesce passes min through) — a separate checked
+    # column would be pruned away with its check (the r9 lesson: pruned
+    # work never runs)
+    checked = F.coalesce(
+        F.assert_true(
+            F.min("n_shards") == F.max("n_shards"),
+            F.lit("index meta rows disagree on n_shards — corrupted store"),
+        ).cast("long"),
+        F.min("n_shards").cast("long"),
+    )
+    return rows.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tot_tokens").cast("long").alias("tot_tokens"),
+        checked.alias("n_shards"),
     )
 
 

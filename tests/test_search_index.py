@@ -124,3 +124,35 @@ def test_rebuild_over_existing_index_raises(spark, tmp_path):
     SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
     with pytest.raises(ValueError, match="already built"):
         SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+
+
+def test_extend_segments_equal_one_shot_scan(spark, tmp_path):
+    """Lucene-segment contract: an index built from corpus half A then
+    extended with half B answers BM25 bit-identically to the scan path
+    over A union B — per-segment meta rows sum to exact corpus stats and
+    df aggregates across segments."""
+    rows_a = [(1, "fast join table"), (2, "fast fast hash")]
+    rows_b = [(3, "hash join join"), (4, "slow scan fast")]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    table = SI.build_term_index(a, str(tmp_path / "idx"), n_shards=16)
+    SI.extend_term_index(b, table)
+    assert table.version() == 1  # one commit per segment
+
+    queries = [(1, "fast hash"), (2, "slow join")]
+    via_index = [
+        tuple(r)
+        for r in SI.bm25_lookup(spark, table, queries, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    via_scan = [
+        tuple(r)
+        for r in TA.bm25_topk(a.unionByName(b), queries, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert via_index == via_scan and len(via_scan) > 0
+
+    meta = SI.index_meta(spark, table).first()
+    assert (meta["n_docs"], meta["tot_tokens"], meta["n_shards"]) == (4, 12, 16)
