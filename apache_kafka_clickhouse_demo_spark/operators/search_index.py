@@ -255,3 +255,17 @@ def bm25_lookup(
     stats = index_meta(spark, table).select("n_docs", "tot_tokens")
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
     return bm25_score_topk(tf, dfreq, stats, qt, k)
+
+
+def maintain_term_index(spark: SparkSession, table: TransactionalTable) -> int:
+    """Compact a many-segment index back to one file per shard — every
+    extension leaves one file per touched shard per segment, so a
+    long-lived index pays O(segments) files per term lookup until
+    maintenance runs (the same forever-stream bound the streaming stores'
+    `maintain()` enforces).  One replace-commit via
+    `TransactionalTable.optimize`; the shard layout (and so driver-side
+    pruning) survives the rewrite, and the summed per-segment meta rows
+    are ordinary rows — compaction preserves them, it never merges them
+    (merge stays at read, where it is exact).  Returns the published
+    version."""
+    return table.optimize(spark, partition_by="shard")

@@ -156,3 +156,49 @@ def test_extend_segments_equal_one_shot_scan(spark, tmp_path):
 
     meta = SI.index_meta(spark, table).first()
     assert (meta["n_docs"], meta["tot_tokens"], meta["n_shards"]) == (4, 12, 16)
+
+
+def test_maintenance_compacts_to_one_file_per_shard(spark, tmp_path):
+    """After 3 segments, a shard touched by all three carries 3 files;
+    maintain_term_index compacts to ONE file per shard while lookups,
+    meta sums, and BM25 answers stay identical."""
+    parts = [
+        [(1, "fast join"), (2, "fast hash")],
+        [(3, "fast scan")],
+        [(4, "fast slow")],
+    ]
+    frames = [
+        spark.createDataFrame(p, "doc_id long, text string") for p in parts
+    ]
+    table = SI.build_term_index(frames[0], str(tmp_path / "idx"), n_shards=16)
+    for f in frames[1:]:
+        SI.extend_term_index(f, table)
+
+    before = [
+        tuple(r)
+        for r in SI.bm25_lookup(spark, table, [(1, "fast hash")], k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    shard_files: dict[str, int] = {}
+    for f in table.data_files():
+        s = f.split("shard=")[1].split("/")[0]
+        shard_files[s] = shard_files.get(s, 0) + 1
+    assert max(shard_files.values()) >= 3  # 'fast' shard touched 3x
+
+    SI.maintain_term_index(spark, table)
+    shard_files = {}
+    for f in table.data_files():
+        s = f.split("shard=")[1].split("/")[0]
+        shard_files[s] = shard_files.get(s, 0) + 1
+    assert max(shard_files.values()) == 1
+
+    after = [
+        tuple(r)
+        for r in SI.bm25_lookup(spark, table, [(1, "fast hash")], k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert before == after
+    meta = SI.index_meta(spark, table).first()
+    assert (meta["n_docs"], meta["n_shards"]) == (4, 16)
