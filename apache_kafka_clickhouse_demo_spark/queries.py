@@ -3308,6 +3308,46 @@ def q_pii_redact(spark, sf_dir):
     return text_analysis.pii_redact(docs).orderBy("doc_id")
 
 
+def q_stream_index_bm25(spark, sf_dir):
+    """Continuously indexed corpus (stateful.term_index_stream): the doc
+    feed arrives as four id-ordered blocks, each published as one atomic
+    index segment (postings + its own meta row, batch-keyed exactly-once),
+    then bm25_lookup answers the SAME five queries over the accumulated
+    index.  Each doc appears in exactly one block, so the streamed index
+    equals the one-shot build and the oracle is bm25_search's SQL
+    verbatim."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        term_index_stream,
+    )
+
+    work = _workdir("stream_index_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    blk = (
+        F.when(F.col("doc_id") <= (hi * 1) // 4, 0)
+        .when(F.col("doc_id") <= (hi * 2) // 4, 1)
+        .when(F.col("doc_id") <= (hi * 3) // 4, 2)
+        .otherwise(3)
+    )
+    _write_feed_blocks(docs, work, blk)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = term_index_stream(
+        spark, src, index_dir=f"{work}/idx", checkpoint=f"{work}/ck", n_shards=64
+    )
+    q.processAllAvailable()
+    q.stop()
+    table = TransactionalTable(f"{work}/idx")
+    return SI.bm25_lookup(spark, table, BM25_QUERIES, k=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 DSIR_K = 50
 
 
@@ -3619,6 +3659,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: typed PII redaction with per-type counts (email/IPv4/phone;
     # progressive replace so counts equal replacements made)
     "pii_redact": q_pii_redact,
+    # r10: continuously indexed corpus — streamed segments must answer
+    # BM25 identically to the one-shot build (oracle = bm25_search's)
+    "stream_index_bm25": q_stream_index_bm25,
 }
 
 
@@ -5769,8 +5812,10 @@ FROM s ORDER BY doc_id
 """,
     }
     # the index-backed path must return bm25_search's rows verbatim (both
-    # feed bm25_score_topk) — one oracle, two engines-side plans
+    # feed bm25_score_topk) — one oracle, two engine-side plans; the
+    # streamed-segments index must also equal the one-shot build
     sqls["bm25_indexed"] = sqls["bm25_search"]
+    sqls["stream_index_bm25"] = sqls["bm25_search"]
     return sqls
 
 

@@ -1458,3 +1458,102 @@ def url_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class _TermIndexStreamWriter:
+    """foreachBatch body for `term_index_stream`: every micro-batch
+    publishes one inverted-index SEGMENT — its postings plus its own
+    meta row (`search_index._segment_frames`) — through a batch-keyed
+    `append_once`, so a retried batch can never double-publish its meta
+    row (doubled corpus stats are exactly the corruption the segment
+    model must prevent; the replay check is the same txn protocol as
+    every other stream writer here).
+
+    Contracts: the feed carries each doc_id ONCE across the stream's
+    lifetime (run the URL / exact dedup stages upstream — a re-ingested
+    doc would inflate df/tf); `n_shards` is fixed at writer construction
+    so every segment routes terms identically (a mismatch against an
+    existing index fails loudly at read via index_meta's invariant).
+    Meta rows accumulate one per non-empty batch — a single bounded
+    shard that `maintain()` keeps at one FILE; the rows themselves are
+    the segment ledger and merge exactly at read.
+    """
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        n_shards: int,
+        writer_id: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+        self.spark = spark
+        self.table = TransactionalTable(index_dir)
+        self.n_shards = n_shards
+        self.writer_id = writer_id
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def maintain(self) -> None:
+        """Same store-maintenance contract as the other stream writers:
+        compact to one file per shard, checkpoint + prune the log,
+        vacuum replaced files."""
+        self.table.optimize(self.spark, partition_by="shard")
+        self.table.checkpoint(compact_txn_watermarks=True)
+        self.table.prune_log()
+        self.table.vacuum()
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from apache_kafka_clickhouse_demo_spark.operators.search_index import (
+            _segment_frames,
+        )
+
+        txn = f"{self.writer_id}:{batch_id}"
+        if self.table.txn_committed(txn):
+            return  # committed replay: no-op, no jobs
+        seg = _segment_frames(block, self.n_shards, self.text_col, self.id_col)
+        # shard-aligned tasks: one file per touched shard per segment,
+        # keeping term_lookup's pruned read at O(segments) files pre-
+        # maintenance instead of O(segments x tasks)
+        self.table.append_once(
+            seg.repartition(F.col("shard")), txn=txn, partition_by="shard"
+        )
+
+
+def term_index_stream(
+    spark,
+    source: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    n_shards: int = 16,
+    expected_corpus_rows: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuously indexed corpus: the streaming twin of
+    `search_index.build_term_index`/`extend_term_index` — each
+    micro-batch of (deduped) documents becomes one atomic index segment,
+    and `bm25_lookup` answers over the index at any committed version
+    with exact corpus stats.  `expected_corpus_rows` sizes the shard
+    count for the corpus the stream will accumulate (vocabulary-side
+    rows; `shards_for_store`)."""
+    if expected_corpus_rows is not None:
+        n_shards = shards_for_store(expected_corpus_rows)
+    writer = _TermIndexStreamWriter(
+        spark,
+        index_dir,
+        n_shards=n_shards,
+        writer_id=checkpoint,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

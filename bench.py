@@ -157,6 +157,7 @@ HEADLINE = [
     "bigram_rarity",
     "diverse_sample",
     "pii_redact",
+    "stream_index_bm25",
 ]
 
 
@@ -263,6 +264,7 @@ BASELINE_SEC = {
     "bigram_rarity": 1.647,
     "diverse_sample": 1.171,
     "pii_redact": 0.692,
+    "stream_index_bm25": 7.545,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -30,6 +30,7 @@ _SKIP = {
     "stream_funnel",  # streaming drain; fold linted via funnel_levels + stateful tests
     "stream_topk",  # streaming drain; sketch plan linted via top_users_sketch
     "stream_sample",  # streaming drain; bottom-k rank plan is a TakeOrdered by construction
+    "stream_index_bm25",  # streaming drain (feed -> index segments); lookup plan linted via bm25_indexed
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):

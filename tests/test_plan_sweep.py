@@ -75,6 +75,9 @@ EXECUTING = {
     # tests/test_search_index.py, and the scan path itself IS swept
     # (bm25_search)
     "bm25_indexed",
+    # streaming drain (checkpointed feed -> index segments); writer
+    # exactly-once pinned in tests/test_streaming_stateful.py
+    "stream_index_bm25",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

@@ -1176,3 +1176,39 @@ def test_concurrent_writer_stale_pin_keeps_then_next_block_suppresses(
         for r in TransactionalTable(str(tmp_path / "kept_B")).read(spark).collect()
     )
     assert kept_b2 == [10]  # 20 dropped
+
+
+def test_term_index_stream_writer_replay_is_exactly_once(spark, tmp_path):
+    """_TermIndexStreamWriter: replaying a committed batch publishes
+    NOTHING (a doubled meta row would corrupt every later BM25 score),
+    and two distinct batches land as two segments whose meta rows sum to
+    the exact corpus stats."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _TermIndexStreamWriter,
+    )
+
+    w = _TermIndexStreamWriter(
+        spark, str(tmp_path / "idx"), n_shards=16, writer_id="t"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "fast join"), (2, "fast hash")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame([(3, "slow fast")], "doc_id long, text string")
+    w.process(b0, 0)
+    w.process(b0, 0)  # replay: must be a no-op
+    w.process(b1, 1)
+    assert w.table.version() == 1  # exactly two commits
+
+    meta = SI.index_meta(spark, w.table).first()
+    assert (meta["n_docs"], meta["tot_tokens"], meta["n_shards"]) == (3, 6, 16)
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in SI.term_lookup(spark, w.table, ["fast"]).collect()
+    }
+    assert got == {("fast", 1): 1, ("fast", 2): 1, ("fast", 3): 1}
+
+    # maintenance compacts without changing answers
+    w.maintain()
+    meta2 = SI.index_meta(spark, w.table).first()
+    assert tuple(meta2) == tuple(meta)
