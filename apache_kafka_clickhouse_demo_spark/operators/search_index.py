@@ -65,10 +65,16 @@ def _segment_frames(
         base.select(
             "doc_id",
             F.size("_toks").cast("long").alias("dl"),
-            F.explode("_toks").alias("term"),
+            F.posexplode("_toks").alias("_p0", "term"),
         )
         .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        # positions are 1-based token indices (posexplode is 0-based),
+        # sorted so the phrase intersect and any future delta-encoding
+        # see a canonical order; tf == size(positions) by construction
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("_p0") + 1)).alias("positions"),
+        )
         .select(
             F.concat(F.lit("t"), (H.h48("term") % n_shards).cast("string")).alias(
                 "shard"
@@ -77,6 +83,7 @@ def _segment_frames(
             "doc_id",
             "tf",
             "dl",
+            "positions",
             F.lit(None).cast("long").alias("n_docs"),
             F.lit(None).cast("long").alias("tot_tokens"),
             F.lit(None).cast("long").alias("n_shards"),
@@ -91,6 +98,7 @@ def _segment_frames(
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("tf"),
         F.lit(None).cast("long").alias("dl"),
+        F.lit(None).cast("array<int>").alias("positions"),
         "n_docs",
         "tot_tokens",
         # the hash-route parameter is DATA, not layout: recovering it
@@ -191,14 +199,20 @@ def term_lookup(
     table: TransactionalTable,
     terms: list[str],
     n_shards: int | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """Postings for `terms`: (term, doc_id, tf, dl), reading ONLY the
-    shards the terms hash to (driver-side commit-log pruning — the same
-    `read_where` the streaming stores use; cost O(|terms|) files)."""
+    """Postings for `terms`: (term, doc_id, tf, dl[, positions]), reading
+    ONLY the shards the terms hash to (driver-side commit-log pruning —
+    the same `read_where` the streaming stores use; cost O(|terms|)
+    files).  `with_positions` adds the 1-based token-position array
+    (parquet column pruning keeps the plain lookup from paying for it)."""
     if n_shards is None:
         n_shards = index_shard_count(spark, table)
     rows = table.read_where(spark, "shard", sorted(_term_shards(terms, n_shards)))
-    return rows.filter(F.col("term").isin(terms)).select("term", "doc_id", "tf", "dl")
+    cols = ["term", "doc_id", "tf", "dl"] + (
+        ["positions"] if with_positions else []
+    )
+    return rows.filter(F.col("term").isin(terms)).select(*cols)
 
 
 def index_meta(spark: SparkSession, table: TransactionalTable) -> DataFrame:
@@ -269,3 +283,87 @@ def maintain_term_index(spark: SparkSession, table: TransactionalTable) -> int:
     (merge stays at read, where it is exact).  Returns the published
     version."""
     return table.optimize(spark, partition_by="shard")
+
+
+def phrase_lookup(
+    spark: SparkSession,
+    table: TransactionalTable,
+    phrases: list[tuple[int, str]],
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Index-backed positional phrase search: the same (phrase_id,
+    doc_id, n_matches) answer as the scan-based
+    `text_analysis.phrase_matches` (bit-identity pinned by test), fed
+    from pruned posting reads — the classic positional-index phrase
+    query (match count = |{p in positions(t1) : p+i in positions(t_1+i)
+    for every offset i}|).
+
+    Plan shape: ONE pruned read covers every phrase's terms (the union
+    of term shards); each phrase then inner-joins its offset terms'
+    postings by doc_id — docs missing any term drop before any position
+    work — and the position intersect runs row-locally over the joined
+    arrays.  Per-doc cost O(tf_first * phrase_len * tf_max); join fan-in
+    per phrase is its term count (2-5 for real quoted queries).
+    Repeated terms in a phrase reuse the same positions array with
+    different offsets ("a a" matches p and p+1 in positions(a)).
+    """
+    ptoks = [(int(pid), (p or "").lower().split()) for pid, p in phrases]
+    if not ptoks or any(not t for _, t in ptoks):
+        raise ValueError("phrase_lookup: every phrase needs >= 1 token")
+    all_terms = sorted({t for _, ts in ptoks for t in ts})
+
+    post = term_lookup(
+        spark, table, all_terms, n_shards=n_shards, with_positions=True
+    ).select("term", "doc_id", "positions")
+
+    outs = []
+    for pid, terms in ptoks:
+        distinct = sorted(set(terms))
+        j = None
+        for d_i, t in enumerate(distinct):
+            side = post.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"_pos{d_i}")
+            )
+            j = side if j is None else j.join(side, "doc_id")
+        pos_of = {t: f"_pos{i}" for i, t in enumerate(distinct)}
+        first = F.col(pos_of[terms[0]])
+
+        # closure FACTORIES, not default-arg lambdas: pyspark's HOF
+        # bridge derives the lambda's Spark arity from its Python
+        # parameter count, so `lambda p, col=..., off=...` reads as a
+        # 3-arg lambda and the defaults get clobbered with lambda vars.
+        # F.exists (HOF), not array_contains, because the probe value
+        # (p + off) is a Column, which array_contains' py4j signature
+        # rejects.
+        def _contains_at(col_name: str, off: int):
+            def f(p):
+                return F.exists(F.col(col_name), lambda q: q == p + off)
+
+            return f
+
+        def _both(a, b):
+            def f(p):
+                return a(p) & b(p)
+
+            return f
+
+        cond = None
+        for i, t in enumerate(terms[1:], start=1):
+            c = _contains_at(pos_of[t], i)
+            cond = c if cond is None else _both(cond, c)
+        hits = (
+            F.size(F.filter(first, cond))
+            if cond is not None
+            else F.size(first)
+        )
+        outs.append(
+            j.select(
+                F.lit(pid).cast("int").alias("phrase_id"),
+                "doc_id",
+                hits.cast("int").alias("n_matches"),
+            ).filter(F.col("n_matches") > 0)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

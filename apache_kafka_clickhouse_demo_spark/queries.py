@@ -3348,6 +3348,20 @@ def q_stream_index_bm25(spark, sf_dir):
     )
 
 
+def q_phrase_indexed(spark, sf_dir):
+    """Index-backed positional phrase search (search_index.phrase_lookup):
+    the SAME five phrases as phrase_search answered from pruned positional
+    posting reads — the classic quoted-query path of a serving index.
+    Oracle is phrase_search's SQL verbatim (bit-identity with the scan
+    operator is additionally pytest-pinned)."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+
+    docs = _t(spark, sf_dir, "documents")
+    work = _workdir("phrase_index_")
+    table = SI.build_term_index(docs, f"{work}/idx", n_shards=64)
+    return SI.phrase_lookup(spark, table, PHRASES).orderBy("phrase_id", "doc_id")
+
+
 DSIR_K = 50
 
 
@@ -3662,6 +3676,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: continuously indexed corpus — streamed segments must answer
     # BM25 identically to the one-shot build (oracle = bm25_search's)
     "stream_index_bm25": q_stream_index_bm25,
+    # r10: index-backed positional phrase search (oracle = phrase_search's)
+    "phrase_indexed": q_phrase_indexed,
 }
 
 
@@ -5816,6 +5832,8 @@ FROM s ORDER BY doc_id
     # streamed-segments index must also equal the one-shot build
     sqls["bm25_indexed"] = sqls["bm25_search"]
     sqls["stream_index_bm25"] = sqls["bm25_search"]
+    # positional-index phrase query must return the scan answer verbatim
+    sqls["phrase_indexed"] = sqls["phrase_search"]
     return sqls
 
 

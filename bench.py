@@ -158,6 +158,7 @@ HEADLINE = [
     "diverse_sample",
     "pii_redact",
     "stream_index_bm25",
+    "phrase_indexed",
 ]
 
 
@@ -265,6 +266,7 @@ BASELINE_SEC = {
     "diverse_sample": 1.171,
     "pii_redact": 0.692,
     "stream_index_bm25": 7.545,
+    "phrase_indexed": 3.008,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -78,6 +78,9 @@ EXECUTING = {
     # streaming drain (checkpointed feed -> index segments); writer
     # exactly-once pinned in tests/test_streaming_stateful.py
     "stream_index_bm25",
+    # builds + commits the index at query build, like bm25_indexed; the
+    # scan-path twin (phrase_search) IS swept and bit-identity is pinned
+    "phrase_indexed",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

@@ -202,3 +202,34 @@ def test_maintenance_compacts_to_one_file_per_shard(spark, tmp_path):
     assert before == after
     meta = SI.index_meta(spark, table).first()
     assert (meta["n_docs"], meta["n_shards"]) == (4, 16)
+
+
+def test_phrase_lookup_bitidentical_to_scan_path(spark, sf_dir, tmp_path):
+    """Index-backed positional phrase search equals the scan-based
+    phrase_matches on the fixture corpus — including an overlapping
+    phrase, a repeated-term phrase, and a no-match phrase."""
+    docs = _docs(spark, sf_dir)
+    table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+    phrases = [(1, "table hash"), (2, "the the"), (3, "no such phrase")]
+    via_scan = sorted(
+        tuple(r) for r in TA.phrase_matches(docs, phrases).collect()
+    )
+    via_index = sorted(
+        tuple(r) for r in SI.phrase_lookup(spark, table, phrases).collect()
+    )
+    assert via_scan == via_index
+
+
+def test_phrase_lookup_overlaps_and_repeats(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x a b y a b"), (3, "b a")],
+        "doc_id long, text string",
+    )
+    table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in SI.phrase_lookup(
+            spark, table, [(1, "a a"), (2, "a b")]
+        ).collect()
+    }
+    assert got == {(1, 1): 2, (2, 1): 1, (2, 2): 2}
