@@ -3,9 +3,11 @@
 The scan-based retrieval operators (`text_analysis.bm25_topk`,
 `phrase_matches`) pay one full corpus scan per query batch — right for
 one-off analytics, wrong for a SERVING corpus queried repeatedly.  This
-module materializes the classic IR structure instead: a positional-free
-term->postings index, stored once, with every later query reading ONLY
-the shards its terms hash to.
+module materializes the classic IR structure instead: a POSITIONAL
+term->postings index (tf, doc length, and sorted token positions per
+posting), stored once, with every later query reading ONLY the shards
+its terms hash to — BM25 ranking and quoted-phrase queries off the same
+store.
 
 Storage is a `TransactionalTable` (sources/txlog.py) partitioned by a
 namespaced shard key — the exact architecture the streaming near-dup
@@ -13,11 +15,13 @@ stores proved out (`streaming/stateful.py`: shard-aligned appends,
 driver-side commit-log pruning via `read_where`, O(matching files) reads
 no matter how large the table grows):
 
-    shard = "t<h48(term) % n_shards>"   posting rows (term, doc_id, tf, dl)
-    shard = "m"                         ONE meta row (n_docs, tot_tokens,
-                                        n_shards — the hash-route modulus
-                                        is stored data, never inferred
-                                        from layout)
+    shard = "t<h48(term) % n_shards>"   posting rows (term, doc_id, tf,
+                                        dl, positions)
+    shard = "m"                         one meta row PER SEGMENT
+                                        (n_docs, tot_tokens, n_shards —
+                                        the hash-route modulus is stored
+                                        data, never inferred from layout;
+                                        readers SUM the rows)
 
 Shard count derives from corpus scale through the same
 `shards_for_store` sizing rule as the streaming stores, so a posting
