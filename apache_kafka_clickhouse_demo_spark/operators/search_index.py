@@ -371,3 +371,159 @@ def phrase_lookup(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index (the embedding twin of the term index)
+# ---------------------------------------------------------------------------
+
+#: centroid partition value (one row per IVF centroid — bounded by the
+#: quantizer's fixed target, broadcastable at any corpus size)
+ANN_CENT_SHARD = "cent"
+
+
+def build_ann_index(
+    emb: DataFrame,
+    path: str,
+    target_centroids: int | None = None,
+    n_shards: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "ivf:",
+    corpus_count: int | None = None,
+) -> TransactionalTable:
+    """Persist the IVF structure once — centroids + normalized cell
+    assignments — so ANN queries against a SERVING corpus read only
+    their probed cells instead of re-quantizing 100 TB per query batch.
+    Same quantizer as `similarity.ivf_topk`/`dedup.semantic_dedup`
+    (`ivf_quantize`, shared by import), so the stored index answers
+    bit-identically to the scan path (test contract).
+
+    Layout (one atomic CAS commit at version 0, build-once like the
+    term index's segment 0):
+
+        shard = "v<cent_id % n_shards>"  assignment rows
+                                         (cent_id, vid, nv)
+        shard = "cent"                   centroid rows (cent_id, cv)
+        shard = "m"                      1 meta row (n_vecs, n_shards)
+
+    Cells bucket into shards (`shards_for_store` on the corpus row
+    count) so directory count stays object-store-friendly while a
+    probe still reads O(nprobe) shards per query batch.
+    """
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        ivf_quantize,
+    )
+
+    cents, assign = ivf_quantize(
+        emb, target_centroids, vec_col, id_col, salt, corpus_count
+    )
+    if n_shards is None:
+        if corpus_count is None:
+            corpus_count = emb.count()
+        n_shards = shards_for_store(corpus_count)
+
+    nulls = {
+        "vid": F.lit(None).cast("long"),
+        "nv": F.lit(None).cast("array<double>"),
+        "cv": F.lit(None).cast("array<double>"),
+        "n_vecs": F.lit(None).cast("long"),
+        "n_shards": F.lit(None).cast("long"),
+    }
+    arows = assign.select(
+        F.concat(F.lit("v"), (F.col("cent_id") % n_shards).cast("string")).alias(
+            "shard"
+        ),
+        F.col("cent_id").cast("long").alias("cent_id"),
+        F.col("vid").cast("long").alias("vid"),
+        F.col("nv").alias("nv"),
+        nulls["cv"].alias("cv"),
+        nulls["n_vecs"].alias("n_vecs"),
+        nulls["n_shards"].alias("n_shards"),
+    )
+    crows = cents.select(
+        F.lit(ANN_CENT_SHARD).alias("shard"),
+        F.col("cent_id").cast("long").alias("cent_id"),
+        nulls["vid"].alias("vid"),
+        nulls["nv"].alias("nv"),
+        F.col("cv").alias("cv"),
+        nulls["n_vecs"].alias("n_vecs"),
+        nulls["n_shards"].alias("n_shards"),
+    )
+    meta = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs")).select(
+        F.lit(META_SHARD).alias("shard"),
+        F.lit(None).cast("long").alias("cent_id"),
+        nulls["vid"].alias("vid"),
+        nulls["nv"].alias("nv"),
+        nulls["cv"].alias("cv"),
+        "n_vecs",
+        F.lit(int(n_shards)).cast("long").alias("n_shards"),
+    )
+    table = TransactionalTable(path)
+    if table.version() >= 0:
+        raise ValueError(
+            f"ANN index at {path} already built (version {table.version()}); "
+            "rebuild into a fresh path"
+        )
+    table.append(
+        arows.unionByName(crows).unionByName(meta),
+        partition_by="shard",
+        cas_version=-1,
+    )
+    return table
+
+
+def ann_index_lookup(
+    spark: SparkSession,
+    table: TransactionalTable,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN over the persisted index: probe each query's nprobe
+    closest stored centroids, read ONLY the shards those cells bucket
+    into (driver-side commit-log pruning; the probe-cell list is bounded
+    by |queries| x nprobe, so collecting it is a bounded driver action,
+    same class as broadcast planning), exact-rerank inside the probed
+    cells via `similarity.ivf_probe_topk` — shared with the scan path,
+    so answers are bit-identical to `ivf_topk` on the same corpus
+    (pinned by test)."""
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        ivf_probe_topk,
+    )
+    from pyspark.sql import Window
+
+    meta = table.read_where(spark, "shard", [META_SHARD]).first()
+    n_shards = int(meta["n_shards"])
+    cents = table.read_where(spark, "shard", [ANN_CENT_SHARD]).select(
+        "cent_id", "cv"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.normalize(vec_col).alias("qn")
+    )
+    # bounded driver action: the probe-cell set (|queries| x nprobe ids)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    probe_cells = [
+        r["cent_id"]
+        for r in (
+            q.crossJoin(F.broadcast(cents))
+            .select("query_id", "cent_id", V.dot("qn", "cv").alias("ccos"))
+            .withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= nprobe)
+            .select("cent_id")
+            .distinct()
+            .collect()
+        )
+    ]
+    shards = sorted({f"v{c % n_shards}" for c in probe_cells})
+    assign = (
+        table.read_where(spark, "shard", shards)
+        .filter(F.col("cent_id").isin(probe_cells))
+        .select(F.col("vid").alias("neighbor_id"), "nv", "cent_id")
+    )
+    return ivf_probe_topk(cents, assign, q, k, nprobe)

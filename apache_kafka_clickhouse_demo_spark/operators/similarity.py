@@ -626,8 +626,21 @@ def ivf_topk(
         corpus, target_centroids, vec_col, id_col, salt, corpus_count
     )
     assign = assign.select(F.col("vid").alias("neighbor_id"), "nv", "cent_id")
-
     q = queries.select(F.col(id_col).alias("query_id"), V.normalize(vec_col).alias("qn"))
+    return ivf_probe_topk(cents, assign, q, k, nprobe)
+
+
+def ivf_probe_topk(
+    cents: DataFrame, assign: DataFrame, q: DataFrame, k: int, nprobe: int
+) -> DataFrame:
+    """Shared IVF probe + exact in-cell rerank — extracted so the scan
+    path (`ivf_topk`) and the persisted-index path
+    (`search_index.ann_index_lookup`) provably make the SAME probe and
+    rerank decisions (their bit-identity is a test contract).  cents =
+    (cent_id, cv); assign = (neighbor_id, nv, cent_id); q = (query_id,
+    qn normalized)."""
+    from pyspark.sql import Window
+
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))

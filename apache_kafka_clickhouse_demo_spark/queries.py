@@ -3362,6 +3362,32 @@ def q_phrase_indexed(spark, sf_dir):
     return SI.phrase_lookup(spark, table, PHRASES).orderBy("phrase_id", "doc_id")
 
 
+def q_ann_indexed(spark, sf_dir):
+    """IVF ANN over the persisted index (search_index.build_ann_index +
+    ann_index_lookup): centroids + normalized assignments stored once,
+    queries probe nprobe cells through pruned shard reads, rerank via
+    the SHARED similarity.ivf_probe_topk — bit-identical to ann_ivf_topk
+    (pytest-pinned), so the oracle is the scan path's IVF mirror
+    verbatim."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = _workdir("ann_index_")
+    table = SI.build_ann_index(
+        emb,
+        f"{work}/ann",
+        target_centroids=IVF_TARGET_CENTROIDS,
+        salt=IVF_SALT,
+    )
+    return SI.ann_index_lookup(
+        spark,
+        table,
+        emb.filter(F.col("vec_id") < ANN_NUM_QUERIES),
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    ).orderBy("query_id", "rank")
+
+
 DSIR_K = 50
 
 
@@ -3685,6 +3711,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_index_bm25": q_stream_index_bm25,
     # r10: index-backed positional phrase search (oracle = phrase_search's)
     "phrase_indexed": q_phrase_indexed,
+    # r10: IVF ANN over the persisted index (oracle = ann_ivf_topk's)
+    "ann_indexed": q_ann_indexed,
 }
 
 
@@ -5841,6 +5869,9 @@ FROM s ORDER BY doc_id
     sqls["stream_index_bm25"] = sqls["bm25_search"]
     # positional-index phrase query must return the scan answer verbatim
     sqls["phrase_indexed"] = sqls["phrase_search"]
+    # the persisted-IVF path shares quantizer + probe/rerank with the
+    # scan-based ivf_topk — one oracle for both
+    sqls["ann_indexed"] = sqls["ann_ivf_topk"]
     return sqls
 
 

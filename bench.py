@@ -159,6 +159,7 @@ HEADLINE = [
     "pii_redact",
     "stream_index_bm25",
     "phrase_indexed",
+    "ann_indexed",
 ]
 
 
@@ -267,6 +268,7 @@ BASELINE_SEC = {
     "pii_redact": 0.692,
     "stream_index_bm25": 7.545,
     "phrase_indexed": 3.008,
+    "ann_indexed": 5.117,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -32,6 +32,7 @@ _SKIP = {
     "stream_sample",  # streaming drain; bottom-k rank plan is a TakeOrdered by construction
     "stream_index_bm25",  # streaming drain (feed -> index segments); lookup plan linted via bm25_indexed
     "phrase_indexed",  # builds+commits the index at query build; scan twin (phrase_search) is linted
+    "ann_indexed",  # builds+commits the IVF index at query build; scan twin (ann_ivf_topk) is linted
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):

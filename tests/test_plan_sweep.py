@@ -81,6 +81,9 @@ EXECUTING = {
     # builds + commits the index at query build, like bm25_indexed; the
     # scan-path twin (phrase_search) IS swept and bit-identity is pinned
     "phrase_indexed",
+    # builds + commits the persisted IVF index at query build; scan twin
+    # (ann_ivf_topk) is swept, bit-identity pinned
+    "ann_indexed",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

