@@ -190,12 +190,14 @@ def _term_shards(terms: list[str], n_shards: int) -> set[str]:
     return {f"t{H.py_h48(t) % n_shards}" for t in terms}
 
 
-def index_shard_count(spark: SparkSession, table: TransactionalTable) -> int:
+def index_shard_count(
+    spark: SparkSession, table: TransactionalTable, version: int | None = None
+) -> int:
     """The index's hash-route parameter, read from the meta rows.  Stored
     as data, never inferred from layout: a sparse index (few distinct
     terms) occupies few shard directories, and a layout-derived modulus
     would route lookups to the WRONG shard — empty postings, silently."""
-    return int(index_meta(spark, table).first()["n_shards"])
+    return int(index_meta(spark, table, version=version).first()["n_shards"])
 
 
 def term_lookup(
@@ -204,29 +206,36 @@ def term_lookup(
     terms: list[str],
     n_shards: int | None = None,
     with_positions: bool = False,
+    version: int | None = None,
 ) -> DataFrame:
     """Postings for `terms`: (term, doc_id, tf, dl[, positions]), reading
     ONLY the shards the terms hash to (driver-side commit-log pruning —
     the same `read_where` the streaming stores use; cost O(|terms|)
     files).  `with_positions` adds the 1-based token-position array
-    (parquet column pruning keeps the plain lookup from paying for it)."""
+    (parquet column pruning keeps the plain lookup from paying for it);
+    `version` pins the read to a committed snapshot (time travel —
+    reproducible retrieval over a growing index)."""
     if n_shards is None:
-        n_shards = index_shard_count(spark, table)
-    rows = table.read_where(spark, "shard", sorted(_term_shards(terms, n_shards)))
+        n_shards = index_shard_count(spark, table, version=version)
+    rows = table.read_where(
+        spark, "shard", sorted(_term_shards(terms, n_shards)), version=version
+    )
     cols = ["term", "doc_id", "tf", "dl"] + (
         ["positions"] if with_positions else []
     )
     return rows.filter(F.col("term").isin(terms)).select(*cols)
 
 
-def index_meta(spark: SparkSession, table: TransactionalTable) -> DataFrame:
+def index_meta(
+    spark: SparkSession, table: TransactionalTable, version: int | None = None
+) -> DataFrame:
     """1-row (n_docs, tot_tokens, n_shards) corpus stats: the SUM over
     the per-segment meta rows (one per build/extend commit — the segment
     model's merge-on-read, the same algebra as the MergeTree state
     columns).  n_shards is invariant across segments by construction
     (extend reads it from the index); min==max is asserted so a
     hand-corrupted store fails loudly instead of mis-routing."""
-    rows = table.read_where(spark, "shard", [META_SHARD])
+    rows = table.read_where(spark, "shard", [META_SHARD], version=version)
     # the assert rides INSIDE the consumed value (assert_true is NULL on
     # success, so coalesce passes min through) — a separate checked
     # column would be pruned away with its check (the r9 lesson: pruned
@@ -251,6 +260,7 @@ def bm25_lookup(
     queries: list[tuple[int, str]],
     k: int = 10,
     n_shards: int | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Index-backed BM25: the same integer-exact scoring as
     `text_analysis.bm25_topk` (same idf surrogate, same cleared-denominator
@@ -260,6 +270,13 @@ def bm25_lookup(
     Per query batch this touches O(|query vocabulary|) shard files plus
     the 1-row meta partition; document frequency re-aggregates from the
     pruned postings (bounded by |query vocabulary| rows).
+
+    `version=None` PINS the current committed version once and reads
+    postings and meta AT THAT SNAPSHOT — two unpinned reads could
+    straddle a concurrent extension's commit, scoring segment-N postings
+    against segment-N+1 corpus stats (a torn read, not a wrong-row bug,
+    but a reproducibility one).  Pass an older version for time-travel
+    retrieval over a growing index.
     """
     qt_rows = sorted(
         {(int(qid), t) for qid, q in queries for t in (q or "").lower().split()}
@@ -268,9 +285,15 @@ def bm25_lookup(
         raise ValueError("bm25_lookup: queries contain no terms")
     all_terms = sorted({t for _, t in qt_rows})
 
-    tf = term_lookup(spark, table, all_terms, n_shards=n_shards)
+    if version is None:
+        version = table.version()
+    tf = term_lookup(
+        spark, table, all_terms, n_shards=n_shards, version=version
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = index_meta(spark, table).select("n_docs", "tot_tokens")
+    stats = index_meta(spark, table, version=version).select(
+        "n_docs", "tot_tokens"
+    )
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
     return bm25_score_topk(tf, dfreq, stats, qt, k)
 
@@ -294,6 +317,7 @@ def phrase_lookup(
     table: TransactionalTable,
     phrases: list[tuple[int, str]],
     n_shards: int | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Index-backed positional phrase search: the same (phrase_id,
     doc_id, n_matches) answer as the scan-based
@@ -317,7 +341,12 @@ def phrase_lookup(
     all_terms = sorted({t for _, ts in ptoks for t in ts})
 
     post = term_lookup(
-        spark, table, all_terms, n_shards=n_shards, with_positions=True
+        spark,
+        table,
+        all_terms,
+        n_shards=n_shards,
+        with_positions=True,
+        version=version,
     ).select("term", "doc_id", "positions")
 
     outs = []
@@ -481,6 +510,7 @@ def ann_index_lookup(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    version: int | None = None,
 ) -> DataFrame:
     """IVF ANN over the persisted index: probe each query's nprobe
     closest stored centroids, read ONLY the shards those cells bucket
@@ -489,18 +519,22 @@ def ann_index_lookup(
     same class as broadcast planning), exact-rerank inside the probed
     cells via `similarity.ivf_probe_topk` — shared with the scan path,
     so answers are bit-identical to `ivf_topk` on the same corpus
-    (pinned by test)."""
+    (pinned by test).  `version=None` pins the current committed version
+    once so the meta, centroid, and assignment reads are one snapshot
+    (the bm25_lookup torn-read argument)."""
     from apache_kafka_clickhouse_demo_spark.functions import vectors as V
     from apache_kafka_clickhouse_demo_spark.operators.similarity import (
         ivf_probe_topk,
     )
     from pyspark.sql import Window
 
-    meta = table.read_where(spark, "shard", [META_SHARD]).first()
+    if version is None:
+        version = table.version()
+    meta = table.read_where(spark, "shard", [META_SHARD], version=version).first()
     n_shards = int(meta["n_shards"])
-    cents = table.read_where(spark, "shard", [ANN_CENT_SHARD]).select(
-        "cent_id", "cv"
-    )
+    cents = table.read_where(
+        spark, "shard", [ANN_CENT_SHARD], version=version
+    ).select("cent_id", "cv")
     q = queries.select(
         F.col(id_col).alias("query_id"), V.normalize(vec_col).alias("qn")
     )
@@ -522,7 +556,7 @@ def ann_index_lookup(
     ]
     shards = sorted({f"v{c % n_shards}" for c in probe_cells})
     assign = (
-        table.read_where(spark, "shard", shards)
+        table.read_where(spark, "shard", shards, version=version)
         .filter(F.col("cent_id").isin(probe_cells))
         .select(F.col("vid").alias("neighbor_id"), "nv", "cent_id")
     )

@@ -282,3 +282,34 @@ def test_ann_index_build_once(spark, tmp_path):
         SI.build_ann_index(
             emb, str(tmp_path / "ann"), target_centroids=2, n_shards=4
         )
+
+
+def test_time_travel_reads_pre_extension_snapshot(spark, tmp_path):
+    """version pins a committed snapshot: after an extension, a lookup
+    at version 0 answers EXACTLY as the index did before the extension —
+    the reproducible-retrieval contract, and the snapshot consistency
+    bm25_lookup's version pin exists for (postings and corpus stats from
+    ONE version, never straddling a concurrent commit)."""
+    a = spark.createDataFrame(
+        [(1, "fast join"), (2, "fast hash")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame([(3, "fast slow")], "doc_id long, text string")
+    table = SI.build_term_index(a, str(tmp_path / "idx"), n_shards=16)
+    before = [
+        tuple(r)
+        for r in SI.bm25_lookup(spark, table, [(1, "fast")], k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    SI.extend_term_index(b, table)
+    at_v0 = [
+        tuple(r)
+        for r in SI.bm25_lookup(spark, table, [(1, "fast")], k=5, version=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    now = SI.bm25_lookup(spark, table, [(1, "fast")], k=5).orderBy("rank").collect()
+    assert at_v0 == before
+    assert len(now) == 3 and len(at_v0) == 2
+    meta_v0 = SI.index_meta(spark, table, version=0).first()
+    assert (meta_v0["n_docs"], meta_v0["tot_tokens"]) == (2, 4)
