@@ -132,6 +132,9 @@ FAMILIES = [
     "diverse_sample",
     # r10: typed PII redaction (row-local regex chain; scan-bound)
     "pii_redact",
+    # r10: persisted-IVF ANN round trip (build + pruned probe lookup;
+    # quantizer cost dominates, same regime as diverse_sample)
+    "ann_indexed",
 ]
 
 PASSES = 2
