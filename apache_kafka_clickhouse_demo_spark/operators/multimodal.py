@@ -276,3 +276,36 @@ def resize_media(media: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+def pair_cosine_filter(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CLIP-score pair filtering — the LAION recipe's defining step: keep
+    an (image, caption) pair only when the cosine between its two
+    modality embeddings clears the threshold (weakly-aligned web pairs
+    drop).  Generic over any two embedding columns on one row, so it
+    also covers translation-pair and duplicate-caption filtering.
+
+    Output: (id, pair_cos, keep) for every input pair (callers filter on
+    `keep`, or consume the score for calibration) — pairs with a NULL
+    embedding on either side get NULL cos and keep=false (dropped by a
+    keep-filter, never silently retained).
+
+    Plan shape at 100 TB: one row-local projection (normalize twice +
+    one zip_with dot), zero exchanges — scan-bound, composes with any
+    downstream op.  The cosine is the same fixed-order `V.dot` over
+    `V.normalize` every ANN operator uses, so the DuckDB mirror is exact.
+    """
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+
+    cos = V.dot(V.normalize(a_col), V.normalize(b_col))
+    return pairs.select(
+        F.col(id_col),
+        cos.alias("pair_cos"),
+        F.coalesce(cos >= F.lit(threshold), F.lit(False)).alias("keep"),
+    )

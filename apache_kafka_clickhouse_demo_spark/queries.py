@@ -3388,6 +3388,29 @@ def q_ann_indexed(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+#: CLIP-score pair-filter threshold — keeps ~11% of the synthetic pairs,
+#: the LAION-style selective regime
+PAIR_COS_THRESHOLD = 0.2
+
+
+def q_pair_cosine_filter(spark, sf_dir):
+    """CLIP-score pair filtering (multimodal.pair_cosine_filter, the
+    LAION recipe): the fixture has one embedding per row, so the second
+    modality is synthesized as the REVERSED vector (deterministic,
+    mirrored by list_reverse in the oracle) — cosine spans [-0.49, 0.47]
+    across the fixture, so the 0.2 threshold does real selection.
+    Row-local, zero exchanges; cosine is the shared fixed-order
+    V.dot/V.normalize every ANN operator uses."""
+    pairs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.col("embedding").alias("emb_a"),
+        F.reverse("embedding").alias("emb_b"),
+    )
+    return multimodal.pair_cosine_filter(
+        pairs, "emb_a", "emb_b", threshold=PAIR_COS_THRESHOLD, id_col="vec_id"
+    ).orderBy("vec_id")
+
+
 DSIR_K = 50
 
 
@@ -3713,6 +3736,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_indexed": q_phrase_indexed,
     # r10: IVF ANN over the persisted index (oracle = ann_ivf_topk's)
     "ann_indexed": q_ann_indexed,
+    # r10: CLIP-score image-text pair filtering (LAION recipe; cosine
+    # between two modality embeddings, row-local)
+    "pair_cosine_filter": q_pair_cosine_filter,
 }
 
 
@@ -4634,6 +4660,17 @@ SELECT CAST(phrase_id AS INTEGER) AS phrase_id, doc_id, n_matches
 FROM arms WHERE n_matches > 0 ORDER BY phrase_id, doc_id
 """,
         "pii_redact": _sql_pii_redact(),
+        "pair_cosine_filter": f"""
+WITH n AS (
+  SELECT vec_id,
+         {V.sql_normalize("embedding", EMBED_DIM)} AS na,
+         {V.sql_normalize("list_reverse(embedding)", EMBED_DIM)} AS nb
+  FROM embeddings
+)
+SELECT vec_id, {V.sql_dot("na", "nb", EMBED_DIM)} AS pair_cos,
+       coalesce({V.sql_dot("na", "nb", EMBED_DIM)} >= {PAIR_COS_THRESHOLD}, false) AS keep
+FROM n ORDER BY vec_id
+""",
         "diverse_sample": f"""
 WITH {_sql_ivf_quantizer('vec_id', "greatest(1, CAST(floor(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE))) AS BIGINT))")},
 ranked AS (

@@ -160,6 +160,7 @@ HEADLINE = [
     "stream_index_bm25",
     "phrase_indexed",
     "ann_indexed",
+    "pair_cosine_filter",
 ]
 
 
@@ -269,6 +270,7 @@ BASELINE_SEC = {
     "stream_index_bm25": 7.545,
     "phrase_indexed": 3.008,
     "ann_indexed": 5.117,
+    "pair_cosine_filter": 0.793,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

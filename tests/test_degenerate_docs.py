@@ -227,3 +227,29 @@ def test_containment_exact_when_sketch_prunes_nothing(sdocs, duck, monkeypatch):
     monkeypatch.setattr(dedup, "_SKETCH_WORDS", 1)
     got = _rows(dedup.containment_pairs(sdf, shingle_n=2, threshold=0.8))
     assert got == want
+
+
+def test_pair_cosine_filter_nulls_and_threshold(spark):
+    """pair_cosine_filter: identical vectors keep (cos=1), opposed
+    vectors drop, a NULL embedding on either side yields NULL cos and
+    keep=false (dropped, never silently retained)."""
+    from apache_kafka_clickhouse_demo_spark.operators.multimodal import (
+        pair_cosine_filter,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),
+        (2, [1.0, 0.0], [-1.0, 0.0]),
+        (3, None, [1.0, 0.0]),
+        (4, [1.0, 0.0], None),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "doc_id long, a array<double>, b array<double>"
+    )
+    got = {
+        r["doc_id"]: (r["pair_cos"], r["keep"])
+        for r in pair_cosine_filter(pairs, "a", "b", threshold=0.5).collect()
+    }
+    assert got[1] == (1.0, True)
+    assert got[2][0] == -1.0 and got[2][1] is False
+    assert got[3] == (None, False) and got[4] == (None, False)

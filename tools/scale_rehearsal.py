@@ -135,6 +135,9 @@ FAMILIES = [
     # r10: persisted-IVF ANN round trip (build + pruned probe lookup;
     # quantizer cost dominates, same regime as diverse_sample)
     "ann_indexed",
+    # r10: CLIP-score pair filter (row-local double-normalize + dot;
+    # scan-bound)
+    "pair_cosine_filter",
 ]
 
 PASSES = 2
