@@ -1,0 +1,198 @@
+"""Byte-pair-encoding vocabulary induction and application (Sennrich,
+Haddow & Birch, ACL 2016 — the subword tokenization most LLM training
+stacks descend from), word-level over the house whitespace tokens.
+
+No exact DuckDB oracle exists for these operators — the fit is an
+iterative argmax loop and the apply is an m-deep structured fold, and
+DuckDB 1.0's `list_reduce` cannot carry the struct state the
+left-to-right merge needs — so this family is pinned by
+tests/test_tokenizer.py against an independent pure-Python reference
+instead (the contract's stated alternative for genuinely
+non-SQL-expressible operators).
+
+Scale design: BPE statistics live on the DISTINCT-WORD vocabulary, not
+the corpus — `bpe_fit` runs one weighted pair-count aggregate per merge
+over the word-vocab frame (orders of magnitude smaller than the corpus;
+Zipf means the vocab grows ~sublinearly), collecting exactly ONE argmax
+row per iteration, with the evolving symbol column lazily
+localCheckpointed so lineage stays O(1) across merges (the
+connected-components precedent).  `bpe_apply` re-derives the tokenized
+vocab the same way and joins it back to word occurrences — one
+corpus-scale shuffle, pin_wide-pinned — so the per-word merge work is
+paid once per DISTINCT word, never per occurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_kafka_clickhouse_demo_spark.functions import text as TX
+from apache_kafka_clickhouse_demo_spark.sources.tables import (
+    is_wide_source,
+    pin_wide,
+    spread_small,
+)
+
+
+def _char_syms(word: Column) -> Column:
+    """Initial symbol sequence: the word's characters.  Spark's split
+    passes limit=-1 to Java, which KEEPS trailing empty strings — the
+    lookahead split therefore yields a phantom '' symbol after the last
+    char (caught by the reference test: every word gained one piece).
+    The length-bounded slice drops exactly that."""
+    return F.slice(F.split(word, r"(?!^)"), 1, F.length(word))
+
+
+def _merge_pass(syms: Column, a: str, b: str) -> Column:
+    """One left-to-right, non-overlapping merge of adjacent (a, b) in a
+    symbol array — the single-rule pass BPE applies per learned merge
+    ("aaaa" under (a,a) -> [aa, aa], never [aa, a, a] or a re-chained
+    [aaa, a]).  Structured fold: state = (acc, pend) where pend is the
+    one-symbol lookbehind the adjacency test needs."""
+    init = F.struct(
+        F.lit([]).cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(st: Column, s: Column) -> Column:
+        acc, pend = st["acc"], st["pend"]
+        return (
+            F.when(
+                pend.isNull(),
+                F.struct(acc.alias("acc"), s.alias("pend")),
+            )
+            .when(
+                (pend == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc, F.array(F.lit(a + b))).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc, F.array(pend)).alias("acc"), s.alias("pend")
+                )
+            )
+        )
+
+    def finish(st: Column) -> Column:
+        return F.when(st["pend"].isNull(), st["acc"]).otherwise(
+            F.concat(st["acc"], F.array(st["pend"]))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the corpus — the frame ALL BPE statistics live
+    on.  NULL/empty texts contribute nothing (the '' token is dropped:
+    it has no characters to merge)."""
+    return (
+        spread_small(docs)
+        .select(F.explode(TX.tokens(text_col)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs(syms_col: str) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs (empty for 1-symbol
+    words)."""
+    return F.zip_with(
+        F.expr(f"slice({syms_col}, 1, size({syms_col}) - 1)"),
+        F.expr(f"slice({syms_col}, 2, size({syms_col}) - 1)"),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+
+
+def bpe_fit(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to `num_merges` BPE merges from the corpus: repeatedly
+    take the highest-frequency adjacent symbol pair (weighted by word
+    frequency; ties break lexicographically on (a, b) so the learned
+    vocabulary is deterministic) and fuse it everywhere.  Stops early
+    when no pair reaches `min_pair_freq` (merging a once-seen pair
+    memorizes noise).
+
+    Driver state: the merge list plus one collected argmax row per
+    iteration — bounded.  Per iteration: one pair-count aggregate over
+    the word vocab + one row-local merge pass, lineage cut by a lazy
+    localCheckpoint.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    cur = _word_vocab(docs, text_col).select(
+        "freq", _char_syms(F.col("word")).alias("syms")
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        top = (
+            cur.select("freq", F.explode(_adjacent_pairs("syms")).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        cur = cur.select(
+            "freq", _merge_pass(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with a learned merge list: each distinct
+    word's characters are fused through the merges IN LEARNED ORDER (the
+    defining BPE-apply rule), then the tokenized vocabulary joins back
+    to the word occurrences.
+
+    Output: (doc_id, n_words, n_pieces, pieces_per_word) — documents
+    with no words (NULL/empty text) emit no row, the `_word_vocab`
+    contract.
+
+    Plan shape at 100 TB: the merge passes run over the DISTINCT-WORD
+    frame (m row-local folds, checkpoint every 8 to bound both lineage
+    and expression-tree depth), then ONE word-keyed shuffle joins the
+    bounded (word -> n_pieces) map to occurrences — corpus-derived, so
+    pin_wide-pinned — and one per-doc aggregate finishes.
+    """
+    vocab = _word_vocab(docs, text_col).select(
+        "word", _char_syms(F.col("word")).alias("syms")
+    )
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.select("word", _merge_pass(F.col("syms"), a, b).alias("syms"))
+        if (i + 1) % 8 == 0:
+            vocab = vocab.localCheckpoint(eager=False)
+    sized = vocab.select("word", F.size("syms").alias("n_pieces_word"))
+
+    occ = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(TX.tokens(text_col)).alias("word")
+    ).filter(F.length("word") > 0)
+    wide = is_wide_source(docs)
+    return (
+        occ.join(pin_wide(sized, wide), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("n_pieces_word").cast("long").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.round(F.col("n_pieces").cast("double") / F.col("n_words"), 4),
+        )
+    )
