@@ -1148,7 +1148,11 @@ def cluster_representatives(
     (id, score) from any integer-exact scorer (e.g. quality_classifier's
     milli-weights).  Output: (cluster_id, rep_doc_id, cluster_size,
     rep_score_milli) — the member with the highest score, ties broken on
-    smallest id so the kept set is deterministic.
+    smallest id so the kept set is deterministic.  Contract: `scored`
+    covers every labeled id (true for the in-repo scorers, which emit
+    one row per input doc) — the join is INNER, so an unscored member
+    can neither win nor count toward cluster_size; feed a scorer with
+    gaps through a coalesce-to-minimum projection first.
 
     `wide` is the operator's source-computed wideness flag (pin_wide
     contract: both inputs are DERIVED frames — a CC fixpoint and a
