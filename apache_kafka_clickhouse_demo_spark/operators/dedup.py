@@ -1502,3 +1502,38 @@ def boilerplate_lines(
             ),
         )
     )
+
+
+def url_blocklist_filter(
+    docs: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffixes: tuple[str, ...] = TX.PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """Registered-domain blocklist filtering — the UT1/adult-blocklist
+    pass every public web-curation recipe runs before content work
+    (CCNet, RefinedWeb, FineWeb all filter by domain lists): drop a doc
+    when its REGISTERED domain is on the list, so `evil.co.uk` blocks
+    `www.evil.co.uk/x` and `blog.evil.co.uk/y` but never
+    `notevil.co.uk` (substring matching over raw URLs gets exactly
+    those two cases wrong, in both directions).
+
+    Output: (doc_id, url_norm, reg_domain) for SURVIVORS only —
+    unparseable/NULL URLs (NULL reg_domain) survive, stated contract: a
+    blocklist can only block what it can attribute; route parse
+    failures to a quarantine with an isNull filter if the pipeline
+    wants them out.
+
+    Plan shape at 100 TB: the blocklist is a literal `isin` folded into
+    the scan filter — ROW-LOCAL, zero exchanges, no join at any list
+    size that fits a literal (real UT1 categories are ~1e6 domains: past
+    the literal regime, swap the isin for a broadcast LEFT ANTI join on
+    reg_domain — the list is MBs, bounded by the blocklist file, never
+    by the corpus).
+    """
+    blocked = sorted({d.lower() for d in blocked_domains})
+    parts = url_parts(docs, url_col, id_col, suffixes)
+    return parts.filter(
+        F.col("reg_domain").isNull() | ~F.col("reg_domain").isin(blocked)
+    )

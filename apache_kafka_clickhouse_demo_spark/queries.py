@@ -3426,6 +3426,23 @@ def q_dsir_select(spark, sf_dir):
     ).orderBy(F.col("weight_millis").desc(), "doc_id")
 
 
+#: demo blocklist — registered domains the synthetic URL generator
+#: produces, one per TLD class so the public-suffix path is exercised
+BLOCKED_DOMAINS = ["site3.com", "site7.co.uk", "site11.org", "site20.io"]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Registered-domain blocklist filtering (dedup.url_blocklist_filter)
+    — the UT1-style pass run before any content work: a blocked
+    registered domain drops ALL its subdomain URLs and nothing else
+    (substring matching over raw URLs gets both directions wrong).
+    Row-local: the list folds into the scan filter as a literal isin."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url")
+    )
+    return dedup.url_blocklist_filter(docs, BLOCKED_DOMAINS).orderBy("doc_id")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level exact dedup after canonicalization (dedup.url_dedup) —
     the CCNet/RefinedWeb dedupe-by-URL pass that precedes content dedup.
@@ -3739,6 +3756,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: CLIP-score image-text pair filtering (LAION recipe; cosine
     # between two modality embeddings, row-local)
     "pair_cosine_filter": q_pair_cosine_filter,
+    # r10: UT1-style registered-domain blocklist filter (URL family)
+    "url_blocklist": q_url_blocklist,
 }
 
 
@@ -5471,6 +5490,17 @@ ORDER BY id_a, id_b
         "ann_lsh_topk": _oracle_ann_topk(use_lsh=True),
         "ann_ivf_topk": _oracle_ann_ivf(),
         "ann_sq8_topk": _oracle_ann_sq8(),
+        "url_blocklist": f"""
+WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
+n AS (SELECT doc_id,
+             {TX.sql_url_normalize('url')} AS url_norm,
+             {TX.sql_registered_domain(TX.sql_url_host('url'))} AS reg_domain
+      FROM u)
+SELECT doc_id, url_norm, reg_domain FROM n
+WHERE reg_domain IS NULL
+   OR reg_domain NOT IN ({', '.join(repr(d) for d in sorted(BLOCKED_DOMAINS))})
+ORDER BY doc_id
+""",
         "url_dedup": f"""
 WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
 n AS (SELECT doc_id,

@@ -161,6 +161,7 @@ HEADLINE = [
     "phrase_indexed",
     "ann_indexed",
     "pair_cosine_filter",
+    "url_blocklist",
 ]
 
 
@@ -271,6 +272,7 @@ BASELINE_SEC = {
     "phrase_indexed": 3.008,
     "ann_indexed": 5.117,
     "pair_cosine_filter": 0.793,
+    "url_blocklist": 1.895,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

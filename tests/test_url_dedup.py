@@ -320,3 +320,25 @@ def test_stream_url_dedup_store_read_is_shard_pruned(spark, tmp_path):
     finally:
         TXL.TransactionalTable.read_where = orig
     assert len(calls) == 1 and len(calls[0]) == 1  # one shard for one key
+
+
+def test_url_blocklist_blocks_subdomains_not_substrings(spark):
+    """A blocked REGISTERED domain drops all its subdomain URLs; a
+    domain merely containing the blocked name as a substring survives;
+    unparseable URLs (NULL reg_domain) pass through by contract."""
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import (
+        url_blocklist_filter,
+    )
+
+    rows = [
+        (1, "https://evil.co.uk/a"),
+        (2, "http://www.evil.co.uk/b"),
+        (3, "https://blog.evil.co.uk/c"),
+        (4, "https://notevil.co.uk/d"),     # substring, different domain
+        (5, "https://evil.co.uk.phish.com/e"),  # blocked name in a SUBDOMAIN
+        (6, "not a url"),                    # unparseable -> survives
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"] for r in url_blocklist_filter(docs, ["evil.co.uk"]).collect()}
+    assert got == {4, 5, 6, 7}

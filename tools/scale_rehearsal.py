@@ -138,6 +138,8 @@ FAMILIES = [
     # r10: CLIP-score pair filter (row-local double-normalize + dot;
     # scan-bound)
     "pair_cosine_filter",
+    # r10: UT1-style registered-domain blocklist (row-local isin filter)
+    "url_blocklist",
 ]
 
 PASSES = 2
