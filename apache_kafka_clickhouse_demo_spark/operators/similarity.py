@@ -656,3 +656,116 @@ def ivf_probe_topk(
         .select("query_id", _score_entry(V.dot("qn", "nv")).alias("entry"))
     )
     return _two_phase_topk(scored, k)
+
+
+def margin_bitext(
+    src: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    CCMatrix/WikiMatrix parallel-corpus construction rule): for every
+    SOURCE sentence, the best TARGET candidate scored by the RATIO
+    margin
+
+        margin(x, y) = cos(x, y) / ((mean_kNN(x->corpus) + mean_kNN(y->src)) / 2)
+
+    — raw cosine over-mines hubs (sentences close to everything);
+    normalizing by both sides' k-NN neighborhoods is what made mined
+    corpora usable for MT training.  `src` is a bounded mining batch
+    (the blockwise regime real pipelines run; its vectors broadcast),
+    `corpus` is the 100 TB side.
+
+    Output: (src_id, tgt_id, cos_sim, margin, mined) — the single
+    best-margin target per source (ties on tgt_id), `mined` = margin >=
+    threshold (emitting the decision rather than filtering keeps
+    below-threshold batches observable).
+
+    Float exactness (oracle contract): every k-NN mean is a LEFT FOLD
+    over the RANK-ORDERED top-k cosine list (the two-phase top-k's
+    deterministic order; DuckDB's list_sum is the same left fold per
+    functions/vectors.py), and the margin division sees bit-identical
+    operands in both engines — no order-dependent aggregate anywhere.
+
+    Plan shape at 100 TB: one corpus scan fans out |src| row-local dots
+    (broadcast src), source-side top-k via the two-phase reduction;
+    the candidate set is bounded by |src| * k, so the target-side k-NN
+    (each candidate vs the src batch) and the margin join are
+    bounded-small broadcasts.  Nothing quadratic in the corpus.
+    """
+    q = src.select(
+        F.col(id_col).alias("src_id"), V.normalize(vec_col).alias("qn")
+    )
+    c = spread_small(corpus).select(
+        F.col(id_col).alias("tgt_id"), V.normalize(vec_col).alias("cn")
+    )
+
+    # source -> corpus: per-src rank-ordered top-k (two-phase)
+    entry = F.struct(
+        (-F.col("cos")).alias("neg_cos"),
+        F.col("tgt_id").alias("tgt_id"),
+        F.col("cos").alias("cos"),
+    )
+    scored = c.join(F.broadcast(q), how="cross").select(
+        "src_id", V.dot("qn", "cn").alias("cos"), "tgt_id"
+    )
+    partial = scored.select("src_id", entry.alias("e")).groupBy(
+        "src_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("topk"))
+    merged = partial.groupBy("src_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("topk"))), 1, k).alias("topk")
+    )
+    fold_mean = lambda arr: F.aggregate(  # noqa: E731 — shared fold shape
+        arr, F.lit(0.0), lambda a, e: a + e["cos"]
+    ) / F.size(arr)
+    src_side = merged.select(
+        "src_id",
+        fold_mean(F.col("topk")).alias("mean_src"),
+        F.explode("topk").alias("e"),
+    ).select(
+        "src_id", "mean_src", F.col("e.tgt_id").alias("tgt_id"),
+        F.col("e.cos").alias("cos"),
+    )
+
+    # target -> src batch: each CANDIDATE target's rank-ordered top-k
+    # over the (bounded) source batch; candidates are <= |src| * k rows
+    cand = src_side.select("tgt_id").distinct()
+    tscored = (
+        c.join(F.broadcast(cand), "tgt_id")
+        .join(F.broadcast(q), how="cross")
+        .select(
+            "tgt_id",
+            F.struct(
+                (-V.dot("qn", "cn")).alias("neg_cos"),
+                F.col("src_id").alias("src_id"),
+                V.dot("qn", "cn").alias("cos"),
+            ).alias("e"),
+        )
+    )
+    tgt_side = tscored.groupBy("tgt_id").agg(
+        F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("topk")
+    ).select("tgt_id", fold_mean(F.col("topk")).alias("mean_tgt"))
+
+    margins = src_side.join(F.broadcast(tgt_side), "tgt_id").withColumn(
+        "margin", F.col("cos") / ((F.col("mean_src") + F.col("mean_tgt")) / 2)
+    )
+    best = margins.groupBy("src_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("margin")).alias("nm"),
+                F.col("tgt_id").alias("tgt_id"),
+                F.col("cos").alias("cos"),
+                F.col("margin").alias("margin"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "src_id",
+        F.col("m.tgt_id").alias("tgt_id"),
+        F.col("m.cos").alias("cos_sim"),
+        F.col("m.margin").alias("margin"),
+        (F.col("m.margin") >= F.lit(threshold)).alias("mined"),
+    )

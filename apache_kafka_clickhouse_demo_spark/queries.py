@@ -3411,6 +3411,27 @@ def q_pair_cosine_filter(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+#: bitext mining batch/threshold — src = first 16 vectors mined against
+#: the rest; 1.35 splits the fixture's best-margin range (1.22-1.68)
+BITEXT_SRC_N = 16
+BITEXT_K = 4
+BITEXT_THRESHOLD = 1.35
+
+
+def q_margin_bitext(spark, sf_dir):
+    """Margin-based bitext mining (similarity.margin_bitext, Artetxe &
+    Schwenk 2019 — the CCMatrix parallel-corpus rule): best ratio-margin
+    target per source over a 16-vector mining batch, k-NN means as
+    fixed-order left folds so both engines see bit-identical doubles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.margin_bitext(
+        emb.filter(F.col("vec_id") < BITEXT_SRC_N),
+        emb.filter(F.col("vec_id") >= BITEXT_SRC_N),
+        k=BITEXT_K,
+        threshold=BITEXT_THRESHOLD,
+    ).orderBy("src_id")
+
+
 DSIR_K = 50
 
 
@@ -3758,6 +3779,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pair_cosine_filter": q_pair_cosine_filter,
     # r10: UT1-style registered-domain blocklist filter (URL family)
     "url_blocklist": q_url_blocklist,
+    # r10: margin-based bitext mining (CCMatrix rule; ratio margin over
+    # both sides' k-NN means as fixed-order folds)
+    "margin_bitext": q_margin_bitext,
 }
 
 
@@ -4679,6 +4703,48 @@ SELECT CAST(phrase_id AS INTEGER) AS phrase_id, doc_id, n_matches
 FROM arms WHERE n_matches > 0 ORDER BY phrase_id, doc_id
 """,
         "pii_redact": _sql_pii_redact(),
+        "margin_bitext": f"""
+WITH q AS (
+  SELECT vec_id AS src_id, {V.sql_normalize("embedding", EMBED_DIM)} AS qn
+  FROM embeddings WHERE vec_id < {BITEXT_SRC_N}
+), c AS (
+  SELECT vec_id AS tgt_id, {V.sql_normalize("embedding", EMBED_DIM)} AS cn
+  FROM embeddings WHERE vec_id >= {BITEXT_SRC_N}
+), scored AS (
+  SELECT src_id, tgt_id, {V.sql_dot('qn', 'cn', EMBED_DIM)} AS cos FROM c, q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY cos DESC, tgt_id) AS rn FROM scored
+), means AS (
+  SELECT src_id, list_sum(list(cos ORDER BY rn)) / count(*) AS mean_src
+  FROM ranked WHERE rn <= {BITEXT_K} GROUP BY src_id
+), src_side AS (
+  SELECT r.src_id, r.tgt_id, r.cos, m.mean_src
+  FROM ranked r JOIN means m USING (src_id) WHERE r.rn <= {BITEXT_K}
+), cand AS (
+  SELECT DISTINCT tgt_id FROM src_side
+), tscored AS (
+  SELECT c.tgt_id, q.src_id, {V.sql_dot('qn', 'cn', EMBED_DIM)} AS cos
+  FROM c JOIN cand USING (tgt_id), q
+), tranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tgt_id
+                               ORDER BY cos DESC, src_id) AS rn FROM tscored
+), tmeans AS (
+  SELECT tgt_id, list_sum(list(cos ORDER BY rn)) / count(*) AS mean_tgt
+  FROM tranked WHERE rn <= {BITEXT_K} GROUP BY tgt_id
+), margins AS (
+  SELECT s.src_id, s.tgt_id, s.cos,
+         s.cos / ((s.mean_src + t.mean_tgt) / 2) AS margin
+  FROM src_side s JOIN tmeans t USING (tgt_id)
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, tgt_id) AS rn2
+  FROM margins
+)
+SELECT src_id, tgt_id, cos AS cos_sim, margin,
+       margin >= {BITEXT_THRESHOLD} AS mined
+FROM best WHERE rn2 = 1 ORDER BY src_id
+""",
         "pair_cosine_filter": f"""
 WITH n AS (
   SELECT vec_id,

@@ -162,6 +162,7 @@ HEADLINE = [
     "ann_indexed",
     "pair_cosine_filter",
     "url_blocklist",
+    "margin_bitext",
 ]
 
 
@@ -273,6 +274,7 @@ BASELINE_SEC = {
     "ann_indexed": 5.117,
     "pair_cosine_filter": 0.793,
     "url_blocklist": 1.895,
+    "margin_bitext": 1.692,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -144,3 +144,37 @@ def test_two_level_ivf_topk_results_identical(spark, monkeypatch):
     monkeypatch.setattr(S, "_TWO_LEVEL_MIN_CENTROIDS", 0)
     got = sorted(map(tuple, S.ivf_topk(corpus, queries, **kw).collect()))
     assert got == want
+
+
+def test_margin_bitext_penalizes_hub_targets(spark):
+    """The ratio margin's defining behavior (Artetxe & Schwenk): a HUB
+    target — close to every source — scores a lower margin than a
+    specific match of equal raw cosine, so the specific pair wins.  Two
+    sources: src 0 has a dedicated near-duplicate target; src 1's best
+    raw cosine is the hub that ALSO scores high against src 0.  Raw
+    cosine would mine (1, hub); the margin must still mine (0, dedicated)
+    and flag the hub pairing's margin below the dedicated pairing's."""
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        margin_bitext,
+    )
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.99, 0.1, 0.0]),   # dedicated near-dup of src 0
+            (11, [0.7, 0.7, 0.0]),    # hub: close to BOTH sources
+            (12, [0.0, 0.0, 1.0]),    # filler
+            (13, [0.1, 0.0, 0.9]),    # filler
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["src_id"]: (r["tgt_id"], r["margin"])
+        for r in margin_bitext(src, corpus, k=2, threshold=0.0).collect()
+    }
+    assert got[0][0] == 10  # the dedicated match wins for src 0
+    # and its margin beats the hub pairing src 1 is left with
+    assert got[0][1] > got[1][1]

@@ -38,6 +38,7 @@ _SKIP = {
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):
 _NESTED_LOOP_OK = {
     "ann_topk",  # brute-force baseline: corpus x broadcast(bounded query set)
+    "margin_bitext",  # corpus x broadcast(bounded 16-vector mining batch); ann_topk's class
     "ann_sq8_topk",  # same shape over int8-quantized vectors
     "ann_ivf_topk",  # corpus x broadcast(fixed-target centroid table)
     "tfidf_top_terms",  # per-term rows x broadcast(1-row corpus-count agg)

@@ -103,6 +103,10 @@ ALLOWED_BHJ = {
     # literal `isin(query terms)` filter upstream (<= |query vocabulary|
     # rows at ANY corpus size), not by an estimate
     "bm25_search": 2,
+    # (a) the candidate-target id set, <= |src batch| x k rows by the
+    # top-k construction, joined back to the corpus; (b) the per-target
+    # k-NN means over that same bounded candidate set
+    "margin_bitext": 2,
 }
 
 

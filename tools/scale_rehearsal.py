@@ -140,6 +140,9 @@ FAMILIES = [
     "pair_cosine_filter",
     # r10: UT1-style registered-domain blocklist (row-local isin filter)
     "url_blocklist",
+    # r10: margin-based bitext mining (bounded src batch x corpus fan-out
+    # + bounded candidate-side means; linear in the corpus)
+    "margin_bitext",
 ]
 
 PASSES = 2
