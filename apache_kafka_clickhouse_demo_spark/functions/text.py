@@ -8,6 +8,8 @@ and exactly mirrored: lower-case, trim, split on runs of whitespace.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,6 +37,20 @@ def tokens(text: Column | str) -> Column:
     """array<string> of lower-cased whitespace tokens."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Driver-side twin of `tokens` for query/phrase strings: lower-case
+    and split on the SAME whitespace class as the engine side.  Java's
+    regex ``\\s`` matches only ASCII whitespace ``[ \\t\\n\\x0B\\f\\r]``,
+    while Python's ``str.split()`` splits on every Unicode whitespace
+    (U+00A0, U+2009, ...) — a query containing a non-breaking space would
+    be cut into terms that can never match any engine-tokenized posting
+    or document token.  One rule, both sides."""
+    return [t for t in _ASCII_WS.split((text or "").lower()) if t]
+
+
+_ASCII_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def word_shingles(toks: Column | str, n: int) -> Column:

@@ -204,7 +204,6 @@ def term_lookup(
     spark: SparkSession,
     table: TransactionalTable,
     terms: list[str],
-    n_shards: int | None = None,
     with_positions: bool = False,
     version: int | None = None,
 ) -> DataFrame:
@@ -214,9 +213,14 @@ def term_lookup(
     files).  `with_positions` adds the 1-based token-position array
     (parquet column pruning keeps the plain lookup from paying for it);
     `version` pins the read to a committed snapshot (time travel —
-    reproducible retrieval over a growing index)."""
-    if n_shards is None:
-        n_shards = index_shard_count(spark, table, version=version)
+    reproducible retrieval over a growing index).
+
+    The hash-route modulus is always READ FROM THE INDEX (`index_meta`'s
+    stored n_shards, a 1-row pruned read) — there is deliberately no
+    caller override: a wrong modulus routes to the wrong shard and
+    returns EMPTY postings silently, exactly the failure the
+    stored-modulus design exists to prevent."""
+    n_shards = index_shard_count(spark, table, version=version)
     rows = table.read_where(
         spark, "shard", sorted(_term_shards(terms, n_shards)), version=version
     )
@@ -259,7 +263,6 @@ def bm25_lookup(
     table: TransactionalTable,
     queries: list[tuple[int, str]],
     k: int = 10,
-    n_shards: int | None = None,
     version: int | None = None,
 ) -> DataFrame:
     """Index-backed BM25: the same integer-exact scoring as
@@ -278,8 +281,11 @@ def bm25_lookup(
     but a reproducibility one).  Pass an older version for time-travel
     retrieval over a growing index.
     """
+    # TX.py_tokens, NOT str.split(): queries must tokenize by the same
+    # ASCII-whitespace rule the documents were indexed under, or a query
+    # term containing e.g. U+00A0 could never match any posting
     qt_rows = sorted(
-        {(int(qid), t) for qid, q in queries for t in (q or "").lower().split()}
+        {(int(qid), t) for qid, q in queries for t in TX.py_tokens(q)}
     )
     if not qt_rows:
         raise ValueError("bm25_lookup: queries contain no terms")
@@ -287,9 +293,7 @@ def bm25_lookup(
 
     if version is None:
         version = table.version()
-    tf = term_lookup(
-        spark, table, all_terms, n_shards=n_shards, version=version
-    )
+    tf = term_lookup(spark, table, all_terms, version=version)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = index_meta(spark, table, version=version).select(
         "n_docs", "tot_tokens"
@@ -316,7 +320,6 @@ def phrase_lookup(
     spark: SparkSession,
     table: TransactionalTable,
     phrases: list[tuple[int, str]],
-    n_shards: int | None = None,
     version: int | None = None,
 ) -> DataFrame:
     """Index-backed positional phrase search: the same (phrase_id,
@@ -335,18 +338,14 @@ def phrase_lookup(
     Repeated terms in a phrase reuse the same positions array with
     different offsets ("a a" matches p and p+1 in positions(a)).
     """
-    ptoks = [(int(pid), (p or "").lower().split()) for pid, p in phrases]
+    # same ASCII-whitespace tokenization as the indexed documents
+    ptoks = [(int(pid), TX.py_tokens(p)) for pid, p in phrases]
     if not ptoks or any(not t for _, t in ptoks):
         raise ValueError("phrase_lookup: every phrase needs >= 1 token")
     all_terms = sorted({t for _, ts in ptoks for t in ts})
 
     post = term_lookup(
-        spark,
-        table,
-        all_terms,
-        n_shards=n_shards,
-        with_positions=True,
-        version=version,
+        spark, table, all_terms, with_positions=True, version=version
     ).select("term", "doc_id", "positions")
 
     outs = []

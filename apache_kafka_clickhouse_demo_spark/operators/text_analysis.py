@@ -982,8 +982,10 @@ def bm25_topk(
     explode (grouping key constant per doc), so no corpus-side join or
     second scan feeds the score.
     """
+    # TX.py_tokens, not str.split(): queries tokenize by the same
+    # ASCII-whitespace rule as TX.tokens applies to documents
     qt_rows = sorted(
-        {(int(qid), t) for qid, q in queries for t in (q or "").lower().split()}
+        {(int(qid), t) for qid, q in queries for t in TX.py_tokens(q)}
     )
     if not qt_rows:
         raise ValueError("bm25_topk: queries contain no terms")
@@ -1256,7 +1258,7 @@ def phrase_matches(
     O(|phrases| * doc length) per row — linear fan-out a cluster absorbs
     by partitioning, never a join.
     """
-    ptoks = [(int(pid), (p or "").lower().split()) for pid, p in phrases]
+    ptoks = [(int(pid), TX.py_tokens(p)) for pid, p in phrases]
     if not ptoks or any(not t for _, t in ptoks):
         raise ValueError("phrase_matches: every phrase needs >= 1 token")
 

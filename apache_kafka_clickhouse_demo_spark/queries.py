@@ -3801,7 +3801,7 @@ def _sql_phrase_arms() -> str:
     candidate windows — no short-doc guard needed on this side)."""
     arms = []
     for pid, p in PHRASES:
-        terms = p.lower().split()
+        terms = TX.py_tokens(p)
         m = len(terms)
         lit = TX.sql_string_array_literal(terms)
         arms.append(
@@ -3839,7 +3839,7 @@ def _sql_bm25_qt() -> str:
     """(query_id, term) VALUES rows — the SAME driver-side tokenize +
     dedup the Spark operator applies to BM25_QUERIES, so both engines
     retrieve over an identical query-term set."""
-    rows = sorted({(qid, t) for qid, q in BM25_QUERIES for t in q.lower().split()})
+    rows = sorted({(qid, t) for qid, q in BM25_QUERIES for t in TX.py_tokens(q)})
     return ", ".join(f"({qid}, '{t}')" for qid, t in rows)
 
 

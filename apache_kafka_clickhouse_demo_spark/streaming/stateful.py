@@ -1471,9 +1471,11 @@ class _TermIndexStreamWriter:
 
     Contracts: the feed carries each doc_id ONCE across the stream's
     lifetime (run the URL / exact dedup stages upstream — a re-ingested
-    doc would inflate df/tf); `n_shards` is fixed at writer construction
-    so every segment routes terms identically (a mismatch against an
-    existing index fails loudly at read via index_meta's invariant).
+    doc would inflate df/tf); the shard modulus is fixed at writer
+    construction, and when the index ALREADY exists (stream restart, or
+    a stream pointed at a build_term_index output) the STORED modulus is
+    read and used — the constructor argument only seeds a brand-new
+    index, so every segment routes terms identically by construction.
     Meta rows accumulate one per non-empty batch — a single bounded
     shard that `maintain()` keeps at one FILE; the rows themselves are
     the segment ledger and merge exactly at read.
@@ -1492,10 +1494,22 @@ class _TermIndexStreamWriter:
 
         self.spark = spark
         self.table = TransactionalTable(index_dir)
-        self.n_shards = n_shards
         self.writer_id = writer_id
         self.text_col = text_col
         self.id_col = id_col
+        # an EXISTING index's stored modulus is authoritative: trusting
+        # the constructor argument would durably commit mis-routed
+        # segments (detected only when index_meta's min==max invariant
+        # fires on some later read — after the store is corrupted).
+        # This covers both stream restarts and pointing a new stream at
+        # an index built by build_term_index/another stream.
+        if self.table.version() >= 0:
+            from apache_kafka_clickhouse_demo_spark.operators.search_index import (
+                index_shard_count,
+            )
+
+            n_shards = index_shard_count(spark, self.table)
+        self.n_shards = n_shards
 
     def maintain(self) -> None:
         """Same store-maintenance contract as the other stream writers:
@@ -1514,6 +1528,13 @@ class _TermIndexStreamWriter:
         txn = f"{self.writer_id}:{batch_id}"
         if self.table.txn_committed(txn):
             return  # committed replay: no-op, no jobs
+        # an empty micro-batch publishes NOTHING (the class contract is
+        # one meta row per NON-empty batch) — a full segment commit with
+        # an (n_docs=0, tot_tokens NULL) meta row per idle trigger would
+        # grow the meta shard for no information.  Exactly-once is
+        # unaffected: a replayed empty batch re-derives the same no-op.
+        if block.isEmpty():
+            return
         seg = _segment_frames(block, self.n_shards, self.text_col, self.id_col)
         # shard-aligned tasks: one file per touched shard per segment,
         # keeping term_lookup's pruned read at O(segments) files pre-

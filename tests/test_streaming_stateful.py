@@ -1212,3 +1212,80 @@ def test_term_index_stream_writer_replay_is_exactly_once(spark, tmp_path):
     w.maintain()
     meta2 = SI.index_meta(spark, w.table).first()
     assert tuple(meta2) == tuple(meta)
+
+
+def test_term_index_stream_writer_reconciles_stored_modulus(spark, tmp_path):
+    """A writer pointed at an EXISTING index adopts the index's stored
+    shard modulus regardless of its constructor argument (ADVICE r10): a
+    restarted stream with a different default would otherwise durably
+    commit mis-routed segments, caught only by index_meta's min==max
+    invariant after the corruption."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _TermIndexStreamWriter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "fast join"), (2, "fast hash")], "doc_id long, text string"
+    )
+    SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=64)
+
+    # restart-with-wrong-default: constructor says 16, store says 64
+    w = _TermIndexStreamWriter(
+        spark, str(tmp_path / "idx"), n_shards=16, writer_id="t"
+    )
+    assert w.n_shards == 64
+    w.process(
+        spark.createDataFrame([(3, "slow fast")], "doc_id long, text string"), 0
+    )
+    meta = SI.index_meta(spark, w.table).first()
+    assert (meta["n_docs"], meta["n_shards"]) == (3, 64)
+    got = sorted(
+        r["doc_id"]
+        for r in SI.term_lookup(spark, w.table, ["fast"]).collect()
+    )
+    assert got == [1, 2, 3]  # segment routed by the STORED modulus
+
+
+def test_term_index_stream_writer_empty_batch_publishes_nothing(spark, tmp_path):
+    """An empty micro-batch is a no-op (ADVICE r10): no commit, no
+    (n_docs=0, tot_tokens NULL) meta row per idle trigger."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _TermIndexStreamWriter,
+    )
+
+    w = _TermIndexStreamWriter(
+        spark, str(tmp_path / "idx"), n_shards=16, writer_id="t"
+    )
+    b0 = spark.createDataFrame([(1, "fast join")], "doc_id long, text string")
+    empty = b0.filter("doc_id < 0")
+    w.process(b0, 0)
+    v = w.table.version()
+    w.process(empty, 1)  # idle trigger: nothing published
+    assert w.table.version() == v
+    meta = SI.index_meta(spark, w.table).first()
+    assert (meta["n_docs"], meta["tot_tokens"]) == (1, 2)
+
+
+def test_query_tokenization_matches_engine_whitespace_rule(spark, tmp_path):
+    """Driver-side query tokenization uses the SAME ASCII-whitespace
+    class as the engine-side Java regex \\s+ (ADVICE r10): a query whose
+    words are separated by a non-breaking space must reach the index as
+    ONE term — exactly what TX.tokens produced for the matching document
+    — not be silently cut into unmatchable halves."""
+    from apache_kafka_clickhouse_demo_spark.functions import text as TXT
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+
+    nb = "fast join"  # U+00A0: Java \s does NOT split this
+    assert TXT.py_tokens(nb) == [nb.lower()]
+    assert TXT.py_tokens(" fast \t join\r\n") == ["fast", "join"]
+
+    docs = spark.createDataFrame([(1, nb + " x y")], "doc_id long, text string")
+    # engine side: the NBSP-joined word is one token
+    engine_toks = docs.select(TXT.tokens("text").alias("t")).first()["t"]
+    assert engine_toks == [nb.lower(), "x", "y"]
+
+    table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
+    hits = SI.bm25_lookup(spark, table, [(0, nb)], k=5).collect()
+    assert [r["doc_id"] for r in hits] == [1]
