@@ -3525,6 +3525,21 @@ def q_domain_doc_counts(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated into the gate in r11 (VERDICT r10 #1: the persisted-
+    #    index subsystem — a whole transactional index family, r10-new,
+    #    never driver-attested).  Displaced rows keep their operator
+    #    coverage gated elsewhere and stay oracle-checked extras +
+    #    benched: q4/q5's TPC-H family keeps q1/q3/q6 +
+    #    customers_no_orders + top_orders_per_customer (EXISTS/semi-join
+    #    depth stays locally oracle-checked via q18/q20/q21 extras);
+    #    user_cumulative_value's window family keeps user_sessions +
+    #    top_orders_per_customer + funnel_levels; type_user_stats'
+    #    composite-key group-by keeps type_day_cube + mv_cascade_daily +
+    #    sql_busy_days.  Front-loaded: --
+    "bm25_indexed": q_bm25_indexed,
+    "phrase_indexed": q_phrase_indexed,
+    "ann_indexed": q_ann_indexed,
+    "stream_index_bm25": q_stream_index_bm25,
     # -- rotated into the gate late-r10: four NEW operator families from
     #    this round's build, never driver-attested (all locally
     #    hash-green since they landed).  Displaced rows keep their
@@ -3607,8 +3622,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "user_sessions": q_user_sessions,
     "user_set_ops": q_user_set_ops,
-    "user_cumulative_value": q_user_cumulative_value,
-    "type_user_stats": q_type_user_stats,
     "train_test_split": q_train_test_split,
     # -- stable green rows from CORRECTNESS_r02 --
     "latest_event": q_latest_event,
@@ -3617,9 +3630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_busy_days": q_sql_busy_days,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
-    "q4_order_priority": q4_order_priority,
     "customers_no_orders": q_customers_no_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "asof_last_purchase": q_asof_last_purchase,
@@ -3757,23 +3768,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: keep-the-best-copy policy over near-dup clusters (CC labels
     # joined with classifier scores, per-cluster sortable-struct arg-max)
     "cluster_representatives": q_cluster_representatives,
-    # r10: index-backed BM25 over the persisted shard-pruned inverted
-    # index (same oracle as bm25_search — the two paths share
-    # bm25_score_topk and must return identical rows)
-    "bm25_indexed": q_bm25_indexed,
     # r10: interpolated bigram-LM rarity (unigram_rarity's family, one
     # LM order up toward the CCNet KenLM filter)
     "bigram_rarity": q_bigram_rarity,
     # r10: cluster-balanced diverse sampling (shared IVF quantizer +
     # skew-safe per-cell quota — DataComp-style semantic diversity cap)
     "diverse_sample": q_diverse_sample,
-    # r10: continuously indexed corpus — streamed segments must answer
-    # BM25 identically to the one-shot build (oracle = bm25_search's)
-    "stream_index_bm25": q_stream_index_bm25,
-    # r10: index-backed positional phrase search (oracle = phrase_search's)
-    "phrase_indexed": q_phrase_indexed,
-    # r10: IVF ANN over the persisted index (oracle = ann_ivf_topk's)
-    "ann_indexed": q_ann_indexed,
     # r10: CLIP-score image-text pair filtering (LAION recipe; cosine
     # between two modality embeddings, row-local)
     "pair_cosine_filter": q_pair_cosine_filter,
@@ -3782,6 +3782,14 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: margin-based bitext mining (CCMatrix rule; ratio margin over
     # both sides' k-NN means as fixed-order folds)
     "margin_bitext": q_margin_bitext,
+    # rotated OUT of the gate in r11 for the persisted-index family
+    # (bm25_indexed / phrase_indexed / ann_indexed / stream_index_bm25 —
+    # VERDICT r10 #1); every operator they carried keeps >= 1 green gate
+    # row, and all four stay benched in HEADLINE:
+    "q4_order_priority": q4_order_priority,  # TPC-H family keeps q1/q3/q6 gate rows; EXISTS semi-join depth locally oracle-checked via q18/q20/q21
+    "q5_local_supplier_volume": q5_local_supplier_volume,  # TPC-H 6-table join; join-chain shapes kept by q3 gate row + q7/q9 extras
+    "user_cumulative_value": q_user_cumulative_value,  # running-sum window family keeps user_sessions + top_orders_per_customer + funnel_levels gate rows
+    "type_user_stats": q_type_user_stats,  # composite-key group-by keeps type_day_cube + mv_cascade_daily + sql_busy_days gate rows
 }
 
 
