@@ -8,6 +8,8 @@ throughput.  Every operator has an exact DuckDB oracle (queries.py).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from apache_kafka_clickhouse_demo_spark.sources.tables import (
@@ -1231,6 +1233,15 @@ def dsir_select(
 # Positional phrase matching (exact multi-word occurrence counting)
 # ---------------------------------------------------------------------------
 
+#: Java-regex metacharacters (Pattern class); escaped one-by-one instead
+#: of \Q...\E quoting because a token could itself contain the \E
+#: terminator (tokens are arbitrary non-whitespace runs).
+_JAVA_REGEX_META = re.compile(r"([\\.\[\]{}()<>*+\-=!?^$|])")
+
+
+def _java_regex_quote(s: str) -> str:
+    return _JAVA_REGEX_META.sub(r"\\\1", s)
+
 
 def phrase_matches(
     docs: DataFrame,
@@ -1247,16 +1258,31 @@ def phrase_matches(
     Phrases are tokenized driver-side by the same lower/split rule as
     `TX.tokens`; a document row is emitted per matching phrase with its
     occurrence count (non-matching pairs are dropped, so output is
-    match-sparse).  Counting is a row-local sliding-window array compare:
+    match-sparse).  Semantics are the sliding token window:
     n_matches = |{i : toks[i : i+m] == phrase}| — overlapping occurrences
     count individually ("a a a" contains "a a" twice).
 
+    The count is computed as ONE `regexp_count` over the space-joined
+    token string with a zero-width lookahead, `(?= t1 t2 ... tm )`:
+    tokens cannot contain the ASCII-space separator (TX.tokens split on
+    it), so the space-anchored pattern matches exactly at token
+    boundaries — never inside a token — and the ZERO-WIDTH match is what
+    makes overlapping occurrences all count (the engine advances one
+    character after each hit instead of consuming the window, so "a a a"
+    yields 2 for "a a"; a consuming pattern would also steal the
+    boundary space the next occurrence needs as its leading anchor).
+    This replaced a per-window `F.filter(sequence, i -> slice == lit)`
+    compare that ran in the interpreted HOF evaluator (lambdas sit
+    outside whole-stage codegen) at ~10x the per-row constant — measured
+    100x rehearsal dropped from 31.9x to scan-bound (SCALING.md).
+
     Plan shape at 100 TB: ONE projection + explode of a |phrases|-length
     struct array, zero exchanges — scan throughput, composes with any
-    downstream op.  Each phrase walks the token array once inside the
-    HOF evaluator (lambdas sit outside codegen CSE), so cost is
-    O(|phrases| * doc length) per row — linear fan-out a cluster absorbs
-    by partitioning, never a join.
+    downstream op.  The joined string builds once per row (shared
+    subexpression across phrases); each phrase is one JVM regex pass,
+    O(doc length * phrase length) worst case with a codegen-resident
+    inner loop — linear fan-out a cluster absorbs by partitioning,
+    never a join.
     """
     ptoks = [(int(pid), TX.py_tokens(p)) for pid, p in phrases]
     if not ptoks or any(not t for _, t in ptoks):
@@ -1264,21 +1290,17 @@ def phrase_matches(
 
     toks = TX.tokens(F.coalesce(F.col(text_col), F.lit("")))
     staged = spread_small(docs).select(
-        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        # leading/trailing space so the first/last token window also has
+        # both boundary anchors
+        F.concat(
+            F.lit(" "), F.array_join(toks, " "), F.lit(" ")
+        ).alias("_joined"),
     )
 
     def count_expr(terms: list[str]) -> Column:
-        m = len(terms)
-        lit = F.array(*[F.lit(t) for t in terms])
-        hits = F.size(
-            F.filter(
-                F.sequence(F.lit(1), F.size("_toks") - m + 1),
-                lambda i: F.slice("_toks", i, m) == lit,
-            )
-        )
-        # guard: Spark's sequence(1, b) DESCENDS for b < 1 (it would probe
-        # bogus windows), so short docs short-circuit to 0
-        return F.when(F.size("_toks") >= m, hits).otherwise(F.lit(0))
+        pat = "(?= " + " ".join(_java_regex_quote(t) for t in terms) + " )"
+        return F.regexp_count("_joined", F.lit(pat))
 
     entries = F.array(
         *[

@@ -142,3 +142,34 @@ def test_phrase_matches_rejects_empty_phrase(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         TA.phrase_matches(docs, [(1, "  ")])
+
+
+def test_phrase_matches_regex_metachars_and_boundaries(spark):
+    """The r11 regexp_count formulation must treat phrase tokens as
+    LITERALS (regex metacharacters escaped) and match only at token
+    boundaries — 'a' must not count inside 'aa', and a token containing
+    a non-breaking space (one TOKEN under the ASCII-whitespace rule)
+    must match itself exactly."""
+    nb = "fast join"  # NBSP: one token on both engine and driver side
+    docs = spark.createDataFrame(
+        [
+            (1, "c++ (x) c++"),   # metachars: +, (, )
+            (2, "aa a aaa"),      # boundary anchoring for 'a'
+            (3, f"{nb} z {nb}"),  # NBSP-bearing token
+            (4, "a.b acb"),       # '.' must not act as regex wildcard
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in TA.phrase_matches(
+            docs, [(1, "c++"), (2, "(x)"), (3, "a"), (4, nb), (5, "a.b")]
+        ).collect()
+    }
+    assert got == {
+        (1, 1): 2,
+        (2, 1): 1,
+        (3, 2): 1,
+        (4, 3): 2,
+        (5, 4): 1,  # literal 'a.b' only — 'acb' would make this 2
+    }
