@@ -11,12 +11,14 @@ instead (the contract's stated alternative for genuinely
 non-SQL-expressible operators).
 
 Scale design: BPE statistics live on the DISTINCT-WORD vocabulary, not
-the corpus — `bpe_fit` runs one weighted pair-count aggregate per merge
+the corpus — `bpe_fit` runs one weighted pair-count aggregate per ROUND
 over the word-vocab frame (orders of magnitude smaller than the corpus;
-Zipf means the vocab grows ~sublinearly), collecting exactly ONE argmax
-row per iteration, with the evolving symbol column lazily
-localCheckpointed so lineage stays O(1) across merges (the
-connected-components precedent).  `bpe_apply` re-derives the tokenized
+Zipf means the vocab grows ~sublinearly), collecting one bounded
+candidate table per round and accepting up to `batch` pairwise-disjoint
+merges from it (`batch=1` is exact sequential BPE; see `bpe_fit` for
+the batched rule and its honestly-stated deviation), with the evolving
+symbol column lazily localCheckpointed so lineage stays O(1) across
+merges (the connected-components precedent).  `bpe_apply` re-derives the tokenized
 vocab the same way and joins it back to word occurrences — one
 corpus-scale shuffle, pin_wide-pinned — so the per-word merge work is
 paid once per DISTINCT word, never per occurrence.
@@ -107,11 +109,37 @@ def _adjacent_pairs(syms_col: str) -> Column:
     )
 
 
+def _greedy_disjoint(
+    rows, want: int, min_pair_freq: int
+) -> list[tuple[str, str]]:
+    """Greedy batch selection over ONE frozen pair-count table, scanned
+    in the sequential comparator's order (cnt desc, a, b): accept a pair
+    iff its symbols AND its fused string are disjoint from everything
+    already accepted ({a, b, a+b} per acceptance — the fused string is
+    in the guard so one batch member can never create or consume a
+    symbol another member references, which is what makes the batch's
+    merge passes commute)."""
+    accepted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for r in rows:
+        if r["cnt"] < min_pair_freq:
+            break
+        a, b = r["a"], r["b"]
+        if {a, b, a + b} & used:
+            continue
+        accepted.append((a, b))
+        used |= {a, b, a + b}
+        if len(accepted) == want:
+            break
+    return accepted
+
+
 def bpe_fit(
     docs: DataFrame,
     num_merges: int,
     text_col: str = "text",
     min_pair_freq: int = 2,
+    batch: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn up to `num_merges` BPE merges from the corpus: repeatedly
     take the highest-frequency adjacent symbol pair (weighted by word
@@ -120,33 +148,65 @@ def bpe_fit(
     when no pair reaches `min_pair_freq` (merging a once-seen pair
     memorizes noise).
 
-    Driver state: the merge list plus one collected argmax row per
-    iteration — bounded.  Per iteration: one pair-count aggregate over
-    the word vocab + one row-local merge pass, lineage cut by a lazy
-    localCheckpoint.
+    `batch` amortizes the per-merge driver round trip (the classic fast-
+    BPE trick): each ROUND runs ONE pair-count aggregate, collects the
+    top candidates, and greedily accepts up to `batch` pairwise-DISJOINT
+    pairs from that frozen table (`_greedy_disjoint`: a candidate is
+    skipped when its symbols or its fused string touch an already-
+    accepted pair's {a, b, a+b}).  Disjointness makes the round's merge
+    passes commute, so they apply as chained row-local folds in the same
+    round — Spark jobs drop from one per MERGE to one per ROUND.
+
+    DEVIATION FROM SEQUENTIAL BPE, stated honestly: batch > 1 is a
+    different (still fully deterministic) selection rule.  Sequential
+    BPE recounts after EVERY merge, and a merge can create a pair that
+    outranks the frozen table's runner-up (corpus "cab"x100 + "de"x50:
+    after fusing (a,b), the NEW pair (c,ab) counts 100 and sequential
+    picks it next, while the frozen table's next disjoint pair is
+    (d,e)).  Within a round the batched rule uses pre-round counts;
+    counts refresh at the next round's aggregate.  batch=1 IS sequential
+    BPE, bit-identical to the pure-Python reference
+    (tests/test_tokenizer.py pins both rules).
+
+    Driver state: the merge list plus one collected candidate table per
+    round — bounded (4*batch rows).  Per round: one pair-count aggregate
+    over the word vocab + chained row-local merge passes, lineage cut by
+    a lazy localCheckpoint every 8 passes.
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     cur = _word_vocab(docs, text_col).select(
         "freq", _char_syms(F.col("word")).alias("syms")
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        top = (
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
+        # over-collect 4x: skipped (overlapping) candidates must not
+        # starve the batch; anything the truncation hides is re-seen at
+        # the next round's recount, so truncation only costs rounds
+        cand = (
             cur.select("freq", F.explode(_adjacent_pairs("syms")).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
+            .limit(max(4 * want, 16))
             .collect()
         )
-        if not top or top[0]["cnt"] < min_pair_freq:
+        accepted = _greedy_disjoint(cand, want, min_pair_freq)
+        if not accepted:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        cur = cur.select(
-            "freq", _merge_pass(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=False)
+        merges.extend(accepted)
+        # disjoint => commuting passes: chain row-locally, checkpoint
+        # every 8 to bound lineage AND expression-tree depth
+        for lo in range(0, len(accepted), 8):
+            syms = F.col("syms")
+            for a, b in accepted[lo : lo + 8]:
+                syms = _merge_pass(syms, a, b)
+            cur = cur.select("freq", syms.alias("syms")).localCheckpoint(
+                eager=False
+            )
     return merges
 
 

@@ -178,3 +178,25 @@ def test_margin_bitext_penalizes_hub_targets(spark):
     assert got[0][0] == 10  # the dedicated match wins for src 0
     # and its margin beats the hub pairing src 1 is left with
     assert got[0][1] > got[1][1]
+
+
+def test_diverse_sample_two_level_identical_to_one_hop(spark, monkeypatch):
+    """VERDICT r10 #3: diverse_sample under the forced two-level
+    quantizer returns byte-identical rows to the one-hop plan — the
+    per-cell quota consumes only the assignment decision, so the
+    two-level equality must survive the full composition (quantize ->
+    stratified quota), not just the assignment."""
+    from apache_kafka_clickhouse_demo_spark.operators import sampling
+
+    corpus, _q = _fixture(spark)
+
+    def rows(df):
+        return sorted(
+            (r["cent_id"], r["vec_id"], r["strat_rank"]) for r in df.collect()
+        )
+
+    one_hop = rows(sampling.diverse_sample(corpus, 2, target_centroids=64))
+    monkeypatch.setattr(S, "_TWO_LEVEL_MIN_CENTROIDS", 0)
+    two_level = rows(sampling.diverse_sample(corpus, 2, target_centroids=64))
+    assert two_level == one_hop
+    assert len({c for c, _, _ in one_hop}) > 10  # real multi-cell quota

@@ -254,3 +254,94 @@ def test_stratified_sample_giant_group_no_window_funnel(spark):
     got = sorted(tuple(r) for r in out.collect())
     out.unpersist()
     assert got == ref
+
+
+def test_margin_bitext_full_hub_corpus_discounts_everything(spark):
+    """VERDICT r10 #6 skew pin: a corpus where EVERY target is one hub
+    neighborhood (pairwise cosine ~1) is the ratio margin's worst case
+    AND its reason to exist — every source's best raw-cosine target is a
+    hub, but both sides' k-NN means are equally high, so no hub pairing
+    clears the margin threshold.  A single planted off-hub pair must
+    still mine cleanly.  Also the bounded-candidate shape: all 8 hub
+    sources share the same handful of targets, collapsing the candidate
+    set far below |src| * k — the operator must not care."""
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        margin_bitext,
+    )
+
+    dim = 8
+
+    def hubv(seed: int) -> list[float]:
+        # dominant first axis + tiny per-id noise: pairwise cosine ~1
+        return [10.0] + [((seed * 31 + i * 7) % 97) / 1000.0 for i in range(dim - 1)]
+
+    orth = [0.0, 10.0] + [0.0] * (dim - 2)
+    # sources: 8 hub-aligned + 1 off-hub (id 8); corpus: 500 hub targets
+    # + the planted off-hub match (id 1000)
+    src = spark.createDataFrame(
+        [(i, hubv(i)) for i in range(8)] + [(8, orth)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(100 + j, hubv(1000 + j)) for j in range(500)] + [(1000, orth)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["src_id"]: (r["tgt_id"], r["mined"], r["margin"])
+        for r in margin_bitext(src, corpus, k=4, threshold=1.05).collect()
+    }
+    assert len(got) == 9
+    tgt, mined, margin = got[8]
+    assert (tgt, mined) == (1000, True) and margin > 2.0  # planted pair mines
+    for s in range(8):  # hub pairings all discounted below threshold
+        assert not got[s][1], (s, got[s])
+        assert got[s][2] < 1.05
+
+
+def test_bigram_rarity_zipf_hot_bigram_exact(spark):
+    """VERDICT r10 #6 skew pin: one hot token at ~half of all positions
+    puts ~25% of ALL bigram occurrences on one (zz, zz) key — the
+    occurrence join's worst key skew.  The integer-exact scores must be
+    unchanged by the skew: compared row-for-row against a pure-Python
+    replica of the documented formula."""
+    from apache_kafka_clickhouse_demo_spark.operators.text_analysis import (
+        bigram_rarity,
+    )
+
+    docs = []
+    for d in range(300):
+        toks = [
+            # deterministic ~52% coin WITH runs (a strict alternation
+            # would never produce the hot (zz, zz) bigram)
+            "zz" if ((d + 1) * (p + 3) * 2654435761) % 7 < 3
+            else f"w{(d * 13 + p * 7) % 23}"
+            for p in range(12)
+        ]
+        docs.append((d, " ".join(toks)))
+
+    uni: dict[str, int] = {}
+    bg: dict[tuple[str, str], int] = {}
+    for _, t in docs:
+        ts = t.split()
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(ts, ts[1:]):
+            bg[(x, y)] = bg.get((x, y), 0) + 1
+    T = sum(uni.values())
+    assert bg[("zz", "zz")] * 4 > sum(bg.values())  # the skew is real
+
+    want = {}
+    for d, t in docs:
+        ts = t.split()
+        mass = 0
+        for x, y in zip(ts, ts[1:]):
+            mass += (2 * uni[x] * T) // (bg[(x, y)] * T + uni[y] * uni[x])
+        nb = len(ts) - 1
+        want[d] = (nb, mass, round(mass / nb, 4))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_mass"], r["avg_rarity"])
+        for r in bigram_rarity(df).collect()
+    }
+    assert got == want

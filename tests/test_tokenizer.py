@@ -98,3 +98,78 @@ def test_null_and_empty_docs_emit_no_row(spark):
     merges = TK.bpe_fit(docs, num_merges=1)
     got = {r["doc_id"] for r in TK.bpe_apply(docs, merges).collect()}
     assert got == {1}
+
+
+def _py_fit_batched(
+    texts: list[str], num_merges: int, batch: int, min_pair_freq: int = 2
+):
+    """Pure-Python reference for the BATCHED selection rule (r11): per
+    round, one frozen count table scanned in (cnt desc, a, b) order,
+    greedily accepting up to `batch` pairs whose {a, b, a+b} are
+    disjoint from everything accepted this round."""
+    vocab: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").lower().split():
+            vocab[w] = vocab.get(w, 0) + 1
+    syms = {w: list(w) for w in vocab}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for x, y in zip(s, s[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + vocab[w]
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        accepted, used = [], set()
+        for (a, b), cnt in ordered:
+            if cnt < min_pair_freq:
+                break
+            if {a, b, a + b} & used:
+                continue
+            accepted.append((a, b))
+            used |= {a, b, a + b}
+            if len(accepted) == want:
+                break
+        if not accepted:
+            break
+        merges.extend(accepted)
+        for a, b in accepted:
+            syms = {w: _py_merge_pass(s, a, b) for w, s in syms.items()}
+    return merges, syms, vocab
+
+
+def test_batched_fit_matches_pure_python_batched_reference(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    for batch in (2, 4, 8):
+        got = TK.bpe_fit(docs, num_merges=12, batch=batch)
+        want, _, _ = _py_fit_batched(TEXTS, 12, batch)
+        assert got == want, batch
+        assert len(got) >= 5
+
+
+def test_batch_one_is_sequential_bpe(spark):
+    """batch=1 must stay bit-identical to the sequential reference —
+    the batched code path with want=1 IS sequential argmax."""
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    got = TK.bpe_fit(docs, num_merges=12, batch=1)
+    want, _, _ = _py_fit(TEXTS, 12)
+    assert got == want
+
+
+def test_batched_rule_deviates_where_documented(spark):
+    """The docstring's worked example: sequential picks the merge-created
+    pair (c,ab) second; the frozen-table batch picks (d,e) — both
+    deterministic, and each engine path matches ITS reference."""
+    texts = ["cab"] * 100 + ["de"] * 50
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    seq = TK.bpe_fit(docs, num_merges=2, batch=1)
+    assert seq == [("a", "b"), ("c", "ab")]
+    batched = TK.bpe_fit(docs, num_merges=2, batch=2)
+    assert batched == [("a", "b"), ("d", "e")]
+    assert batched == _py_fit_batched(texts, 2, 2)[0]

@@ -392,12 +392,122 @@ def measure_stream_store_growth(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def measure_skew(spark) -> None:
+    """VERDICT r10 #6: margin_bitext and bigram_rarity under ADVERSARIAL
+    skew — the r10 rehearsals used the uniform blow-up, which never
+    stresses the operators' bounded-broadcast claims.
+
+    Hub-heavy embeddings (margin_bitext): EVERY corpus vector sits near
+    one direction, so every source's top-k hits the same handful of hub
+    targets — the worst case for the target-side k-NN (the hub's
+    collect_list group sees the whole src batch) and exactly the corpus
+    shape the ratio margin exists to discount.  The bounded-broadcast
+    claim under test: the candidate set stays <= |src| * k rows however
+    hubby the corpus, so the target-side pass and margin join stay
+    broadcast-sized.
+
+    Zipf-vocab documents (bigram_rarity): ~half of all token positions
+    are ONE hot token (deterministic per-position coin), so one bigram
+    key carries ~25% of all occurrences — the worst case for the
+    (prev, cur) occurrence join.  The claim under test: counts attach to
+    the bigram VOCABULARY (bounded rows) and join back by key, so the
+    hot key costs one fat-but-partitionable join side, never a window or
+    a driver funnel.
+
+    Both fixtures print 1x-vs-{COPIES}x ratios like `measure` (2 passes,
+    noop sink); linear-ish growth = the skew claims hold as numbers."""
+    from apache_kafka_clickhouse_demo_spark.operators import (
+        similarity,
+        text_analysis,
+    )
+
+    dim = 64
+    src_n, base_corpus = 32, 20_000
+    base_docs, toks_per_doc = 12_500, 40
+
+    def hub_embeddings(n: int) -> "DataFrame":
+        # deterministic: dim 0 carries the hub direction, the rest is
+        # small hash noise => every pair of corpus vectors has cosine
+        # ~0.99 (one giant hub neighborhood, no planted structure)
+        ids = spark.range(n).select(F.col("id").alias("vec_id"))
+        noise = F.transform(
+            F.sequence(F.lit(1), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("vec_id").cast("string"), i.cast("string")), F.lit(1000))
+                / 10000.0
+            ),
+        )
+        return ids.select(
+            "vec_id",
+            F.concat(F.array(F.lit(10.0)), noise).alias("embedding"),
+        )
+
+    def zipf_docs(n: int) -> "DataFrame":
+        # position p of doc d: hot token "zz" when hash(d, p) is even
+        # (~50% of ALL positions -> (zz, zz) alone is ~25% of bigrams),
+        # else one of 997 tail tokens — Zipf head + long tail
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        tok = lambda p: F.when(  # noqa: E731
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string"), p.cast("string")), F.lit(2)) == 0,
+            F.lit("zz"),
+        ).otherwise(
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(p.cast("string"), F.col("doc_id").cast("string")), F.lit(997)).cast("string"),
+            )
+        )
+        return ids.select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(toks_per_doc - 1)), tok), " "
+            ).alias("text"),
+        )
+
+    cases = {
+        "margin_bitext[hub]": lambda scale: similarity.margin_bitext(
+            hub_embeddings(src_n).withColumnRenamed("vec_id", "vec_id"),
+            hub_embeddings(base_corpus * scale + src_n).filter(
+                F.col("vec_id") >= src_n
+            ),
+            k=4,
+        ),
+        "bigram_rarity[zipf]": lambda scale: text_analysis.bigram_rarity(
+            zipf_docs(base_docs * scale)
+        ),
+    }
+    print(f"\n| query | 1x sec | {COPIES}x sec | time ratio | 1x rows | {COPIES}x rows |")
+    print("|---|---|---|---|---|---|")
+    for name, make in cases.items():
+        secs, nrows = {}, {}
+        for label, scale in (("1x", 1), (f"{COPIES}x", COPIES)):
+            best = float("inf")
+            for _ in range(PASSES):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                make(scale).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            secs[label] = best
+            nrows[label] = make(scale).count()
+        big = f"{COPIES}x"
+        print(
+            f"| {name} | {secs['1x']:.2f} | {secs[big]:.2f} | "
+            f"{secs[big] / secs['1x']:.2f}x | {nrows['1x']} | {nrows[big]} |",
+            flush=True,
+        )
+
+
 def main() -> int:
     args = sys.argv[1:]
     build_only = "--build-only" in args
     streams = "--streams" in args
+    skew = "--skew" in args
     names = [a for a in args if not a.startswith("--")] or FAMILIES
     spark = get_spark(app_name="scale_rehearsal")
+    if skew:
+        # synthetic fixtures built inline — no blow-up needed
+        measure_skew(spark)
+        spark.stop()
+        return 0
     # sentinel written after the LAST build step — checking only the first
     # output would leave a crashed half-build permanently skipped
     if not os.path.exists(f"{SCALE_DIR}/_BUILT"):
