@@ -197,6 +197,109 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+#: Gopher rule thresholds (Rae et al. 2021, table A1 — the rule-based
+#: quality gate RefinedWeb/FineWeb inherit).  Ratios are exact integer
+#: MILLI-units (floor of ratio*1000) so the oracle hashes bit-identically.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_MILLI = 3_000
+GOPHER_MAX_MEAN_WORD_LEN_MILLI = 10_000
+GOPHER_MAX_SYMBOL_RATIO_MILLI = 100  # '#' + '...' per word <= 0.1
+GOPHER_MAX_BULLET_LINE_MILLI = 900  # <= 90% of lines bullet-led
+GOPHER_MAX_ELLIPSIS_LINE_MILLI = 300  # <= 30% of lines ellipsis-ended
+GOPHER_MIN_ALPHA_WORD_MILLI = 800  # >= 80% of words contain a letter
+GOPHER_MIN_STOP_HITS = 2  # >= 2 distinct required stopwords present
+#: the paper's 8 "required words"
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher rule-based quality filtering (Rae et al. 2021 — the
+    rule set RefinedWeb/FineWeb apply before any learned classifier):
+    per-rule signals plus the conjunction `keep`, emitted per document
+    so a pipeline can FILTER on keep or inspect which rule fired.
+
+    Every rule is restated in exact integer arithmetic (milli-unit
+    floor divisions, both operands non-negative, so Spark `div` and
+    DuckDB `//` agree) and — deliberately — WITHOUT higher-order
+    functions: per-token work is expressed as non-overlapping regex
+    counts over the whole text (`(^|\\s)[^\\s]*[a-z]` hits each
+    letter-bearing word exactly once — a match cannot restart inside a
+    word because the boundary anchor needs whitespace; `(?m)` line
+    anchors count bullet-led / ellipsis-ended lines), total word
+    characters as `length(regexp_replace(t, '\\s+', ''))`, and stopword
+    hits as a distinct-token intersect with the 8-word literal list.
+    The phrase_search lesson (r11): HOF lambdas run interpreted at ~10x
+    a codegen operator's per-row cost — this stays whole-stage-codegen
+    end to end, zero exchanges, scan-bound at 100 TB.
+
+    Output: (doc_id, n_words, mean_word_len_milli, symbol_ratio_milli,
+    bullet_line_milli, ellipsis_line_milli, alpha_word_milli,
+    n_stop_hits, keep).  NULL/empty texts emit n_words = 0, NULL milli
+    metrics (0/0 is undefined, not zero), n_stop_hits = 0, keep = false.
+    The patterns use only the Java/RE2-identical regex subset (the
+    PII_PATTERNS contract).
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.trim(F.lower(raw))
+    empty = F.length(t) == 0
+    n_words = F.when(empty, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    n_lines = F.size(F.split(raw, r"\n", -1)).cast("long")
+    n_bullet_lines = F.regexp_count(raw, F.lit(r"(?m)^[ \t]*[-*•]"))
+    n_ellipsis_lines = F.regexp_count(raw, F.lit(r"(?m)\.\.\.[ \t]*$"))
+    n_alpha_words = F.regexp_count(t, F.lit(r"(^|\s)[^\s]*[a-z]"))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.split(t, r"\s+")), stop_arr)
+    )
+    # greatest(n_stop, 0): size() is -1 on the empty-text split edge
+    n_stop = F.greatest(n_stop, F.lit(0)).cast("int")
+
+    def milli(num, den):
+        return F.when(F.col(den) > 0, F.expr(f"{num} div {den}")).cast("long")
+
+    staged = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        (word_chars * 1000).cast("long").alias("_wc"),
+        ((n_hash + n_ellipsis) * 1000).cast("long").alias("_sym"),
+        (n_bullet_lines * 1000).cast("long").alias("_bul"),
+        (n_ellipsis_lines * 1000).cast("long").alias("_ell"),
+        (n_alpha_words * 1000).cast("long").alias("_alpha"),
+        n_lines.alias("_nl"),
+        n_stop.alias("n_stop_hits"),
+    )
+    out = staged.select(
+        "doc_id",
+        "n_words",
+        milli("_wc", "n_words").alias("mean_word_len_milli"),
+        milli("_sym", "n_words").alias("symbol_ratio_milli"),
+        milli("_bul", "_nl").alias("bullet_line_milli"),
+        milli("_ell", "_nl").alias("ellipsis_line_milli"),
+        milli("_alpha", "n_words").alias("alpha_word_milli"),
+        "n_stop_hits",
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len_milli") >= GOPHER_MIN_MEAN_WORD_LEN_MILLI)
+        & (F.col("mean_word_len_milli") <= GOPHER_MAX_MEAN_WORD_LEN_MILLI)
+        & (F.col("symbol_ratio_milli") <= GOPHER_MAX_SYMBOL_RATIO_MILLI)
+        & (F.col("bullet_line_milli") <= GOPHER_MAX_BULLET_LINE_MILLI)
+        & (F.col("ellipsis_line_milli") <= GOPHER_MAX_ELLIPSIS_LINE_MILLI)
+        & (F.col("alpha_word_milli") >= GOPHER_MIN_ALPHA_WORD_MILLI)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
 def doc_chunks(
     docs: DataFrame,
     chunk_tokens: int = 32,

@@ -3281,6 +3281,44 @@ def _synth_pii_text() -> "Column":
     return F.concat(base, email, ip, phone)
 
 
+def _synth_gopher_text() -> "Column":
+    """Deterministic Gopher-rule garnish over the fixture text (which has
+    almost no stopwords, bullets, or symbol runs): residue classes vary
+    which rules each doc can pass, so `keep` and every per-rule metric
+    take several values.  Mirrored by _SQL_SYNTH_GOPHER."""
+    d = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    stops = F.when(d % 3 == 0, F.lit(" the of and that have")).otherwise(F.lit(""))
+    bullets = F.when(
+        d % 4 == 0, F.lit("\n- first point\n- second point\nclosing line...")
+    ).otherwise(F.lit(""))
+    symbols = F.when(d % 7 == 0, F.lit(" ### tag ... more ...")).otherwise(F.lit(""))
+    return F.concat(base, stops, bullets, symbols)
+
+
+_SQL_SYNTH_GOPHER = """
+(coalesce(text, '')
+ || CASE WHEN doc_id % 3 = 0 THEN ' the of and that have' ELSE '' END
+ || CASE WHEN doc_id % 4 = 0
+         THEN chr(10) || '- first point' || chr(10) || '- second point'
+              || chr(10) || 'closing line...'
+         ELSE '' END
+ || CASE WHEN doc_id % 7 = 0 THEN ' ### tag ... more ...' ELSE '' END)
+"""
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality gate (text_analysis.gopher_rules, Rae et
+    al. 2021 table A1): per-rule integer milli-signals + the conjunction
+    `keep`, over deterministically garnished fixture text (the raw fixture
+    has no stopwords/bullets/symbol runs to vary the rules on).  Pure
+    codegen row-local projection, zero exchanges."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", _synth_gopher_text()
+    )
+    return text_analysis.gopher_rules(docs).orderBy("doc_id")
+
+
 _SQL_SYNTH_PII = """
 (coalesce(text, '')
  || CASE WHEN doc_id % 3 <> 0
@@ -3782,6 +3820,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: margin-based bitext mining (CCMatrix rule; ratio margin over
     # both sides' k-NN means as fixed-order folds)
     "margin_bitext": q_margin_bitext,
+    # r11: Gopher rule-based quality gate (Rae et al. 2021; the
+    # rule filter RefinedWeb/FineWeb run before any learned classifier)
+    "gopher_rules": q_gopher_rules,
     # rotated OUT of the gate in r11 for the persisted-index family
     # (bm25_indexed / phrase_indexed / ann_indexed / stream_index_bm25 —
     # VERDICT r10 #1); every operator they carried keeps >= 1 green gate
@@ -5983,6 +6024,55 @@ SELECT media_type, count(*) AS n_files,
        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        max(n_bytes) AS max_bytes
 FROM m GROUP BY media_type ORDER BY media_type
+""",
+        "gopher_rules": f"""
+WITH g AS (
+  SELECT doc_id, {_SQL_SYNTH_GOPHER} AS gt FROM documents
+), n AS (
+  SELECT doc_id, gt, trim(lower(gt)) AS t,
+         regexp_split_to_array(trim(lower(gt)), '\\s+') AS toks
+  FROM g
+), m AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN 0 ELSE len(toks) END AS n_words,
+    length(regexp_replace(t, '\\s+', '', 'g')) * 1000 AS wc,
+    (length(t) - length(replace(t, '#', ''))
+     + len(string_split(t, '...')) - 1) * 1000 AS sym,
+    len(regexp_extract_all(gt, '(?m)^[ \t]*[-*\u2022]')) * 1000 AS bul,
+    len(regexp_extract_all(gt, '(?m)\\.\\.\\.[ \t]*$')) * 1000 AS ell,
+    len(regexp_extract_all(t, '(^|\\s)[^\\s]*[a-z]')) * 1000 AS alpha,
+    len(string_split(gt, chr(10))) AS nl,
+    len(list_intersect(list_distinct(toks),
+        {TX.sql_string_array_literal(list(text_analysis.GOPHER_STOPWORDS))}))
+      AS n_stop_hits
+  FROM n
+), r AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    CASE WHEN n_words > 0 THEN wc // n_words END AS mean_word_len_milli,
+    CASE WHEN n_words > 0 THEN sym // n_words END AS symbol_ratio_milli,
+    CASE WHEN nl > 0 THEN bul // nl END AS bullet_line_milli,
+    CASE WHEN nl > 0 THEN ell // nl END AS ellipsis_line_milli,
+    CASE WHEN n_words > 0 THEN alpha // n_words END AS alpha_word_milli,
+    CAST(n_stop_hits AS INTEGER) AS n_stop_hits
+  FROM m
+)
+SELECT doc_id, n_words,
+  CAST(mean_word_len_milli AS BIGINT) AS mean_word_len_milli,
+  CAST(symbol_ratio_milli AS BIGINT) AS symbol_ratio_milli,
+  CAST(bullet_line_milli AS BIGINT) AS bullet_line_milli,
+  CAST(ellipsis_line_milli AS BIGINT) AS ellipsis_line_milli,
+  CAST(alpha_word_milli AS BIGINT) AS alpha_word_milli,
+  n_stop_hits,
+  coalesce(n_words BETWEEN {text_analysis.GOPHER_MIN_WORDS}
+                       AND {text_analysis.GOPHER_MAX_WORDS}
+    AND mean_word_len_milli BETWEEN {text_analysis.GOPHER_MIN_MEAN_WORD_LEN_MILLI}
+                                AND {text_analysis.GOPHER_MAX_MEAN_WORD_LEN_MILLI}
+    AND symbol_ratio_milli <= {text_analysis.GOPHER_MAX_SYMBOL_RATIO_MILLI}
+    AND bullet_line_milli <= {text_analysis.GOPHER_MAX_BULLET_LINE_MILLI}
+    AND ellipsis_line_milli <= {text_analysis.GOPHER_MAX_ELLIPSIS_LINE_MILLI}
+    AND alpha_word_milli >= {text_analysis.GOPHER_MIN_ALPHA_WORD_MILLI}
+    AND n_stop_hits >= {text_analysis.GOPHER_MIN_STOP_HITS}, FALSE) AS keep
+FROM r ORDER BY doc_id
 """,
         "media_features": _oracle_media_features(),
         "media_frame_sample": _oracle_media_frame_sample(),

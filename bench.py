@@ -163,6 +163,8 @@ HEADLINE = [
     "pair_cosine_filter",
     "url_blocklist",
     "margin_bitext",
+    # r11: Gopher rule-based quality gate (row-local codegen projection)
+    "gopher_rules",
 ]
 
 
@@ -348,8 +350,24 @@ def main() -> int:
     full = {**compact, "passes": passes, "loadavg": loadavg}
     local_path = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
     local_path.write_text(json.dumps(full, indent=1) + "\n")
-    # Compact line LAST so the driver's stdout tail capture always sees it.
-    print(json.dumps(compact))
+    # Compact line LAST so the driver's stdout tail capture always sees it
+    # — and UNDER the capture's 2000-byte window: r10's 84-query line
+    # outgrew it and the driver recorded parsed:null (the tail cut the
+    # line's head).  If the full per-query dict does not fit, print the
+    # gate queries only (the driver's own per-query record) with a
+    # pointer; every number is always in BENCH_LOCAL.json.
+    line = json.dumps(compact)
+    if len(line) > 1800:
+        gate_times = {k: v for k, v in times.items() if k in Q.QUERIES}
+        line = json.dumps(
+            {**compact, "queries": gate_times, "queries_full": "BENCH_LOCAL.json"}
+        )
+        while len(line) > 1800 and gate_times:
+            gate_times.pop(next(iter(gate_times)))
+            line = json.dumps(
+                {**compact, "queries": gate_times, "queries_full": "BENCH_LOCAL.json"}
+            )
+    print(line)
     spark.stop()
     return 0 if all(t >= 0 for t in times.values()) else 1
 

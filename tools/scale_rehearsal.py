@@ -143,6 +143,8 @@ FAMILIES = [
     # r10: margin-based bitext mining (bounded src batch x corpus fan-out
     # + bounded candidate-side means; linear in the corpus)
     "margin_bitext",
+    # r11: Gopher rules (row-local regex-count projection; scan-bound)
+    "gopher_rules",
 ]
 
 PASSES = 2
