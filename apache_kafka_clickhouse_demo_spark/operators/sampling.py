@@ -157,6 +157,82 @@ def mixture_sample(
     return df.filter(bucket < thresh)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    id_col: str,
+    salt: str = "temp:",
+) -> DataFrame:
+    """Temperature-based mixture REBALANCING at alpha = 1/2 — the
+    multilingual corpus-balancing recipe (Conneau et al. XLM-R /
+    mT5 family: sample group g with probability proportional to
+    p_g^alpha, flattening the head so low-resource groups are not
+    drowned).  Where `mixture_sample` APPLIES caller-given rates, this
+    operator COMPUTES them from the corpus itself:
+
+        w_g          = floor(sqrt(n_g * 1e6))            (~ n_g^(1/2))
+        rate_micro_g = min(1e6, (target_rows * w_g * 1e6)
+                                  div (sum_h w_h * n_g))
+        keep(row)   <=> h48(salt || id) % 1e6 < rate_micro_g
+
+    so the EXPECTED kept rows total ~target_rows distributed
+    proportional to sqrt(n_g) — head groups capped, tails kept whole
+    (rate saturates at 1.0; the realized total then undershoots
+    target_rows, the standard behavior — re-normalizing against only
+    unsaturated groups is a fixed-point iteration real pipelines skip).
+
+    alpha is FIXED at 1/2 deliberately: IEEE sqrt is correctly rounded,
+    so Spark's and DuckDB's doubles agree bit-for-bit and the oracle is
+    exact (documented agreement bound n_g * 1e6 < 2^52, the isqrt
+    precedent); pow(x, 0.3) is NOT correctly rounded and may differ
+    between the engines' libm builds.  The division chain runs in
+    DECIMAL(38,0) (target * w * 1e6 reaches ~1e26 at real scale;
+    HUGEINT mirrors it in DuckDB) — both operands positive, so `div`
+    and `//` agree.  Membership is content-independent and monotone in
+    the rate, the same reproducibility contract as `mixture_sample`.
+
+    Output: surviving rows with `rate_micro` attached (the decision is
+    observable; groups at rate 1e6 pass whole).
+
+    Plan shape at 100 TB: one map-side-combinable group count, a 1-row
+    total broadcast, and one group-keyed join of the bounded rates
+    frame back to the corpus — pin_wide-pinned, since a derived
+    aggregate's size estimate is exactly what the r9 misplan class got
+    wrong.  The keep filter itself is row-local.
+    """
+    from apache_kafka_clickhouse_demo_spark.sources.tables import (
+        is_wide_source,
+        pin_wide,
+        spread_small,
+    )
+
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    base = spread_small(df)
+    counts = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = F.floor(F.sqrt(F.col("_n").cast("double") * 1_000_000.0)).cast("long")
+    weighted = counts.select(group_col, "_n", w.alias("_w"))
+    total = weighted.agg(F.sum("_w").cast("long").alias("_tw"))
+    rates = (
+        weighted.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rate_micro",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(
+                    f"CAST({int(target_rows)} AS DECIMAL(38,0)) * _w * 1000000"
+                    " div (CAST(_tw AS DECIMAL(38,0)) * _n)"
+                ).cast("long"),
+            ),
+        )
+        .select(group_col, "rate_micro")
+    )
+    joined = base.join(pin_wide(rates, is_wide_source(df)), group_col)
+    bucket = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    return joined.filter(bucket < F.col("rate_micro"))
+
+
 def diverse_sample(
     emb: DataFrame,
     n_per_cell: int,

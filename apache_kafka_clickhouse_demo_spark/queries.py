@@ -41,6 +41,7 @@ from apache_kafka_clickhouse_demo_spark.operators import (
     entry_pipeline,
     funnel,
     multimodal,
+    sampling,
     similarity,
     sketches,
     text_analysis,
@@ -3281,6 +3282,48 @@ def _synth_pii_text() -> "Column":
     return F.concat(base, email, ip, phone)
 
 
+TEMP_MIX_TARGET = 150
+
+
+def _synth_source() -> "Column":
+    """Deterministic skewed source labels over doc_id residues
+    (50/25/12.5/6.25/6.25) — the head-heavy mixture temperature
+    sampling exists to flatten.  Mirrored by _SQL_SYNTH_SOURCE."""
+    d = F.col("doc_id") % 16
+    return (
+        F.when(d < 8, F.lit("web"))
+        .when(d < 12, F.lit("books"))
+        .when(d < 14, F.lit("code"))
+        .when(d < 15, F.lit("wiki"))
+        .otherwise(F.lit("ref"))
+    )
+
+
+_SQL_SYNTH_SOURCE = """
+CASE WHEN doc_id % 16 < 8 THEN 'web'
+     WHEN doc_id % 16 < 12 THEN 'books'
+     WHEN doc_id % 16 < 14 THEN 'code'
+     WHEN doc_id % 16 < 15 THEN 'wiki'
+     ELSE 'ref' END
+"""
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture rebalancing (sampling.temperature_mixture,
+    alpha = 1/2 — the XLM-R/mT5 multilingual balancing recipe): rates
+    COMPUTED from per-source counts (sqrt-flattened, exact integer
+    division chain in DECIMAL(38,0)), then the deterministic h48
+    threshold keep.  Sources are a skewed synthetic split of doc_id
+    residues (the fixture has no source column)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_source().alias("source")
+    )
+    out = sampling.temperature_mixture(
+        docs, "source", TEMP_MIX_TARGET, "doc_id"
+    )
+    return out.select("source", "doc_id", "rate_micro").orderBy("doc_id")
+
+
 def _synth_gopher_text() -> "Column":
     """Deterministic Gopher-rule garnish over the fixture text (which has
     almost no stopwords, bullets, or symbol runs): residue classes vary
@@ -3823,6 +3866,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11: Gopher rule-based quality gate (Rae et al. 2021; the
     # rule filter RefinedWeb/FineWeb run before any learned classifier)
     "gopher_rules": q_gopher_rules,
+    # r11: temperature (alpha=1/2) mixture rebalancing — computes the
+    # per-source rates mixture_sample consumes, from corpus counts
+    "temperature_mixture": q_temperature_mixture,
     # rotated OUT of the gate in r11 for the persisted-index family
     # (bm25_indexed / phrase_indexed / ann_indexed / stream_index_bm25 —
     # VERDICT r10 #1); every operator they carried keeps >= 1 green gate
@@ -6024,6 +6070,27 @@ SELECT media_type, count(*) AS n_files,
        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        max(n_bytes) AS max_bytes
 FROM m GROUP BY media_type ORDER BY media_type
+""",
+        "temperature_mixture": f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_SYNTH_SOURCE} AS source FROM documents
+), c AS (
+  SELECT source, count(*) AS n FROM s GROUP BY source
+), w AS (
+  SELECT source, n, CAST(floor(sqrt(n * 1000000.0)) AS BIGINT) AS w FROM c
+), t AS (
+  SELECT sum(w) AS tw FROM w
+), r AS (
+  SELECT source,
+         least(CAST(1000000 AS BIGINT),
+               CAST(CAST({TEMP_MIX_TARGET} AS HUGEINT) * w * 1000000
+                    // (CAST(tw AS HUGEINT) * n) AS BIGINT)) AS rate_micro
+  FROM w, t
+)
+SELECT s.source, s.doc_id, r.rate_micro
+FROM s JOIN r USING (source)
+WHERE {H.sql_h48("'temp:' || CAST(s.doc_id AS VARCHAR)")} % 1000000 < r.rate_micro
+ORDER BY s.doc_id
 """,
         "gopher_rules": f"""
 WITH g AS (
