@@ -212,3 +212,69 @@ def test_diverse_sample_caps_head_cluster(spark):
     # deterministic: a second run returns the identical sample
     again = diverse_sample(emb, n_per_cell=2, target_centroids=4).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_temperature_mixture_flattens_head_and_saturates_tail(spark):
+    """alpha=1/2 rebalancing: the head group's rate is capped below the
+    tail's, tiny groups saturate at rate 1e6 and pass WHOLE, and the
+    per-group rates match the documented integer formula exactly."""
+    import math
+
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "head") for i in range(800)]
+        + [(1000 + i, "mid") for i in range(160)]
+        + [(2000 + i, "tiny") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    target = 200
+    out = temperature_mixture(df, "source", target, "doc_id").collect()
+
+    counts = {"head": 800, "mid": 160, "tiny": 8}
+    w = {g: math.isqrt(n * 1_000_000) for g, n in counts.items()}
+    tw = sum(w.values())
+    want_rate = {
+        g: min(1_000_000, target * w[g] * 1_000_000 // (tw * n))
+        for g, n in counts.items()
+    }
+    got_rate = {r["source"]: r["rate_micro"] for r in out}
+    assert got_rate == want_rate
+    # sqrt flattening: head keep-RATE strictly below tail's saturated 1.0
+    assert want_rate["head"] < want_rate["mid"] < want_rate["tiny"] == 1_000_000
+    kept = {g: sum(1 for r in out if r["source"] == g) for g in counts}
+    assert kept["tiny"] == 8  # saturated group passes whole
+    # expected counts ~ target * w_g / tw; h48 thresholding is unbiased,
+    # allow wide slack at this tiny n
+    assert 0 < kept["head"] < counts["head"]
+
+
+def test_temperature_mixture_membership_is_stable_under_growth(spark):
+    """Adding rows to OTHER groups never swaps a group's kept members
+    when its own rate does not decrease (monotone threshold contract —
+    here 'tiny' stays saturated, so its members are identical)."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    small = [(i, "big") for i in range(100)] + [(900 + i, "tiny") for i in range(4)]
+    grown = small + [(5000 + i, "new") for i in range(100)]
+    k1 = {
+        r["doc_id"]
+        for r in temperature_mixture(
+            spark.createDataFrame(small, "doc_id long, source string"),
+            "source", 50, "doc_id",
+        ).collect()
+        if r["source"] == "tiny"
+    }
+    k2 = {
+        r["doc_id"]
+        for r in temperature_mixture(
+            spark.createDataFrame(grown, "doc_id long, source string"),
+            "source", 50, "doc_id",
+        ).collect()
+        if r["source"] == "tiny"
+    }
+    assert k1 == k2 == {900, 901, 902, 903}
