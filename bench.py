@@ -165,6 +165,8 @@ HEADLINE = [
     "margin_bitext",
     # r11: Gopher rule-based quality gate (row-local codegen projection)
     "gopher_rules",
+    # r11: temperature (alpha=1/2) mixture rebalancing
+    "temperature_mixture",
 ]
 
 

@@ -52,6 +52,7 @@ _NESTED_LOOP_OK = {
     "q22_global_sales_opportunity",  # customers x broadcast(1-row sum/count agg); same scalar-threshold class
     "bm25_search",  # matched (doc, term) rows x broadcast(1-row N/TOT corpus agg); same class as tfidf_top_terms
     "bm25_indexed",  # same scoring join (shared bm25_score_topk) fed from pruned posting reads
+    "temperature_mixture",  # per-group weights x broadcast(1-row weight-total agg); same class as tfidf_top_terms
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

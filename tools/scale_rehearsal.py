@@ -145,6 +145,8 @@ FAMILIES = [
     "margin_bitext",
     # r11: Gopher rules (row-local regex-count projection; scan-bound)
     "gopher_rules",
+    # r11: temperature mixture (one group count + bounded rates join)
+    "temperature_mixture",
 ]
 
 PASSES = 2
