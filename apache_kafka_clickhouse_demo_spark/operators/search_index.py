@@ -410,6 +410,59 @@ def phrase_lookup(
 ANN_CENT_SHARD = "cent"
 
 
+def _ann_nulls() -> dict:
+    return {
+        "vid": F.lit(None).cast("long"),
+        "nv": F.lit(None).cast("array<double>"),
+        "cv": F.lit(None).cast("array<double>"),
+        "n_vecs": F.lit(None).cast("long"),
+        "n_shards": F.lit(None).cast("long"),
+    }
+
+
+def _ann_segment_frames(
+    assign: DataFrame, counted: DataFrame, n_shards: int, cents: DataFrame | None
+) -> DataFrame:
+    """One ANN segment as a single frame: assignment rows + this
+    segment's meta row, plus the centroid rows when `cents` is given
+    (creation only — centroids are FIXED at creation, extensions never
+    add or move them)."""
+    nulls = _ann_nulls()
+    arows = assign.select(
+        F.concat(F.lit("v"), (F.col("cent_id") % n_shards).cast("string")).alias(
+            "shard"
+        ),
+        F.col("cent_id").cast("long").alias("cent_id"),
+        F.col("vid").cast("long").alias("vid"),
+        F.col("nv").alias("nv"),
+        nulls["cv"].alias("cv"),
+        nulls["n_vecs"].alias("n_vecs"),
+        nulls["n_shards"].alias("n_shards"),
+    )
+    meta = counted.agg(F.count(F.lit(1)).cast("long").alias("n_vecs")).select(
+        F.lit(META_SHARD).alias("shard"),
+        F.lit(None).cast("long").alias("cent_id"),
+        nulls["vid"].alias("vid"),
+        nulls["nv"].alias("nv"),
+        nulls["cv"].alias("cv"),
+        "n_vecs",
+        F.lit(int(n_shards)).cast("long").alias("n_shards"),
+    )
+    out = arows.unionByName(meta)
+    if cents is not None:
+        crows = cents.select(
+            F.lit(ANN_CENT_SHARD).alias("shard"),
+            F.col("cent_id").cast("long").alias("cent_id"),
+            nulls["vid"].alias("vid"),
+            nulls["nv"].alias("nv"),
+            F.col("cv").alias("cv"),
+            nulls["n_vecs"].alias("n_vecs"),
+            nulls["n_shards"].alias("n_shards"),
+        )
+        out = out.unionByName(crows)
+    return out
+
+
 def build_ann_index(
     emb: DataFrame,
     path: str,
@@ -419,25 +472,34 @@ def build_ann_index(
     id_col: str = "vec_id",
     salt: str = "ivf:",
     corpus_count: int | None = None,
+    txn: str | None = None,
 ) -> TransactionalTable:
     """Persist the IVF structure once — centroids + normalized cell
     assignments — so ANN queries against a SERVING corpus read only
     their probed cells instead of re-quantizing 100 TB per query batch.
     Same quantizer as `similarity.ivf_topk`/`dedup.semantic_dedup`
     (`ivf_quantize`, shared by import), so the stored index answers
-    bit-identically to the scan path (test contract).
+    bit-identically to the scan path (test contract).  Grow it later
+    with `extend_ann_index` (or continuously with
+    `streaming.stateful.ann_index_stream`).
 
     Layout (one atomic CAS commit at version 0, build-once like the
-    term index's segment 0):
+    term index's segment 0; `txn` stamps the commit for the streaming
+    twin's exactly-once replay check):
 
         shard = "v<cent_id % n_shards>"  assignment rows
                                          (cent_id, vid, nv)
         shard = "cent"                   centroid rows (cent_id, cv)
-        shard = "m"                      1 meta row (n_vecs, n_shards)
+        shard = "m"                      one meta row PER SEGMENT
+                                         (n_vecs, n_shards — summed at
+                                         read like the term index's)
 
     Cells bucket into shards (`shards_for_store` on the corpus row
     count) so directory count stays object-store-friendly while a
-    probe still reads O(nprobe) shards per query batch.
+    probe still reads O(nprobe) shards per query batch.  Pass the
+    EVENTUAL corpus size as `corpus_count`/`expected` sizing when the
+    index will grow — both the shard modulus and the centroid set are
+    fixed at creation.
     """
     from apache_kafka_clickhouse_demo_spark.operators.similarity import (
         ivf_quantize,
@@ -451,53 +513,97 @@ def build_ann_index(
             corpus_count = emb.count()
         n_shards = shards_for_store(corpus_count)
 
-    nulls = {
-        "vid": F.lit(None).cast("long"),
-        "nv": F.lit(None).cast("array<double>"),
-        "cv": F.lit(None).cast("array<double>"),
-        "n_vecs": F.lit(None).cast("long"),
-        "n_shards": F.lit(None).cast("long"),
-    }
-    arows = assign.select(
-        F.concat(F.lit("v"), (F.col("cent_id") % n_shards).cast("string")).alias(
-            "shard"
-        ),
-        F.col("cent_id").cast("long").alias("cent_id"),
-        F.col("vid").cast("long").alias("vid"),
-        F.col("nv").alias("nv"),
-        nulls["cv"].alias("cv"),
-        nulls["n_vecs"].alias("n_vecs"),
-        nulls["n_shards"].alias("n_shards"),
-    )
-    crows = cents.select(
-        F.lit(ANN_CENT_SHARD).alias("shard"),
-        F.col("cent_id").cast("long").alias("cent_id"),
-        nulls["vid"].alias("vid"),
-        nulls["nv"].alias("nv"),
-        F.col("cv").alias("cv"),
-        nulls["n_vecs"].alias("n_vecs"),
-        nulls["n_shards"].alias("n_shards"),
-    )
-    meta = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs")).select(
-        F.lit(META_SHARD).alias("shard"),
-        F.lit(None).cast("long").alias("cent_id"),
-        nulls["vid"].alias("vid"),
-        nulls["nv"].alias("nv"),
-        nulls["cv"].alias("cv"),
-        "n_vecs",
-        F.lit(int(n_shards)).cast("long").alias("n_shards"),
-    )
     table = TransactionalTable(path)
     if table.version() >= 0:
         raise ValueError(
             f"ANN index at {path} already built (version {table.version()}); "
-            "rebuild into a fresh path"
+            "grow it with extend_ann_index, or rebuild into a fresh path"
         )
     table.append(
-        arows.unionByName(crows).unionByName(meta),
+        _ann_segment_frames(assign, emb, n_shards, cents),
         partition_by="shard",
         cas_version=-1,
+        txn=txn,
     )
+    return table
+
+
+def ann_index_meta(
+    spark: SparkSession, table: TransactionalTable, version: int | None = None
+) -> tuple[int, int]:
+    """(n_vecs, n_shards) corpus stats: n_vecs SUMS the per-segment meta
+    rows (the term index's merge-on-read algebra); n_shards is invariant
+    across segments by construction and min==max is checked DRIVER-side
+    (this is a driver lookup, so the check cannot be pruned away)."""
+    row = (
+        table.read_where(spark, "shard", [META_SHARD], version=version)
+        .agg(
+            F.sum("n_vecs").alias("nv"),
+            F.min("n_shards").alias("mn"),
+            F.max("n_shards").alias("mx"),
+        )
+        .first()
+    )
+    if row["mn"] != row["mx"]:
+        raise ValueError(
+            f"{table.path}: ANN index meta rows disagree on n_shards "
+            f"({row['mn']} != {row['mx']}) — corrupted store"
+        )
+    return int(row["nv"]), int(row["mn"])
+
+
+def extend_ann_index(
+    emb: DataFrame,
+    table: TransactionalTable,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "ivf:",
+    txn: str | None = None,
+) -> TransactionalTable:
+    """Append a segment of NEW vectors to an existing ANN index — the
+    term index's Lucene-segment model on the embedding side: new vectors
+    are assigned against the STORED centroids (read at one pinned
+    version, with the stored shard modulus — the term-index
+    stored-modulus rule), and the segment publishes its assignment rows
+    plus its own meta row in one atomic commit.
+
+    Contract: each vec_id appears in exactly ONE segment (append-only
+    corpus; dedupe upstream).  Centroids are FIXED at creation — the
+    IVF contract: extension assigns, it never re-trains, so cell
+    balance (and recall) degrade as the corpus drifts from the founding
+    segment's distribution.  That trade is stated, not hidden: a real
+    serving pipeline rebuilds into a fresh path on a schedule, and the
+    fixed-centroid semantics are exactly SQL-expressible, so the grown
+    index stays ORACLE-exact (extra `ann_indexed_grown`).
+
+    Assignment runs the same one-hop / two-level split as the shared
+    quantizer (two-level above `similarity._TWO_LEVEL_MIN_CENTROIDS`,
+    bit-identical by the pinned equality tests); K comes from the
+    bounded centroid table (one bounded count — the centroid set is
+    broadcastable by construction).
+    """
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+    from apache_kafka_clickhouse_demo_spark.operators import similarity as _S
+
+    spark = emb.sparkSession
+    pin = table.version()
+    _, n_shards = ann_index_meta(spark, table, version=pin)
+    cents = table.read_where(
+        spark, "shard", [ANN_CENT_SHARD], version=pin
+    ).select("cent_id", "cv")
+    vecs = spread_small(emb).select(
+        F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
+    )
+    k = cents.count()  # bounded: the centroid table is fixed-size
+    if k > _S._TWO_LEVEL_MIN_CENTROIDS:
+        assign = _S._assign_two_level(vecs, cents, k, salt)
+    else:
+        assign = _S._assign_one_hop(vecs, cents)
+    seg = _ann_segment_frames(assign, emb, n_shards, None)
+    if txn is not None:
+        table.append_once(seg, txn=txn, partition_by="shard")
+    else:
+        table.append(seg, partition_by="shard")
     return table
 
 
@@ -529,8 +635,10 @@ def ann_index_lookup(
 
     if version is None:
         version = table.version()
-    meta = table.read_where(spark, "shard", [META_SHARD], version=version).first()
-    n_shards = int(meta["n_shards"])
+    # ann_index_meta, not a bare .first(): a GROWN index holds one meta
+    # row per segment — n_shards is the checked invariant, never the
+    # first row that happens to come back
+    _, n_shards = ann_index_meta(spark, table, version=version)
     cents = table.read_where(
         spark, "shard", [ANN_CENT_SHARD], version=version
     ).select("cent_id", "cv")

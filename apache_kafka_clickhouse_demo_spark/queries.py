@@ -3443,6 +3443,81 @@ def q_phrase_indexed(spark, sf_dir):
     return SI.phrase_lookup(spark, table, PHRASES).orderBy("phrase_id", "doc_id")
 
 
+ANN_GROWN_FOUNDING_PRED = "vec_id % 4 <> 3"  # founding segment: 75%
+
+
+def q_ann_indexed_grown(spark, sf_dir):
+    """GROWN persisted ANN index (search_index.extend_ann_index): build
+    on the founding 75% of the corpus, extend with the remaining 25% as
+    a second segment (fixed centroids, per-segment meta rows summed at
+    read), then answer the standard query batch through pruned probe
+    reads.  The oracle mirrors the FIXED-CENTROID semantics exactly:
+    centroids hash-sampled from the founding segment only, every vector
+    (both segments) assigned against them — extend never re-trains, the
+    honest IVF trade stated in the operator docstring."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+
+    emb = _t(spark, sf_dir, "embeddings")
+    founding = emb.filter(F.expr(ANN_GROWN_FOUNDING_PRED))
+    growth = emb.filter(~F.expr(ANN_GROWN_FOUNDING_PRED))
+    work = _workdir("ann_grown_")
+    table = SI.build_ann_index(
+        founding,
+        f"{work}/ann",
+        target_centroids=IVF_TARGET_CENTROIDS,
+        salt=IVF_SALT,
+    )
+    SI.extend_ann_index(growth, table, salt=IVF_SALT)
+    return SI.ann_index_lookup(
+        spark,
+        table,
+        emb.filter(F.col("vec_id") < ANN_NUM_QUERIES),
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    ).orderBy("query_id", "rank")
+
+
+def q_stream_index_ann(spark, sf_dir):
+    """Continuously indexed embedding corpus (streaming.stateful.
+    ann_index_stream): block 0 FOUNDS the index (centroids sampled from
+    it), blocks 1-3 extend it as exactly-once segments; the accumulated
+    index answers the standard batch verbatim — oracle shared with
+    ann_indexed_grown (same founding split, same fixed-centroid
+    semantics)."""
+    import os
+
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _AnnIndexStreamWriter,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = _workdir("stream_ann_")
+    writer = _AnnIndexStreamWriter(
+        spark,
+        f"{work}/ann",
+        writer_id=os.path.join(work, "ck"),
+        target_centroids=IVF_TARGET_CENTROIDS,
+        salt=IVF_SALT,
+    )
+    # block 0 = the founding segment; blocks 1-3 split the growth rows
+    # (driver-side foreachBatch drain, the checkpointed-stream twin is
+    # exercised end-to-end by tests/test_streaming_stateful.py)
+    writer.process(emb.filter(F.expr(ANN_GROWN_FOUNDING_PRED)), 0)
+    growth = emb.filter(~F.expr(ANN_GROWN_FOUNDING_PRED))
+    for i in range(3):
+        writer.process(growth.filter(F.col("vec_id") % 3 == i), i + 1)
+    table = TransactionalTable(f"{work}/ann")
+    return SI.ann_index_lookup(
+        spark,
+        table,
+        emb.filter(F.col("vec_id") < ANN_NUM_QUERIES),
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    ).orderBy("query_id", "rank")
+
+
 def q_ann_indexed(spark, sf_dir):
     """IVF ANN over the persisted index (search_index.build_ann_index +
     ann_index_lookup): centroids + normalized assignments stored once,
@@ -3869,6 +3944,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11: temperature (alpha=1/2) mixture rebalancing — computes the
     # per-source rates mixture_sample consumes, from corpus counts
     "temperature_mixture": q_temperature_mixture,
+    # r11: grown + streamed ANN index segments (the term index's
+    # Lucene-segment model on the embedding side; fixed centroids)
+    "ann_indexed_grown": q_ann_indexed_grown,
+    "stream_index_ann": q_stream_index_ann,
     # rotated OUT of the gate in r11 for the persisted-index family
     # (bm25_indexed / phrase_indexed / ann_indexed / stream_index_bm25 —
     # VERDICT r10 #1); every operator they carried keeps >= 1 green gate
@@ -4228,23 +4307,33 @@ ORDER BY query_id, rank
 """
 
 
-def _sql_ivf_quantizer(id_alias: str, centroids_sql: str | None = None) -> str:
+def _sql_ivf_quantizer(
+    id_alias: str,
+    centroids_sql: str | None = None,
+    cent_source_pred: str | None = None,
+) -> str:
     """Shared nemb/cents/assign CTE text mirroring `similarity.ivf_quantize`
     (same modulus, sample predicate, and argmax tie-break) — used by BOTH
     the IVF ANN oracle and the SemDeDup oracle so the SQL mirrors cannot
     drift any more than the Spark operators can.  `centroids_sql` defaults
     to the fixed {IVF_TARGET_CENTROIDS} the ANN query passes explicitly;
     the SemDeDup oracle passes the isqrt(n) self-derivation instead
-    (floor(sqrt(n)) in doubles == math.isqrt(n) for every n < 2^52)."""
+    (floor(sqrt(n)) in doubles == math.isqrt(n) for every n < 2^52).
+    `cent_source_pred` restricts BOTH the modulus population and the
+    centroid sample to a sub-corpus — the grown-index oracle's founding
+    segment (extend_ann_index's fixed-centroid semantics: centroids come
+    only from the segment the index was created on)."""
     norm = V.sql_normalize("embedding", EMBED_DIM)
     if centroids_sql is None:
         centroids_sql = str(IVF_TARGET_CENTROIDS)
+    src = cent_source_pred or "TRUE"
     modulus = (
-        f"greatest(1, CAST((SELECT count(*) FROM embeddings) AS BIGINT)"
+        f"greatest(1, CAST((SELECT count(*) FROM embeddings WHERE {src}) AS BIGINT)"
         f" // ({centroids_sql}))"
     )
     cent_pred = (
         f"({H.sql_h48(f'{IVF_SALT!r} || CAST(vec_id AS VARCHAR)')} % {modulus}) = 0"
+        f" AND ({src})"
     )
     return f"""nemb AS (
   SELECT vec_id, {norm} AS nv FROM embeddings
@@ -4282,13 +4371,14 @@ ORDER BY vec_id
 """
 
 
-def _oracle_ann_ivf() -> str:
+def _oracle_ann_ivf(cent_source_pred: str | None = None) -> str:
     """Mirror of similarity.ivf_topk: the shared IVF quantizer CTEs
     (`_sql_ivf_quantizer` — same modulus, sample, and tie-break as the
     Spark `ivf_quantize`), then the same nprobe probe and normalized-dot
-    rerank."""
+    rerank.  `cent_source_pred` is the grown-index variant: centroids
+    sampled from the founding segment only (extend_ann_index)."""
     return f"""
-WITH {_sql_ivf_quantizer('neighbor_id')}, probes AS (
+WITH {_sql_ivf_quantizer('neighbor_id', cent_source_pred=cent_source_pred)}, probes AS (
   SELECT query_id, qn, cent_id FROM (
     SELECT q.vec_id AS query_id, q.nv AS qn, c.cent_id,
            row_number() OVER (PARTITION BY q.vec_id
@@ -6170,6 +6260,12 @@ FROM s ORDER BY doc_id
     # the persisted-IVF path shares quantizer + probe/rerank with the
     # scan-based ivf_topk — one oracle for both
     sqls["ann_indexed"] = sqls["ann_ivf_topk"]
+    # grown/streamed index: fixed-centroid semantics — centroids sampled
+    # from the founding segment only, all vectors assigned against them
+    sqls["ann_indexed_grown"] = _oracle_ann_ivf(
+        cent_source_pred=ANN_GROWN_FOUNDING_PRED
+    )
+    sqls["stream_index_ann"] = sqls["ann_indexed_grown"]
     return sqls
 
 

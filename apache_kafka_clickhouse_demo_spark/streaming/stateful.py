@@ -1578,3 +1578,128 @@ def term_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class _AnnIndexStreamWriter:
+    """foreachBatch body for `ann_index_stream`: a continuously indexed
+    EMBEDDING corpus — the ANN twin of `_TermIndexStreamWriter`.
+
+    The first non-empty batch CREATES the index (it is the founding
+    segment: the IVF centroids are hash-sampled from it by the shared
+    quantizer, sized by `target_centroids`); every later batch is one
+    `extend_ann_index` segment assigned against those FIXED centroids.
+    Both paths publish through batch-keyed commits, so a retried batch
+    can never double-publish its meta row: creation stamps the txn into
+    its CAS commit (crash AFTER the commit -> the replay's txn check
+    no-ops; two concurrent creators -> one loses the CAS), extension
+    goes through `append_once`.
+
+    Contracts inherited from the batch API: each vec_id arrives ONCE
+    across the stream's lifetime (dedupe upstream); centroids are fixed
+    at creation, so recall over a drifting corpus degrades and a real
+    deployment rebuilds on a schedule — the honest IVF trade, stated in
+    `extend_ann_index`.  `n_shards` only seeds creation; an EXISTING
+    index's stored modulus and centroids are always adopted (the
+    term-index stored-modulus rule).
+    """
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        writer_id: str,
+        target_centroids: int | None = None,
+        n_shards: int | None = None,
+        expected_corpus_rows: int | None = None,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        salt: str = "ivf:",
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+        self.spark = spark
+        self.table = TransactionalTable(index_dir)
+        self.writer_id = writer_id
+        self.target_centroids = target_centroids
+        self.expected_corpus_rows = expected_corpus_rows
+        if expected_corpus_rows is not None and n_shards is None:
+            n_shards = shards_for_store(expected_corpus_rows)
+        self.n_shards = n_shards
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.salt = salt
+
+    def maintain(self) -> None:
+        """Compact to one file per shard + bound the log (the standard
+        stream-store maintenance contract)."""
+        self.table.optimize(self.spark, partition_by="shard")
+        self.table.checkpoint(compact_txn_watermarks=True)
+        self.table.prune_log()
+        self.table.vacuum()
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+
+        txn = f"{self.writer_id}:{batch_id}"
+        if self.table.txn_committed(txn):
+            return  # committed replay: no-op, no jobs
+        if block.isEmpty():
+            return  # idle trigger: publish nothing (the term-index rule)
+        if self.table.version() < 0:
+            SI.build_ann_index(
+                block,
+                self.table.path,
+                target_centroids=self.target_centroids,
+                n_shards=self.n_shards,
+                vec_col=self.vec_col,
+                id_col=self.id_col,
+                salt=self.salt,
+                corpus_count=self.expected_corpus_rows,
+                txn=txn,
+            )
+        else:
+            SI.extend_ann_index(
+                block,
+                self.table,
+                vec_col=self.vec_col,
+                id_col=self.id_col,
+                salt=self.salt,
+                txn=txn,
+            )
+
+
+def ann_index_stream(
+    spark,
+    source: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    target_centroids: int | None = None,
+    expected_corpus_rows: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "ivf:",
+):
+    """Continuously indexed embedding corpus: the streaming twin of
+    `search_index.build_ann_index`/`extend_ann_index` — the first block
+    founds the index (fixed centroids), every later block is one atomic
+    segment, and `ann_index_lookup` answers at any committed version.
+    `expected_corpus_rows` sizes the shard modulus for the corpus the
+    stream will accumulate (`shards_for_store`); `target_centroids`
+    sizes the centroid sample taken from the FOUNDING block."""
+    writer = _AnnIndexStreamWriter(
+        spark,
+        index_dir,
+        writer_id=checkpoint,
+        target_centroids=target_centroids,
+        expected_corpus_rows=expected_corpus_rows,
+        vec_col=vec_col,
+        id_col=id_col,
+        salt=salt,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

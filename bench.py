@@ -167,6 +167,9 @@ HEADLINE = [
     "gopher_rules",
     # r11: temperature (alpha=1/2) mixture rebalancing
     "temperature_mixture",
+    # r11: grown + streamed ANN index segments
+    "ann_indexed_grown",
+    "stream_index_ann",
 ]
 
 

@@ -33,6 +33,8 @@ _SKIP = {
     "stream_index_bm25",  # streaming drain (feed -> index segments); lookup plan linted via bm25_indexed
     "phrase_indexed",  # builds+commits the index at query build; scan twin (phrase_search) is linted
     "ann_indexed",  # builds+commits the IVF index at query build; scan twin (ann_ivf_topk) is linted
+    "ann_indexed_grown",  # same: builds + extends the IVF index at query build
+    "stream_index_ann",  # streaming drain (feed -> ANN segments); lookup plan linted via ann_ivf_topk
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):

@@ -84,6 +84,11 @@ EXECUTING = {
     # builds + commits the persisted IVF index at query build; scan twin
     # (ann_ivf_topk) is swept, bit-identity pinned
     "ann_indexed",
+    # builds + extends the IVF index at query build (grown-index form)
+    "ann_indexed_grown",
+    # streaming drain (feed -> ANN segments); fixed-centroid lookup
+    # plan swept via ann_ivf_topk
+    "stream_index_ann",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

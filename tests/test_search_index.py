@@ -313,3 +313,85 @@ def test_time_travel_reads_pre_extension_snapshot(spark, tmp_path):
     assert len(now) == 3 and len(at_v0) == 2
     meta_v0 = SI.index_meta(spark, table, version=0).first()
     assert (meta_v0["n_docs"], meta_v0["tot_tokens"]) == (2, 4)
+
+
+def _emb_fixture(spark, n=40, dim=8):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_extend_ann_index_fixed_centroid_equivalence(spark, tmp_path):
+    """GROWN index (build A + extend B) answers identically to a lookup
+    over the SAME index before/after manual reconstruction of its
+    semantics: every vector assigned against the FOUNDING segment's
+    centroids.  Verified against a direct one-hop assignment of A union B
+    to the stored centroids (the operator's stated contract), plus the
+    segment-meta algebra (n_vecs sums, n_shards invariant)."""
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+    from apache_kafka_clickhouse_demo_spark.operators import similarity as SIM
+
+    emb = _emb_fixture(spark)
+    a = emb.filter(F.col("vec_id") % 4 != 3)
+    b = emb.filter(F.col("vec_id") % 4 == 3)
+    table = SI.build_ann_index(a, str(tmp_path / "ann"), target_centroids=8, n_shards=4)
+    SI.extend_ann_index(b, table)
+
+    n_vecs, n_shards = SI.ann_index_meta(spark, table)
+    assert (n_vecs, n_shards) == (40, 4)
+
+    cents = table.read_where(spark, "shard", ["cent"]).select("cent_id", "cv")
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), V.normalize("embedding").alias("nv")
+    )
+    want = {
+        r["vid"]: r["cent_id"]
+        for r in SIM._assign_one_hop(vecs, cents).collect()
+    }
+    stored = {
+        r["vid"]: r["cent_id"]
+        for r in table.read(spark)
+        .filter(F.col("shard").startswith("v"))
+        .select("vid", "cent_id")
+        .collect()
+    }
+    assert stored == want
+
+    # time travel: version 0 is the founding segment alone
+    n0, _ = SI.ann_index_meta(spark, table, version=0)
+    assert n0 == 30
+    q = emb.filter(F.col("vec_id") < 4)
+    at_v0 = SI.ann_index_lookup(spark, table, q, k=3, nprobe=2, version=0)
+    ids_v0 = {r["neighbor_id"] for r in at_v0.collect()}
+    assert all(i % 4 != 3 for i in ids_v0)  # growth rows invisible at v0
+
+
+def test_ann_index_meta_invariant_raises_on_corruption(spark, tmp_path):
+    import pytest
+
+    emb = _emb_fixture(spark, n=12)
+    table = SI.build_ann_index(
+        emb, str(tmp_path / "ann"), target_centroids=4, n_shards=4
+    )
+    # hand-corrupt: a second meta row with a different modulus
+    bad = (
+        table.read_where(spark, "shard", ["m"])
+        .withColumn("n_shards", F.lit(8).cast("long"))
+    )
+    table.append(bad, partition_by="shard")
+    with pytest.raises(ValueError, match="disagree"):
+        SI.ann_index_meta(spark, table)
+
+
+def test_extend_ann_index_txn_replay_is_noop(spark, tmp_path):
+    emb = _emb_fixture(spark, n=20)
+    a = emb.filter(F.col("vec_id") < 15)
+    b = emb.filter(F.col("vec_id") >= 15)
+    table = SI.build_ann_index(a, str(tmp_path / "ann"), target_centroids=4, n_shards=4)
+    SI.extend_ann_index(b, table, txn="w:1")
+    v = table.version()
+    SI.extend_ann_index(b, table, txn="w:1")  # replay: no-op
+    assert table.version() == v
+    assert SI.ann_index_meta(spark, table)[0] == 20

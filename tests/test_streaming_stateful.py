@@ -1289,3 +1289,108 @@ def test_query_tokenization_matches_engine_whitespace_rule(spark, tmp_path):
     table = SI.build_term_index(docs, str(tmp_path / "idx"), n_shards=16)
     hits = SI.bm25_lookup(spark, table, [(0, nb)], k=5).collect()
     assert [r["doc_id"] for r in hits] == [1]
+
+
+def test_ann_index_stream_writer_founds_then_extends(spark, tmp_path):
+    """_AnnIndexStreamWriter: block 0 founds the index (centroids from
+    it, modulus stored), later blocks extend against those FIXED
+    centroids; replays and empty batches publish nothing; a writer
+    pointed at an EXISTING index extends instead of re-founding."""
+    import random
+
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _AnnIndexStreamWriter,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    w = _AnnIndexStreamWriter(
+        spark, str(tmp_path / "ann"), writer_id="s", target_centroids=6
+    )
+    b0 = emb.filter(F.col("vec_id") < 20)
+    b1 = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 25))
+    w.process(b0, 0)
+    cents_after_found = sorted(
+        r["cent_id"]
+        for r in w.table.read_where(spark, "shard", ["cent"]).collect()
+    )
+    w.process(b0, 0)  # committed replay: no-op
+    w.process(b0.filter("vec_id < 0"), 1)  # empty block: no-op
+    v = w.table.version()
+    w.process(b1, 2)
+    assert w.table.version() == v + 1
+    assert SI.ann_index_meta(spark, w.table)[0] == 25
+
+    # a SECOND writer over the existing index must extend, not re-found:
+    # centroid set unchanged, its block lands as one more segment
+    w2 = _AnnIndexStreamWriter(
+        spark, str(tmp_path / "ann"), writer_id="s2", target_centroids=2
+    )
+    w2.process(emb.filter(F.col("vec_id") >= 25), 0)
+    cents_after = sorted(
+        r["cent_id"]
+        for r in w2.table.read_where(spark, "shard", ["cent"]).collect()
+    )
+    assert cents_after == cents_after_found
+    assert SI.ann_index_meta(spark, w2.table)[0] == 30
+
+    # maintenance compacts without changing answers
+    before = sorted(
+        tuple(r)
+        for r in SI.ann_index_lookup(
+            spark, w2.table, emb.filter(F.col("vec_id") < 3), k=3, nprobe=2
+        ).collect()
+    )
+    w2.maintain()
+    after = sorted(
+        tuple(r)
+        for r in SI.ann_index_lookup(
+            spark, w2.table, emb.filter(F.col("vec_id") < 3), k=3, nprobe=2
+        ).collect()
+    )
+    assert before == after and len(before) > 0
+
+
+def test_ann_index_stream_checkpointed_drain(spark, tmp_path):
+    """End-to-end checkpointed ann_index_stream over a file feed: the
+    accumulated index answers exactly as a manual found+extend over the
+    same blocks (exactly-once segments through the real foreachBatch
+    machinery)."""
+    import random
+
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        ann_index_stream,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    feed = str(tmp_path / "feed")
+    emb.repartition(1).write.parquet(feed)
+
+    src = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(feed)
+    q = ann_index_stream(
+        spark,
+        src,
+        index_dir=str(tmp_path / "ann"),
+        checkpoint=str(tmp_path / "ck"),
+        target_centroids=5,
+    )
+    q.awaitTermination(120)
+
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+    table = TransactionalTable(str(tmp_path / "ann"))
+    assert SI.ann_index_meta(spark, table)[0] == 24
+    got = SI.ann_index_lookup(
+        spark, table, emb.filter(F.col("vec_id") < 3), k=3, nprobe=2
+    ).collect()
+    assert len(got) == 9

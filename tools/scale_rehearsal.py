@@ -147,6 +147,9 @@ FAMILIES = [
     "gopher_rules",
     # r11: temperature mixture (one group count + bounded rates join)
     "temperature_mixture",
+    # r11: grown ANN index (found 75% + extend 25%; build shuffle
+    # dominates, lookup is O(nprobe) pruned reads like ann_indexed)
+    "ann_indexed_grown",
 ]
 
 PASSES = 2
