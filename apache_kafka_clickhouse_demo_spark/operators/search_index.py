@@ -607,6 +607,15 @@ def extend_ann_index(
     return table
 
 
+def maintain_ann_index(spark: SparkSession, table: TransactionalTable) -> int:
+    """Compact a many-segment ANN index back to one file per shard —
+    `maintain_term_index`'s exact contract on the embedding side (each
+    extension leaves one file per touched cell shard; pruned probe reads
+    pay O(segments) files until maintenance).  Per-segment meta rows are
+    ordinary rows: preserved by the rewrite, merged only at read."""
+    return table.optimize(spark, partition_by="shard")
+
+
 def ann_index_lookup(
     spark: SparkSession,
     table: TransactionalTable,
