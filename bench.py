@@ -282,6 +282,11 @@ BASELINE_SEC = {
     "pair_cosine_filter": 0.793,
     "url_blocklist": 1.895,
     "margin_bitext": 1.692,
+    # r11 trend starts (first BENCH_LOCAL records, quiet box)
+    "gopher_rules": 0.540,
+    "temperature_mixture": 0.344,
+    "ann_indexed_grown": 2.668,
+    "stream_index_ann": 4.327,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
