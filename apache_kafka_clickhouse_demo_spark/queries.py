@@ -3630,6 +3630,49 @@ def q_url_dedup(spark, sf_dir):
     return dedup.url_dedup(docs).orderBy("doc_id")
 
 
+def q_stream_domain_cap(spark, sf_dir):
+    """Streaming per-domain quota (stateful.domain_cap_stream): four
+    id-ordered blocks; each keeps a domain's rows only while the
+    accumulated per-domain counter (shard-pruned transactional store,
+    merge-on-read sums) stays under the cap, emitting the global
+    domain_rank.  On the id-ordered feed this equals the batch operator
+    exactly, so the oracle is domain_cap's lowest-ids-per-domain SQL
+    verbatim."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        domain_cap_stream,
+    )
+
+    work = _workdir("stream_domcap_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url")
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    blk = (
+        F.when(F.col("doc_id") <= (hi * 1) // 4, 0)
+        .when(F.col("doc_id") <= (hi * 2) // 4, 1)
+        .when(F.col("doc_id") <= (hi * 3) // 4, 2)
+        .otherwise(3)
+    )
+    _write_feed_blocks(docs, work, blk)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = domain_cap_stream(
+        spark,
+        src,
+        out_dir=f"{work}/kept",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        cap=DOMAIN_CAP_K,
+        out_files=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{work}/kept").orderBy("doc_id")
+
+
 def q_stream_url_dedup(spark, sf_dir):
     """Streaming URL-level dedup (stateful.url_dedup_stream): the doc
     feed arrives as four id-ordered blocks; each block canonicalizes its
@@ -3948,6 +3991,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Lucene-segment model on the embedding side; fixed centroids)
     "ann_indexed_grown": q_ann_indexed_grown,
     "stream_index_ann": q_stream_index_ann,
+    # r11: streaming per-domain quota (domain_cap's streaming twin;
+    # per-domain counter store with the retry-pin protocol)
+    "stream_domain_cap": q_stream_domain_cap,
     # rotated OUT of the gate in r11 for the persisted-index family
     # (bm25_indexed / phrase_indexed / ann_indexed / stream_index_bm25 —
     # VERDICT r10 #1); every operator they carried keeps >= 1 green gate
@@ -6266,6 +6312,8 @@ FROM s ORDER BY doc_id
         cent_source_pred=ANN_GROWN_FOUNDING_PRED
     )
     sqls["stream_index_ann"] = sqls["ann_indexed_grown"]
+    # id-ordered feed: first-cap-arrivals == lowest cap ids per domain
+    sqls["stream_domain_cap"] = sqls["domain_cap"]
     return sqls
 
 

@@ -220,6 +220,26 @@ class TransactionalTable:
         txns, _marks = self._txn_state()
         return txns
 
+    def txn_version(self, txn: str) -> int | None:
+        """The VERSION of the commit that recorded `txn`, or None when it
+        is unknown (never committed, or its commit JSON was folded into a
+        checkpoint and pruned).  Bounded driver work: one small JSON read
+        per live commit.  This is what lets a half-committed stream batch
+        re-derive its ORIGINAL pre-append snapshot on retry (pin at
+        txn_version - 1): a counter-style writer that re-read at the
+        current version would see its own first attempt's rows and make
+        DIFFERENT decisions than the attempt that already published them
+        (streaming/stateful.py:_DomainCapStreamWriter)."""
+        _ckpt, commits = self._log_entries()
+        for v, commit in commits:
+            try:
+                with open(commit) as fh:
+                    if json.load(fh).get("txn") == txn:
+                        return v
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+        return None
+
     def txn_committed(self, txn: str) -> bool:
         """True iff `txn` was committed: an explicit id match, or — for
         `<writer>:<batch>` ids — batch at or below the writer's

@@ -1703,3 +1703,238 @@ def ann_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class _DomainCapStreamWriter:
+    """foreachBatch body of `domain_cap_stream`: a continuous per-domain
+    QUOTA over a crawl feed — keep each registered domain's first `cap`
+    arrivals, drop everything after (the streaming twin of
+    `dedup.domain_cap`; CCNet-style host capping applied AT INGEST, so an
+    over-crawled domain stops costing downstream stages the moment its
+    quota fills).
+
+    State is a COUNTER store, not a key store: one transactional table of
+    (reg_domain, n) increment rows under `shard=d<hash(domain) %
+    domain_shards>`, summed per domain at read (the SummingMergeTree
+    merge-on-read algebra — maintenance compacts files, never the rows'
+    meaning).  Per block:
+
+    1. Canonicalize row-locally (`dedup.url_parts`, the batch operator's
+       exact expressions) and rank the block's rows within each domain by
+       doc_id (block-local window — bounded by BLOCK size, which is the
+       streaming norm; the CORPUS-scale skew safety is that history is a
+       per-domain counter, never re-sorted).
+    2. Pin the store, read ONLY the block's touched domain shards at the
+       pin (bounded by `domain_shards`), sum prior counts per domain, and
+       keep rows with `prior + block_rank <= cap` — emitting
+       `domain_rank = prior + block_rank`, so on an id-ordered feed the
+       output equals the batch operator's rows VERBATIM (the oracle).
+    3. Commit the survivors' per-domain increments to the store, THEN the
+       survivors to out (the crash-window order every writer here uses).
+
+    Exactly-once under retry is the interesting part: survivors are a
+    function of the PRE-APPEND counts, so a batch that died between its
+    two commits must re-derive the counts its first attempt saw — but the
+    current version now INCLUDES that attempt's increments (re-reading it
+    would double-count the block against itself and wrongly drop rows the
+    first attempt kept).  The store pin is therefore `txn_version(txn)-1`
+    on a store-committed retry (the commit our own txn published, located
+    by the txlog) and `version()` on the normal path.  A half-committed
+    txn folded away by log maintenance would make that pin unrecoverable,
+    so maintenance runs only via this writer's own `maintain()` — after
+    both commits — and the writer raises loudly if the pin is gone rather
+    than guessing.
+
+    NULL reg_domain rows (unparseable URLs) form ONE group — exactly the
+    batch operator's `PARTITION BY reg_domain` NULL semantics — hashed
+    under a sentinel for shard routing only; output keeps reg_domain
+    NULL.
+    """
+
+    #: shard-routing sentinel for NULL reg_domain (never a real domain —
+    #: contains whitespace and a NUL)
+    _NULL_KEY = "\x00 null-domain"
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        store_dir: str,
+        cap: int,
+        url_col: str = "url",
+        id_col: str = "doc_id",
+        suffixes: tuple[str, ...] = TX_FN.PUBLIC_SUFFIXES,
+        domain_shards: int = 16,
+        writer_id: str = "",
+        out_files: int | None = None,
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+        if cap < 1:
+            raise ValueError("cap must be >= 1")
+        self.spark = spark
+        self.cap = cap
+        self.url_col = url_col
+        self.id_col = id_col
+        self.suffixes = suffixes
+        self.domain_shards = domain_shards
+        self.writer_id = writer_id
+        self.out_files = out_files
+        self.out = TransactionalTable(out_dir)
+        self.store = TransactionalTable(os.path.join(store_dir, "store"))
+
+    def maintain(self) -> None:
+        """Same store-maintenance contract as the other stream writers.
+        Safe ONLY between this writer's fully-committed batches (see the
+        half-committed-pin argument in the class docstring)."""
+        self.store.optimize(self.spark, partition_by="shard")
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
+        self.store.vacuum()
+
+    def _key(self):
+        return F.coalesce(F.col("reg_domain"), F.lit(self._NULL_KEY))
+
+    def _shard(self):
+        return F.concat(
+            F.lit("d"),
+            F.pmod(F.xxhash64(self._key()), F.lit(self.domain_shards)).cast(
+                "string"
+            ),
+        )
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        from apache_kafka_clickhouse_demo_spark.operators.dedup import url_parts
+
+        txn = f"{self.writer_id}:{batch_id}"
+        store_done = self.store.txn_committed(txn)
+        if store_done and self.out.txn_committed(txn):
+            return  # fully-committed replay: no-op, no jobs
+        if not store_done and block.isEmpty():
+            return  # idle trigger: nothing published (store_done implies
+            # the first attempt saw a non-empty block — re-derive it)
+        if store_done:
+            vc = self.store.txn_version(txn)
+            if vc is None:
+                raise RuntimeError(
+                    f"{self.store.path}: txn {txn} is committed but its "
+                    "commit was folded away — cannot reconstruct the "
+                    "pre-append snapshot a half-committed retry needs "
+                    "(run maintain() only between fully-committed batches)"
+                )
+            pin = vc - 1
+        else:
+            pin = self.store.version()
+
+        parts = url_parts(block, self.url_col, self.id_col, self.suffixes)
+        ranked = parts.withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy(self._key()).orderBy("doc_id")
+            ),
+        ).withColumn("_shard", self._shard())
+
+        # bounded driver action: <= domain_shards distinct names
+        block_shards = (ranked.agg(F.collect_set("_shard")).first()[0]) or []
+        try:
+            prior = (
+                self.store.read_where(
+                    self.spark, "shard", sorted(block_shards), version=pin
+                )
+                .groupBy("reg_domain")
+                .agg(F.sum("n").alias("_prior"))
+            )
+        except FileNotFoundError:  # no commits at/below the pin — an
+            # INDEPENDENT empty frame (deriving it from `ranked` would
+            # alias the join's two sides to one lineage -> ambiguous refs)
+            prior = self.spark.createDataFrame(
+                [], "reg_domain string, _prior long"
+            )
+
+        joined = (
+            ranked.alias("r")
+            .join(
+                prior.alias("p"),
+                F.col("r.reg_domain").eqNullSafe(F.col("p.reg_domain")),
+                "left",
+            )
+            .select(
+                F.col("r.doc_id").alias("doc_id"),
+                F.col("r.url_norm").alias("url_norm"),
+                F.col("r.reg_domain").alias("reg_domain"),
+                F.col("r._r").alias("_r"),
+                F.col("r._shard").alias("_shard"),
+                F.coalesce(F.col("p._prior"), F.lit(0)).alias("_prior"),
+            )
+        )
+        survivors = joined.filter(
+            F.col("_prior") + F.col("_r") <= self.cap
+        ).withColumn(
+            "domain_rank", (F.col("_prior") + F.col("_r")).cast("int")
+        )
+
+        if not store_done:
+            increments = (
+                survivors.groupBy("_shard", "reg_domain")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .select(F.col("_shard").alias("shard"), "reg_domain", "n")
+            )
+            self.store.append_once(
+                increments.repartition(F.col("shard")),
+                txn=txn,
+                partition_by="shard",
+            )
+        out_df = survivors.select(
+            "doc_id", "url_norm", "reg_domain", "domain_rank"
+        )
+        if self.out_files is not None:
+            out_df = out_df.coalesce(self.out_files)
+        self.out.append_once(out_df, txn=txn)
+
+
+def domain_cap_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffixes: tuple[str, ...] = TX_FN.PUBLIC_SUFFIXES,
+    domain_shards: int = 16,
+    out_files: int | None = None,
+    expected_domain_rows: int | None = None,
+):
+    """Streaming per-domain quota: keep each registered domain's first
+    `cap` arrivals from an unbounded crawl feed — the streaming twin of
+    `dedup.domain_cap` and the stage a continuously-crawling pipeline
+    runs right after `url_dedup_stream`.  Mechanics, exactly-once
+    guarantees, and the retry-pin protocol: see `_DomainCapStreamWriter`.
+    `expected_domain_rows` sizes the counter store's shard count for the
+    number of DISTINCT domains the stream will accumulate
+    (`shards_for_store`; one increment row per (block, domain) between
+    maintenances, one file per touched shard per block)."""
+    if expected_domain_rows is not None:
+        domain_shards = shards_for_store(expected_domain_rows)
+    writer = _DomainCapStreamWriter(
+        spark,
+        out_dir,
+        store_dir,
+        cap=cap,
+        url_col=url_col,
+        id_col=id_col,
+        suffixes=suffixes,
+        domain_shards=domain_shards,
+        writer_id=checkpoint,
+        out_files=out_files,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

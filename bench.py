@@ -170,6 +170,8 @@ HEADLINE = [
     # r11: grown + streamed ANN index segments
     "ann_indexed_grown",
     "stream_index_ann",
+    # r11: streaming per-domain quota (counter store, retry-pin protocol)
+    "stream_domain_cap",
 ]
 
 
@@ -287,6 +289,7 @@ BASELINE_SEC = {
     "temperature_mixture": 0.344,
     "ann_indexed_grown": 2.668,
     "stream_index_ann": 4.327,
+    "stream_domain_cap": 6.496,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

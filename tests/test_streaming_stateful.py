@@ -1394,3 +1394,104 @@ def test_ann_index_stream_checkpointed_drain(spark, tmp_path):
         spark, table, emb.filter(F.col("vec_id") < 3), k=3, nprobe=2
     ).collect()
     assert len(got) == 9
+
+
+def _domcap_writer(spark, tmp_path, cap=3, tag="w"):
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _DomainCapStreamWriter,
+    )
+
+    return _DomainCapStreamWriter(
+        spark,
+        str(tmp_path / f"kept_{tag}"),
+        str(tmp_path / f"store_{tag}"),
+        cap=cap,
+        writer_id=tag,
+    )
+
+
+def _urls_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_domain_cap_stream_quota_accumulates_across_blocks(spark, tmp_path):
+    """The per-domain counter suppresses across blocks: with cap=3, a
+    domain that used 2 slots in block 0 gets exactly 1 more in block 1,
+    and domain_rank carries the GLOBAL rank (prior + in-block)."""
+    w = _domcap_writer(spark, tmp_path, cap=3)
+    a = "https://a.com/p"
+    b = "https://b.com/p"
+    w.process(_urls_df(spark, [(1, a + "1"), (2, a + "2"), (10, b + "1")]), 0)
+    w.process(
+        _urls_df(spark, [(3, a + "3"), (4, a + "4"), (11, b + "2")]), 1
+    )
+    kept = {
+        r["doc_id"]: r["domain_rank"]
+        for r in w.out.read(spark).collect()
+    }
+    assert kept == {1: 1, 2: 2, 10: 1, 3: 3, 11: 2}  # 4 dropped: quota full
+
+    # replay of a fully-committed batch: no-op (versions unchanged)
+    vs, vo = w.store.version(), w.out.version()
+    w.process(_urls_df(spark, [(3, a + "3"), (4, a + "4"), (11, b + "2")]), 1)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+
+    # empty block: publishes nothing
+    w.process(_urls_df(spark, []).filter("doc_id < 0"), 2)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+
+
+def test_domain_cap_stream_half_committed_retry_rederives_survivors(
+    spark, tmp_path, monkeypatch
+):
+    """The retry-pin protocol: a batch that died BETWEEN its store and
+    out commits must re-derive the exact survivors its first attempt
+    published increments for — re-reading at the current version would
+    count the block against itself and wrongly drop kept rows.  Forced
+    by failing the out commit on the first attempt."""
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
+
+    w = _domcap_writer(spark, tmp_path, cap=2)
+    a = "https://a.com/p"
+    w.process(_urls_df(spark, [(1, a + "1")]), 0)  # domain at 1/2
+
+    orig = TXL.TransactionalTable.append_once
+    calls = {"n": 0}
+
+    def fail_out(self, df, txn, **kw):
+        if "kept_" in self.path:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected out-commit failure")
+        return orig(self, df, txn=txn, **kw)
+
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    import pytest
+
+    block = _urls_df(spark, [(2, a + "2"), (3, a + "3")])
+    with pytest.raises(RuntimeError, match="injected"):
+        w.process(block, 1)  # store committed, out did not
+    assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
+
+    w.process(block, 1)  # retry: must keep doc 2 ONLY (slot 2 of 2)
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    kept = {
+        r["doc_id"]: r["domain_rank"] for r in w.out.read(spark).collect()
+    }
+    assert kept == {1: 1, 2: 2}
+
+    # and the counters are not double-published: a fresh block sees 2/2
+    w.process(_urls_df(spark, [(4, a + "4")]), 2)
+    assert {r["doc_id"] for r in w.out.read(spark).collect()} == {1, 2}
+
+
+def test_domain_cap_stream_null_domains_form_one_group(spark, tmp_path):
+    """Unparseable URLs (NULL reg_domain) cap as ONE group — the batch
+    operator's PARTITION BY NULL semantics — and never crash the shard
+    router."""
+    w = _domcap_writer(spark, tmp_path, cap=2)
+    w.process(
+        _urls_df(spark, [(1, "nonsense"), (2, None), (3, "also bad")]), 0
+    )
+    kept = sorted(r["doc_id"] for r in w.out.read(spark).collect())
+    assert kept == [1, 2]  # third NULL-domain row exceeds the group cap

@@ -575,3 +575,17 @@ def test_append_with_added_column_reads_merged_schema(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     # plain snapshot read still answers on the common columns
     assert {r["id"] for r in t.read(spark).select("id").collect()} == {1, 2}
+
+
+def test_txn_version_locates_commit(spark, tmp_path):
+    """txn_version: the version that recorded a txn, None for unknown —
+    the half-committed-retry pin (_DomainCapStreamWriter) depends on it."""
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    df = spark.range(3).select(F.col("id").alias("k"))
+    t.append_once(df, txn="w:0")
+    t.append_once(df, txn="w:1")
+    assert t.txn_version("w:0") == 0
+    assert t.txn_version("w:1") == 1
+    assert t.txn_version("w:9") is None
