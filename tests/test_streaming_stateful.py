@@ -1495,3 +1495,60 @@ def test_domain_cap_stream_null_domains_form_one_group(spark, tmp_path):
     )
     kept = sorted(r["doc_id"] for r in w.out.read(spark).collect())
     assert kept == [1, 2]  # third NULL-domain row exceeds the group cap
+
+
+def test_domain_cap_stream_pruned_read_touches_one_file_per_shard(
+    spark, tmp_path, monkeypatch
+):
+    """The counter store's 100 TB contract: a block's prior-count read
+    touches ONLY the shards its own domains hash to, at most one file
+    per shard after maintenance — per-block cost O(block domains),
+    however many domains the stream has accumulated (the near-dup
+    stores' files-read assertion, on the counter table)."""
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
+
+    w = _domcap_writer(spark, tmp_path, cap=2)
+    # seed: two blocks over 60 domains, then compact to 1 file/shard
+    w.process(
+        _urls_df(
+            spark,
+            [(i, f"https://d{i % 60}.com/p{i}") for i in range(120)],
+        ),
+        0,
+    )
+    w.process(
+        _urls_df(
+            spark,
+            [(200 + i, f"https://d{i % 60}.com/q{i}") for i in range(60)],
+        ),
+        1,
+    )
+    w.maintain()
+
+    calls = []
+    orig = TXL.TransactionalTable.read_where
+
+    def spy(self, spark_, col, values, version=None):
+        df = orig(self, spark_, col, values, version=version)
+        calls.append((sorted(values), df.inputFiles()))
+        return df
+
+    monkeypatch.setattr(TXL.TransactionalTable, "read_where", spy)
+    # fresh block touching exactly TWO domains
+    w.process(
+        _urls_df(
+            spark,
+            [(900, "https://d3.com/z"), (901, "https://d7.com/z")],
+        ),
+        2,
+    )
+    monkeypatch.setattr(TXL.TransactionalTable, "read_where", orig)
+
+    shards, files = calls[0]
+    # pruning exactness: only the two domains' shards were requested
+    assert len(shards) <= 2
+    per_shard: dict = {}
+    for f in files:
+        sh = f.split("shard=")[1].split("/")[0]
+        per_shard[sh] = per_shard.get(sh, 0) + 1
+    assert files and max(per_shard.values()) == 1, per_shard
