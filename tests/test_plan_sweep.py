@@ -65,6 +65,7 @@ N_PAD = 64 * TBL.WIDE_SOURCE_BYTES // 8
 EXECUTING = {
     "stream_dedup", "stream_sample", "stream_topk", "stream_funnel",
     "stream_near_dup", "stream_embed_near_dup", "stream_url_dedup",
+    "stream_domain_cap",
     "mv_cascade_attendance", "mv_cascade_daily", "snapshot_changelog",
     "replacing_latest", "replacing_deletes", "collapsing_balance",
     "ttl_cleanup", "projection_routing", "attendance_daily_compacted",
