@@ -320,6 +320,26 @@ def _run_one(spark, name: str) -> tuple[float, list[float]]:
     return min(times), times
 
 
+def _compact_line(compact: dict, limit: int = 1800) -> str:
+    """The final stdout line, kept UNDER the driver's 2000-byte tail
+    window: r10's 84-query line outgrew it and the driver recorded
+    parsed:null (the tail cut the line's head).  If the full per-query
+    dict does not fit, fall back to the gate queries only (the driver's
+    own per-query record) with a pointer; every number is always in
+    BENCH_LOCAL.json."""
+    line = json.dumps(compact)
+    if len(line) <= limit:
+        return line
+    gate_times = {k: v for k, v in compact["queries"].items() if k in Q.QUERIES}
+    while True:
+        line = json.dumps(
+            {**compact, "queries": gate_times, "queries_full": "BENCH_LOCAL.json"}
+        )
+        if len(line) <= limit or not gate_times:
+            return line
+        gate_times.pop(next(iter(gate_times)))
+
+
 def main() -> int:
     spark = get_spark(app_name="bench")
     # warm-up: session init + parquet footer reads outside the timed region
@@ -363,24 +383,7 @@ def main() -> int:
     full = {**compact, "passes": passes, "loadavg": loadavg}
     local_path = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
     local_path.write_text(json.dumps(full, indent=1) + "\n")
-    # Compact line LAST so the driver's stdout tail capture always sees it
-    # — and UNDER the capture's 2000-byte window: r10's 84-query line
-    # outgrew it and the driver recorded parsed:null (the tail cut the
-    # line's head).  If the full per-query dict does not fit, print the
-    # gate queries only (the driver's own per-query record) with a
-    # pointer; every number is always in BENCH_LOCAL.json.
-    line = json.dumps(compact)
-    if len(line) > 1800:
-        gate_times = {k: v for k, v in times.items() if k in Q.QUERIES}
-        line = json.dumps(
-            {**compact, "queries": gate_times, "queries_full": "BENCH_LOCAL.json"}
-        )
-        while len(line) > 1800 and gate_times:
-            gate_times.pop(next(iter(gate_times)))
-            line = json.dumps(
-                {**compact, "queries": gate_times, "queries_full": "BENCH_LOCAL.json"}
-            )
-    print(line)
+    print(_compact_line(compact))
     spark.stop()
     return 0 if all(t >= 0 for t in times.values()) else 1
 

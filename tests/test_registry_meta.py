@@ -33,3 +33,28 @@ def test_every_headliner_has_a_stall_guard_entry():
     guard (bound = inf); every name must carry its trend start."""
     missing = [n for n in bench.HEADLINE if n not in bench.BASELINE_SEC]
     assert missing == [], f"headliners without a baseline/trend entry: {missing}"
+
+
+def test_bench_final_line_fits_driver_tail_window():
+    """BENCH_r10 recorded parsed:null because the single JSON line with
+    84 queries outgrew the driver's 2000-byte stdout tail capture; the
+    fallback must keep the line under the window at the CURRENT registry
+    size (full dict if it fits, else gate-only with a pointer)."""
+    import json
+
+    import bench
+
+    times = {k: 123.456 for k in bench.HEADLINE}
+    compact = {
+        "metric": "headline_total_wall",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": times,
+        "suspect": [],
+        "sf": 0.1,
+    }
+    line = bench._compact_line(compact)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["value"] == 9999.999
+    assert parsed["queries"]  # never degrades to an empty dict here
