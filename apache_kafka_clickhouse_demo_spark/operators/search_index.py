@@ -519,6 +519,17 @@ def build_ann_index(
             f"ANN index at {path} already built (version {table.version()}); "
             "grow it with extend_ann_index, or rebuild into a fresh path"
         )
+    # loud guard (self-review r11): the hash sample CAN come up empty on
+    # a small founding segment (P ~ (1 - 1/modulus)^n).  For the
+    # ephemeral scan path that is a visible empty result; for a PERSISTED
+    # index it would be a durable footgun — centroids are fixed at
+    # creation, so every later lookup and extension would silently
+    # return nothing.
+    if cents.isEmpty():
+        raise ValueError(
+            "founding segment hash-sampled zero centroids — found the "
+            "index on a larger block, or pass a smaller target_centroids"
+        )
     table.append(
         _ann_segment_frames(assign, emb, n_shards, cents),
         partition_by="shard",

@@ -395,3 +395,28 @@ def test_extend_ann_index_txn_replay_is_noop(spark, tmp_path):
     SI.extend_ann_index(b, table, txn="w:1")  # replay: no-op
     assert table.version() == v
     assert SI.ann_index_meta(spark, table)[0] == 20
+
+
+def test_build_ann_index_rejects_empty_centroid_sample(spark, tmp_path):
+    """A founding segment whose hash sample yields zero centroids must
+    raise at build — a persisted index with no centroids would silently
+    answer nothing forever (centroids are fixed at creation)."""
+    import pytest
+
+    # one vector, huge modulus (corpus_count >> n with small target):
+    # the single vid's hash is astronomically unlikely to be 0 mod 10^6;
+    # pick an id verified NOT to sample (deterministic h48)
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+
+    vid = next(i for i in range(100) if py_h48(f"ivf:{i}") % 1_000_000 != 0)
+    emb = spark.createDataFrame(
+        [(vid, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero centroids"):
+        SI.build_ann_index(
+            emb,
+            str(tmp_path / "ann"),
+            target_centroids=2,
+            n_shards=4,
+            corpus_count=2_000_000,
+        )
