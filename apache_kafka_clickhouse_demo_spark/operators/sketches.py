@@ -138,3 +138,113 @@ def finalize_topk(summaries: DataFrame, k: int) -> DataFrame:
         .orderBy(F.desc("count_lb"), F.asc("value"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (point-frequency estimates; Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms:",
+) -> DataFrame:
+    """Build a count-min sketch of `key_col`'s frequencies: `depth`
+    independent hash rows of `width` counters each, answering point
+    queries with the classic one-sided guarantee
+
+        exact <= estimate <= exact + e*N   (e ~ e_base/width, w.h.p.)
+
+    — the mergeable companion to the Misra-Gries topK above (Misra-Gries
+    answers "which values are frequent", CMS answers "how frequent is
+    THIS value" for any value, in O(depth * width) memory however large
+    the key domain).  Hash row d uses h48 seeded `{salt}{d}:` — the
+    engine-portable hash family, so the sketch (and every estimate) is
+    DETERMINISTIC and the DuckDB oracle mirrors it exactly; "w.h.p."
+    degrades to a fixed-hash property exactly as documented for the HLL
+    gate query.
+
+    Output: (d, bucket, n) — at most depth*width rows (usually
+    broadcastable).  Merge two sketches of the SAME (width, depth, salt)
+    by summing n per (d, bucket) — counters are linear, the mergeable-
+    summaries property that also makes the build ONE map-side-combinable
+    aggregate (the row fan-out is `depth`, a small constant).  NULL keys
+    are counted under the engine's NULL-key convention (h48 of NULL is
+    NULL -> they fall out of every bucket; stated contract: CMS counts
+    non-NULL keys).
+
+    Plan shape at 100 TB: one projection (depth-way arrayed fan-out) +
+    one groupBy((d, bucket)) count with partial aggregation — grouping
+    cardinality is depth*width regardless of input rows.
+    """
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+    from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
+
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    k = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    H.h48(F.concat(F.lit(f"{salt}{d}:"), k)), F.lit(width)
+                ).cast("int").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        spread_small(df)
+        .filter(k.isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms:",
+) -> DataFrame:
+    """Point-frequency estimates for `keys` against a sketch built with
+    the SAME (width, depth, salt): estimate = min over hash rows of the
+    addressed counter (0 when a row's counter is absent — an empty
+    bucket means nothing hashed there).
+
+    Output: (<key_col>, est long).  The estimate NEVER undercounts
+    (every occurrence of the key incremented all `depth` of its
+    counters; collisions only add).  Plan: the keys fan out depth cells
+    row-locally and join the bounded sketch (depth*width rows,
+    broadcast) — per-key cost O(depth), no window, no driver collect.
+    """
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+    k = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    H.h48(F.concat(F.lit(f"{salt}{d}:"), k)), F.lit(width)
+                ).cast("int").alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    fanned = keys.select(
+        F.col(key_col), F.explode(cells).alias("c")
+    ).select(key_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    # sketch is depth*width rows, bounded by construction -> broadcast
+    joined = fanned.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est"))
+    )

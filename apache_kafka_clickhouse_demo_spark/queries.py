@@ -3308,6 +3308,42 @@ CASE WHEN doc_id % 16 < 8 THEN 'web'
 """
 
 
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+
+
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min sketch point-frequency estimates (sketches.
+    count_min_build/lookup, Cormode & Muthukrishnan 2005): per-user
+    event-count estimates from a depth x width counter grid next to the
+    exact counts — est >= exact always (one-sided), est - exact is the
+    collision overcount the width bounds.  Deterministic h48-seeded
+    hash rows, so the oracle mirrors the sketch cell-for-cell."""
+    ev = _t(spark, sf_dir, "events")
+    sketch = sketches.count_min_build(
+        ev, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    keys = ev.select("user_id").filter(F.col("user_id").isNotNull()).distinct()
+    est = sketches.count_min_lookup(
+        sketch, keys, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).cast("long").alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-based mixture rebalancing (sampling.temperature_mixture,
     alpha = 1/2 — the XLM-R/mT5 multilingual balancing recipe): rates
@@ -3994,6 +4030,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11: streaming per-domain quota (domain_cap's streaming twin;
     # per-domain counter store with the retry-pin protocol)
     "stream_domain_cap": q_stream_domain_cap,
+    # r11: count-min sketch (mergeable point-frequency estimates —
+    # the sketch family's CMS member beside Misra-Gries topK and HLL)
+    "cms_user_counts": q_cms_user_counts,
     # rotated OUT of the gate in r11 for the persisted-index family
     # (bm25_indexed / phrase_indexed / ann_indexed / stream_index_bm25 —
     # VERDICT r10 #1); every operator they carried keeps >= 1 green gate
@@ -6314,6 +6353,29 @@ FROM s ORDER BY doc_id
     sqls["stream_index_ann"] = sqls["ann_indexed_grown"]
     # id-ordered feed: first-cap-arrivals == lowest cap ids per domain
     sqls["stream_domain_cap"] = sqls["domain_cap"]
+    h = lambda d, e: H.sql_h48(f"'cms:' || CAST({d} AS VARCHAR) || ':' || CAST({e} AS VARCHAR)")  # noqa: E731
+    sqls["cms_user_counts"] = f"""
+WITH ev AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+), cnt AS (
+  SELECT d, {h('d', 'user_id')} % {CMS_WIDTH} AS bucket, count(*) AS n
+  FROM ev, range({CMS_DEPTH}) t(d) GROUP BY 1, 2
+), keys AS (
+  SELECT DISTINCT user_id FROM ev
+), probe AS (
+  SELECT k.user_id, t.d, {h('t.d', 'k.user_id')} % {CMS_WIDTH} AS bucket
+  FROM keys k, range({CMS_DEPTH}) t(d)
+), est AS (
+  SELECT p.user_id, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
+  FROM probe p LEFT JOIN cnt c ON p.d = c.d AND p.bucket = c.bucket
+  GROUP BY p.user_id
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact FROM ev GROUP BY user_id
+)
+SELECT e.user_id, e.est, x.exact, CAST(e.est - x.exact AS BIGINT) AS overcount
+FROM est e JOIN exact x USING (user_id)
+ORDER BY e.user_id
+"""
     return sqls
 
 

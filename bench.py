@@ -172,6 +172,8 @@ HEADLINE = [
     "stream_index_ann",
     # r11: streaming per-domain quota (counter store, retry-pin protocol)
     "stream_domain_cap",
+    # r11: count-min point-frequency sketch
+    "cms_user_counts",
 ]
 
 
@@ -290,6 +292,7 @@ BASELINE_SEC = {
     "ann_indexed_grown": 2.668,
     "stream_index_ann": 4.327,
     "stream_domain_cap": 6.496,
+    "cms_user_counts": 1.111,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

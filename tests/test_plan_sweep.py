@@ -113,6 +113,9 @@ ALLOWED_BHJ = {
     # top-k construction, joined back to the corpus; (b) the per-target
     # k-NN means over that same bounded candidate set
     "margin_bitext": 2,
+    # the CMS counter grid: depth * width rows by CONSTRUCTION (the
+    # grouping keys are hash buckets), whatever the corpus size
+    "cms_user_counts": 1,
 }
 
 

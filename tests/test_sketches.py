@@ -57,3 +57,55 @@ def test_null_and_empty_inputs(spark):
 
     empty = spark.createDataFrame([], "v string")
     assert heavy_hitters_topk(empty, "v", 5, capacity=4).collect() == []
+
+
+def test_count_min_never_undercounts_and_merges_linearly(spark):
+    """CMS guarantees: est >= exact for EVERY key (one-sided), and two
+    sketches of the same (width, depth, salt) merge by per-cell SUM into
+    exactly the union corpus's sketch (mergeable-summaries linearity)."""
+    from pyspark.sql import functions as F
+
+    from apache_kafka_clickhouse_demo_spark.operators import sketches as SK
+
+    rows = [(i % 37,) for i in range(500)] + [(1000 + i % 5,) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long")
+    width, depth = 16, 3  # tiny width: collisions guaranteed
+    sk = SK.count_min_build(df, "k", width=width, depth=depth)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["est"]
+        for r in SK.count_min_lookup(
+            sk, keys, "k", width=width, depth=depth
+        ).collect()
+    }
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)  # width=16 must collide
+
+    # linearity: sketch(A) + sketch(B) == sketch(A union B), cell for cell
+    a = df.filter(F.col("k") < 500)
+    b = df.filter(F.col("k") >= 500)
+    merged = (
+        SK.count_min_build(a, "k", width=width, depth=depth)
+        .unionByName(SK.count_min_build(b, "k", width=width, depth=depth))
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    want = {
+        (r["d"], r["bucket"]): r["n"] for r in sk.collect()
+    }
+    got = {(r["d"], r["bucket"]): r["n"] for r in merged.collect()}
+    assert got == want
+
+
+def test_count_min_null_keys_are_not_counted(spark):
+    from apache_kafka_clickhouse_demo_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k string")
+    sk = SK.count_min_build(df, "k", width=8, depth=2)
+    total = sum(r["n"] for r in sk.collect()) // 2  # depth rows per key
+    assert total == 2  # the NULL row contributed nothing

@@ -150,6 +150,9 @@ FAMILIES = [
     # r11: grown ANN index (found 75% + extend 25%; build shuffle
     # dominates, lookup is O(nprobe) pruned reads like ann_indexed)
     "ann_indexed_grown",
+    # r11: count-min sketch over events (depth-way fan-out + one bounded
+    # counter aggregate; grouping cardinality depth*width at any scale)
+    "cms_user_counts",
 ]
 
 PASSES = 2
