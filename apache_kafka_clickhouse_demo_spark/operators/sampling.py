@@ -157,49 +157,105 @@ def mixture_sample(
     return df.filter(bucket < thresh)
 
 
+#: Bound on the alpha != 1/2 path's driver-side group-count collect
+#: (rates are computed per GROUP, so the group column must be low-
+#: cardinality — sources/languages/domains, never a doc id).
+MAX_TEMP_GROUPS = 100_000
+
+
+def temperature_rates_py(
+    counts: dict, target_rows: int, alpha: float
+) -> dict:
+    """The integer rate rule of `temperature_mixture`, as plain Python
+    over a bounded {group: n_rows} dict:
+
+        w_g          = floor(n_g^alpha * 1000)
+        rate_micro_g = min(1e6, (target_rows * w_g * 1e6)
+                                  // (sum_h w_h * n_g))
+
+    Everything after the one `pow` is exact int arithmetic.  This IS
+    the engine's alpha != 1/2 implementation (the engine collects the
+    bounded group counts and calls this), so the operator and its test
+    replica share only the RULE, not code paths with float hazards.
+    """
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    w = {g: int(math.floor(math.pow(n, alpha) * 1000.0)) for g, n in counts.items()}
+    tw = sum(w.values())
+    if tw == 0:
+        return {g: 0 for g in counts}
+    return {
+        g: min(1_000_000, target_rows * w[g] * 1_000_000 // (tw * n))
+        for g, n in counts.items()
+    }
+
+
 def temperature_mixture(
     df: DataFrame,
     group_col: str,
     target_rows: int,
     id_col: str,
     salt: str = "temp:",
+    alpha: float = 0.5,
 ) -> DataFrame:
-    """Temperature-based mixture REBALANCING at alpha = 1/2 — the
-    multilingual corpus-balancing recipe (Conneau et al. XLM-R /
-    mT5 family: sample group g with probability proportional to
-    p_g^alpha, flattening the head so low-resource groups are not
+    """Temperature-based mixture REBALANCING — the multilingual
+    corpus-balancing recipe (Conneau et al. XLM-R at alpha = 1/2,
+    mT5 at alpha = 0.3: sample group g with probability proportional
+    to p_g^alpha, flattening the head so low-resource groups are not
     drowned).  Where `mixture_sample` APPLIES caller-given rates, this
     operator COMPUTES them from the corpus itself:
 
-        w_g          = floor(sqrt(n_g * 1e6))            (~ n_g^(1/2))
+        w_g          = floor(n_g^alpha * 1000)
         rate_micro_g = min(1e6, (target_rows * w_g * 1e6)
                                   div (sum_h w_h * n_g))
         keep(row)   <=> h48(salt || id) % 1e6 < rate_micro_g
 
     so the EXPECTED kept rows total ~target_rows distributed
-    proportional to sqrt(n_g) — head groups capped, tails kept whole
+    proportional to n_g^alpha — head groups capped, tails kept whole
     (rate saturates at 1.0; the realized total then undershoots
     target_rows, the standard behavior — re-normalizing against only
     unsaturated groups is a fixed-point iteration real pipelines skip).
 
-    alpha is FIXED at 1/2 deliberately: IEEE sqrt is correctly rounded,
-    so Spark's and DuckDB's doubles agree bit-for-bit and the oracle is
-    exact (documented agreement bound n_g * 1e6 < 2^52, the isqrt
-    precedent); pow(x, 0.3) is NOT correctly rounded and may differ
-    between the engines' libm builds.  The division chain runs in
-    DECIMAL(38,0) (target * w * 1e6 reaches ~1e26 at real scale;
-    HUGEINT mirrors it in DuckDB) — both operands positive, so `div`
-    and `//` agree.  Membership is content-independent and monotone in
-    the rate, the same reproducibility contract as `mixture_sample`.
+    Two float-honesty regimes (the BPE batched-rule precedent):
+
+    - **alpha = 1/2 (default)** runs fully in the engine as
+      w_g = floor(sqrt(n_g * 1e6)) — identical to the rule above in
+      the reals, and ORACLE-EXACT because IEEE sqrt is correctly
+      rounded, so Spark's and DuckDB's doubles agree bit-for-bit
+      (documented agreement bound n_g * 1e6 < 2^52, the isqrt
+      precedent).  The division chain runs in DECIMAL(38,0)
+      (target * w * 1e6 reaches ~1e26 at real scale; HUGEINT mirrors
+      it in DuckDB) — both operands positive, so `div` and `//` agree.
+    - **alpha != 1/2** cannot be cross-engine exact (pow is not
+      correctly rounded; libm builds differ), so the rates are
+      computed DRIVER-SIDE from the bounded group-count rows via
+      `temperature_rates_py` — one deterministic `math.pow` per GROUP
+      on one machine, never a per-row float in either engine — and
+      pinned row-for-row against a pure-Python replica of the same
+      rule (tests/test_sampling.py, alpha = 0.3).  The collect is
+      bounded by MAX_TEMP_GROUPS (raises on a high-cardinality group
+      column — rates per doc id are a caller bug, not a workload).
+
+    NULL-group rows are EXCLUDED from the weights and DROPPED from the
+    output (ADVICE r11: they previously depressed every real group's
+    rate while the non-null-safe join dropped them anyway) — consistent
+    with `mixture_sample`'s default_rate = 0.0 for unknown groups.
+    Membership is content-independent and monotone in the rate, the
+    same reproducibility contract as `mixture_sample`.
 
     Output: surviving rows with `rate_micro` attached (the decision is
     observable; groups at rate 1e6 pass whole).
 
     Plan shape at 100 TB: one map-side-combinable group count, a 1-row
-    total broadcast, and one group-keyed join of the bounded rates
-    frame back to the corpus — pin_wide-pinned, since a derived
-    aggregate's size estimate is exactly what the r9 misplan class got
-    wrong.  The keep filter itself is row-local.
+    total broadcast (alpha = 1/2) or a bounded driver round-trip
+    (alpha != 1/2), and one group-keyed join of the bounded rates frame
+    back to the corpus — pin_wide-pinned on the engine path, since a
+    derived aggregate's size estimate is exactly what the r9 misplan
+    class got wrong; an explicit broadcast of the driver-built rates
+    frame on the collected path (bounded rows by construction).  The
+    keep filter itself is row-local.
     """
     from apache_kafka_clickhouse_demo_spark.sources.tables import (
         is_wide_source,
@@ -209,27 +265,49 @@ def temperature_mixture(
 
     if target_rows < 0:
         raise ValueError("target_rows must be >= 0")
-    base = spread_small(df)
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    base = spread_small(df).filter(F.col(group_col).isNotNull())
     counts = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    w = F.floor(F.sqrt(F.col("_n").cast("double") * 1_000_000.0)).cast("long")
-    weighted = counts.select(group_col, "_n", w.alias("_w"))
-    total = weighted.agg(F.sum("_w").cast("long").alias("_tw"))
-    rates = (
-        weighted.crossJoin(F.broadcast(total))
-        .withColumn(
-            "rate_micro",
-            F.least(
-                F.lit(1_000_000).cast("long"),
-                F.expr(
-                    f"CAST({int(target_rows)} AS DECIMAL(38,0)) * _w * 1000000"
-                    " div (CAST(_tw AS DECIMAL(38,0)) * _n)"
-                ).cast("long"),
-            ),
-        )
-        .select(group_col, "rate_micro")
-    )
-    joined = base.join(pin_wide(rates, is_wide_source(df)), group_col)
     bucket = H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+
+    if alpha == 0.5:
+        w = F.floor(F.sqrt(F.col("_n").cast("double") * 1_000_000.0)).cast("long")
+        weighted = counts.select(group_col, "_n", w.alias("_w"))
+        total = weighted.agg(F.sum("_w").cast("long").alias("_tw"))
+        rates = (
+            weighted.crossJoin(F.broadcast(total))
+            .withColumn(
+                "rate_micro",
+                F.least(
+                    F.lit(1_000_000).cast("long"),
+                    F.expr(
+                        f"CAST({int(target_rows)} AS DECIMAL(38,0)) * _w * 1000000"
+                        " div (CAST(_tw AS DECIMAL(38,0)) * _n)"
+                    ).cast("long"),
+                ),
+            )
+            .select(group_col, "rate_micro")
+        )
+        joined = base.join(pin_wide(rates, is_wide_source(df)), group_col)
+        return joined.filter(bucket < F.col("rate_micro"))
+
+    # alpha != 1/2: bounded driver-side rates (see docstring regime 2)
+    cnt_rows = counts.limit(MAX_TEMP_GROUPS + 1).collect()
+    if len(cnt_rows) > MAX_TEMP_GROUPS:
+        raise ValueError(
+            f"temperature_mixture: > {MAX_TEMP_GROUPS} distinct groups in "
+            f"{group_col!r}; rates are per-source, not per-document"
+        )
+    rate_map = temperature_rates_py(
+        {r[group_col]: r["_n"] for r in cnt_rows}, int(target_rows), alpha
+    )
+    gtype = df.schema[group_col].dataType.simpleString()
+    rates_df = df.sparkSession.createDataFrame(
+        [(g, r) for g, r in sorted(rate_map.items())],
+        schema=f"{group_col} {gtype}, rate_micro long",
+    )
+    joined = base.join(F.broadcast(rates_df), group_col)
     return joined.filter(bucket < F.col("rate_micro"))
 
 

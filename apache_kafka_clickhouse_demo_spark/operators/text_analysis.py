@@ -268,11 +268,16 @@ def gopher_rules(
     staged = spread_small(docs).select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),
-        (word_chars * 1000).cast("long").alias("_wc"),
-        ((n_hash + n_ellipsis) * 1000).cast("long").alias("_sym"),
-        (n_bullet_lines * 1000).cast("long").alias("_bul"),
-        (n_ellipsis_lines * 1000).cast("long").alias("_ell"),
-        (n_alpha_words * 1000).cast("long").alias("_alpha"),
+        # Widen BEFORE multiplying: length()/regexp_count() are int32, so
+        # (count * 1000) would silently wrap under non-ANSI Spark for docs
+        # with >2,147,483 countable units (realistic web-crawl size) while
+        # DuckDB's BIGINT length() stays exact — the bm25-score wrap class
+        # (ADVICE r11).  cast("long") first keeps the whole chain 64-bit.
+        (word_chars.cast("long") * 1000).alias("_wc"),
+        ((n_hash + n_ellipsis).cast("long") * 1000).alias("_sym"),
+        (n_bullet_lines.cast("long") * 1000).alias("_bul"),
+        (n_ellipsis_lines.cast("long") * 1000).alias("_ell"),
+        (n_alpha_words.cast("long") * 1000).alias("_alpha"),
         n_lines.alias("_nl"),
         n_stop.alias("n_stop_hits"),
     )

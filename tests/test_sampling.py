@@ -278,3 +278,125 @@ def test_temperature_mixture_membership_is_stable_under_growth(spark):
         if r["source"] == "tiny"
     }
     assert k1 == k2 == {900, 901, 902, 903}
+
+
+def test_temperature_mixture_alpha_generalized_matches_replica(spark):
+    """alpha = 0.3 (the mT5 point): kept rows and attached rates match
+    an INDEPENDENT pure-Python replica of the documented integer rule
+    row-for-row (the engine computes rates driver-side from bounded
+    group counts via temperature_rates_py; the replica here re-derives
+    them from the raw fixture with its own h48 threshold loop)."""
+    import math
+
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "head") for i in range(700)]
+        + [(1000 + i, "mid") for i in range(120)]
+        + [(2000 + i, "tiny") for i in range(6)]
+    )
+    target, alpha = 150, 0.3
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["source"], r["doc_id"], r["rate_micro"])
+        for r in temperature_mixture(
+            df, "source", target, "doc_id", alpha=alpha
+        ).collect()
+    )
+
+    counts: dict[str, int] = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    w = {g: math.floor(math.pow(n, alpha) * 1000.0) for g, n in counts.items()}
+    tw = sum(w.values())
+    rate = {
+        g: min(1_000_000, target * w[g] * 1_000_000 // (tw * n))
+        for g, n in counts.items()
+    }
+    want = sorted(
+        (g, i, rate[g])
+        for i, g in rows
+        if py_h48("temp:" + str(i)) % 1_000_000 < rate[g]
+    )
+    assert got == want
+    # alpha=0.3 flattens harder than alpha=0.5: the head group's rate is
+    # strictly lower at 0.3 (same fixture, same target)
+    got_half = {
+        r["source"]: r["rate_micro"]
+        for r in temperature_mixture(df, "source", target, "doc_id").collect()
+    }
+    assert rate["head"] < got_half["head"]
+    assert rate["tiny"] == got_half["tiny"] == 1_000_000
+
+
+def test_temperature_mixture_alpha_membership_stable(spark):
+    """Monotone-threshold reproducibility holds on the alpha != 1/2
+    path too: growing OTHER groups never swaps a saturated group's
+    members."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    small = [(i, "big") for i in range(100)] + [(900 + i, "tiny") for i in range(4)]
+    grown = small + [(5000 + i, "new") for i in range(100)]
+
+    def tiny_kept(rows):
+        return {
+            r["doc_id"]
+            for r in temperature_mixture(
+                spark.createDataFrame(rows, "doc_id long, source string"),
+                "source", 50, "doc_id", alpha=0.3,
+            ).collect()
+            if r["source"] == "tiny"
+        }
+
+    assert tiny_kept(small) == tiny_kept(grown) == {900, 901, 902, 903}
+
+
+def test_temperature_mixture_null_groups_excluded(spark):
+    """ADVICE r11: NULL-group rows are dropped AND excluded from the
+    weight total — real groups' rates are identical with or without
+    NULL rows present (previously NULLs depressed every rate while the
+    join silently dropped them)."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    clean = [(i, "a") for i in range(60)] + [(100 + i, "b") for i in range(10)]
+    noisy = clean + [(9000 + i, None) for i in range(500)]
+    for alpha in (0.5, 0.3):
+        r_clean = {
+            (r["doc_id"], r["rate_micro"])
+            for r in temperature_mixture(
+                spark.createDataFrame(clean, "doc_id long, source string"),
+                "source", 30, "doc_id", alpha=alpha,
+            ).collect()
+        }
+        out_noisy = temperature_mixture(
+            spark.createDataFrame(noisy, "doc_id long, source string"),
+            "source", 30, "doc_id", alpha=alpha,
+        ).collect()
+        assert all(r["source"] is not None for r in out_noisy)
+        r_noisy = {(r["doc_id"], r["rate_micro"]) for r in out_noisy}
+        assert r_clean == r_noisy, alpha
+
+
+def test_temperature_mixture_group_cardinality_guard(spark):
+    """The alpha != 1/2 driver-side collect refuses a group column with
+    more than MAX_TEMP_GROUPS distinct values (rates are per-source,
+    not per-document)."""
+    import pytest as _pytest
+
+    from apache_kafka_clickhouse_demo_spark.operators import sampling as S
+
+    df = spark.range(10).selectExpr("id AS doc_id", "CAST(id AS STRING) AS source")
+    old = S.MAX_TEMP_GROUPS
+    S.MAX_TEMP_GROUPS = 5
+    try:
+        with _pytest.raises(ValueError, match="distinct groups"):
+            S.temperature_mixture(df, "source", 5, "doc_id", alpha=0.3)
+    finally:
+        S.MAX_TEMP_GROUPS = old
