@@ -3513,6 +3513,47 @@ def q_ann_indexed_grown(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_indexed_reclustered(spark, sf_dir):
+    """Re-centroided grown ANN index (search_index.maintain_ann_index
+    with recluster=True — r12, VERDICT r11 #3): build on the founding
+    75%, extend with the remaining 25% against the FIXED founding
+    centroids (the drift regime ann_indexed_grown pins), then found a
+    NEW centroid generation from a hash-sampled draw over ALL segments
+    and re-assign every vector in one CAS replace-commit.  With the
+    same salt and K, the reclustered index must answer EXACTLY like a
+    from-scratch build on the full corpus — the oracle is the
+    ann_ivf_topk mirror verbatim, which DIFFERS from
+    ann_indexed_grown's founding-segment oracle on this fixture, so a
+    no-op maintenance pass cannot fake this row green."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+
+    emb = _t(spark, sf_dir, "embeddings")
+    founding = emb.filter(F.expr(ANN_GROWN_FOUNDING_PRED))
+    growth = emb.filter(~F.expr(ANN_GROWN_FOUNDING_PRED))
+    work = _workdir("ann_reclust_")
+    table = SI.build_ann_index(
+        founding,
+        f"{work}/ann",
+        target_centroids=IVF_TARGET_CENTROIDS,
+        salt=IVF_SALT,
+    )
+    SI.extend_ann_index(growth, table, salt=IVF_SALT)
+    SI.maintain_ann_index(
+        spark,
+        table,
+        recluster=True,
+        target_centroids=IVF_TARGET_CENTROIDS,
+        salt=IVF_SALT,
+    )
+    return SI.ann_index_lookup(
+        spark,
+        table,
+        emb.filter(F.col("vec_id") < ANN_NUM_QUERIES),
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    ).orderBy("query_id", "rank")
+
+
 def q_stream_index_ann(spark, sf_dir):
     """Continuously indexed embedding corpus (streaming.stateful.
     ann_index_stream): block 0 FOUNDS the index (centroids sampled from
@@ -4033,6 +4074,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: margin-based bitext mining (CCMatrix rule; ratio margin over
     # both sides' k-NN means as fixed-order folds)
     "margin_bitext": q_margin_bitext,
+    # r12: re-centroided grown ANN index (maintain_ann_index recluster
+    # generation swap — VERDICT r11 #3); oracle = full-corpus IVF mirror
+    "ann_indexed_reclustered": q_ann_indexed_reclustered,
     # rotated OUT of the gate in r12 for the six r11-new rows (VERDICT
     # r11 #1); every operator they carried keeps >= 1 green gate row or
     # a provably-shared gated code path (see the QUERIES rotation
@@ -6361,6 +6405,11 @@ FROM s ORDER BY doc_id
         cent_source_pred=ANN_GROWN_FOUNDING_PRED
     )
     sqls["stream_index_ann"] = sqls["ann_indexed_grown"]
+    # reclustered grown index (r12): founding a new centroid generation
+    # over ALL segments with the same salt/K restores from-scratch-build
+    # semantics exactly — the oracle is the full-corpus IVF mirror, NOT
+    # the founding-segment one, so a no-op maintenance can't pass
+    sqls["ann_indexed_reclustered"] = sqls["ann_ivf_topk"]
     # id-ordered feed: first-cap-arrivals == lowest cap ids per domain
     sqls["stream_domain_cap"] = sqls["domain_cap"]
     h = lambda d, e: H.sql_h48(f"'cms:' || CAST({d} AS VARCHAR) || ':' || CAST({e} AS VARCHAR)")  # noqa: E731

@@ -517,6 +517,7 @@ class TransactionalTable:
         zorder_bits: int = 8,
         partition_by: str | None = None,
         keep_where: Column | None = None,
+        transform=None,
     ) -> int:
         """Small-file compaction (VERDICT r4 #6): rewrite the current
         snapshot into `target_files` parquet files and publish them as ONE
@@ -574,6 +575,15 @@ class TransactionalTable:
                 # so rows from a concurrent append that wins the race are
                 # re-read and filtered on the retry like everything else.
                 df = df.filter(keep_where)
+            if transform is not None:
+                # snapshot-to-snapshot rewrite hook (r12): the staged
+                # snapshot becomes transform(read(snapshot)) — the ANN
+                # recluster path founds a new centroid generation this
+                # way.  Runs INSIDE the OCC loop, so a retry re-derives
+                # the rewrite from the rival commit's snapshot; the
+                # callable may run bounded driver actions (counts) but
+                # must be a pure function of its input frame.
+                df = transform(df)
             if partition_by:
                 df = df.repartition(F.col(partition_by))
                 if cluster_cols:

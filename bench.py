@@ -174,6 +174,8 @@ HEADLINE = [
     "stream_domain_cap",
     # r11: count-min point-frequency sketch
     "cms_user_counts",
+    # r12: re-centroided grown ANN index (generation swap maintenance)
+    "ann_indexed_reclustered",
 ]
 
 
@@ -293,6 +295,8 @@ BASELINE_SEC = {
     "stream_index_ann": 4.327,
     "stream_domain_cap": 6.496,
     "cms_user_counts": 1.111,
+    # r12 trend starts (larger of two quiet back-to-back runs)
+    "ann_indexed_reclustered": 7.57,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -420,3 +420,69 @@ def test_build_ann_index_rejects_empty_centroid_sample(spark, tmp_path):
             n_shards=4,
             corpus_count=2_000_000,
         )
+
+
+def test_maintain_ann_index_recluster_founds_new_generation(spark, tmp_path):
+    """recluster=True (r12): after drift (found on A, extend with B),
+    founding a new centroid generation over ALL segments with the same
+    salt/K answers IDENTICALLY to a from-scratch build on A union B —
+    the oracle-exactness contract — while the stored shard modulus and
+    total n_vecs survive, the meta collapses to one segment row, and
+    the PRE-recluster version stays time-travelable (the generation
+    swap is a replace-commit, not a destructive rewrite)."""
+    emb = _emb_fixture(spark)
+    a = emb.filter(F.col("vec_id") % 4 != 3)
+    b = emb.filter(F.col("vec_id") % 4 == 3)
+    table = SI.build_ann_index(a, str(tmp_path / "ann"), target_centroids=8, n_shards=4)
+    SI.extend_ann_index(b, table)
+    q = emb.filter(F.col("vec_id") < 6)
+
+    pre_version = table.version()
+    pre = [
+        tuple(r)
+        for r in SI.ann_index_lookup(spark, table, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+    v = SI.maintain_ann_index(
+        spark, table, recluster=True, target_centroids=8
+    )
+    assert v == pre_version + 1
+
+    fresh = SI.build_ann_index(
+        emb, str(tmp_path / "fresh"), target_centroids=8, n_shards=4
+    )
+    want = [
+        tuple(r)
+        for r in SI.ann_index_lookup(spark, fresh, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in SI.ann_index_lookup(spark, table, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+    # the generation actually CHANGED the answers on this drifted fixture
+    # (otherwise a no-op maintenance would pass this test)
+    assert got != pre
+
+    # stats survive: n_vecs preserved, modulus unchanged, ONE meta row
+    n_vecs, n_shards = SI.ann_index_meta(spark, table)
+    assert (n_vecs, n_shards) == (40, 4)
+    meta_rows = table.read_where(spark, "shard", ["m"]).count()
+    assert meta_rows == 1
+
+    # pre-recluster generation stays time-travelable
+    at_pre = [
+        tuple(r)
+        for r in SI.ann_index_lookup(
+            spark, table, q, k=3, nprobe=2, version=pre_version
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert at_pre == pre
