@@ -3344,6 +3344,72 @@ def q_cms_user_counts(spark, sf_dir):
     )
 
 
+def q_stream_cms_counts(spark, sf_dir):
+    """Streaming count-min sketch (stateful.count_min_stream — r12,
+    VERDICT r11 #6): the events feed drains as four blocks into a
+    cell-sharded counter store with exactly-once per-block increments;
+    CMS counters are LINEAR, so the drained store's merge-on-read
+    sketch equals the batch count_min_build over the whole feed
+    cell-for-cell, and the final per-user estimates are
+    cms_user_counts' verbatim — the oracle is the batch CMS SQL
+    unchanged."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _CountMinStreamWriter,
+        count_min_stream,
+    )
+
+    work = _workdir("stream_cms_")
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    blk = F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(4)).cast("int")
+    _write_feed_blocks(ev, work, blk)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = count_min_stream(
+        spark,
+        src,
+        out_dir=f"{work}/est",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        key_col="user_id",
+        width=CMS_WIDTH,
+        depth=CMS_DEPTH,
+    )
+    q.processAllAvailable()
+    q.stop()
+    writer = _CountMinStreamWriter(
+        spark,
+        f"{work}/est",
+        f"{work}/store",
+        key_col="user_id",
+        width=CMS_WIDTH,
+        depth=CMS_DEPTH,
+        writer_id=f"{work}/ck",
+    )
+    sketch = writer.merged_sketch()
+    keys = ev.select("user_id").filter(F.col("user_id").isNotNull()).distinct()
+    est = sketches.count_min_lookup(
+        sketch, keys, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).cast("long").alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-based mixture rebalancing (sampling.temperature_mixture,
     alpha = 1/2 — the XLM-R/mT5 multilingual balancing recipe): rates
@@ -4077,6 +4143,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: re-centroided grown ANN index (maintain_ann_index recluster
     # generation swap — VERDICT r11 #3); oracle = full-corpus IVF mirror
     "ann_indexed_reclustered": q_ann_indexed_reclustered,
+    # r12: streaming count-min twin (cell-sharded counter store, linear
+    # merge — VERDICT r11 #6); oracle = the batch CMS SQL verbatim
+    "stream_cms_counts": q_stream_cms_counts,
     # rotated OUT of the gate in r12 for the six r11-new rows (VERDICT
     # r11 #1); every operator they carried keeps >= 1 green gate row or
     # a provably-shared gated code path (see the QUERIES rotation
@@ -6435,6 +6504,9 @@ SELECT e.user_id, e.est, x.exact, CAST(e.est - x.exact AS BIGINT) AS overcount
 FROM est e JOIN exact x USING (user_id)
 ORDER BY e.user_id
 """
+    # streaming CMS (r12): counters are linear, blocks partition the
+    # feed -> drained store == batch sketch; the oracle is unchanged
+    sqls["stream_cms_counts"] = sqls["cms_user_counts"]
     return sqls
 
 

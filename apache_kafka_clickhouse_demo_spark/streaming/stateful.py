@@ -1980,3 +1980,208 @@ def domain_cap_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class _CountMinStreamWriter:
+    """foreachBatch body of `count_min_stream`: a continuously-maintained
+    count-min sketch over an unbounded feed — the streaming twin of
+    `sketches.count_min_build` (r12, VERDICT r11 #6).  CMS counters are
+    LINEAR and merge by per-cell sum, which is exactly the shape of the
+    `domain_cap_stream` counter store, so the same architecture carries
+    over verbatim:
+
+    State is a COUNTER store: one transactional table of (d, bucket, n)
+    increment rows under `shard=c<(d*width + bucket) % cms_shards>`,
+    summed per cell at read (merge-on-read; maintenance compacts files,
+    never meaning).  Per block:
+
+    1. Build the BLOCK's sketch with the batch operator itself
+       (`count_min_build` — provably shared cells/hashes), <=
+       depth*width increment rows however large the block.
+    2. Pin the store, read ONLY the block's touched cell shards at the
+       pin (bounded by `cms_shards`), merge prior + block cells, and
+       emit per-key running estimates AT INGEST for the block's
+       distinct keys — est over everything that has arrived through
+       this block (`count_min_lookup` against the merged bounded
+       sketch).
+    3. Commit the block's increments to the store, THEN the estimates
+       to out (the crash-window order every writer here uses).
+
+    Exactly-once under retry: the running estimates are a function of
+    the PRE-APPEND counters, so a batch that died between its two
+    commits must re-derive the counts its first attempt saw — the
+    current version now INCLUDES that attempt's increments, and
+    re-reading it would double-count the block against itself
+    (estimates inflated by one block's worth).  The pin is therefore
+    `txn_version(txn) - 1` on a store-committed retry and `version()`
+    on the normal path — `_DomainCapStreamWriter`'s protocol verbatim,
+    with the same loud failure when log maintenance folded the pin
+    away.
+
+    Because counters are linear and the feed's blocks partition the
+    corpus, the DRAINED store's merged sketch equals the batch
+    `count_min_build` over the whole feed cell-for-cell — the extra
+    `stream_cms_counts` hash-checks exactly that (oracle: the batch
+    CMS SQL verbatim).
+    """
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        store_dir: str,
+        key_col: str,
+        width: int = 1024,
+        depth: int = 4,
+        salt: str = "cms:",
+        cms_shards: int = 8,
+        writer_id: str = "",
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+        if width < 1 or depth < 1:
+            raise ValueError("width and depth must be >= 1")
+        self.spark = spark
+        self.key_col = key_col
+        self.width = width
+        self.depth = depth
+        self.salt = salt
+        self.cms_shards = cms_shards
+        self.writer_id = writer_id
+        self.out = TransactionalTable(out_dir)
+        self.store = TransactionalTable(os.path.join(store_dir, "store"))
+
+    def maintain(self) -> None:
+        """Compact the counter store (one file per cell shard), fold txn
+        watermarks, prune, vacuum.  Safe ONLY between fully-committed
+        batches — the half-committed-pin argument in the class
+        docstring."""
+        self.store.optimize(self.spark, partition_by="shard")
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
+        self.store.vacuum()
+
+    def _shard(self):
+        return F.concat(
+            F.lit("c"),
+            F.pmod(
+                F.col("d").cast("long") * self.width + F.col("bucket"),
+                F.lit(self.cms_shards),
+            ).cast("string"),
+        )
+
+    def merged_sketch(self, version: int | None = None) -> DataFrame:
+        """The store's merge-on-read sketch at a committed version:
+        (d, bucket, n) with per-cell sums — bounded by depth*width rows,
+        directly consumable by `sketches.count_min_lookup`."""
+        return (
+            self.store.read(self.spark, version)
+            .groupBy("d", "bucket")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+            count_min_build,
+            count_min_lookup,
+        )
+
+        txn = f"{self.writer_id}:{batch_id}"
+        store_done = self.store.txn_committed(txn)
+        if store_done and self.out.txn_committed(txn):
+            return  # fully-committed replay: no-op, no jobs
+        if not store_done and block.isEmpty():
+            return  # idle trigger: nothing published
+        if store_done:
+            vc = self.store.txn_version(txn)
+            if vc is None:
+                raise RuntimeError(
+                    f"{self.store.path}: txn {txn} is committed but its "
+                    "commit was folded away — cannot reconstruct the "
+                    "pre-append snapshot a half-committed retry needs "
+                    "(run maintain() only between fully-committed batches)"
+                )
+            pin = vc - 1
+        else:
+            pin = self.store.version()
+
+        inc = count_min_build(
+            block, self.key_col, width=self.width, depth=self.depth, salt=self.salt
+        ).withColumn("shard", self._shard())
+
+        # bounded driver action: <= cms_shards shard names (the block's
+        # increments are <= depth*width rows by construction)
+        block_shards = sorted(
+            (inc.agg(F.collect_set("shard")).first()[0]) or []
+        )
+        try:
+            prior = self.store.read_where(
+                self.spark, "shard", block_shards, version=pin
+            ).select("d", "bucket", "n")
+        except FileNotFoundError:  # no commits at/below the pin
+            prior = self.spark.createDataFrame([], "d int, bucket int, n long")
+        merged = (
+            prior.unionByName(inc.select("d", "bucket", "n"))
+            .groupBy("d", "bucket")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        keys = (
+            block.select(self.key_col)
+            .filter(F.col(self.key_col).isNotNull())
+            .distinct()
+        )
+        est = count_min_lookup(
+            merged, keys, self.key_col,
+            width=self.width, depth=self.depth, salt=self.salt,
+        ).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col(self.key_col),
+            F.col("est"),
+        )
+
+        if not store_done:
+            self.store.append_once(
+                inc.select("shard", "d", "bucket", "n").repartition(
+                    F.col("shard")
+                ),
+                txn=txn,
+                partition_by="shard",
+            )
+        self.out.append_once(est, txn=txn)
+
+
+def count_min_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms:",
+    cms_shards: int = 8,
+):
+    """Continuously-maintained count-min sketch: per-block increments
+    appended exactly-once to a cell-sharded counter store (merge-on-read
+    sums), per-block running point estimates emitted at ingest.
+    Mechanics, the retry-pin protocol, and the drained-store == batch
+    sketch equality: see `_CountMinStreamWriter`."""
+    writer = _CountMinStreamWriter(
+        spark,
+        out_dir,
+        store_dir,
+        key_col=key_col,
+        width=width,
+        depth=depth,
+        salt=salt,
+        cms_shards=cms_shards,
+        writer_id=checkpoint,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

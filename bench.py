@@ -176,6 +176,8 @@ HEADLINE = [
     "cms_user_counts",
     # r12: re-centroided grown ANN index (generation swap maintenance)
     "ann_indexed_reclustered",
+    # r12: streaming count-min twin (cell-sharded counter store)
+    "stream_cms_counts",
 ]
 
 
@@ -297,6 +299,7 @@ BASELINE_SEC = {
     "cms_user_counts": 1.111,
     # r12 trend starts (larger of two quiet back-to-back runs)
     "ann_indexed_reclustered": 7.57,
+    "stream_cms_counts": 10.72,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

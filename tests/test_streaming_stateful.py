@@ -1552,3 +1552,112 @@ def test_domain_cap_stream_pruned_read_touches_one_file_per_shard(
         sh = f.split("shard=")[1].split("/")[0]
         per_shard[sh] = per_shard.get(sh, 0) + 1
     assert files and max(per_shard.values()) == 1, per_shard
+
+
+def _cms_writer(spark, tmp_path, tag="w", width=64, depth=4, shards=4):
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _CountMinStreamWriter,
+    )
+
+    return _CountMinStreamWriter(
+        spark,
+        str(tmp_path / f"cmsout_{tag}"),
+        str(tmp_path / f"cmsstore_{tag}"),
+        key_col="k",
+        width=width,
+        depth=depth,
+        cms_shards=shards,
+        writer_id=tag,
+    )
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+def test_count_min_stream_running_estimates_accumulate(spark, tmp_path):
+    """Per-block estimates are AT-INGEST running totals: with a width
+    far above the key count (no collisions — CMS is exact in that
+    regime), each block's out rows equal the cumulative exact counts
+    through that block; the drained store's merged sketch equals the
+    batch sketch on the concatenated feed cell-for-cell (linearity);
+    fully-committed replays and empty blocks publish nothing."""
+    from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+        count_min_build,
+    )
+
+    w = _cms_writer(spark, tmp_path)
+    w.process(_keys_df(spark, ["a", "a", "b"]), 0)
+    w.process(_keys_df(spark, ["a", "b", "c", "c"]), 1)
+    rows = {
+        (r["batch_id"], r["k"]): r["est"] for r in w.out.read(spark).collect()
+    }
+    assert rows == {
+        (0, "a"): 2, (0, "b"): 1,
+        (1, "a"): 3, (1, "b"): 2, (1, "c"): 2,
+    }
+
+    merged = {
+        (r["d"], r["bucket"]): r["n"] for r in w.merged_sketch().collect()
+    }
+    batch = {
+        (r["d"], r["bucket"]): r["n"]
+        for r in count_min_build(
+            _keys_df(spark, ["a", "a", "b", "a", "b", "c", "c"]),
+            "k", width=64, depth=4,
+        ).collect()
+    }
+    assert merged == batch and len(merged) > 0
+
+    vs, vo = w.store.version(), w.out.version()
+    w.process(_keys_df(spark, ["a", "b", "c", "c"]), 1)  # replay: no-op
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+    w.process(_keys_df(spark, []).filter("k IS NOT NULL"), 2)  # idle
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+
+
+def test_count_min_stream_half_committed_retry_pins_preappend(
+    spark, tmp_path, monkeypatch
+):
+    """The retry-pin protocol on the CMS store: a batch that died
+    between its store and out commits must re-derive the estimates its
+    first attempt computed — re-reading the current version would count
+    the block against itself and inflate every estimate by one block's
+    worth."""
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
+
+    w = _cms_writer(spark, tmp_path)
+    w.process(_keys_df(spark, ["a", "a"]), 0)
+
+    orig = TXL.TransactionalTable.append_once
+    calls = {"n": 0}
+
+    def fail_out(self, df, txn, **kw):
+        if "cmsout_" in self.path:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected out-commit failure")
+        return orig(self, df, txn=txn, **kw)
+
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    block = _keys_df(spark, ["a", "b", "b"])
+    with pytest.raises(RuntimeError, match="injected"):
+        w.process(block, 1)  # store committed, out did not
+    assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
+
+    w.process(block, 1)  # retry: estimates must NOT double-count block 1
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    rows = {
+        (r["batch_id"], r["k"]): r["est"] for r in w.out.read(spark).collect()
+    }
+    assert rows == {(0, "a"): 2, (1, "a"): 3, (1, "b"): 2}
+
+    # counters not double-published either: a fresh block's estimates
+    # continue from the true totals
+    w.process(_keys_df(spark, ["b"]), 2)
+    rows2 = {
+        (r["batch_id"], r["k"]): r["est"] for r in w.out.read(spark).collect()
+    }
+    assert rows2[(2, "b")] == 3
