@@ -280,13 +280,13 @@ BASELINE_SEC = {
     "dsir_select": 4.878,
     "cluster_representatives": 4.249,
     "phrase_search": 1.017,
-    "bm25_indexed": 2.654,
+    "bm25_indexed": 2.541,  # r12 re-seed (was 2.654 r10-extra seed)
     "bigram_rarity": 1.647,
     "diverse_sample": 1.171,
     "pii_redact": 0.692,
-    "stream_index_bm25": 7.545,
-    "phrase_indexed": 3.008,
-    "ann_indexed": 5.117,
+    "stream_index_bm25": 6.620,  # r12 re-seed (was 7.545 r10-extra seed)
+    "phrase_indexed": 2.022,  # r12 re-seed (was 3.008 r10-extra seed)
+    "ann_indexed": 2.221,  # r12 re-seed (was 5.117 r10-extra seed)
     "pair_cosine_filter": 0.793,
     "url_blocklist": 1.895,
     "margin_bitext": 1.692,
@@ -298,8 +298,8 @@ BASELINE_SEC = {
     "stream_domain_cap": 6.496,
     "cms_user_counts": 1.111,
     # r12 trend starts (larger of two quiet back-to-back runs)
-    "ann_indexed_reclustered": 7.57,
-    "stream_cms_counts": 10.72,
+    "ann_indexed_reclustered": 4.234,
+    "stream_cms_counts": 7.858,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
