@@ -309,3 +309,125 @@ def pair_cosine_filter(
         cos.alias("pair_cos"),
         F.coalesce(cos >= F.lit(threshold), F.lit(False)).alias("keep"),
     )
+
+
+#: blockhash size — chunk math mirrors dedup.SIMHASH_BITS conventions
+PHASH_BITS = 48
+PHASH_MAX_HAMMING = 2
+
+
+def _fake_phash(blob) -> int | None:
+    """Deterministic fake perceptual hash (r12): the blockhash recipe —
+    bit j = 1 iff band j's byte mass sits strictly above the blob's mean
+    band mass (ties -> 0) — over PHASH_BITS strided byte bands.  Stands
+    in for decode -> grayscale -> blockhash/pHash; the strided band sums
+    are the same SQL-mirrorable quantity `_fake_feature` uses, so the
+    whole hash is oracle-exact.  NULL/empty blobs -> NULL (no pixels, no
+    hash), mirroring the feature contract."""
+    import numpy as np
+
+    if blob is None:
+        return None
+    b = bytes(blob)
+    if len(b) == 0:
+        return None
+    a = np.frombuffer(b, dtype=np.uint8)
+    pad = (-len(a)) % PHASH_BITS
+    bands = np.pad(a, (0, pad)).reshape(-1, PHASH_BITS).sum(axis=0, dtype=np.int64)
+    total = int(bands.sum())
+    h = 0
+    for j in range(PHASH_BITS):
+        if int(bands[j]) * PHASH_BITS > total:
+            h |= 1 << j
+    return h
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """(doc_id, phash) perceptual fingerprints via mapInPandas — the
+    multimodal twin of `dedup.simhash` (Arrow-batched Python where a
+    real pipeline decodes pixels; the fake keeps the exact batch shape
+    and an exact DuckDB mirror)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.array(
+                        [_fake_phash(b) for b in pdf["blob"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("phash", T.LongType()),
+            ]
+        ),
+    )
+
+
+def media_phash_pairs(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance —
+    the image-dedup step of the LAION/DataComp recipes, expressed with
+    the pigeonhole chunk-join `dedup.simhash_pairs` proved out: split
+    PHASH_BITS into (max_hamming + 1) chunks; any pair within distance
+    d shares >= 1 identical chunk, so the join on (chunk_idx,
+    chunk_val) is EXACT — all qualifying pairs, never an all-pairs
+    comparison (the oracle IS the naive all-pairs form, so exactness is
+    hash-checked, not argued).  NULL phashes (NULL/empty blobs) never
+    equi-join — no pairs, both engines.
+
+    Plan shape at 100 TB: one Arrow pass for the hashes, a
+    (d+1)-way chunk fan-out, one equi-join on bounded-cardinality chunk
+    keys, bit_count verify row-locally.  Chunk-value skew (many blobs
+    sharing one chunk) is the simhash operator's known trade — the
+    verify keeps it exact, AQE splits a hot chunk partition.  The chunk
+    self-join's sides are corpus-sized, so on a wide source the shuffle
+    join is pinned (`pin_wide` — the r9 broadcast-misplan class).
+    """
+    from apache_kafka_clickhouse_demo_spark.sources.tables import (
+        is_wide_source,
+        pin_wide,
+    )
+
+    n_chunks = max_hamming + 1
+    chunk_bits = PHASH_BITS // n_chunks
+    hashes = media_phash(media).persist()
+    chunks = F.array(
+        *[
+            F.shiftright("phash", j * chunk_bits).bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            )
+            for j in range(n_chunks)
+        ]
+    )
+    chunked = hashes.select(
+        "doc_id", "phash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    return (
+        chunked.alias("a")
+        .join(
+            pin_wide(chunked, is_wide_source(media)).alias("b"),
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

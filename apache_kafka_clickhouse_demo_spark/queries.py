@@ -1875,6 +1875,19 @@ def q_media_summary(spark, sf_dir):
     return multimodal.media_summary(multimodal.attach_media(_t(spark, sf_dir, "documents")))
 
 
+def q_media_phash_dedup(spark, sf_dir):
+    """Near-duplicate media by perceptual-hash Hamming distance (r12,
+    multimodal.media_phash_pairs — the LAION/DataComp image-dedup step):
+    blockhash-style PHASH_BITS fingerprints over Arrow blob batches,
+    pigeonhole chunk-join (never all-pairs), bit_count verify.  The
+    oracle is the NAIVE all-pairs form over the same deterministic band
+    sums, so the banding's exactness is hash-checked, not argued."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.media_phash_pairs(media).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """SINGLE mapInPandas pass computing feature extraction + fake resize
     over Arrow blob batches (multimodal.media_profile) — the gate query for
@@ -4146,6 +4159,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: streaming count-min twin (cell-sharded counter store, linear
     # merge — VERDICT r11 #6); oracle = the batch CMS SQL verbatim
     "stream_cms_counts": q_stream_cms_counts,
+    # r12: perceptual-hash media dedup (blockhash fingerprints over
+    # Arrow blob batches + pigeonhole chunk-join; the multimodal
+    # family's dedup member — oracle is the naive all-pairs form)
+    "media_phash_dedup": q_media_phash_dedup,
     # rotated OUT of the gate in r12 for the six r11-new rows (VERDICT
     # r11 #1); every operator they carried keeps >= 1 green gate row or
     # a provably-shared gated code path (see the QUERIES rotation
@@ -4346,6 +4363,44 @@ WITH f AS (
 SELECT f.doc_id, media_type, n_bytes, feature_ufp, resized_bytes, resized_md5
 FROM f JOIN r ON f.doc_id = r.doc_id
 ORDER BY f.doc_id
+"""
+
+
+def _oracle_media_phash() -> str:
+    """Mirror of multimodal._fake_phash + media_phash_pairs as the NAIVE
+    all-pairs form: per-band ascii sums over the (pure-ASCII, asserted
+    by the media_features oracle's convention) text, bit j set iff
+    band_j * PHASH_BITS > total (strict, ties -> 0), then every
+    (a < b) pair with bit_count(xor) <= PHASH_MAX_HAMMING — the banded
+    Spark plan must reproduce this exactly."""
+    bits = multimodal.PHASH_BITS
+    maxh = multimodal.PHASH_MAX_HAMMING
+    band = (
+        "coalesce(list_sum(list_transform(range({j1}, length(text) + 1, "
+        f"{bits}), i -> ascii(substr(text, i, 1)))), 0)"
+    )
+    terms = " + ".join(
+        f"CASE WHEN {band.format(j1=j + 1)} * {bits} > total "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                  i -> ascii(substr(text, i, 1)))), 0) AS total
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+              ELSE {terms} END AS phash
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {maxh}
+ORDER BY id_a, id_b
 """
 
 
@@ -6440,6 +6495,7 @@ SELECT doc_id, n_words,
 FROM r ORDER BY doc_id
 """,
         "media_features": _oracle_media_features(),
+        "media_phash_dedup": _oracle_media_phash(),
         "media_frame_sample": _oracle_media_frame_sample(),
         "media_resize": f"""
 WITH s AS (

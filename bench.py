@@ -178,6 +178,8 @@ HEADLINE = [
     "ann_indexed_reclustered",
     # r12: streaming count-min twin (cell-sharded counter store)
     "stream_cms_counts",
+    # r12: perceptual-hash media dedup (blockhash + pigeonhole chunks)
+    "media_phash_dedup",
 ]
 
 
@@ -300,6 +302,7 @@ BASELINE_SEC = {
     # r12 trend starts (larger of two quiet back-to-back runs)
     "ann_indexed_reclustered": 4.234,
     "stream_cms_counts": 7.858,
+    "media_phash_dedup": 1.15,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

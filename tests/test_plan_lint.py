@@ -34,7 +34,9 @@ _SKIP = {
     "phrase_indexed",  # builds+commits the index at query build; scan twin (phrase_search) is linted
     "ann_indexed",  # builds+commits the IVF index at query build; scan twin (ann_ivf_topk) is linted
     "ann_indexed_grown",  # same: builds + extends the IVF index at query build
+    "ann_indexed_reclustered",  # same: builds + extends + reclusters at query build; lookup plan linted via ann_ivf_topk
     "stream_index_ann",  # streaming drain (feed -> ANN segments); lookup plan linted via ann_ivf_topk
+    "stream_cms_counts",  # streaming drain (feed -> counter store); sketch lookup plan linted via cms_user_counts
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):

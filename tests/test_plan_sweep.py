@@ -87,9 +87,17 @@ EXECUTING = {
     "ann_indexed",
     # builds + extends the IVF index at query build (grown-index form)
     "ann_indexed_grown",
+    # builds + extends + RECLUSTERS the index at query build (r12
+    # generation swap); recluster semantics pinned in
+    # tests/test_search_index.py, lookup plan swept via ann_ivf_topk
+    "ann_indexed_reclustered",
     # streaming drain (feed -> ANN segments); fixed-centroid lookup
     # plan swept via ann_ivf_topk
     "stream_index_ann",
+    # streaming drain (feed -> CMS counter store); the bounded-sketch
+    # lookup plan is swept via the batch twin cms_user_counts, writer
+    # exactly-once pinned in tests/test_streaming_stateful.py
+    "stream_cms_counts",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).
