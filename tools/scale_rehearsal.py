@@ -153,6 +153,14 @@ FAMILIES = [
     # r11: count-min sketch over events (depth-way fan-out + one bounded
     # counter aggregate; grouping cardinality depth*width at any scale)
     "cms_user_counts",
+    # r12: re-centroided ANN index (found + extend + recluster + lookup
+    # per run; two assignment passes + the recluster's one — all linear
+    # in the corpus with isqrt(n)-self-scaling centroid draws)
+    "ann_indexed_reclustered",
+    # r12: perceptual-hash media dedup (one Arrow pass + pigeonhole
+    # chunk self-join; copy-remapped texts shift band masses, so
+    # cross-copy phash collisions stay rare and pairs scale ~linearly)
+    "media_phash_dedup",
 ]
 
 PASSES = 2
