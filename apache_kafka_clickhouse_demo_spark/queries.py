@@ -3357,6 +3357,55 @@ def q_cms_user_counts(spark, sf_dir):
     )
 
 
+def q_stream_uniq_users(spark, sf_dir):
+    """Streaming per-group HLL count-distinct (stateful.uniq_stream —
+    r12, the sketch family's third streaming twin beside Misra-Gries
+    and count-min): the events feed drains as four blocks of per-group
+    `uniqState` rows into a group-sharded state store; HLL union is
+    register-exact under any block split (the r4 property test), so
+    the drained store's merged estimates equal the batch
+    uniq_users_approx verbatim — oracle unchanged (exact
+    COUNT(DISTINCT): the sketch is coupon-exact at gate scale)."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _UniqStreamWriter,
+        uniq_stream,
+    )
+
+    work = _workdir("stream_uniq_")
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    blk = F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(4)).cast("int")
+    _write_feed_blocks(ev, work, blk)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = uniq_stream(
+        spark,
+        src,
+        out_dir=f"{work}/est",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        group_col="event_type",
+        key_col="user_id",
+    )
+    q.processAllAvailable()
+    q.stop()
+    writer = _UniqStreamWriter(
+        spark,
+        f"{work}/est",
+        f"{work}/store",
+        group_col="event_type",
+        key_col="user_id",
+        writer_id=f"{work}/ck",
+    )
+    return (
+        writer.merged_estimates()
+        .select("event_type", F.col("approx_uniq").alias("approx_uniq_users"))
+        .orderBy("event_type")
+    )
+
+
 def q_stream_cms_counts(spark, sf_dir):
     """Streaming count-min sketch (stateful.count_min_stream — r12,
     VERDICT r11 #6): the events feed drains as four blocks into a
@@ -4163,6 +4212,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Arrow blob batches + pigeonhole chunk-join; the multimodal
     # family's dedup member — oracle is the naive all-pairs form)
     "media_phash_dedup": q_media_phash_dedup,
+    # r12: streaming per-group HLL count-distinct (the sketch family's
+    # third streaming twin; register-exact union -> oracle = the batch
+    # uniq_users_approx SQL verbatim)
+    "stream_uniq_users": q_stream_uniq_users,
     # rotated OUT of the gate in r12 for the six r11-new rows (VERDICT
     # r11 #1); every operator they carried keeps >= 1 green gate row or
     # a provably-shared gated code path (see the QUERIES rotation
@@ -6563,6 +6616,9 @@ ORDER BY e.user_id
     # streaming CMS (r12): counters are linear, blocks partition the
     # feed -> drained store == batch sketch; the oracle is unchanged
     sqls["stream_cms_counts"] = sqls["cms_user_counts"]
+    # streaming HLL (r12): union is register-exact under any block
+    # split -> drained estimates == the batch uniqMerge path verbatim
+    sqls["stream_uniq_users"] = sqls["uniq_users_approx"]
     return sqls
 
 

@@ -2185,3 +2185,193 @@ def count_min_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class _UniqStreamWriter:
+    """foreachBatch body of `uniq_stream`: continuously-maintained
+    per-group approximate count-distinct — the streaming twin of the
+    `uniqState`/`uniqMerge` pipeline (r12), completing the sketch
+    family's streaming trio (Misra-Gries `heavy_hitters_stream`,
+    count-min `count_min_stream`, HLL here).  HLL sketch UNION is the
+    merge-on-read algebra (per-register max — associative, commutative,
+    and register-exact under ANY block split: the r4 property test in
+    tests/test_agg_state.py), so the architecture is the CMS counter
+    store's verbatim with states instead of counters:
+
+    State: one transactional table of (group, state) HLL-binary rows
+    under `shard=u<hash(group) % uniq_shards>`, unioned per group at
+    read.  Per block: ONE per-group `uniq_state` aggregate (<= block's
+    distinct groups rows), running estimates AT INGEST for the block's
+    groups (union of the pre-append snapshot's states + the block's
+    own), then the two commits in the crash-window order.  A
+    half-committed retry pins `txn_version(txn) - 1` — HLL union IS
+    idempotent under double-merge (same registers), but the OUT rows
+    must equal what the first attempt computed, and reading the
+    current version would be a torn read of this txn's own append —
+    the protocol stays the domain_cap/CMS one for the same
+    reproducibility reason.
+
+    The drained store's per-group union is register-identical to the
+    batch whole-input sketch, so the final estimates equal
+    `q_uniq_users_approx`'s verbatim — extra `stream_uniq_users`
+    hash-checks against that oracle unchanged (exact COUNT(DISTINCT)
+    in the sketch's coupon-exact regime at gate scale).
+    """
+
+    _NULL_KEY = "\x00 null-group"
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        store_dir: str,
+        group_col: str,
+        key_col: str,
+        lg_k: int = 12,
+        uniq_shards: int = 8,
+        writer_id: str = "",
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+        self.spark = spark
+        self.group_col = group_col
+        self.key_col = key_col
+        self.lg_k = lg_k
+        self.uniq_shards = uniq_shards
+        self.writer_id = writer_id
+        self.out = TransactionalTable(out_dir)
+        self.store = TransactionalTable(os.path.join(store_dir, "store"))
+
+    def maintain(self) -> None:
+        """Compact + fold watermarks + prune + vacuum; between
+        fully-committed batches only (the half-committed-pin argument).
+        Note compaction preserves state ROWS — same-group states merge
+        only at read, exactly like the SummingMergeTree columns."""
+        self.store.optimize(self.spark, partition_by="shard")
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
+        self.store.vacuum()
+
+    def _shard(self):
+        key = F.coalesce(F.col(self.group_col).cast("string"), F.lit(self._NULL_KEY))
+        return F.concat(
+            F.lit("u"),
+            F.pmod(F.xxhash64(key), F.lit(self.uniq_shards)).cast("string"),
+        )
+
+    def merged_estimates(self, version: int | None = None) -> DataFrame:
+        """Per-group merged estimates at a committed version — the
+        uniqMerge read over every stored per-block state."""
+        from apache_kafka_clickhouse_demo_spark.functions import agg_state as S
+
+        return (
+            self.store.read(self.spark, version)
+            .groupBy(self.group_col)
+            .agg(S.uniq_merge("state").alias("approx_uniq"))
+        )
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from apache_kafka_clickhouse_demo_spark.functions import agg_state as S
+
+        txn = f"{self.writer_id}:{batch_id}"
+        store_done = self.store.txn_committed(txn)
+        if store_done and self.out.txn_committed(txn):
+            return
+        if not store_done and block.isEmpty():
+            return
+        if store_done:
+            vc = self.store.txn_version(txn)
+            if vc is None:
+                raise RuntimeError(
+                    f"{self.store.path}: txn {txn} is committed but its "
+                    "commit was folded away — cannot reconstruct the "
+                    "pre-append snapshot a half-committed retry needs "
+                    "(run maintain() only between fully-committed batches)"
+                )
+            pin = vc - 1
+        else:
+            pin = self.store.version()
+
+        inc = (
+            block.groupBy(self.group_col)
+            .agg(S.uniq_state(self.key_col, self.lg_k).alias("state"))
+            .withColumn("shard", self._shard())
+        )
+
+        block_shards = sorted((inc.agg(F.collect_set("shard")).first()[0]) or [])
+        gtype = block.schema[self.group_col].dataType.simpleString()
+        try:
+            prior = self.store.read_where(
+                self.spark, "shard", block_shards, version=pin
+            ).select(self.group_col, "state")
+        except FileNotFoundError:
+            prior = self.spark.createDataFrame(
+                [], f"{self.group_col} {gtype}, state binary"
+            )
+        # running estimate at ingest: union prior + block states per
+        # group, restricted to the BLOCK's groups (null-safe semi join
+        # so a NULL group accumulates like any other)
+        gc = self.group_col
+        merged = (
+            prior.unionByName(inc.select(gc, "state"))
+            .groupBy(gc)
+            .agg(S.uniq_merge("state").alias("approx_uniq"))
+        )
+        est = (
+            merged.alias("m")
+            .join(
+                inc.select(gc).distinct().alias("g"),
+                F.col(f"m.{gc}").eqNullSafe(F.col(f"g.{gc}")),
+                "leftsemi",
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.col(gc),
+                F.col("approx_uniq"),
+            )
+        )
+
+        if not store_done:
+            self.store.append_once(
+                inc.select("shard", self.group_col, "state").repartition(
+                    F.col("shard")
+                ),
+                txn=txn,
+                partition_by="shard",
+            )
+        self.out.append_once(est, txn=txn)
+
+
+def uniq_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    group_col: str,
+    key_col: str,
+    lg_k: int = 12,
+    uniq_shards: int = 8,
+):
+    """Continuously-maintained per-group HLL count-distinct: per-block
+    `uniqState` rows appended exactly-once to a group-sharded state
+    store (merge-on-read union), per-block running estimates at ingest.
+    Mechanics, the retry-pin protocol, and the drained-store == batch
+    sketch register-identity: see `_UniqStreamWriter`."""
+    writer = _UniqStreamWriter(
+        spark,
+        out_dir,
+        store_dir,
+        group_col=group_col,
+        key_col=key_col,
+        lg_k=lg_k,
+        uniq_shards=uniq_shards,
+        writer_id=checkpoint,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -180,6 +180,8 @@ HEADLINE = [
     "stream_cms_counts",
     # r12: perceptual-hash media dedup (blockhash + pigeonhole chunks)
     "media_phash_dedup",
+    # r12: streaming per-group HLL count-distinct (state store twin)
+    "stream_uniq_users",
 ]
 
 
@@ -303,6 +305,7 @@ BASELINE_SEC = {
     "ann_indexed_reclustered": 4.234,
     "stream_cms_counts": 7.858,
     "media_phash_dedup": 1.15,
+    "stream_uniq_users": 5.29,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -37,6 +37,7 @@ _SKIP = {
     "ann_indexed_reclustered",  # same: builds + extends + reclusters at query build; lookup plan linted via ann_ivf_topk
     "stream_index_ann",  # streaming drain (feed -> ANN segments); lookup plan linted via ann_ivf_topk
     "stream_cms_counts",  # streaming drain (feed -> counter store); sketch lookup plan linted via cms_user_counts
+    "stream_uniq_users",  # streaming drain (feed -> HLL state store); uniqMerge read linted via uniq_users_approx
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):

@@ -98,6 +98,10 @@ EXECUTING = {
     # lookup plan is swept via the batch twin cms_user_counts, writer
     # exactly-once pinned in tests/test_streaming_stateful.py
     "stream_cms_counts",
+    # streaming drain (feed -> HLL state store); the uniqMerge read
+    # plan is swept via the batch twin uniq_users_approx, writer
+    # exactly-once pinned in tests/test_streaming_stateful.py
+    "stream_uniq_users",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

@@ -1661,3 +1661,114 @@ def test_count_min_stream_half_committed_retry_pins_preappend(
         (r["batch_id"], r["k"]): r["est"] for r in w.out.read(spark).collect()
     }
     assert rows2[(2, "b")] == 3
+
+
+def _uniq_writer(spark, tmp_path, tag="w", shards=4):
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _UniqStreamWriter,
+    )
+
+    return _UniqStreamWriter(
+        spark,
+        str(tmp_path / f"uniqout_{tag}"),
+        str(tmp_path / f"uniqstore_{tag}"),
+        group_col="g",
+        key_col="k",
+        uniq_shards=shards,
+        writer_id=tag,
+    )
+
+
+def _gk_df(spark, rows):
+    return spark.createDataFrame(rows, "g string, k string")
+
+
+def test_uniq_stream_running_estimates_accumulate(spark, tmp_path):
+    """Per-block estimates are at-ingest running count-distincts (the
+    sketch is coupon-exact at these cardinalities); the drained store's
+    merged estimates equal the batch uniqState/uniqMerge path exactly
+    (register-identity under block splits); replay and idle blocks
+    publish nothing; NULL groups accumulate as one group."""
+    from apache_kafka_clickhouse_demo_spark.functions import agg_state as S
+
+    w = _uniq_writer(spark, tmp_path)
+    w.process(_gk_df(spark, [("a", "u1"), ("a", "u2"), ("b", "u1"), (None, "x")]), 0)
+    w.process(_gk_df(spark, [("a", "u2"), ("a", "u3"), (None, "y")]), 1)
+    rows = {
+        (r["batch_id"], r["g"]): r["approx_uniq"]
+        for r in w.out.read(spark).collect()
+    }
+    assert rows == {
+        (0, "a"): 2, (0, "b"): 1, (0, None): 1,
+        (1, "a"): 3, (1, None): 2,
+    }
+
+    got = {
+        r["g"]: r["approx_uniq"] for r in w.merged_estimates().collect()
+    }
+    feed = _gk_df(
+        spark,
+        [("a", "u1"), ("a", "u2"), ("b", "u1"), (None, "x"),
+         ("a", "u2"), ("a", "u3"), (None, "y")],
+    )
+    want = {
+        r["g"]: r["n"]
+        for r in feed.groupBy("g")
+        .agg(F.hll_sketch_estimate(S.uniq_state("k")).alias("n"))
+        .collect()
+    }
+    # merged-from-blocks == whole-input sketch (register identity)
+    assert got == want == {"a": 3, "b": 1, None: 2}
+
+    vs, vo = w.store.version(), w.out.version()
+    w.process(_gk_df(spark, [("a", "u2"), ("a", "u3"), (None, "y")]), 1)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+    w.process(_gk_df(spark, []).filter("k IS NOT NULL"), 2)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+
+
+def test_uniq_stream_half_committed_retry_pins_preappend(
+    spark, tmp_path, monkeypatch
+):
+    """The retry-pin protocol on the HLL state store: the retried OUT
+    rows must equal the first attempt's (estimates from the PRE-append
+    snapshot + the block's own states — HLL union is idempotent, but
+    the out rows' provenance must still be the pinned snapshot, not a
+    torn read of this txn's own append)."""
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
+
+    w = _uniq_writer(spark, tmp_path)
+    w.process(_gk_df(spark, [("a", "u1")]), 0)
+
+    orig = TXL.TransactionalTable.append_once
+    calls = {"n": 0}
+
+    def fail_out(self, df, txn, **kw):
+        if "uniqout_" in self.path:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected out-commit failure")
+        return orig(self, df, txn=txn, **kw)
+
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    block = _gk_df(spark, [("a", "u2"), ("b", "u9")])
+    with pytest.raises(RuntimeError, match="injected"):
+        w.process(block, 1)
+    assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
+
+    w.process(block, 1)
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    rows = {
+        (r["batch_id"], r["g"]): r["approx_uniq"]
+        for r in w.out.read(spark).collect()
+    }
+    assert rows == {(0, "a"): 1, (1, "a"): 2, (1, "b"): 1}
+
+    w.process(_gk_df(spark, [("a", "u3")]), 2)
+    rows2 = {
+        (r["batch_id"], r["g"]): r["approx_uniq"]
+        for r in w.out.read(spark).collect()
+    }
+    assert rows2[(2, "a")] == 3
