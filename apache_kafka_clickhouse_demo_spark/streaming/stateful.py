@@ -2114,6 +2114,12 @@ class _CountMinStreamWriter:
         block_shards = sorted(
             (inc.agg(F.collect_set("shard")).first()[0]) or []
         )
+        if not store_done and not block_shards:
+            # all keys NULL: CMS counts non-NULL keys (the batch
+            # operator's contract), so there is nothing to count and
+            # nothing is published — the ADVICE r10 empty-block rule
+            # (store_done implies the first attempt saw countable keys)
+            return
         try:
             prior = self.store.read_where(
                 self.spark, "shard", block_shards, version=pin

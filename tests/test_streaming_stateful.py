@@ -1614,6 +1614,9 @@ def test_count_min_stream_running_estimates_accumulate(spark, tmp_path):
     assert (w.store.version(), w.out.version()) == (vs, vo)
     w.process(_keys_df(spark, []).filter("k IS NOT NULL"), 2)  # idle
     assert (w.store.version(), w.out.version()) == (vs, vo)
+    # all-NULL-key block: CMS counts non-NULL keys, nothing published
+    w.process(spark.createDataFrame([(None,), (None,)], "k string"), 3)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
 
 
 def test_count_min_stream_half_committed_retry_pins_preappend(
