@@ -275,38 +275,50 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return counted.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
+def hamming_pairs(
+    hashes: DataFrame,
+    bits: int,
+    max_hamming: int,
+    wide: bool,
+    hash_col: str = "simhash",
     id_col: str = "doc_id",
-    max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+    """SHARED pigeonhole chunk-join: all (id_a < id_b) pairs whose
+    `bits`-bit fingerprints are within Hamming distance `max_hamming`
+    (code-review r12: extracted so `simhash_pairs` and the multimodal
+    `media_phash_pairs` provably share one banding protocol — the
+    ivf_quantize precedent: a copy would let the two silently drift).
 
-    Pigeonhole chunking: split 48 bits into (max_hamming + 1) chunks; any
-    pair within distance d shares >= 1 identical chunk, so joining on
-    (chunk_idx, chunk_value) finds ALL qualifying pairs without an all-pairs
-    comparison — this is what makes the operator viable at 100 TB.
+    Split the fingerprint into (max_hamming + 1) chunks; any pair
+    within distance d shares >= 1 identical chunk, so joining on
+    (chunk_idx, chunk_value) finds ALL qualifying pairs without an
+    all-pairs comparison — what makes the operator viable at 100 TB.
+    The chunk self-join's sides are corpus-sized, so `wide` pins the
+    shuffle join (pin_wide — the r9 broadcast-misplan class); NULL
+    fingerprints never equi-join, so they produce no pairs.  `hashes`
+    is persisted here (both join sides read it; the module's cache
+    contract applies).  Output: (id_a, id_b, hamming), ordered.
     """
     n_chunks = max_hamming + 1
-    chunk_bits = SIMHASH_BITS // n_chunks
-    # both sides of the chunk self-join read this — compute the hashes once
-    sims = simhash(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-
+    chunk_bits = bits // n_chunks
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
     chunks = F.array(
         *[
-            F.shiftright("simhash", j * chunk_bits).bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            F.shiftright(hash_col, j * chunk_bits).bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            )
             for j in range(n_chunks)
         ]
     )
-    chunked = sims.select("doc_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
-
-    # pin_wide (r9): the chunk self-join's sides are corpus-sized; on a
-    # wide source pin the shuffle join (the 100x plan broadcast one side)
-    pairs = (
+    chunked = hashes.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_val"),
+    )
+    return (
         chunked.alias("a")
         .join(
-            pin_wide(chunked, is_wide_source(docs)).alias("b"),
+            pin_wide(chunked, wide).alias("b"),
             on=[
                 F.col("a.chunk_idx") == F.col("b.chunk_idx"),
                 F.col("a.chunk_val") == F.col("b.chunk_val"),
@@ -316,13 +328,27 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
-    return pairs
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming — the
+    shared pigeonhole chunk-join (`hamming_pairs`) over the 48-bit
+    SimHash fingerprints."""
+    sims = simhash(docs, text_col, id_col)
+    return hamming_pairs(
+        sims, SIMHASH_BITS, max_hamming, is_wide_source(docs)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -383,51 +383,22 @@ def media_phash_pairs(
     hash-checked, not argued).  NULL phashes (NULL/empty blobs) never
     equi-join — no pairs, both engines.
 
-    Plan shape at 100 TB: one Arrow pass for the hashes, a
-    (d+1)-way chunk fan-out, one equi-join on bounded-cardinality chunk
-    keys, bit_count verify row-locally.  Chunk-value skew (many blobs
+    Plan shape at 100 TB: one Arrow pass for the hashes, then the
+    SHARED `dedup.hamming_pairs` pigeonhole protocol (code-review r12:
+    one banding implementation for simhash and phash, so the two
+    cannot drift) — (d+1)-way chunk fan-out, one equi-join on
+    bounded-cardinality chunk keys, bit_count verify row-locally,
+    shuffle-pinned on wide sources.  Chunk-value skew (many blobs
     sharing one chunk) is the simhash operator's known trade — the
-    verify keeps it exact, AQE splits a hot chunk partition.  The chunk
-    self-join's sides are corpus-sized, so on a wide source the shuffle
-    join is pinned (`pin_wide` — the r9 broadcast-misplan class).
+    verify keeps it exact, AQE splits a hot chunk partition.
     """
-    from apache_kafka_clickhouse_demo_spark.sources.tables import (
-        is_wide_source,
-        pin_wide,
-    )
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import hamming_pairs
+    from apache_kafka_clickhouse_demo_spark.sources.tables import is_wide_source
 
-    n_chunks = max_hamming + 1
-    chunk_bits = PHASH_BITS // n_chunks
-    hashes = media_phash(media).persist()
-    chunks = F.array(
-        *[
-            F.shiftright("phash", j * chunk_bits).bitwiseAND(
-                F.lit((1 << chunk_bits) - 1)
-            )
-            for j in range(n_chunks)
-        ]
-    )
-    chunked = hashes.select(
-        "doc_id", "phash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
-    )
-    return (
-        chunked.alias("a")
-        .join(
-            pin_wide(chunked, is_wide_source(media)).alias("b"),
-            on=[
-                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
-                F.col("a.chunk_val") == F.col("b.chunk_val"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.bit_count(
-                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
+    return hamming_pairs(
+        media_phash(media),
+        PHASH_BITS,
+        max_hamming,
+        is_wide_source(media),
+        hash_col="phash",
     )

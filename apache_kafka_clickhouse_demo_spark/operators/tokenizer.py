@@ -80,7 +80,7 @@ def _apply_merges_arrow(frame: DataFrame, merges, syms_col: str = "syms") -> Dat
     other columns pass through, no shuffle, scales with the DISTINCT-
     WORD frame."""
     out_schema = frame.schema
-    name = frame.columns[frame.columns.index(syms_col)]
+    name = syms_col
     mlist = [(a, b, a + b) for a, b in merges]
 
     def gen(batches):

@@ -1705,6 +1705,30 @@ def ann_index_stream(
     )
 
 
+def _resolve_retry_pin(store, txn: str) -> int:
+    """Shared crash-window pin rule for the counter/state-store stream
+    writers — _DomainCapStreamWriter, _CountMinStreamWriter,
+    _UniqStreamWriter (code-review r12: previously triplicated
+    verbatim; one copy keeps the exactly-once guarantee provably
+    identical across writers).  On a store-committed retry the
+    pre-append snapshot is txn_version(txn) - 1 — the current version
+    already contains the first attempt's own append, and re-reading it
+    would count the block against itself — and a pin folded away by
+    log maintenance raises loudly instead of guessing (maintain() runs
+    only between fully-committed batches)."""
+    if store.txn_committed(txn):
+        vc = store.txn_version(txn)
+        if vc is None:
+            raise RuntimeError(
+                f"{store.path}: txn {txn} is committed but its "
+                "commit was folded away — cannot reconstruct the "
+                "pre-append snapshot a half-committed retry needs "
+                "(run maintain() only between fully-committed batches)"
+            )
+        return vc - 1
+    return store.version()
+
+
 class _DomainCapStreamWriter:
     """foreachBatch body of `domain_cap_stream`: a continuous per-domain
     QUOTA over a crawl feed — keep each registered domain's first `cap`
@@ -1830,18 +1854,7 @@ class _DomainCapStreamWriter:
         if not store_done and block.isEmpty():
             return  # idle trigger: nothing published (store_done implies
             # the first attempt saw a non-empty block — re-derive it)
-        if store_done:
-            vc = self.store.txn_version(txn)
-            if vc is None:
-                raise RuntimeError(
-                    f"{self.store.path}: txn {txn} is committed but its "
-                    "commit was folded away — cannot reconstruct the "
-                    "pre-append snapshot a half-committed retry needs "
-                    "(run maintain() only between fully-committed batches)"
-                )
-            pin = vc - 1
-        else:
-            pin = self.store.version()
+        pin = _resolve_retry_pin(self.store, txn)
 
         parts = url_parts(block, self.url_col, self.id_col, self.suffixes)
         ranked = parts.withColumn(
@@ -2092,18 +2105,7 @@ class _CountMinStreamWriter:
             return  # fully-committed replay: no-op, no jobs
         if not store_done and block.isEmpty():
             return  # idle trigger: nothing published
-        if store_done:
-            vc = self.store.txn_version(txn)
-            if vc is None:
-                raise RuntimeError(
-                    f"{self.store.path}: txn {txn} is committed but its "
-                    "commit was folded away — cannot reconstruct the "
-                    "pre-append snapshot a half-committed retry needs "
-                    "(run maintain() only between fully-committed batches)"
-                )
-            pin = vc - 1
-        else:
-            pin = self.store.version()
+        pin = _resolve_retry_pin(self.store, txn)
 
         inc = count_min_build(
             block, self.key_col, width=self.width, depth=self.depth, salt=self.salt
@@ -2285,18 +2287,7 @@ class _UniqStreamWriter:
             return
         if not store_done and block.isEmpty():
             return
-        if store_done:
-            vc = self.store.txn_version(txn)
-            if vc is None:
-                raise RuntimeError(
-                    f"{self.store.path}: txn {txn} is committed but its "
-                    "commit was folded away — cannot reconstruct the "
-                    "pre-append snapshot a half-committed retry needs "
-                    "(run maintain() only between fully-committed batches)"
-                )
-            pin = vc - 1
-        else:
-            pin = self.store.version()
+        pin = _resolve_retry_pin(self.store, txn)
 
         inc = (
             block.groupBy(self.group_col)

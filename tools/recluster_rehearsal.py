@@ -48,12 +48,16 @@ def hub_vectors(spark, n: int, id_offset: int):
     founding centroids (from an unrelated distribution) funnel them into
     few cells, wide enough that a reclustered generation can genuinely
     partition the cone."""
+    # jitter keys on the OFFSET id (code-review r12: keying on the raw
+    # spark.range id made the query batch byte-identical twins of drift
+    # vectors 0..31 — every lookup a degenerate cos=1 self-match)
+    vid = F.col("id") + id_offset
     jit = lambda i: (  # noqa: E731
         F.pmod(
             H.h48(
                 F.concat(
                     F.lit("drift:"),
-                    F.col("id").cast("string"),
+                    vid.cast("string"),
                     F.lit(":"),
                     i.cast("string"),
                 )
@@ -66,9 +70,7 @@ def hub_vectors(spark, n: int, id_offset: int):
         F.sequence(F.lit(1), F.lit(DIM)),
         lambda i: F.when(i == 1, F.lit(1.0)).otherwise(jit(i)),
     )
-    return spark.range(n).select(
-        (F.col("id") + id_offset).alias("vec_id"), vec.alias("embedding")
-    )
+    return spark.range(n).select(vid.alias("vec_id"), vec.alias("embedding"))
 
 
 def probed_cell_rows(spark, table, queries) -> int:
