@@ -15,9 +15,19 @@ the dataloader:
 - `mixture_sample`    : deterministic per-group RATE sampling — the
   data-mixture primitive (up-weight curated sources, down-weight crawl)
   as a pure row-local scan filter.
+- `temperature_mixture`: COMPUTES the per-source rates mixture_sample
+  consumes — n_g^alpha temperature rebalancing (XLM-R alpha=1/2
+  oracle-exact in-engine; other alphas via the bounded driver-side
+  integer-rate rule `temperature_rates_py`).
+- `calibrate_scores`  : per-source integer permille rank — the
+  FineWeb/CCNet score-calibration step before any cross-source
+  selection threshold.
+- `diverse_sample`    : cluster-balanced selection over an embedding
+  column (shared IVF quantizer + exact per-cell quota).
 
-All are built on the engine-portable h48 hash family
-(`functions/hashing.py`), so their DuckDB oracles are exact.
+The hash-keyed operators use the engine-portable h48 family
+(`functions/hashing.py`), and every operator's arithmetic is integer-
+exact, so their DuckDB oracles are exact.
 """
 
 from __future__ import annotations
@@ -350,3 +360,54 @@ def diverse_sample(
     return stratified_sample(
         cells, "cent_id", n_per_cell, id_col, salt=strat_salt
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-source score calibration (r12) — the FineWeb/CCNet trick of
+    replacing a raw quality score with its WITHIN-SOURCE percentile
+    before cross-source selection: classifier scores drift across
+    dumps/sources (different length mixes, boilerplate rates), so a
+    global threshold keeps whole sources and drops whole sources; the
+    calibrated value compares like with like.
+
+        calib = (rank(score within group) - 1) * scale
+                  div (count(group) - 1)          (0 when count == 1)
+
+    Pure INTEGER arithmetic end-to-end (rank and count are exact, both
+    operands non-negative so Spark `div` == DuckDB `//`) — no float
+    percentile interpolation to disagree across engines.  Ties share a
+    rank (SQL RANK semantics), so equal scores calibrate equally —
+    deterministic without an id tie-break, and the id never influences
+    a row's calibrated value.
+
+    Scale shape: one window per group (rank + count over the same
+    partition spec — ONE shuffle, no join).  A hot source funnels its
+    rows through one task — the window family's known trade (the gated
+    sessionization/rank rows share it); sources/dumps are
+    bounded-cardinality by construction, and the approximate scale
+    path for truly monster groups is bucketing against GK-sketch
+    boundaries (`value_percentiles_approx`'s family), which trades
+    exactness for a bounded broadcast.
+
+    Output: every input row with `calib` attached, in [0, scale].
+    NULL groups form one group (SQL window NULL partitioning); NULL
+    scores sort first (SQL default) and calibrate lowest.
+    """
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    w = Window.partitionBy(group_col)
+    rank = F.rank().over(w.orderBy(score_col)).cast("long")
+    cnt = F.count(F.lit(1)).over(w).cast("long")
+    out = df.select("*", rank.alias("_rk"), cnt.alias("_n"))
+    # `div` (integer division) needs the SQL form; both operands are
+    # non-negative longs, so Spark div == DuckDB // exactly
+    calib = F.when(F.col("_n") == 1, F.lit(0).cast("long")).otherwise(
+        F.expr(f"(_rk - 1) * {int(scale)} div (_n - 1)")
+    )
+    return out.withColumn("calib", calib.cast("long")).drop("_rk", "_n")

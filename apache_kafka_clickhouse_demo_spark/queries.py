@@ -3357,6 +3357,24 @@ def q_cms_user_counts(spark, sf_dir):
     )
 
 
+def q_score_calibration(spark, sf_dir):
+    """Per-source score calibration (sampling.calibrate_scores — r12,
+    the FineWeb/CCNet per-dump trick): each document's quality score is
+    replaced by its within-source integer permille rank, so a selection
+    threshold compares like with like across sources whose score
+    distributions drift.  Score = text length (deterministic,
+    NULL-coalesced to -1 so engines' NULL orderings never enter);
+    sources are the skewed synthetic doc_id-residue split.  Pure
+    integer rank/count arithmetic — the oracle mirrors it verbatim."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _synth_source().alias("source"),
+        F.coalesce(F.length("text"), F.lit(-1)).cast("long").alias("score"),
+    )
+    out = sampling.calibrate_scores(docs, "source", "score", "doc_id")
+    return out.select("doc_id", "source", "score", "calib").orderBy("doc_id")
+
+
 def q_stream_uniq_users(spark, sf_dir):
     """Streaming per-group HLL count-distinct (stateful.uniq_stream —
     r12, the sketch family's third streaming twin beside Misra-Gries
@@ -4216,6 +4234,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # third streaming twin; register-exact union -> oracle = the batch
     # uniq_users_approx SQL verbatim)
     "stream_uniq_users": q_stream_uniq_users,
+    # r12: per-source score calibration (FineWeb per-dump percentile
+    # rank, integer-exact — the step before any cross-source threshold)
+    "score_calibration": q_score_calibration,
     # rotated OUT of the gate in r12 for the six r11-new rows (VERDICT
     # r11 #1); every operator they carried keeps >= 1 green gate row or
     # a provably-shared gated code path (see the QUERIES rotation
@@ -6549,6 +6570,22 @@ FROM r ORDER BY doc_id
 """,
         "media_features": _oracle_media_features(),
         "media_phash_dedup": _oracle_media_phash(),
+        "score_calibration": f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_SYNTH_SOURCE} AS source,
+         CAST(coalesce(length(text), -1) AS BIGINT) AS score
+  FROM documents
+), r AS (
+  SELECT doc_id, source, score,
+         CAST(rank() OVER (PARTITION BY source ORDER BY score) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM s
+)
+SELECT doc_id, source, score,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE (rk - 1) * 1000 // (n - 1) END AS BIGINT) AS calib
+FROM r ORDER BY doc_id
+""",
         "media_frame_sample": _oracle_media_frame_sample(),
         "media_resize": f"""
 WITH s AS (

@@ -182,6 +182,8 @@ HEADLINE = [
     "media_phash_dedup",
     # r12: streaming per-group HLL count-distinct (state store twin)
     "stream_uniq_users",
+    # r12: per-source score calibration (integer permille rank)
+    "score_calibration",
 ]
 
 
@@ -306,6 +308,7 @@ BASELINE_SEC = {
     "stream_cms_counts": 7.858,
     "media_phash_dedup": 1.15,
     "stream_uniq_users": 5.29,
+    "score_calibration": 0.82,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

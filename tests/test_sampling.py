@@ -400,3 +400,55 @@ def test_temperature_mixture_group_cardinality_guard(spark):
             S.temperature_mixture(df, "source", 5, "doc_id", alpha=0.3)
     finally:
         S.MAX_TEMP_GROUPS = old
+
+
+def test_calibrate_scores_integer_permille_rank(spark):
+    """calib = (rank-1)*scale div (count-1): ties share a calibrated
+    value, singleton groups calibrate to 0, endpoints hit 0 and scale,
+    and the value is monotone in the score within each group."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        calibrate_scores,
+    )
+
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 40), (5, "a", 50),
+        (6, "b", 7),                      # singleton group
+        (7, "c", 1), (8, "c", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    got = {
+        r["doc_id"]: r["calib"]
+        for r in calibrate_scores(df, "source", "score", "doc_id").collect()
+    }
+    # group a (n=5): ranks 1,2,2,4,5 -> (rk-1)*1000 div 4
+    assert got[1] == 0 and got[2] == got[3] == 250 and got[4] == 750
+    assert got[5] == 1000
+    assert got[6] == 0          # singleton: defined as 0
+    assert got[7] == 0 and got[8] == 1000
+    # monotone within group: higher score never calibrates lower
+    assert got[1] <= got[2] <= got[4] <= got[5]
+
+
+def test_calibrate_scores_cross_source_comparability(spark):
+    """The operator's reason to exist: one source's scores sit far
+    above another's, yet after calibration the two sources' medians
+    coincide — a single calibrated threshold selects proportionally
+    from both."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        calibrate_scores,
+    )
+
+    rows = [(i, "hi", 1000 + i) for i in range(11)] + [
+        (100 + i, "lo", i) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = calibrate_scores(df, "source", "score", "doc_id").collect()
+    med = {
+        s: sorted(r["calib"] for r in out if r["source"] == s)[5]
+        for s in ("hi", "lo")
+    }
+    assert med["hi"] == med["lo"] == 500
+    kept = [r for r in out if r["calib"] >= 500]
+    assert sum(1 for r in kept if r["source"] == "hi") == sum(
+        1 for r in kept if r["source"] == "lo"
+    ) == 6
