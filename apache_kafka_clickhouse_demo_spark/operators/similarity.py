@@ -336,6 +336,84 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+#: Reciprocal-rank-fusion smoothing constant (Cormack/Clarke/Buettcher,
+#: SIGIR'09 — k = 60 is the paper's value, used unchanged everywhere).
+RRF_K = 60
+#: Contributions are floor(RRF_SCALE / (k + rank)) — integers, so the
+#: fused score is exact in both engines (no float reciprocal sums).
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(arms: list[DataFrame], k: int = 10, rrf_k: int = RRF_K) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists — the standard
+    way to combine a keyword arm (BM25) with a vector arm (ANN cosine)
+    into one hybrid ranking without comparing their incomparable scores.
+
+    Each arm is a DataFrame (query_id, doc_id, rank) — the shape
+    `bm25_topk` / `bm25_lookup` and the ANN top-k family emit (rename
+    neighbor_id -> doc_id).  A document's fused score is the sum over
+    arms of floor(RRF_SCALE / (rrf_k + rank)); documents missing from an
+    arm's top-k contribute nothing for that arm (truncated-list RRF, the
+    standard practice).  Integer arithmetic end to end: rank is an int,
+    the floor-division is Spark `div` / DuckDB `//` on positive operands,
+    and the sum is order-independent — hash-exact cross-engine.
+
+    Output: (query_id, rank, doc_id, rrf_score_nano, n_arms), rank 1..k
+    by (fused score desc, doc_id asc); n_arms counts how many arms
+    surfaced the document (1 = single-arm hit, len(arms) = consensus).
+
+    Plan shape at 100 TB: the arms are already top-k lists, so this
+    operator's whole input is <= |queries| * k * len(arms) rows — one
+    bounded union + one aggregate + the two-phase top-k merge.  The
+    expensive work (corpus-scale scoring) stays inside the arms, which
+    prune with their own indexes/banding.
+    """
+    if not arms:
+        raise ValueError("rrf_fuse: need at least one arm")
+    contribs = [
+        a.select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.expr(f"{RRF_SCALE} div ({rrf_k} + rank)").cast("long").alias("_c"),
+        )
+        for a in arms
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("_c").alias("rrf_score_nano"),
+        F.count(F.lit(1)).cast("int").alias("n_arms"),
+    )
+    # same two-phase partial/merge top-k as _two_phase_topk, with the
+    # fused-score entry struct: array_sort orders by (neg_score asc =
+    # score desc, doc_id asc); doc_id is unique per query post-aggregate
+    entry = F.struct(
+        (-F.col("rrf_score_nano")).alias("neg_score"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("rrf_score_nano").alias("rrf_score_nano"),
+        F.col("n_arms").alias("n_arms"),
+    )
+    scored = fused.select("query_id", entry.alias("entry"))
+    partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
+        _topk_sorted_slice(F.collect_list("entry"), k).alias("topk")
+    )
+    merged = partial.groupBy("query_id").agg(
+        _topk_sorted_slice(F.flatten(F.collect_list("topk")), k).alias("topk")
+    )
+    return (
+        merged.select("query_id", F.posexplode("topk").alias("_pos", "e"))
+        .select(
+            "query_id",
+            (F.col("_pos") + 1).alias("rank"),
+            F.col("e.doc_id").alias("doc_id"),
+            F.col("e.rrf_score_nano").alias("rrf_score_nano"),
+            F.col("e.n_arms").alias("n_arms"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_quantize(
     corpus,
     target_centroids: int | None,

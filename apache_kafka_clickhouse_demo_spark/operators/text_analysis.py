@@ -305,6 +305,91 @@ def gopher_rules(
     return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
 
 
+#: C4 cleaning thresholds (Raffel et al. 2020 §2.2 — the line/page rule
+#: set the C4 corpus was built with; the public ancestor of every
+#: "clean the Common Crawl" recipe).
+C4_MIN_LINE_WORDS = 5  # a retained line has >= 5 words
+C4_MIN_KEPT_LINES = 3  # a retained page has >= 3 retained lines
+#: Stand-in for the paper's blocklist ("List of Dirty, Naughty, Obscene
+#: or Otherwise Bad Words") — the real list is a runtime input a caller
+#: passes via `badwords=`; shipping it verbatim adds nothing to the
+#: operator's semantics.  Matching is distinct-token intersection,
+#: exactly like the Gopher stopword rule.
+C4_BADWORDS = ("badword", "slur", "obscenity")
+
+
+def c4_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> DataFrame:
+    """C4 line- and page-level cleaning (Raffel et al. 2020 §2.2):
+
+    line rules (a line survives iff ALL hold):
+      * ends in a terminal punctuation mark (``. ! ? "`` after trim)
+      * has at least `C4_MIN_LINE_WORDS` whitespace words
+      * does not mention "javascript" (case-insensitive)
+    page rules (signals emitted per document):
+      * `has_lorem`  — page contains "lorem ipsum"
+      * `has_brace`  — page contains "{" (code)
+      * `has_badword`— any page token is in `badwords`
+      * `keep`       — >= `C4_MIN_KEPT_LINES` surviving lines and no
+                       page-level flag fired
+
+    Output: (doc_id, n_lines, n_kept_lines, has_lorem, has_brace,
+    has_badword, clean_text, keep) — clean_text is the surviving lines
+    re-joined with newlines ('' when none survive), so a pipeline can
+    FILTER on keep and continue with the cleaned page (the C4 recipe's
+    actual output), exactly like `gopher_rules` feeds its `keep`.
+
+    Unlike gopher_rules (whole-text regex counts, zero HOFs), the line
+    rules genuinely need per-line predicates AND per-line recomposition
+    (the kept lines come back out), so this uses one array `filter` over
+    the split lines — the HOF runs interpreted, but it is row-local,
+    zero-exchange, and does one pass over each line; restating "keep the
+    matching lines" as whole-text regex surgery would trade that for a
+    catastrophic-backtracking hazard on crawl-sized pages.  Scan-bound at
+    100 TB.  NULL text behaves as '' (no lines survive, keep = false).
+    The remaining C4 step — drop any three-sentence span seen twice in
+    the corpus — is the `passage_dedup` operator; compose them.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(raw, r"\n", -1)
+
+    def line_ok(x: Column) -> Column:
+        t = F.trim(x)
+        return (
+            t.rlike(r'[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= C4_MIN_LINE_WORDS)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    low = F.lower(raw)
+    bad_arr = F.array(*[F.lit(w) for w in badwords])
+    n_bad = F.size(
+        F.array_intersect(F.array_distinct(F.split(F.trim(low), r"\s+")), bad_arr)
+    )
+    staged = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        raw.contains("{").alias("has_brace"),
+        # greatest(..., 0): size() is -1 on the empty-split edge
+        (F.greatest(n_bad, F.lit(0)) > 0).alias("has_badword"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    keep = (
+        (F.col("n_kept_lines") >= C4_MIN_KEPT_LINES)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_badword")
+    )
+    return staged.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
 def doc_chunks(
     docs: DataFrame,
     chunk_tokens: int = 32,

@@ -238,6 +238,296 @@ def bpe_fit(
     return merges
 
 
+#: Floor score for out-of-vocabulary single characters (SentencePiece's
+#: UNK handling: an unknown character costs heavily but never blocks a
+#: segmentation).  Milli-units of natural-log probability.
+UNIGRAM_UNK_MILLI = -20_000
+#: Longest candidate piece the seed vocabulary enumerates.
+UNIGRAM_MAX_PIECE_LEN = 6
+
+
+def _viterbi_segment(
+    word: str, scores: dict[str, int], max_len: int, unk_milli: int
+) -> list[str]:
+    """Max-sum Viterbi segmentation of one word under integer milli
+    log-prob piece scores — the unigram-LM decode rule (Kudo, ACL 2018).
+
+    Candidates at each position are vocabulary pieces up to `max_len`
+    chars; any single character missing from the vocabulary is allowed
+    at `unk_milli` so every word segments.  Deterministic tie rule,
+    pinned by tests/test_unigram_lm.py: maximize total score, then
+    prefer FEWER pieces, then prefer the LONGER last piece (recursively:
+    compare (score, -n_pieces, piece_len) per DP cell, all integers —
+    no float enters the decode anywhere)."""
+    n = len(word)
+    # dp[j] = (score, neg_pieces, back_i) best for prefix word[:j]
+    dp: list[tuple[int, int, int] | None] = [None] * (n + 1)
+    dp[0] = (0, 0, -1)
+    for j in range(1, n + 1):
+        best = None
+        for i in range(max(0, j - max_len), j):
+            prev = dp[i]
+            if prev is None:
+                continue
+            piece = word[i:j]
+            s = scores.get(piece)
+            if s is None:
+                if j - i > 1:
+                    continue
+                s = unk_milli
+            cand = (prev[0] + s, prev[1] - 1, j - i)
+            if best is None or cand > best:
+                best = cand
+                back = i
+        if best is not None:
+            dp[j] = (best[0], best[1], back)
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = dp[j][2]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def _segment_vocab_arrow(
+    vocab: DataFrame, scores: dict[str, int], max_len: int, unk_milli: int
+) -> DataFrame:
+    """Viterbi-segment every row of a (word, ...) frame into a `pieces`
+    array column — ONE Arrow-batched mapInPandas pass over the
+    DISTINCT-WORD frame (the `_apply_merges_arrow` shape: row-local, no
+    shuffle, other columns pass through)."""
+    from pyspark.sql import types as T
+
+    # StructType.add MUTATES (and returns) the same object df.schema
+    # hands back — build a fresh StructType or the source frame "grows"
+    # a phantom pieces column
+    out_schema = T.StructType(
+        list(vocab.schema.fields)
+        + [T.StructField("pieces", T.ArrayType(T.StringType()))]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pieces"] = pd.Series(
+                [
+                    None
+                    if w is None
+                    else _viterbi_segment(w, scores, max_len, unk_milli)
+                    for w in pdf["word"]
+                ],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield pdf
+
+    return vocab.mapInPandas(gen, out_schema)
+
+
+def _milli_log_scores(counts: dict[str, int]) -> dict[str, int]:
+    """piece -> floor(1000 * ln(count/total)) — the M-step.  One
+    math.log per DISTINCT piece on the driver (the vocabulary is
+    bounded by construction); floor keeps every score an integer, so
+    engine and pure-Python replica compare bit-identically."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: math.floor(1000.0 * math.log(c / total)) for p, c in counts.items() if c > 0
+    }
+
+
+def unigram_seed_vocab(
+    docs: DataFrame,
+    seed_size: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+) -> dict[str, int]:
+    """Seed vocabulary for `unigram_fit`: every word substring up to
+    `max_piece_len` chars, counted with word frequency weights; keep the
+    top `seed_size` multi-char pieces by (count desc, piece asc) with
+    count >= `min_count`, plus ALL single characters (the alphabet —
+    bounded — must stay in the vocabulary or some word could fail to
+    segment).  Returns piece -> corpus count.
+
+    Plan shape: substring enumeration is row-local over the
+    DISTINCT-WORD frame (fan-out <= |word| * max_piece_len), one
+    map-side-combinable count aggregate, then one bounded collect — the
+    top-(seed_size) slice plus the alphabet, both fixed by construction
+    (the BPE candidate-collect class)."""
+    if seed_size < 1:
+        raise ValueError("seed_size must be >= 1")
+    words = _word_vocab(docs, text_col)
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.length("word"), F.lit(max_piece_len))),
+                    lambda ln: F.transform(
+                        F.sequence(F.lit(1), F.length("word") - ln + 1),
+                        lambda st: F.col("word").substr(st, ln),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    cnt = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    multi = (
+        cnt.filter((F.length("piece") > 1) & (F.col("cnt") >= min_count))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(seed_size)
+        .collect()
+    )
+    chars = cnt.filter(F.length("piece") == 1).collect()
+    return {r["piece"]: r["cnt"] for r in [*chars, *multi]}
+
+
+def unigram_fit(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    seed_size: int = 4096,
+    min_count: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    shrink_permille: int = 750,
+    max_rounds: int = 8,
+) -> list[tuple[str, int]]:
+    """SentencePiece-style unigram-LM vocabulary induction (Kudo, ACL
+    2018), HARD-EM variant: seed a large candidate vocabulary, then
+    alternate (E) Viterbi-segment the distinct words under current
+    scores and count piece usage — integer counts, order-independent —
+    with (M) refreshed milli log-prob scores, pruning the least-used
+    multi-char pieces each round (keep max(vocab_size - |alphabet|,
+    750‰ of current) by (count desc, piece asc); single characters are
+    never pruned, so the alphabet is the vocabulary's hard floor — the
+    SentencePiece constraint) until the multi-piece budget fits
+    `vocab_size` and one settling round ran, or `max_rounds` caps the
+    work (a tighter cap stops higher up the shrink schedule, by design).
+
+    DEVIATION FROM KUDO'S SOFT EM, stated honestly: the E-step uses
+    Viterbi (hard) counts, not lattice-marginal expected counts.
+    Expected counts are fractional floats whose distributed sum order
+    Spark does not fix, so soft EM cannot be bit-reproducible across
+    partitionings; hard counts are integers and commute.  Hard EM is the
+    same fixed point family (it is soft EM at temperature 0) and is what
+    keeps the fit pinned bit-for-bit against the pure-Python replica in
+    tests/test_unigram_lm.py — the BPE batched-rule precedent.
+
+    Returns [(piece, score_milli)] sorted by piece.  Driver state: the
+    score dict (<= seed_size + alphabet entries, bounded by
+    construction).  Per round: ONE Arrow segmentation pass over the
+    distinct-word frame + one integer count aggregate + one bounded
+    (<= |vocab|-row) collect.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    if not 0 < shrink_permille < 1000:
+        raise ValueError("shrink_permille must be in (0, 1000)")
+    counts = unigram_seed_vocab(
+        docs, seed_size, text_col, min_count=min_count, max_piece_len=max_piece_len
+    )
+    scores = _milli_log_scores(counts)
+    words = _word_vocab(docs, text_col)
+    settled = False
+    for _ in range(max_rounds):
+        seg = _segment_vocab_arrow(words, scores, max_piece_len, UNIGRAM_UNK_MILLI)
+        used = (
+            seg.select("freq", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        )
+        counts = {r["piece"]: r["cnt"] for r in used if r["piece"] in scores}
+        singles = {p: c for p, c in counts.items() if len(p) == 1}
+        multis = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        n_multi = len(multis)
+        # budget against the ALPHABET (every single char in scores),
+        # not the singles this round's segmentation happened to use —
+        # the floor below re-adds the whole alphabet, so counting used
+        # singles would let the final vocabulary overshoot vocab_size
+        alphabet_n = sum(1 for p in scores if len(p) == 1)
+        target_multi = max(vocab_size - alphabet_n, 0)
+        if n_multi > target_multi:
+            keep_n = max(target_multi, n_multi * shrink_permille // 1000)
+            multis = multis[:keep_n]
+            settled = False
+        elif settled:
+            break
+        else:
+            settled = True
+        # unused single chars keep a 1-count floor: the alphabet must
+        # survive every M-step or some word could fail to segment
+        kept = dict(multis)
+        for p in {p for p in scores if len(p) == 1}:
+            kept[p] = singles.get(p, 1)
+        scores = _milli_log_scores(kept)
+    return sorted(scores.items())
+
+
+def unigram_apply(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+) -> DataFrame:
+    """Tokenize every document with a fitted unigram-LM vocabulary:
+    Viterbi-segment each DISTINCT word (one Arrow pass), then join the
+    bounded (word -> n_pieces, n_unk) map back to word occurrences —
+    `bpe_apply`'s exact plan shape (one pin_wide-pinned word-keyed
+    shuffle + one per-doc aggregate).
+
+    Output: (doc_id, n_words, n_pieces, n_unk_pieces, pieces_per_word);
+    documents with no words emit no row (the `_word_vocab` contract)."""
+    scores = dict(vocab)
+    wv = _word_vocab(docs, text_col).select("word")
+
+    # n_pieces / n_unk per distinct word come out of the SAME Arrow pass
+    # as the segmentation — membership against the (driver-bounded)
+    # vocabulary dict stays in Python, never as a |vocab|-literal isin
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_pieces, n_unk = [], []
+            for w in pdf["word"]:
+                pieces = _viterbi_segment(w, scores, max_piece_len, UNIGRAM_UNK_MILLI)
+                n_pieces.append(len(pieces))
+                n_unk.append(sum(1 for p in pieces if p not in scores))
+            yield pd.DataFrame(
+                {"word": pdf["word"], "n_pieces_word": n_pieces, "n_unk_word": n_unk}
+            )
+
+    sized = wv.mapInPandas(gen, "word string, n_pieces_word int, n_unk_word int")
+
+    occ = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(TX.tokens(text_col)).alias("word")
+    ).filter(F.length("word") > 0)
+    wide = is_wide_source(docs)
+    return (
+        occ.join(pin_wide(sized, wide), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("n_pieces_word").cast("long").alias("n_pieces"),
+            F.sum("n_unk_word").cast("long").alias("n_unk_pieces"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.round(F.col("n_pieces").cast("double") / F.col("n_words"), 4),
+        )
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[str, str]],

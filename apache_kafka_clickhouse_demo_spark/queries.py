@@ -3532,6 +3532,99 @@ _SQL_SYNTH_GOPHER = """
 """
 
 
+def _synth_c4_text() -> "Column":
+    """Deterministic C4-rule garnish: the fixture text is one line of
+    token soup (no terminal punctuation, no braces, no 'javascript'), so
+    residue classes append lines that exercise each C4 rule — three
+    proper sentences (kept), a too-short line, a javascript line, a
+    lorem-ipsum line, a brace line, and a badword line.  Mirrored by
+    _SQL_SYNTH_C4."""
+    d = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    good = F.when(
+        d % 2 == 0,
+        F.lit(
+            "\nFirst proper sentence line with many fine words."
+            "\nSecond proper sentence line keeps the page going!"
+            '\nIs the "third" proper sentence line long enough?'
+        ),
+    ).otherwise(F.lit(""))
+    short = F.when(d % 3 == 0, F.lit("\nToo short.")).otherwise(F.lit(""))
+    js = F.when(
+        d % 5 == 0,
+        F.lit("\nPlease enable JavaScript to view this content today."),
+    ).otherwise(F.lit(""))
+    lorem = F.when(
+        d % 7 == 0,
+        F.lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."),
+    ).otherwise(F.lit(""))
+    brace = F.when(d % 11 == 0, F.lit("\nfunction f() { return 42; }")).otherwise(
+        F.lit("")
+    )
+    bad = F.when(
+        d % 13 == 0,
+        F.lit("\nThis line casually mentions a badword in passing."),
+    ).otherwise(F.lit(""))
+    return F.concat(base, good, short, js, lorem, brace, bad)
+
+
+_SQL_SYNTH_C4 = """
+(coalesce(text, '')
+ || CASE WHEN doc_id % 2 = 0
+         THEN chr(10) || 'First proper sentence line with many fine words.'
+              || chr(10) || 'Second proper sentence line keeps the page going!'
+              || chr(10) || 'Is the "third" proper sentence line long enough?'
+         ELSE '' END
+ || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Too short.' ELSE '' END
+ || CASE WHEN doc_id % 5 = 0
+         THEN chr(10) || 'Please enable JavaScript to view this content today.'
+         ELSE '' END
+ || CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+         ELSE '' END
+ || CASE WHEN doc_id % 11 = 0
+         THEN chr(10) || 'function f() { return 42; }' ELSE '' END
+ || CASE WHEN doc_id % 13 = 0
+         THEN chr(10) || 'This line casually mentions a badword in passing.'
+         ELSE '' END)
+"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 line/page cleaning (text_analysis.c4_filters, Raffel et al.
+    2020 §2.2): per-line terminal-punctuation / min-words / javascript
+    rules with the surviving lines re-joined, plus the page-level
+    lorem-ipsum / brace / badword flags and the conjunction `keep` —
+    over deterministically garnished fixture text (the raw fixture has
+    no line structure to filter).  Row-local; one array filter HOF
+    (justified in the operator docstring); zero exchanges."""
+    docs = _t(spark, sf_dir, "documents").withColumn("text", _synth_c4_text())
+    return text_analysis.c4_filters(docs).orderBy("doc_id")
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid keyword+vector retrieval via reciprocal-rank fusion
+    (similarity.rrf_fuse, Cormack et al. SIGIR'09 k=60): the BM25 arm
+    ranks documents for the five fixed keyword queries, the vector arm
+    ranks cosine neighbors of the query-id-aligned embedding
+    (doc_id == vec_id in the fixture), and the fused integer score is
+    sum(floor(1e9/(60+rank))) over both arms.  The fuse input is
+    bounded at |queries| * k * 2 rows — the corpus-scale work stays
+    inside the two proven arms."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    text_arm = text_analysis.bm25_topk(docs, BM25_QUERIES, k=BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    qids = [qid for qid, _ in BM25_QUERIES]
+    vec_arm = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=BM25_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return similarity.rrf_fuse([text_arm, vec_arm], k=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher rule-based quality gate (text_analysis.gopher_rules, Rae et
     al. 2021 table A1): per-rule integer milli-signals + the conjunction
@@ -4237,6 +4330,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: per-source score calibration (FineWeb per-dump percentile
     # rank, integer-exact — the step before any cross-source threshold)
     "score_calibration": q_score_calibration,
+    # r12: C4 line/page cleaning (Raffel et al. 2020 — the rule set
+    # Gopher's table A1 complements; line filter + page flags + keep)
+    "c4_filters": q_c4_filters,
+    # r12: hybrid keyword+vector retrieval via integer-exact
+    # reciprocal-rank fusion of the BM25 and ANN arms (SIGIR'09 k=60)
+    "hybrid_rrf": q_hybrid_rrf,
     # rotated OUT of the gate in r12 for the six r11-new rows (VERDICT
     # r11 #1); every operator they carried keeps >= 1 green gate row or
     # a provably-shared gated code path (see the QUERIES rotation
@@ -6656,6 +6755,73 @@ ORDER BY e.user_id
     # streaming HLL (r12): union is register-exact under any block
     # split -> drained estimates == the batch uniqMerge path verbatim
     sqls["stream_uniq_users"] = sqls["uniq_users_approx"]
+    # C4 line/page cleaning (r12): list_filter mirrors the Spark array
+    # filter conjunct-for-conjunct; page flags are plain contains/token
+    # intersection (the gopher stopword pattern)
+    sqls["c4_filters"] = f"""
+WITH g AS (
+  SELECT doc_id, {_SQL_SYNTH_C4} AS raw FROM documents
+), l AS (
+  SELECT doc_id, raw, string_split(raw, chr(10)) AS lines FROM g
+), k AS (
+  SELECT doc_id, raw, lines,
+         list_filter(lines, x ->
+           regexp_matches(trim(x), '[.!?"]$')
+           AND len(regexp_split_to_array(trim(x), '\\s+'))
+               >= {text_analysis.C4_MIN_LINE_WORDS}
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+), m AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         contains(lower(raw), 'lorem ipsum') AS has_lorem,
+         contains(raw, '{{') AS has_brace,
+         len(list_intersect(
+               list_distinct(regexp_split_to_array(trim(lower(raw)), '\\s+')),
+               {TX.sql_string_array_literal(list(text_analysis.C4_BADWORDS))}))
+           > 0 AS has_badword,
+         -- DuckDB's array_to_string is NULL on the empty list where
+         -- Spark's array_join is '' — coalesce to the Spark semantics
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace, has_badword,
+       clean_text,
+       coalesce(n_kept_lines >= {text_analysis.C4_MIN_KEPT_LINES}
+                AND NOT has_lorem AND NOT has_brace AND NOT has_badword,
+                FALSE) AS keep
+FROM m ORDER BY doc_id
+"""
+    # hybrid RRF (r12): fuse the two PROVEN arm oracles — bm25_search's
+    # statement verbatim and the brute-force ANN mirror filtered to the
+    # query-id-aligned vectors; contributions are integer floor
+    # divisions, so the fused score hashes exactly
+    _rrf_qids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+    sqls["hybrid_rrf"] = f"""
+WITH u AS (
+  SELECT query_id, doc_id,
+         {similarity.RRF_SCALE} // ({similarity.RRF_K} + rank) AS c
+  FROM ({sqls["bm25_search"]})
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id,
+         {similarity.RRF_SCALE} // ({similarity.RRF_K} + rank) AS c
+  FROM ({_oracle_ann_topk(use_lsh=False)})
+  WHERE query_id IN ({_rrf_qids})
+), f AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score_nano,
+         CAST(count(*) AS INTEGER) AS n_arms
+  FROM u GROUP BY query_id, doc_id
+), r AS (
+  SELECT query_id, doc_id, rrf_score_nano, n_arms,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score_nano DESC, doc_id) AS rnk
+  FROM f
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       doc_id, rrf_score_nano, n_arms
+FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
+"""
     return sqls
 
 

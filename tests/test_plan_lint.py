@@ -58,6 +58,7 @@ _NESTED_LOOP_OK = {
     "bm25_search",  # matched (doc, term) rows x broadcast(1-row N/TOT corpus agg); same class as tfidf_top_terms
     "bm25_indexed",  # same scoring join (shared bm25_score_topk) fed from pruned posting reads
     "temperature_mixture",  # per-group weights x broadcast(1-row weight-total agg); same class as tfidf_top_terms
+    "hybrid_rrf",  # its arms verbatim: ann_topk's corpus x broadcast(5-query set) + bm25_search's 1-row corpus agg
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

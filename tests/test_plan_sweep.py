@@ -128,6 +128,11 @@ ALLOWED_BHJ = {
     # the CMS counter grid: depth * width rows by CONSTRUCTION (the
     # grouping keys are hash buckets), whatever the corpus size
     "cms_user_counts": 1,
+    # the BM25 arm's two audited builds (bm25_search's entry verbatim —
+    # the fuse itself joins nothing corpus-sized: its whole input is
+    # <= |queries| * k * n_arms rank rows); the ANN arm's bounded query
+    # broadcast is a BroadcastNestedLoopJoin, not a BHJ
+    "hybrid_rrf": 2,
 }
 
 
