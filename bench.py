@@ -184,6 +184,10 @@ HEADLINE = [
     "stream_uniq_users",
     # r12: per-source score calibration (integer permille rank)
     "score_calibration",
+    # r12: C4 line/page cleaning (row-local line filter + page flags)
+    "c4_filters",
+    # r12: hybrid keyword+vector retrieval (integer RRF over the two arms)
+    "hybrid_rrf",
 ]
 
 
@@ -309,6 +313,8 @@ BASELINE_SEC = {
     "media_phash_dedup": 1.15,
     "stream_uniq_users": 5.29,
     "score_calibration": 0.82,
+    "c4_filters": 0.994,
+    "hybrid_rrf": 3.429,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

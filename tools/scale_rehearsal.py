@@ -161,6 +161,13 @@ FAMILIES = [
     # chunk self-join; copy-remapped texts shift band masses, so
     # cross-copy phash collisions stay rare and pairs scale ~linearly)
     "media_phash_dedup",
+    # r12: C4 line/page cleaning (row-local split + array filter HOF;
+    # scan-bound — the HOF is interpreted but single-pass per line)
+    "c4_filters",
+    # r12: hybrid RRF fusion (both retrieval arms run inside; the fuse
+    # itself is bounded at |queries| * k * 2 rows — the curve measures
+    # the arms' scan-bound growth, same caveat as bm25_search)
+    "hybrid_rrf",
 ]
 
 PASSES = 2
