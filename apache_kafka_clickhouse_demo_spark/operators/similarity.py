@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from apache_kafka_clickhouse_demo_spark.functions.hashing import _lcg
@@ -410,6 +410,45 @@ def rrf_fuse(arms: list[DataFrame], k: int = 10, rrf_k: int = RRF_K) -> DataFram
             F.col("e.rrf_score_nano").alias("rrf_score_nano"),
             F.col("e.n_arms").alias("n_arms"),
         )
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negatives(
+    candidates: DataFrame, positives: DataFrame, k: int = 10
+) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al., EMNLP 2020):
+    lexically-relevant candidates (a BM25 top-k arm) that the trusted
+    relevance arm (the vector top-k, or gold labels) does NOT contain —
+    the negatives that teach a dense retriever the most, because a
+    random negative is trivially far while these are near-misses.
+
+    Both inputs are (query_id, doc_id, rank) rank frames — the same
+    shape `rrf_fuse` consumes.  Output: (query_id, rank, doc_id,
+    cand_rank) with rank 1..<=k re-numbered in candidate-rank order;
+    `cand_rank` preserves the original lexical rank for weighting.
+
+    Scale: both inputs are top-k lists — bounded at |queries| * k rows
+    by construction — so the anti-join and the per-query window run
+    over bounded frames (the per-query window funnel the corpus-scale
+    operators avoid is not a hazard here; nothing corpus-sized ever
+    reaches this operator).
+    """
+    cand = candidates.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("int").alias("cand_rank"),
+    )
+    pos = positives.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    neg = cand.join(pos, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy("cand_rank")
+    return (
+        neg.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "cand_rank")
         .orderBy("query_id", "rank")
     )
 

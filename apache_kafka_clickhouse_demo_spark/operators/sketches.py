@@ -114,6 +114,75 @@ def heavy_hitters_topk(
     return finalize_topk(summaries, k)
 
 
+def _mgw_partition(capacity: int):
+    """Weighted Misra-Gries fold: identical merge-and-trim machinery to
+    `_mg_partition`, but each row increments its value's counter by the
+    row's WEIGHT instead of 1 (vectorized groupby-sum per Arrow batch).
+    The mergeable-summaries result holds unchanged for weighted updates
+    — a weighted stream is the unweighted stream with each row repeated
+    `weight` times, folded in one step."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = pd.Series(dtype="int64")
+        err = 0
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["value", "w"])
+            pdf = pdf[pdf["w"] > 0]
+            if pdf.empty:
+                continue
+            ws = pdf.groupby("value")["w"].sum()
+            acc = acc.add(ws, fill_value=0).astype("int64")
+            acc, sub = _mg_trim(acc, capacity)
+            err += sub
+        out = pd.DataFrame(
+            {
+                "value": acc.index.astype(str),
+                "count_lb": acc.to_numpy(dtype="int64"),
+                "trim_err": 0,
+            }
+        )
+        sentinel = pd.DataFrame(
+            {"value": [None], "count_lb": [0], "trim_err": [err]}
+        )
+        yield pd.concat([out, sentinel], ignore_index=True)
+
+    return fold
+
+
+def heavy_hitters_topk_weighted(
+    df: DataFrame,
+    col: str,
+    weight_col,
+    k: int,
+    capacity: int = 1 << 14,
+) -> DataFrame:
+    """`topKWeighted(k)(col, weight)` — the k values with the largest
+    WEIGHT SUM (revenue per user, bytes per domain, tokens per source),
+    with the same bounded-memory guarantees and output contract as
+    `heavy_hitters_topk`: (value, count_lb, count_ub), count_lb desc
+    then value asc, `undercount <= total_weight / (capacity+1)`, exact
+    (count_lb == count_ub) while per-task distincts fit in `capacity`.
+
+    `weight_col` is a column name or Column expression; it must be
+    integer-valued (convert money/doubles upstream — the house
+    value_cents rule keeps the sketch integer-exact).  Stated contract,
+    mirrored by the oracle: rows with NULL values and NULL or
+    NON-POSITIVE weights are dropped (Misra-Gries counters only move
+    up; zero-weight rows would burn capacity slots for nothing).
+
+    Same plan shape as the unweighted sketch: per-task Arrow fold to
+    <= capacity+1 summary rows, one tiny-summary shuffle, 1-row error
+    broadcast — the 100 TB contract is the summary size, which the
+    weight column does not change."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    src = df.select(
+        F.col(col).cast("string").alias("value"), w.cast("long").alias("w")
+    )
+    # persist for the same two-consumer reason as heavy_hitters_topk
+    summaries = src.mapInPandas(_mgw_partition(capacity), _SUMMARY_SCHEMA).persist()
+    return finalize_topk(summaries, k)
+
+
 def finalize_topk(summaries: DataFrame, k: int) -> DataFrame:
     """Shared answer tail over a frame of MG summary rows (data rows +
     error sentinels, `_SUMMARY_SCHEMA`): sum the lower-bound counters per

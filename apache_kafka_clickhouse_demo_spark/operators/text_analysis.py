@@ -305,6 +305,50 @@ def gopher_rules(
     return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    each document with the interpolated bigram-LM surprisal
+    (`bigram_rarity` — this engine's integer-exact stand-in for CCNet's
+    KenLM perplexity), calibrate the score WITHIN ITS LANGUAGE to an
+    integer permille rank (`sampling.calibrate_scores` — perplexity
+    distributions are not comparable across languages, the reason CCNet
+    buckets per language), and cut the calibrated rank into the paper's
+    head / middle / tail thirds (low surprisal = most-predictable text
+    = head, the slice CCNet keeps for LM training).
+
+    Output: (doc_id, lang, avg_rarity, calib, bucket), one row per
+    document with >= 2 tokens (the bigram_rarity contract).  All
+    arithmetic is integer (milli-rank thresholds compared as
+    calib * 3 < 1000 / 2000), so the composition stays hash-exact.
+
+    Plan shape: bigram_rarity's vocab-side enrichment + one doc_id
+    equi-join to re-attach the language (corpus x corpus — a shuffle
+    join by construction, both sides wide) + calibrate_scores' single
+    per-language window (languages are bounded-cardinality).
+    """
+    from apache_kafka_clickhouse_demo_spark.operators import sampling as SMP
+
+    rare = bigram_rarity(docs, text_col=text_col, id_col=id_col)
+    langs = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    scored = rare.select("doc_id", "avg_rarity").join(langs, "doc_id")
+    calib = SMP.calibrate_scores(scored, "lang", "avg_rarity", "doc_id")
+    bucket = (
+        F.when(F.col("calib") * 3 < 1000, F.lit("head"))
+        .when(F.col("calib") * 3 < 2000, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return calib.select(
+        "doc_id", "lang", "avg_rarity", "calib", bucket.alias("bucket")
+    )
+
+
 #: C4 cleaning thresholds (Raffel et al. 2020 §2.2 — the line/page rule
 #: set the C4 corpus was built with; the public ancestor of every
 #: "clean the Common Crawl" recipe).

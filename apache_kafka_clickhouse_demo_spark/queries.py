@@ -2138,6 +2138,22 @@ def q_top_users_sketch(spark, sf_dir):
     )
 
 
+def q_top_users_weighted(spark, sf_dir):
+    """topKWeighted parity via the weighted Misra-Gries sketch
+    (sketches.heavy_hitters_topk_weighted): 10 users by total spend
+    (exact integer value_cents weights).  capacity >> distinct users, so
+    the sketch is in its EXACT regime and the oracle is the plain exact
+    weighted top-k with the same NULL/non-positive-weight drop rule."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.heavy_hitters_topk_weighted(
+        ev,
+        "user_id",
+        F.round(F.col("value") * 100).cast("long"),
+        TOPK_K,
+        TOPK_CAPACITY,
+    )
+
+
 def q7_nation_trade(spark, sf_dir):
     """TPC-H Q7 (volume shipping): revenue shipped between two nations in
     either direction, by supplier nation / customer nation / year.  Plan:
@@ -2867,6 +2883,51 @@ def q_stream_topk(spark, sf_dir):
     q.stop()
     writer = topk_stream_writer(
         spark, f"{work}/store", "user_id", capacity=TOPK_CAPACITY, writer_id=f"{work}/ck"
+    )
+    return writer.topk(TOPK_K)
+
+
+def q_stream_top_spenders(spark, sf_dir):
+    """Streaming topKWeighted drain (heavy_hitters_stream with
+    weight_col): the events feed — with exact value_cents weights
+    precomputed — folds into the SAME generational Misra-Gries store
+    block by block; capacity >> distinct users, so the drained summary's
+    top-10 must equal the exact weighted top-10 (oracle =
+    top_users_weighted's SQL verbatim — weighted summaries merge by the
+    identical mergeable-summaries argument)."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        topk_stream_writer,
+    )
+
+    work = _workdir("stream_topkw_")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    ev.repartition(4).write.parquet(f"{work}/feed")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = heavy_hitters_stream(
+        spark,
+        src,
+        f"{work}/store",
+        f"{work}/ck",
+        "user_id",
+        capacity=TOPK_CAPACITY,
+        compact_every=2,
+        weight_col="value_cents",
+    )
+    q.processAllAvailable()
+    q.stop()
+    writer = topk_stream_writer(
+        spark,
+        f"{work}/store",
+        "user_id",
+        capacity=TOPK_CAPACITY,
+        writer_id=f"{work}/ck",
     )
     return writer.topk(TOPK_K)
 
@@ -3625,6 +3686,72 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining (similarity.hard_negatives,
+    Karpukhin et al. 2020): BM25 top-k candidates for the five keyword
+    queries, minus the vector arm's top-k for the query-id-aligned
+    embedding — the lexical near-misses a dense retriever trains
+    against.  Both arms are the proven gate plans; the mining itself
+    is an anti-join + window over <= |queries| * k bounded rows."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = text_analysis.bm25_topk(docs, BM25_QUERIES, k=BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    qids = [qid for qid, _ in BM25_QUERIES]
+    pos = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=BM25_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return similarity.hard_negatives(cand, pos, k=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_hybrid_indexed(spark, sf_dir):
+    """Index-backed hybrid retrieval: the SAME reciprocal-rank fusion as
+    hybrid_rrf, but both arms answer from persisted indexes — BM25
+    through shard-pruned posting reads (search_index.bm25_lookup,
+    scoring provably shared with the scan path) and the vector arm
+    through the IVF index's nprobe-pruned cell reads
+    (search_index.ann_index_lookup, rerank shared with ivf_topk).  The
+    vector arm is therefore the IVF APPROXIMATION, not brute force —
+    the oracle fuses the bm25 statement with the IVF mirror, so a
+    probe-set drift cannot pass.  At 100 TB this is the shape hybrid
+    search actually runs: two pruned index reads + a bounded fuse,
+    never a corpus scan per query."""
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    work = _workdir("hybrid_index_")
+    tterm = SI.build_term_index(docs, f"{work}/idx", n_shards=64)
+    tann = SI.build_ann_index(
+        emb, f"{work}/ann", target_centroids=IVF_TARGET_CENTROIDS, salt=IVF_SALT
+    )
+    text_arm = SI.bm25_lookup(spark, tterm, BM25_QUERIES, k=BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    qids = [qid for qid, _ in BM25_QUERIES]
+    vec_arm = SI.ann_index_lookup(
+        spark, tann, emb.filter(F.col("vec_id").isin(qids)), k=BM25_K,
+        nprobe=IVF_NPROBE,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return similarity.rrf_fuse([text_arm, vec_arm], k=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (text_analysis.perplexity_buckets,
+    Wenzek et al. 2020): interpolated bigram-LM surprisal, calibrated
+    within each fixture language to an integer permille rank, cut into
+    head/middle/tail thirds — the per-language quality slices CCNet
+    selects training data by."""
+    return text_analysis.perplexity_buckets(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher rule-based quality gate (text_analysis.gopher_rules, Rae et
     al. 2021 table A1): per-rule integer milli-signals + the conjunction
@@ -4336,6 +4463,21 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: hybrid keyword+vector retrieval via integer-exact
     # reciprocal-rank fusion of the BM25 and ANN arms (SIGIR'09 k=60)
     "hybrid_rrf": q_hybrid_rrf,
+    # r12: DPR-style hard-negative mining (BM25 candidates anti-joined
+    # against the vector arm's top-k; bounded rank-frame input)
+    "hard_negatives": q_hard_negatives,
+    # r12: index-backed hybrid retrieval (both RRF arms answer from
+    # persisted indexes via pruned reads — the 100 TB serving shape)
+    "hybrid_indexed": q_hybrid_indexed,
+    # r12: CCNet perplexity bucketing (bigram surprisal -> per-language
+    # permille calibration -> head/middle/tail thirds)
+    "perplexity_buckets": q_perplexity_buckets,
+    # r12: topKWeighted parity (weighted Misra-Gries, exact regime at
+    # gate scale; shared trim/finalize machinery with the topK row)
+    "top_users_weighted": q_top_users_weighted,
+    # r12: streaming topKWeighted twin (same generational store; the
+    # weight changes increments, not the merge/publish machinery)
+    "stream_top_spenders": q_stream_top_spenders,
     # rotated OUT of the gate in r12 for the six r11-new rows (VERDICT
     # r11 #1); every operator they carried keeps >= 1 green gate row or
     # a provably-shared gated code path (see the QUERIES rotation
@@ -5242,6 +5384,20 @@ WHERE r[2] >= 1 ORDER BY user_id
 SELECT CAST(user_id AS VARCHAR) AS value,
        count(*) AS count_lb, count(*) AS count_ub
 FROM events GROUP BY user_id
+ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
+""",
+        "top_users_weighted": f"""
+WITH w AS (
+  -- uval, not "value": the events table has its own value column and a
+  -- same-named lateral alias would be ambiguous
+  SELECT CAST(user_id AS VARCHAR) AS uval,
+         CAST(round(value * 100) AS BIGINT) AS w
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+)
+SELECT uval AS value,
+       CAST(sum(w) AS BIGINT) AS count_lb, CAST(sum(w) AS BIGINT) AS count_ub
+FROM w WHERE w > 0 GROUP BY uval
 ORDER BY count_lb DESC, value ASC LIMIT {TOPK_K}
 """,
         "passage_dedup": _passage_dedup_oracle(),
@@ -6755,6 +6911,10 @@ ORDER BY e.user_id
     # streaming HLL (r12): union is register-exact under any block
     # split -> drained estimates == the batch uniqMerge path verbatim
     sqls["stream_uniq_users"] = sqls["uniq_users_approx"]
+    # streaming weighted topK (r12): weighted MG summaries merge by the
+    # same mergeable-summaries argument -> drained store == batch sketch
+    # in the exact regime; the oracle is unchanged
+    sqls["stream_top_spenders"] = sqls["top_users_weighted"]
     # C4 line/page cleaning (r12): list_filter mirrors the Spark array
     # filter conjunct-for-conjunct; page flags are plain contains/token
     # intersection (the gopher stopword pattern)
@@ -6821,6 +6981,82 @@ WITH u AS (
 SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
        doc_id, rrf_score_nano, n_arms
 FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
+"""
+    # index-backed hybrid (r12): the bm25 arm equals the scan arm by the
+    # shared-scoring contract, but the vector arm is the IVF
+    # APPROXIMATION — fuse the IVF mirror, not brute force, so a probe
+    # drift cannot pass
+    sqls["hybrid_indexed"] = f"""
+WITH u AS (
+  SELECT query_id, doc_id,
+         {similarity.RRF_SCALE} // ({similarity.RRF_K} + rank) AS c
+  FROM ({sqls["bm25_search"]})
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id,
+         {similarity.RRF_SCALE} // ({similarity.RRF_K} + rank) AS c
+  FROM ({sqls["ann_ivf_topk"]})
+  WHERE query_id IN ({_rrf_qids})
+), f AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score_nano,
+         CAST(count(*) AS INTEGER) AS n_arms
+  FROM u GROUP BY query_id, doc_id
+), r AS (
+  SELECT query_id, doc_id, rrf_score_nano, n_arms,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score_nano DESC, doc_id) AS rnk
+  FROM f
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       doc_id, rrf_score_nano, n_arms
+FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
+"""
+    # DPR hard negatives (r12): the same two proven arms, anti-joined —
+    # BM25 candidates whose doc is absent from the vector arm's top-k
+    sqls["hard_negatives"] = f"""
+WITH cand AS (
+  SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+         CAST(rank AS INTEGER) AS cand_rank
+  FROM ({sqls["bm25_search"]})
+), pos AS (
+  SELECT CAST(query_id AS INTEGER) AS query_id, neighbor_id AS doc_id
+  FROM ({_oracle_ann_topk(use_lsh=False)})
+  WHERE query_id IN ({_rrf_qids})
+), neg AS (
+  SELECT c.query_id, c.doc_id, c.cand_rank
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.query_id = c.query_id AND p.doc_id = c.doc_id)
+), r AS (
+  SELECT query_id, doc_id, cand_rank,
+         row_number() OVER (PARTITION BY query_id ORDER BY cand_rank) AS rnk
+  FROM neg
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, cand_rank
+FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
+"""
+    # CCNet perplexity buckets (r12): the proven bigram_rarity statement
+    # + one lang join + calibrate_scores' RANK/COUNT integer formula +
+    # the thirds cut (all-integer comparisons)
+    sqls["perplexity_buckets"] = f"""
+WITH r AS ({sqls["bigram_rarity"]}),
+ j AS (
+  SELECT r.doc_id, d.lang, r.avg_rarity
+  FROM r JOIN documents d ON r.doc_id = d.doc_id
+), c AS (
+  SELECT doc_id, lang, avg_rarity,
+         CASE WHEN count(*) OVER (PARTITION BY lang) = 1
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST((rank() OVER (PARTITION BY lang ORDER BY avg_rarity)
+                         - 1) * 1000
+                        // (count(*) OVER (PARTITION BY lang) - 1) AS BIGINT)
+         END AS calib
+  FROM j
+)
+SELECT doc_id, lang, avg_rarity, calib,
+       CASE WHEN calib * 3 < 1000 THEN 'head'
+            WHEN calib * 3 < 2000 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM c ORDER BY doc_id
 """
     return sqls
 

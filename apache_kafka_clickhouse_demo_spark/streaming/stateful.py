@@ -894,6 +894,7 @@ class _TopKStreamWriter:
         capacity: int = 1 << 14,
         compact_every: int | None = None,
         writer_id: str = "",
+        weight_col: str | None = None,
     ):
         from apache_kafka_clickhouse_demo_spark.sources.txlog import (
             TransactionalTable,
@@ -904,6 +905,12 @@ class _TopKStreamWriter:
         self.capacity = capacity
         self.compact_every = compact_every
         self.writer_id = writer_id
+        # weighted twin (topKWeighted): the block fold increments by the
+        # named integer column instead of 1; summaries, merge-and-trim,
+        # publish, and the read tail are IDENTICAL — a weighted stream is
+        # the unweighted stream with each row repeated `weight` times, so
+        # every store/exactness/concurrency contract above carries over
+        self.weight_col = weight_col
         self.store = TransactionalTable(store_dir)
 
     def _latest(self) -> tuple[DataFrame | None, int, int]:
@@ -926,15 +933,25 @@ class _TopKStreamWriter:
         from apache_kafka_clickhouse_demo_spark.operators.sketches import (
             _SUMMARY_SCHEMA,
             _mg_partition,
+            _mgw_partition,
         )
 
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn):  # replayed batch: nothing to do
             return
-        block_sums = (
-            block.select(F.col(self.col).cast("string").alias("value"))
-            .mapInPandas(_mg_partition(self.capacity), _SUMMARY_SCHEMA)
-        )
+        if self.weight_col is None:
+            block_sums = (
+                block.select(F.col(self.col).cast("string").alias("value"))
+                .mapInPandas(_mg_partition(self.capacity), _SUMMARY_SCHEMA)
+            )
+        else:
+            block_sums = (
+                block.select(
+                    F.col(self.col).cast("string").alias("value"),
+                    F.col(self.weight_col).cast("long").alias("w"),
+                )
+                .mapInPandas(_mgw_partition(self.capacity), _SUMMARY_SCHEMA)
+            )
         prev, prev_gen, snap_v = self._latest()
         merged = block_sums if prev is None else prev.unionByName(block_sums)
         merged = merged.persist()
@@ -1025,13 +1042,16 @@ def heavy_hitters_stream(
     col: str,
     capacity: int = 1 << 14,
     compact_every: int | None = None,
+    weight_col: str | None = None,
 ):
     """Streaming `topK`: maintain a global Misra-Gries heavy-hitters
     summary of an unbounded feed — the streaming twin of
     `operators/sketches.heavy_hitters_topk`, with the same exactness
-    contract and error bound.  Mechanics, store layout, and exactly-once
-    guarantees: see `_TopKStreamWriter`; read the current answer any time
-    with `topk_stream_writer(...).topk(k)`."""
+    contract and error bound.  Pass `weight_col` (an integer column of
+    the feed) for the topKWeighted twin — the fold increments by the
+    weight, everything else is shared.  Mechanics, store layout, and
+    exactly-once guarantees: see `_TopKStreamWriter`; read the current
+    answer any time with `topk_stream_writer(...).topk(k)`."""
     writer = _TopKStreamWriter(
         spark,
         store_dir,
@@ -1039,6 +1059,7 @@ def heavy_hitters_stream(
         capacity=capacity,
         compact_every=compact_every,
         writer_id=checkpoint,
+        weight_col=weight_col,
     )
     return (
         source.writeStream.foreachBatch(writer.process)
@@ -1056,6 +1077,7 @@ def topk_stream_writer(
     capacity: int = 1 << 14,
     compact_every: int | None = None,
     writer_id: str = "",
+    weight_col: str | None = None,
 ) -> _TopKStreamWriter:
     """The stream's writer object, exposed for direct `process(block, id)`
     testing (retry idempotence) and for `topk(k)` reads of the store."""
@@ -1066,6 +1088,7 @@ def topk_stream_writer(
         capacity=capacity,
         compact_every=compact_every,
         writer_id=writer_id,
+        weight_col=weight_col,
     )
 
 

@@ -188,6 +188,17 @@ HEADLINE = [
     "c4_filters",
     # r12: hybrid keyword+vector retrieval (integer RRF over the two arms)
     "hybrid_rrf",
+    # r12: DPR hard-negative mining (BM25 candidates minus vector top-k)
+    "hard_negatives",
+    # r12: CCNet perplexity bucketing (per-language calibrated thirds)
+    "perplexity_buckets",
+    # r12: index-backed hybrid retrieval (two index builds + pruned
+    # lookups + bounded fuse per run)
+    "hybrid_indexed",
+    # r12: topKWeighted parity (weighted Misra-Gries sketch)
+    "top_users_weighted",
+    # r12: streaming topKWeighted twin (generational MG store, weighted fold)
+    "stream_top_spenders",
 ]
 
 
@@ -315,6 +326,14 @@ BASELINE_SEC = {
     "score_calibration": 0.82,
     "c4_filters": 0.994,
     "hybrid_rrf": 3.429,
+    "hard_negatives": 2.823,
+    "perplexity_buckets": 1.791,
+    # cold-dominated landing seed (record1 17.7 carries first-in-session
+    # codegen for BOTH index builds; record2 read 8.2) — re-seed from
+    # quiet full record runs, the r11-rotation precedent
+    "hybrid_indexed": 17.664,
+    "top_users_weighted": 0.474,
+    "stream_top_spenders": 8.678,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -29,6 +29,7 @@ _SKIP = {
     "projection_routing",  # same (projection fan-out write); tests/test_projections.py
     "stream_funnel",  # streaming drain; fold linted via funnel_levels + stateful tests
     "stream_topk",  # streaming drain; sketch plan linted via top_users_sketch
+    "stream_top_spenders",  # streaming drain; weighted sketch plan linted via top_users_weighted
     "stream_sample",  # streaming drain; bottom-k rank plan is a TakeOrdered by construction
     "stream_index_bm25",  # streaming drain (feed -> index segments); lookup plan linted via bm25_indexed
     "phrase_indexed",  # builds+commits the index at query build; scan twin (phrase_search) is linted
@@ -49,6 +50,7 @@ _NESTED_LOOP_OK = {
     "tfidf_top_terms",  # per-term rows x broadcast(1-row corpus-count agg)
     "text_prep",  # same tfidf stage: per-term rows x broadcast(1-row count agg)
     "top_users_sketch",  # survivor counters x broadcast(1-row total-error agg)
+    "top_users_weighted",  # same finalize tail: survivors x broadcast(1-row error agg)
     "unigram_rarity",  # token occurrences x broadcast(1-row corpus-total agg); same class as tfidf_top_terms
     "bigram_rarity",  # bigram occurrences x broadcast(1-row corpus-total agg); same class as unigram_rarity
     "semantic_dedup",  # corpus x broadcast(fixed-target centroid table), like ann_ivf_topk
@@ -59,6 +61,9 @@ _NESTED_LOOP_OK = {
     "bm25_indexed",  # same scoring join (shared bm25_score_topk) fed from pruned posting reads
     "temperature_mixture",  # per-group weights x broadcast(1-row weight-total agg); same class as tfidf_top_terms
     "hybrid_rrf",  # its arms verbatim: ann_topk's corpus x broadcast(5-query set) + bm25_search's 1-row corpus agg
+    "hard_negatives",  # the same two arms as hybrid_rrf (mining itself is a bounded anti-join)
+    "hybrid_indexed",  # bm25_lookup's 1-row corpus-agg broadcast rides along (bm25_indexed's class)
+    "perplexity_buckets",  # bigram_rarity's per-position rows x broadcast(1-row corpus-total agg)
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

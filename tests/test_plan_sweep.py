@@ -91,6 +91,10 @@ EXECUTING = {
     # generation swap); recluster semantics pinned in
     # tests/test_search_index.py, lookup plan swept via ann_ivf_topk
     "ann_indexed_reclustered",
+    # builds + commits BOTH persisted indexes at query build; each arm's
+    # lookup plan is swept via its scan twin (bm25_search /
+    # ann_ivf_topk) and the fuse is swept standalone via hybrid_rrf
+    "hybrid_indexed",
     # streaming drain (feed -> ANN segments); fixed-centroid lookup
     # plan swept via ann_ivf_topk
     "stream_index_ann",
@@ -102,6 +106,10 @@ EXECUTING = {
     # plan is swept via the batch twin uniq_users_approx, writer
     # exactly-once pinned in tests/test_streaming_stateful.py
     "stream_uniq_users",
+    # streaming drain (feed -> MG summary store, weighted fold); the
+    # weighted sketch plan is swept via the batch twin
+    # top_users_weighted, writer machinery shared with stream_topk
+    "stream_top_spenders",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).
@@ -133,6 +141,9 @@ ALLOWED_BHJ = {
     # <= |queries| * k * n_arms rank rows); the ANN arm's bounded query
     # broadcast is a BroadcastNestedLoopJoin, not a BHJ
     "hybrid_rrf": 2,
+    # same two arms; the hard-negative anti-join runs over the two
+    # bounded top-k rank frames, not the corpus
+    "hard_negatives": 2,
 }
 
 

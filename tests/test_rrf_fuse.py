@@ -91,3 +91,37 @@ def test_single_arm_preserves_arm_order(spark):
 def test_empty_arm_list_raises(spark):
     with pytest.raises(ValueError):
         SIM.rrf_fuse([], k=10)
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives (same rank-frame family)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_removes_positives_and_renumbers(spark):
+    out = SIM.hard_negatives(_arm(spark, ARM_A), _arm(spark, ARM_B), k=10).collect()
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["cand_rank"]) for r in out}
+    # query 1: positives {11, 13} -> candidates 10, 11, 12 lose 11;
+    # survivors renumber in candidate order with cand_rank preserved
+    assert got[(1, 1)] == (10, 1)
+    assert got[(1, 2)] == (12, 3)
+    assert (1, 3) not in got
+    # query 2: positives {20, 22, 21} swallow both candidates
+    assert not [k for k in got if k[0] == 2]
+
+
+def test_hard_negatives_k_truncates_after_removal(spark):
+    cand = [(1, d, r) for r, d in enumerate([10, 11, 12, 13, 14], start=1)]
+    pos = [(1, 11, 1)]
+    out = SIM.hard_negatives(_arm(spark, cand), _arm(spark, pos), k=2).collect()
+    assert [(r["rank"], r["doc_id"]) for r in out] == [(1, 10), (2, 12)]
+
+
+def test_hard_negatives_disjoint_arms_pass_through(spark):
+    cand = [(1, 10, 1), (1, 11, 2)]
+    pos = [(1, 99, 1)]
+    out = SIM.hard_negatives(_arm(spark, cand), _arm(spark, pos), k=10).collect()
+    assert [(r["rank"], r["doc_id"], r["cand_rank"]) for r in out] == [
+        (1, 10, 1),
+        (2, 11, 2),
+    ]

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from apache_kafka_clickhouse_demo_spark.operators.sketches import (
     _mg_trim,
     heavy_hitters_topk,
+    heavy_hitters_topk_weighted,
 )
 
 
@@ -57,6 +58,52 @@ def test_null_and_empty_inputs(spark):
 
     empty = spark.createDataFrame([], "v string")
     assert heavy_hitters_topk(empty, "v", 5, capacity=4).collect() == []
+
+
+def test_weighted_exact_regime_matches_exact_weighted_topk(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.round(F.col("value") * 100).cast("long")
+    got = heavy_hitters_topk_weighted(ev, "user_id", w, 5, capacity=1 << 14).collect()
+    exact = (
+        ev.filter(F.col("user_id").isNotNull() & (w > 0))
+        .groupBy(F.col("user_id").cast("string").alias("value"))
+        .agg(F.sum(w).alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r["value"], r["count_lb"], r["count_ub"]) for r in got] == [
+        (r["value"], r["n"], r["n"]) for r in exact
+    ]
+
+
+def test_weighted_unit_weights_equal_unweighted(spark):
+    rows = [(f"v{i % 7}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "v string")
+    a = heavy_hitters_topk(df, "v", 7, capacity=1 << 10).collect()
+    b = heavy_hitters_topk_weighted(df, "v", F.lit(1), 7, capacity=1 << 10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_weighted_drops_null_and_nonpositive_weights(spark):
+    rows = [("a", 5), ("a", 0), ("a", -3), ("b", None), ("b", 2)]
+    df = spark.createDataFrame(rows, "v string, w long")
+    got = {r["value"]: r["count_lb"] for r in
+           heavy_hitters_topk_weighted(df, "v", "w", 5, capacity=8).collect()}
+    assert got == {"a": 5, "b": 2}
+
+
+def test_weighted_trimmed_regime_keeps_bounds(spark):
+    # dominant weight mass + long tail through a tiny capacity; the MG
+    # bound is total_weight / (capacity + 1)
+    rows = [("hot", 50)] * 10 + [(f"t{i}", 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string, w long").coalesce(1)
+    out = {r["value"]: r for r in
+           heavy_hitters_topk_weighted(df, "v", "w", 3, capacity=8).collect()}
+    assert "hot" in out
+    hot = out["hot"]
+    assert hot["count_lb"] <= 500 <= hot["count_ub"]
+    assert 500 - hot["count_lb"] <= 700 // 9
 
 
 def test_count_min_never_undercounts_and_merges_linearly(spark):

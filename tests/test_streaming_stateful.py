@@ -711,6 +711,58 @@ def test_heavy_hitters_stream_matches_batch_and_replays_idempotently(
     assert [tuple(r) for r in writer.topk(5).collect()] == expect
 
 
+def test_weighted_topk_stream_matches_batch_and_replays_idempotently(
+    spark, events_dir, tmp_path
+):
+    """Streaming topKWeighted (heavy_hitters_stream with weight_col):
+    the drained store answers exactly the batch WEIGHTED sketch in the
+    exact regime; a replayed batch changes nothing."""
+    from pyspark.sql import functions as F
+
+    from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+        heavy_hitters_topk_weighted,
+    )
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        topk_stream_writer,
+    )
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    src = _stream(spark, events_dir, per_trigger=1).select(
+        "user_id", cents.alias("w")
+    )
+    store = str(tmp_path / "hhw_store")
+    ck = str(tmp_path / "hhw_ck")
+    q = heavy_hitters_stream(
+        spark, src, store, ck, "user_id", capacity=1 << 12, compact_every=2,
+        weight_col="w",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    writer = topk_stream_writer(
+        spark, store, "user_id", capacity=1 << 12, writer_id=ck, weight_col="w"
+    )
+    got = [tuple(r) for r in writer.topk(5).collect()]
+    expect = [
+        tuple(r)
+        for r in heavy_hitters_topk_weighted(
+            spark.read.parquet(events_dir), "user_id", cents, 5, capacity=1 << 12
+        ).collect()
+    ]
+    assert got == expect
+    assert all(lb == ub for _v, lb, ub in got)  # exact regime certified
+
+    # replay of an already-committed batch id: store unchanged
+    block = (
+        spark.read.parquet(events_dir)
+        .select("user_id", cents.alias("w"))
+        .limit(50)
+    )
+    writer.process(block, 0)
+    assert [tuple(r) for r in writer.topk(5).collect()] == expect
+
+
 def test_topk_stream_new_run_over_existing_store_not_lost(spark, tmp_path):
     """A NEW stream run (fresh writer id, batch ids restarting at 0) over an
     existing summary store must land ABOVE the stored generations — batch-id

@@ -168,6 +168,15 @@ FAMILIES = [
     # itself is bounded at |queries| * k * 2 rows — the curve measures
     # the arms' scan-bound growth, same caveat as bm25_search)
     "hybrid_rrf",
+    # r12: DPR hard-negative mining (the same two arms; the anti-join
+    # touches only the bounded rank frames)
+    "hard_negatives",
+    # r12: CCNet perplexity buckets (bigram_rarity's plan + one doc_id
+    # join + one bounded-cardinality per-language window)
+    "perplexity_buckets",
+    # r12: weighted Misra-Gries (same per-task summary contract as the
+    # unweighted topK — the weight column changes increments, not size)
+    "top_users_weighted",
 ]
 
 PASSES = 2
