@@ -260,6 +260,27 @@ def q_value_by_type(spark, sf_dir):
     )
 
 
+def q_value_by_type_totals(spark, sf_dir):
+    """ClickHouse `GROUP BY ... WITH TOTALS` parity: the per-type rollup
+    plus ONE grand-total row, emitted from a single ROLLUP aggregate
+    (Spark computes both grouping sets in one pass — no second scan for
+    the totals row, which is the WITH TOTALS point).  `is_total` comes
+    from GROUPING(), not from NULL-ness of the key, so a NULL group
+    value in the data could never masquerade as the totals row."""
+    ev = attendance.typed_events(_t(spark, sf_dir, "events"))
+    return (
+        ev.rollup("event_type")
+        .agg(
+            # grouping() is only resolvable INSIDE the rollup aggregate
+            F.grouping("event_type").cast("int").alias("is_total"),
+            _money_sum(_dec2("value")).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", "is_total", "total_value", "n_events")
+        .orderBy("is_total", F.col("total_value").desc())
+    )
+
+
 def q_latest_event(spark, sf_dir):
     """O1: latest-event top-1 (README.rst:142-145) — TakeOrderedAndProject."""
     return (
@@ -4311,6 +4332,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attendance_daily_merged": q_attendance_daily_merged,  # M3/A6/A7 batch form; oracle identical to attendance_daily_compacted, streaming form gated by mv_cascade_daily (r04)
     "count_events": q_count_events,  # A1 via n_events in type_user_stats et al.
     "value_by_type": q_value_by_type,  # absorbed into type_user_stats
+    # r12: WITH TOTALS parity (one ROLLUP aggregate, GROUPING()-tagged
+    # grand-total row)
+    "value_by_type_totals": q_value_by_type_totals,
     "entry_attendance": q_entry_attendance,  # same oracle as mv_cascade_attendance
     "events_preview": q_events_preview,  # P2/O2 trivia
     "show_tables": q_show_tables,  # S8 trivia (tests/test_catalog_and_extras.py)
@@ -5865,6 +5889,13 @@ FROM events
         "value_by_type": """
 SELECT event_type, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value, count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY total_value DESC
+""",
+        "value_by_type_totals": """
+SELECT event_type, CAST(grouping(event_type) AS INTEGER) AS is_total,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       count(*) AS n_events
+FROM events GROUP BY ROLLUP (event_type)
+ORDER BY is_total, total_value DESC
 """,
         "latest_event": """
 SELECT event_id, ts, event_type, value FROM events

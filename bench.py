@@ -199,6 +199,8 @@ HEADLINE = [
     "top_users_weighted",
     # r12: streaming topKWeighted twin (generational MG store, weighted fold)
     "stream_top_spenders",
+    # r12: WITH TOTALS parity (single ROLLUP aggregate)
+    "value_by_type_totals",
 ]
 
 
@@ -334,6 +336,7 @@ BASELINE_SEC = {
     "hybrid_indexed": 17.664,
     "top_users_weighted": 0.474,
     "stream_top_spenders": 8.678,
+    "value_by_type_totals": 0.930,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
