@@ -62,12 +62,19 @@ def _mg_trim(counts: pd.Series, capacity: int) -> tuple[pd.Series, int]:
     return trimmed[trimmed > 0], sub
 
 
-def _mg_partition(capacity: int):
+def _mg_fold(count_batch, capacity: int):
+    """Shared Misra-Gries partition fold: accumulate per-batch counts
+    (produced by `count_batch`) with merge-and-trim, emit <= capacity
+    summary rows plus the error sentinel.  ONE skeleton for the
+    unweighted and weighted twins — a fix to the trim-error accounting
+    or the sentinel shape cannot diverge between them (code-review
+    r12; the bm25_score_topk no-drift precedent)."""
+
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = pd.Series(dtype="int64")
         err = 0
         for pdf in batches:
-            vc = pdf["value"].dropna().value_counts()
+            vc = count_batch(pdf)
             if vc.empty:
                 continue
             acc = acc.add(vc, fill_value=0).astype("int64")
@@ -86,6 +93,10 @@ def _mg_partition(capacity: int):
         yield pd.concat([out, sentinel], ignore_index=True)
 
     return fold
+
+
+def _mg_partition(capacity: int):
+    return _mg_fold(lambda pdf: pdf["value"].dropna().value_counts(), capacity)
 
 
 def heavy_hitters_topk(
@@ -115,38 +126,19 @@ def heavy_hitters_topk(
 
 
 def _mgw_partition(capacity: int):
-    """Weighted Misra-Gries fold: identical merge-and-trim machinery to
-    `_mg_partition`, but each row increments its value's counter by the
-    row's WEIGHT instead of 1 (vectorized groupby-sum per Arrow batch).
-    The mergeable-summaries result holds unchanged for weighted updates
-    — a weighted stream is the unweighted stream with each row repeated
-    `weight` times, folded in one step."""
+    """Weighted Misra-Gries fold: the `_mg_fold` skeleton with each row
+    incrementing its value's counter by the row's WEIGHT instead of 1
+    (vectorized groupby-sum per Arrow batch).  The mergeable-summaries
+    result holds unchanged for weighted updates — a weighted stream is
+    the unweighted stream with each row repeated `weight` times, folded
+    in one step."""
 
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = pd.Series(dtype="int64")
-        err = 0
-        for pdf in batches:
-            pdf = pdf.dropna(subset=["value", "w"])
-            pdf = pdf[pdf["w"] > 0]
-            if pdf.empty:
-                continue
-            ws = pdf.groupby("value")["w"].sum()
-            acc = acc.add(ws, fill_value=0).astype("int64")
-            acc, sub = _mg_trim(acc, capacity)
-            err += sub
-        out = pd.DataFrame(
-            {
-                "value": acc.index.astype(str),
-                "count_lb": acc.to_numpy(dtype="int64"),
-                "trim_err": 0,
-            }
-        )
-        sentinel = pd.DataFrame(
-            {"value": [None], "count_lb": [0], "trim_err": [err]}
-        )
-        yield pd.concat([out, sentinel], ignore_index=True)
+    def count_batch(pdf: pd.DataFrame) -> pd.Series:
+        pdf = pdf.dropna(subset=["value", "w"])
+        pdf = pdf[pdf["w"] > 0]
+        return pdf.groupby("value")["w"].sum()
 
-    return fold
+    return _mg_fold(count_batch, capacity)
 
 
 def heavy_hitters_topk_weighted(

@@ -333,11 +333,20 @@ def perplexity_buckets(
     """
     from apache_kafka_clickhouse_demo_spark.operators import sampling as SMP
 
+    wide = is_wide_source(docs)
     rare = bigram_rarity(docs, text_col=text_col, id_col=id_col)
-    langs = spread_small(docs).select(
+    # plain select, no spread_small: this side feeds straight into a
+    # shuffle join (no CPU-bound work to unlock), so an extra
+    # round-robin exchange would be pure cost
+    langs = docs.select(
         F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
     )
-    scored = rare.select("doc_id", "avg_rarity").join(langs, "doc_id")
+    # pin BOTH corpus-derived sides (code-review r12): the rarity side
+    # is a per-doc aggregate whose size estimate shrinks through
+    # stacked width ratios — the r9 misplan class pin_wide exists for
+    scored = pin_wide(rare.select("doc_id", "avg_rarity"), wide).join(
+        pin_wide(langs, wide), "doc_id"
+    )
     calib = SMP.calibrate_scores(scored, "lang", "avg_rarity", "doc_id")
     bucket = (
         F.when(F.col("calib") * 3 < 1000, F.lit("head"))

@@ -277,7 +277,9 @@ def q_value_by_type_totals(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
         .select("event_type", "is_total", "total_value", "n_events")
-        .orderBy("is_total", F.col("total_value").desc())
+        # event_type tiebreak: equal rounded totals must order the same
+        # in both engines (code-review r12)
+        .orderBy("is_total", F.col("total_value").desc(), "event_type")
     )
 
 
@@ -3684,15 +3686,14 @@ def q_c4_filters(spark, sf_dir):
     return text_analysis.c4_filters(docs).orderBy("doc_id")
 
 
-def q_hybrid_rrf(spark, sf_dir):
-    """Hybrid keyword+vector retrieval via reciprocal-rank fusion
-    (similarity.rrf_fuse, Cormack et al. SIGIR'09 k=60): the BM25 arm
-    ranks documents for the five fixed keyword queries, the vector arm
-    ranks cosine neighbors of the query-id-aligned embedding
-    (doc_id == vec_id in the fixture), and the fused integer score is
-    sum(floor(1e9/(60+rank))) over both arms.  The fuse input is
-    bounded at |queries| * k * 2 rows — the corpus-scale work stays
-    inside the two proven arms."""
+def _retrieval_arms(spark, sf_dir):
+    """The (text_arm, vec_arm) rank frames every hybrid-retrieval query
+    shares: BM25 top-k for the five fixed keyword queries + brute
+    cosine top-k for the query-id-aligned embeddings (doc_id == vec_id
+    in the fixture).  ONE constructor (code-review r12): the hybrid and
+    hard-negative oracles compose the same two arm statements, so the
+    engine-side arms must be provably identical too — duplicated
+    construction could silently drift (k, query set)."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     text_arm = text_analysis.bm25_topk(docs, BM25_QUERIES, k=BM25_K).select(
@@ -3702,6 +3703,18 @@ def q_hybrid_rrf(spark, sf_dir):
     vec_arm = similarity.brute_force_topk(
         emb, emb.filter(F.col("vec_id").isin(qids)), k=BM25_K
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return text_arm, vec_arm
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid keyword+vector retrieval via reciprocal-rank fusion
+    (similarity.rrf_fuse, Cormack et al. SIGIR'09 k=60): the BM25 arm
+    ranks documents for the five fixed keyword queries, the vector arm
+    ranks cosine neighbors of the query-id-aligned embedding, and the
+    fused integer score is sum(floor(1e9/(60+rank))) over both arms.
+    The fuse input is bounded at |queries| * k * 2 rows — the
+    corpus-scale work stays inside the two proven arms."""
+    text_arm, vec_arm = _retrieval_arms(spark, sf_dir)
     return similarity.rrf_fuse([text_arm, vec_arm], k=BM25_K).orderBy(
         "query_id", "rank"
     )
@@ -3712,17 +3725,11 @@ def q_hard_negatives(spark, sf_dir):
     Karpukhin et al. 2020): BM25 top-k candidates for the five keyword
     queries, minus the vector arm's top-k for the query-id-aligned
     embedding — the lexical near-misses a dense retriever trains
-    against.  Both arms are the proven gate plans; the mining itself
-    is an anti-join + window over <= |queries| * k bounded rows."""
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    cand = text_analysis.bm25_topk(docs, BM25_QUERIES, k=BM25_K).select(
-        "query_id", "doc_id", "rank"
-    )
-    qids = [qid for qid, _ in BM25_QUERIES]
-    pos = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id").isin(qids)), k=BM25_K
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    against.  Both arms come from the shared `_retrieval_arms`
+    constructor — identical to hybrid_rrf's by construction, as the
+    composed oracles require; the mining itself is an anti-join +
+    window over <= |queries| * k bounded rows."""
+    cand, pos = _retrieval_arms(spark, sf_dir)
     return similarity.hard_negatives(cand, pos, k=BM25_K).orderBy(
         "query_id", "rank"
     )
@@ -5895,7 +5902,7 @@ SELECT event_type, CAST(grouping(event_type) AS INTEGER) AS is_total,
        CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
        count(*) AS n_events
 FROM events GROUP BY ROLLUP (event_type)
-ORDER BY is_total, total_value DESC
+ORDER BY is_total, total_value DESC, event_type
 """,
         "latest_event": """
 SELECT event_id, ts, event_type, value FROM events

@@ -330,10 +330,10 @@ BASELINE_SEC = {
     "hybrid_rrf": 3.429,
     "hard_negatives": 2.823,
     "perplexity_buckets": 1.791,
-    # cold-dominated landing seed (record1 17.7 carries first-in-session
-    # codegen for BOTH index builds; record2 read 8.2) — re-seed from
-    # quiet full record runs, the r11-rotation precedent
-    "hybrid_indexed": 17.664,
+    # re-seeded from the two quiet full record runs (5.910 / 6.013,
+    # both suspect lists empty) — the landing seed 17.664 carried
+    # first-in-session codegen for BOTH index builds
+    "hybrid_indexed": 6.013,
     "top_users_weighted": 0.474,
     "stream_top_spenders": 8.678,
     "value_by_type_totals": 0.930,
