@@ -305,6 +305,74 @@ def gopher_rules(
     return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
 
 
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode + whitespace normalization — the ftfy-lite first step of
+    every curation pipeline (Dolma/CCNet run a variant before any
+    filter, so downstream token/shingle/hash rules see one canonical
+    byte form for visually-identical text).  Fixed rule order, each
+    step exactly mirrored by the oracle:
+
+      1. Unicode NFC (composed canonical form)
+      2. CRLF / lone CR -> LF
+      3. NBSP (U+00A0) -> space
+      4. strip C0/C1 control chars except tab + LF
+      5. collapse space/tab runs -> one space
+      6. trim
+
+    Plan shape: ONE Arrow-batched mapInPandas pass for the NFC step
+    (Python's unicodedata — NFC is standard-defined, so DuckDB's
+    nfc_normalize agrees byte-for-byte; Spark has no NFC builtin), then
+    steps 2-6 as whole-stage-codegen regexp_replace/trim — the Python
+    boundary carries exactly one string column each way.  Row-local,
+    zero exchanges, scan-bound at 100 TB.
+
+    Output: (doc_id, norm_text, changed); NULL text stays NULL with
+    changed = false."""
+    from pyspark.sql import types as T
+
+    def gen(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_nfc"] = pd.Series(
+                [
+                    None if t is None else unicodedata.normalize("NFC", t)
+                    for t in pdf["_raw"]
+                ],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield pdf
+
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_raw")
+    )
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField("_nfc", T.StringType())]
+    )
+    nfc = src.mapInPandas(gen, schema)
+    # \x{...} escapes: the one hex-codepoint syntax Java regex and
+    # DuckDB's RE2 share (\uXXXX is Java-only)
+    n = F.col("_nfc")
+    n = F.regexp_replace(n, r"\r\n?", "\n")
+    n = F.regexp_replace(n, r"\x{00A0}", " ")
+    n = F.regexp_replace(
+        n, r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]", ""
+    )
+    n = F.regexp_replace(n, r"[ \t]+", " ")
+    n = F.trim(n)
+    return nfc.select(
+        "doc_id",
+        n.alias("norm_text"),
+        F.coalesce(n != F.col("_raw"), F.lit(False)).alias("changed"),
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     text_col: str = "text",

@@ -3706,6 +3706,45 @@ def _retrieval_arms(spark, sf_dir):
     return text_arm, vec_arm
 
 
+def _synth_unicode_text() -> "Column":
+    """Deterministic Unicode garnish: the fixture text is pure ASCII, so
+    residue classes append decomposed accents (NFC must compose them),
+    NBSP padding, C0/C1 control characters, CRLF/CR line ends, and
+    space/tab runs — one class per normalize_text rule.  All escapes
+    are explicit (\\uXXXX), never pasted glyphs, so the decomposed
+    forms are verifiably decomposed.  Mirrored by the SQL garnish
+    inside the text_normalize oracle."""
+    d = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    # DECOMPOSED accents (e + U+0301, e + U+0308): NFC composes them
+    deco = F.when(d % 2 == 0, F.lit(" cafe\u0301 naive\u0308")).otherwise(
+        F.lit("")
+    )
+    nbsp = F.when(d % 3 == 0, F.lit("\u00a0padded\u00a0end")).otherwise(
+        F.lit("")
+    )
+    # C0 bell + C0 unit-separator + C1 NEL (U+0085)
+    ctrl = F.when(d % 5 == 0, F.lit("\x07bell\x1fctl\u0085one")).otherwise(
+        F.lit("")
+    )
+    crlf = F.when(d % 7 == 0, F.lit("lineA\r\nlineB\rlineC")).otherwise(F.lit(""))
+    runs = F.when(d % 11 == 0, F.lit("  multi\t\tspace  ")).otherwise(F.lit(""))
+    return F.concat(base, deco, nbsp, ctrl, crlf, runs)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode + whitespace normalization (text_analysis.normalize_text
+    — the ftfy-lite first step): NFC (one Arrow pass; Python
+    unicodedata, byte-identical to DuckDB's nfc_normalize by the
+    standard), then codegen CR/NBSP/control/space-run rules, over
+    deterministically garnished fixture text (the raw fixture is pure
+    ASCII with nothing to normalize)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", _synth_unicode_text()
+    )
+    return text_analysis.normalize_text(docs).orderBy("doc_id")
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid keyword+vector retrieval via reciprocal-rank fusion
     (similarity.rrf_fuse, Cormack et al. SIGIR'09 k=60): the BM25 arm
@@ -4491,6 +4530,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: C4 line/page cleaning (Raffel et al. 2020 — the rule set
     # Gopher's table A1 complements; line filter + page flags + keep)
     "c4_filters": q_c4_filters,
+    # r12: Unicode + whitespace normalization (ftfy-lite first step;
+    # one Arrow NFC pass + codegen rules, oracle via nfc_normalize)
+    "text_normalize": q_text_normalize,
     # r12: hybrid keyword+vector retrieval via integer-exact
     # reciprocal-rank fusion of the BM25 and ANN arms (SIGIR'09 k=60)
     "hybrid_rrf": q_hybrid_rrf,
@@ -7047,6 +7089,43 @@ WITH u AS (
 SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
        doc_id, rrf_score_nano, n_arms
 FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
+"""
+    # Unicode normalization (r12): DuckDB nfc_normalize is the
+    # standard-defined NFC, byte-identical to Python unicodedata; the
+    # remaining rules are the same RE2/Java-portable \x{..} regexes the
+    # engine applies (plain string on purpose — no f-string braces)
+    sqls["text_normalize"] = r"""
+WITH g AS (
+  SELECT doc_id,
+         (coalesce(text, '')
+          || CASE WHEN doc_id % 2 = 0
+                  THEN ' cafe' || chr(769) || ' naive' || chr(776)
+                  ELSE '' END
+          || CASE WHEN doc_id % 3 = 0
+                  THEN chr(160) || 'padded' || chr(160) || 'end'
+                  ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+                  THEN chr(7) || 'bell' || chr(31) || 'ctl' || chr(133) || 'one'
+                  ELSE '' END
+          || CASE WHEN doc_id % 7 = 0
+                  THEN 'lineA' || chr(13) || chr(10) || 'lineB' || chr(13) || 'lineC'
+                  ELSE '' END
+          || CASE WHEN doc_id % 11 = 0
+                  THEN '  multi' || chr(9) || chr(9) || 'space  '
+                  ELSE '' END) AS raw
+  FROM documents
+), n AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             nfc_normalize(raw),
+             '\r\n?', chr(10), 'g'),
+             '\x{00A0}', ' ', 'g'),
+             '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]', '', 'g'),
+             '[ \t]+', ' ', 'g')) AS norm_text
+  FROM g
+)
+SELECT doc_id, norm_text, coalesce(norm_text != raw, FALSE) AS changed
+FROM n ORDER BY doc_id
 """
     # DPR hard negatives (r12): the same two proven arms, anti-joined —
     # BM25 candidates whose doc is absent from the vector arm's top-k

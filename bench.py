@@ -201,6 +201,8 @@ HEADLINE = [
     "stream_top_spenders",
     # r12: WITH TOTALS parity (single ROLLUP aggregate)
     "value_by_type_totals",
+    # r12: Unicode + whitespace normalization (Arrow NFC + codegen rules)
+    "text_normalize",
 ]
 
 
@@ -337,6 +339,7 @@ BASELINE_SEC = {
     "top_users_weighted": 0.474,
     "stream_top_spenders": 8.678,
     "value_by_type_totals": 0.930,
+    "text_normalize": 1.375,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -177,6 +177,9 @@ FAMILIES = [
     # r12: weighted Misra-Gries (same per-task summary contract as the
     # unweighted topK — the weight column changes increments, not size)
     "top_users_weighted",
+    # r12: Unicode normalization (one Arrow NFC pass + codegen rules;
+    # row-local, scan-bound)
+    "text_normalize",
 ]
 
 PASSES = 2
