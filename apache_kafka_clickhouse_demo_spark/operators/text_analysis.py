@@ -603,6 +603,109 @@ def pack_chunks(
     )
 
 
+def pack_bins_ffd(
+    items: DataFrame,
+    capacity: int,
+    buckets: int = 64,
+    salt: str = "ffd:",
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """First-fit-decreasing bin packing of WHOLE documents into
+    fixed-capacity training bins — the no-cross-contamination packing
+    regime (Krell et al. 2021: keep each document intact in one
+    sequence instead of concatenate-and-cut, so attention never spans
+    document boundaries; FFD is the classic 11/9-optimal heuristic that
+    keeps padding waste near the bin-count lower bound).
+
+    `pack_chunks` is the other regime (concatenate-and-cut, documents
+    may split); this one never splits — a document longer than
+    `capacity` gets a bin of its own, flagged `overflow` (the caller
+    chunks upstream if that is not acceptable — stated contract).
+
+    Distributed design: documents hash-bucket by id (same h48 rule as
+    pack_chunks) and each bucket packs INDEPENDENTLY with sequential
+    FFD inside one `applyInPandas` group — one shuffle on the bucket
+    key, per-bucket work O(n_b log n_b) sort + O(n_b * bins_touched)
+    placement scan.  FFD is inherently sequential; bucketing is the
+    standard parallelization (each bucket is one dataloader shard), and
+    the sort key (n_tokens desc, id asc) plus the deterministic bucket
+    hash make the full assignment bit-reproducible — pinned against a
+    pure-Python replica in tests/test_pack_bins.py (non-SQL-expressible:
+    bin state is a sequential fold, the BPE/unigram precedent).
+
+    Output: (bucket, bin_id, doc_id, n_tokens, bin_fill, overflow) —
+    bin_id is bucket-local and ordered by bin creation; bin_fill is the
+    bin's total tokens (repeated per member row); NULL/negative token
+    counts are rejected upstream by the cast + filter (stated: such
+    rows are dropped, they cannot be packed).
+    """
+    from pyspark.sql import types as T
+
+    if capacity <= 0 or buckets <= 0:
+        raise ValueError("capacity and buckets must be positive")
+    src = items.select(
+        (
+            H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % buckets
+        ).alias("bucket"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(n_col).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens").isNotNull() & (F.col("n_tokens") >= 0))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+            T.StructField("overflow", T.BooleanType()),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+            )
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        fills: list[int] = []  # bin_id -> current fill
+        max_free = -1  # fast reject: the LARGEST remaining capacity
+        assign: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            placed = -1
+            if n <= max_free:
+                for b, f in enumerate(fills):
+                    if f + n <= capacity:
+                        placed = b
+                        fills[b] = f + n
+                        break
+            if placed < 0:
+                placed = len(fills)
+                fills.append(n)
+            assign.append(placed)
+            max_free = capacity - min(fills)
+        return pd.DataFrame(
+            {
+                "bucket": int(pdf["bucket"].iloc[0]),
+                "bin_id": assign,
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "bin_fill": [fills[b] for b in assign],
+                "overflow": [
+                    int(t) > capacity for t in pdf["n_tokens"].to_numpy()
+                ],
+            }
+        )
+
+    return src.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
