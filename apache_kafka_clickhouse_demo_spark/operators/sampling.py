@@ -362,6 +362,63 @@ def diverse_sample(
     )
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles_permille: tuple[int, ...] = (250, 500, 750),
+) -> DataFrame:
+    """ClickHouse `quantileExactWeighted` parity: per group, the exact
+    weighted quantiles of an integer value column — each row counts
+    `weight` times.  The answer for permille p is the SMALLEST value
+    whose running weight (rows ordered by value) reaches
+    ceil(total_weight * p / 1000) — the standard exact-weighted rule,
+    all-integer, so both engines agree bit-for-bit (no interpolation).
+
+    Stated drop rule (the topKWeighted convention): rows with NULL
+    value, NULL weight, or non-positive weight are dropped — weighted
+    quantile mass only moves up.
+
+    Plan shape: one cumulative-weight window + one total-weight window
+    over the SAME partition spec (one shuffle), then one aggregate of
+    min(value where cum >= target) per quantile.  A hot group funnels
+    through one task — the window family's known trade
+    (`calibrate_scores` states it); groups are bounded-cardinality by
+    construction in every registered use.  Ties are safe under the
+    row-frame cumsum: among equal values, whichever row first reaches
+    the target carries the same value.
+    """
+    for p in quantiles_permille:
+        if not 0 < p <= 1000:
+            raise ValueError("quantiles_permille entries must be in (0, 1000]")
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("grp")
+    staged = src.select(
+        "grp",
+        "v",
+        F.sum("w").over(wcum).alias("_cum"),
+        F.sum("w").over(wtot).alias("_tot"),
+    )
+    aggs = []
+    for p in quantiles_permille:
+        target = F.expr(f"(_tot * {int(p)} + 999) div 1000")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col("v"))).alias(f"q{int(p)}")
+        )
+    aggs.append(F.max("_tot").cast("long").alias("total_weight"))
+    return staged.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
+
+
 def calibrate_scores(
     df: DataFrame,
     group_col: str,

@@ -260,6 +260,23 @@ def q_value_by_type(spark, sf_dir):
     )
 
 
+def q_weighted_percentiles(spark, sf_dir):
+    """ClickHouse quantileExactWeighted parity
+    (sampling.weighted_quantiles): exact weighted quartiles of
+    value_cents per event type, weighted by the props.k payload —
+    all-integer rule (smallest value whose running weight reaches
+    ceil(total * p / 1000)), no interpolation to diverge
+    cross-engine."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return sampling.weighted_quantiles(
+        ev, "event_type", "value_cents", "k"
+    ).orderBy("event_type")
+
+
 def q_value_by_type_totals(spark, sf_dir):
     """ClickHouse `GROUP BY ... WITH TOTALS` parity: the per-type rollup
     plus ONE grand-total row, emitted from a single ROLLUP aggregate
@@ -4533,6 +4550,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: Unicode + whitespace normalization (ftfy-lite first step;
     # one Arrow NFC pass + codegen rules, oracle via nfc_normalize)
     "text_normalize": q_text_normalize,
+    # r12: quantileExactWeighted parity (integer exact-weighted rule,
+    # one window shuffle + one aggregate)
+    "weighted_percentiles": q_weighted_percentiles,
     # r12: hybrid keyword+vector retrieval via integer-exact
     # reciprocal-rank fusion of the BM25 and ANN arms (SIGIR'09 k=60)
     "hybrid_rrf": q_hybrid_rrf,
@@ -7089,6 +7109,28 @@ WITH u AS (
 SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
        doc_id, rrf_score_nano, n_arms
 FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
+"""
+    # quantileExactWeighted (r12): same integer rule both sides —
+    # smallest v whose running weight reaches ceil(tot * p / 1000);
+    # NULL/non-positive weights dropped (the topKWeighted convention)
+    sqls["weighted_percentiles"] = """
+WITH w AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS wt
+  FROM events
+), s AS (
+  SELECT event_type, v,
+         sum(wt) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(wt) OVER (PARTITION BY event_type) AS tot
+  FROM w WHERE v IS NOT NULL AND wt IS NOT NULL AND wt > 0
+)
+SELECT event_type,
+       CAST(min(CASE WHEN cum >= (tot * 250 + 999) // 1000 THEN v END) AS BIGINT) AS q250,
+       CAST(min(CASE WHEN cum >= (tot * 500 + 999) // 1000 THEN v END) AS BIGINT) AS q500,
+       CAST(min(CASE WHEN cum >= (tot * 750 + 999) // 1000 THEN v END) AS BIGINT) AS q750,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM s GROUP BY event_type ORDER BY event_type
 """
     # Unicode normalization (r12): DuckDB nfc_normalize is the
     # standard-defined NFC, byte-identical to Python unicodedata; the

@@ -203,6 +203,8 @@ HEADLINE = [
     "value_by_type_totals",
     # r12: Unicode + whitespace normalization (Arrow NFC + codegen rules)
     "text_normalize",
+    # r12: quantileExactWeighted parity (integer exact-weighted rule)
+    "weighted_percentiles",
 ]
 
 
@@ -340,6 +342,7 @@ BASELINE_SEC = {
     "stream_top_spenders": 8.678,
     "value_by_type_totals": 0.930,
     "text_normalize": 1.375,
+    "weighted_percentiles": 1.720,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

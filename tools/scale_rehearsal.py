@@ -180,6 +180,9 @@ FAMILIES = [
     # r12: Unicode normalization (one Arrow NFC pass + codegen rules;
     # row-local, scan-bound)
     "text_normalize",
+    # r12: exact weighted quantiles (one bounded-group window shuffle +
+    # one aggregate)
+    "weighted_percentiles",
 ]
 
 PASSES = 2
