@@ -1,0 +1,122 @@
+"""Property tests: rrf_fuse / hard_negatives / weighted_quantiles vs
+brute-force references on random inputs (hypothesis — the
+asof_property pattern).  Random rank frames and weighted rows cover
+tie pile-ups, single-member groups, disjoint and fully-overlapping
+arms, and weight-mass corner cases the fixed unit fixtures cannot."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from apache_kafka_clickhouse_demo_spark.operators import sampling as SMP
+from apache_kafka_clickhouse_demo_spark.operators import similarity as SIM
+
+_PROP = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# an arm: per query id, an ordered list of distinct doc ids (rank = index+1)
+_arm = st.dictionaries(
+    st.integers(1, 3),
+    st.lists(st.integers(0, 12), min_size=1, max_size=6, unique=True),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _arm_rows(arm):
+    return [(q, d, r + 1) for q, docs in arm.items() for r, d in enumerate(docs)]
+
+
+def _frame(spark, arm):
+    return spark.createDataFrame(
+        _arm_rows(arm), "query_id int, doc_id long, rank int"
+    )
+
+
+def _ref_rrf(arms, k):
+    fused = {}
+    for arm in arms:
+        for q, d, r in _arm_rows(arm):
+            s, n = fused.get((q, d), (0, 0))
+            fused[(q, d)] = (s + SIM.RRF_SCALE // (SIM.RRF_K + r), n + 1)
+    rows = []
+    byq = {}
+    for (q, d), (s, n) in fused.items():
+        byq.setdefault(q, []).append((-s, d, s, n))
+    for q, entries in byq.items():
+        for pos, (_, d, s, n) in enumerate(sorted(entries)[:k]):
+            rows.append((q, pos + 1, d, s, n))
+    return sorted(rows)
+
+
+@settings(**_PROP)
+@given(a=_arm, b=_arm, k=st.integers(1, 5))
+def test_rrf_fuse_matches_reference(spark, a, b, k):
+    got = sorted(
+        tuple(r) for r in SIM.rrf_fuse([_frame(spark, a), _frame(spark, b)], k=k).collect()
+    )
+    assert got == _ref_rrf([a, b], k)
+
+
+@settings(**_PROP)
+@given(cand=_arm, pos=_arm, k=st.integers(1, 5))
+def test_hard_negatives_matches_reference(spark, cand, pos, k):
+    got = sorted(
+        tuple(r)
+        for r in SIM.hard_negatives(_frame(spark, cand), _frame(spark, pos), k=k).collect()
+    )
+    pos_set = {(q, d) for q, d, _ in _arm_rows(pos)}
+    rows = []
+    for q, docs in cand.items():
+        neg = [(r + 1, d) for r, d in enumerate(docs) if (q, d) not in pos_set]
+        for new_rank, (cand_rank, d) in enumerate(neg[:k], start=1):
+            rows.append((q, new_rank, d, cand_rank))
+    assert got == sorted(rows)
+
+
+_wrows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(-5, 20),
+        st.one_of(st.none(), st.integers(-2, 9)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _ref_wq(rows, p):
+    byg = {}
+    for g, v, w in rows:
+        if w is None or w <= 0:
+            continue
+        byg.setdefault(g, []).append((v, w))
+    out = {}
+    for g, vw in byg.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        target = -(-tot * p // 1000)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if cum >= target:
+                out[g] = v
+                break
+    return out
+
+
+@settings(**_PROP)
+@given(rows=_wrows, p=st.sampled_from([1, 100, 500, 900, 1000]))
+def test_weighted_quantiles_matches_reference(spark, rows, p):
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r["g"]: r[f"q{p}"]
+        for r in SMP.weighted_quantiles(
+            df, "g", "v", "w", quantiles_permille=(p,)
+        ).collect()
+    }
+    assert got == _ref_wq(rows, p)
