@@ -390,8 +390,15 @@ def weighted_quantiles(
     the target carries the same value.
     """
     for p in quantiles_permille:
-        if not 0 < p <= 1000:
-            raise ValueError("quantiles_permille entries must be in (0, 1000]")
+        # ints only: a float would silently truncate in both the target
+        # expression and the q{p} alias; duplicates would emit two
+        # identically-named columns (AMBIGUOUS_REFERENCE downstream)
+        if not isinstance(p, int) or not 0 < p <= 1000:
+            raise ValueError(
+                "quantiles_permille entries must be ints in (0, 1000]"
+            )
+    if len(set(quantiles_permille)) != len(quantiles_permille):
+        raise ValueError("quantiles_permille entries must be distinct")
     src = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("long").alias("v"),

@@ -324,9 +324,11 @@ def normalize_text(
     Plan shape: ONE Arrow-batched mapInPandas pass for the NFC step
     (Python's unicodedata — NFC is standard-defined, so DuckDB's
     nfc_normalize agrees byte-for-byte; Spark has no NFC builtin), then
-    steps 2-6 as whole-stage-codegen regexp_replace/trim — the Python
-    boundary carries exactly one string column each way.  Row-local,
-    zero exchanges, scan-bound at 100 TB.
+    steps 2-6 as whole-stage-codegen regexp_replace/trim.  The Python
+    boundary carries the raw text in and BOTH raw + NFC text out — the
+    raw copy rides back so the `changed` flag can compare against the
+    original without a second scan (the honest price; stated, not
+    hidden).  Row-local, zero exchanges, scan-bound at 100 TB.
 
     Output: (doc_id, norm_text, changed); NULL text stays NULL with
     changed = false."""
@@ -644,13 +646,22 @@ def pack_bins_ffd(
 
     if capacity <= 0 or buckets <= 0:
         raise ValueError("capacity and buckets must be positive")
+    # stated drop rule (code-review r12): rows with NULL id, NULL
+    # tokens, or negative tokens are dropped — a NULL id cannot join a
+    # deterministic bucket, and the long cast is a CONTRACT (integer
+    # ids only; a non-integer id would silently null out while its
+    # hash still picked a bucket)
     src = items.select(
         (
             H.h48(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % buckets
         ).alias("bucket"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(n_col).cast("long").alias("n_tokens"),
-    ).filter(F.col("n_tokens").isNotNull() & (F.col("n_tokens") >= 0))
+    ).filter(
+        F.col("doc_id").isNotNull()
+        & F.col("n_tokens").isNotNull()
+        & (F.col("n_tokens") >= 0)
+    )
 
     out_schema = T.StructType(
         [

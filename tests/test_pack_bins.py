@@ -64,6 +64,7 @@ def test_capacity_respected_except_singleton_overflow_bins(spark):
             # an over-capacity bin must be a single overflow document
             assert members[key] == [(members[key][0][0], True)]
     over_rows = [r for r in got if r[5]]
+    assert len(over_rows) == 1, "the oversize doc must survive, flagged"
     assert over_rows == [(over_rows[0][0], over_rows[0][1], 999, 500, 500, True)]
 
 

@@ -89,24 +89,10 @@ _wrows = st.lists(
 )
 
 
-def _ref_wq(rows, p):
-    byg = {}
-    for g, v, w in rows:
-        if w is None or w <= 0:
-            continue
-        byg.setdefault(g, []).append((v, w))
-    out = {}
-    for g, vw in byg.items():
-        vw.sort()
-        tot = sum(w for _, w in vw)
-        target = -(-tot * p // 1000)
-        cum = 0
-        for v, w in vw:
-            cum += w
-            if cum >= target:
-                out[g] = v
-                break
-    return out
+# ONE replica for the weighted-quantile rule (code-review r12: a second
+# near-identical reference here had already drifted on the NULL-value
+# drop rule) — the unit-test module owns it
+from tests.test_weighted_quantiles import _ref as _ref_wq  # noqa: E402
 
 
 @settings(**_PROP)
