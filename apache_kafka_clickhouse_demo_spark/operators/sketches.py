@@ -267,6 +267,166 @@ def count_min_build(
     )
 
 
+def dyadic_decompose(lo: int, hi: int) -> list[tuple[int, int]]:
+    """Minimal dyadic cover of the half-open integer range [lo, hi) as
+    (level, key) pieces, where the piece at (l, k) covers
+    [k << l, (k+1) << l) — the classic segment-tree decomposition,
+    at most 2 pieces per level.  Pure Python, driver-side: range
+    queries inline their decomposition as LITERALS into both the
+    engine plan and the oracle, so the two sides provably sum the same
+    cells."""
+    out: list[tuple[int, int]] = []
+    level = 0
+    while lo < hi:
+        if lo & 1:
+            out.append((level, lo))
+            lo += 1
+        if hi & 1:
+            hi -= 1
+            out.append((level, hi))
+        lo >>= 1
+        hi >>= 1
+        level += 1
+    return sorted(out)
+
+
+def dyadic_cms_build(
+    df: DataFrame,
+    value_col: str,
+    universe_bits: int = 16,
+    width: int = 2048,
+    depth: int = 3,
+    salt: str = "dcms:",
+) -> DataFrame:
+    """Dyadic count-min structure (Cormode & Muthukrishnan 2005 §4.2 —
+    the CMS extension that answers RANGE counts, the building block of
+    sketch quantiles): one CMS per dyadic level l = 0..universe_bits,
+    where level l counts the value's prefix v >> l.  A range estimate
+    sums O(2 * universe_bits) point estimates of its dyadic cover, so
+    it inherits the point query's one-sided guarantee: never an
+    undercount, overcount bounded by the per-level collision mass.
+
+    Stated contract: values must be integers in [0, 2^universe_bits);
+    NULL and out-of-range rows are dropped (range mass only moves up).
+    Hash row (l, d) seeds h48 with `{salt}{l}:{d}:` — engine-portable,
+    so every counter (and every estimate) is deterministic and the
+    DuckDB oracle mirrors the grid exactly (the count_min_build
+    precedent).
+
+    Output: (level, d, bucket, n) — at most
+    (universe_bits+1) * depth * width rows by CONSTRUCTION, whatever
+    the corpus.  Counters are linear: merge sketches of the same
+    (universe_bits, width, depth, salt) by summing n per cell — the
+    same mergeability that would back a streaming twin.
+
+    Plan shape at 100 TB: the CORPUS-scale work is ONE
+    map-side-combinable groupBy(value) count whose cardinality is
+    bounded by the UNIVERSE (2^universe_bits), not the corpus; the
+    (universe_bits+1) * depth hash fan-out then runs over that bounded
+    distinct-value frame — the "statistics live on the distinct frame"
+    house pattern (a per-ROW fan-out measured 30x wall at the 100x
+    rehearsal before this restatement; the aggregate-first shape is
+    near-flat).
+    """
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+    from apache_kafka_clickhouse_demo_spark.sources.tables import spread_small
+
+    if width < 1 or depth < 1 or not 1 <= universe_bits <= 62:
+        raise ValueError("need width, depth >= 1 and 1 <= universe_bits <= 62")
+    v = F.col(value_col).cast("long")
+    base = (
+        spread_small(df)
+        .filter(v.isNotNull() & (v >= 0) & (v < (1 << universe_bits)))
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).alias("level"),
+                F.lit(d).alias("d"),
+                F.pmod(
+                    H.h48(
+                        F.concat(
+                            F.lit(f"{salt}{lvl}:{d}:"),
+                            F.shiftright(F.col("_v"), lvl).cast("string"),
+                        )
+                    ),
+                    F.lit(width),
+                ).cast("int").alias("bucket"),
+            )
+            for lvl in range(universe_bits + 1)
+            for d in range(depth)
+        ]
+    )
+    return (
+        base.select("_cnt", F.explode(cells).alias("c"))
+        .groupBy(
+            F.col("c.level").alias("level"),
+            F.col("c.d").alias("d"),
+            F.col("c.bucket").alias("bucket"),
+        )
+        .agg(F.sum("_cnt").alias("n"))
+    )
+
+
+def dyadic_cms_range_counts(
+    sketch: DataFrame,
+    ranges: list[tuple[int, int, int]],
+    universe_bits: int = 16,
+    width: int = 2048,
+    depth: int = 3,
+    salt: str = "dcms:",
+) -> DataFrame:
+    """Range-count estimates against a dyadic CMS built with the SAME
+    parameters.  `ranges` is a literal list of (range_id, lo, hi)
+    half-open integer ranges; each decomposes driver-side
+    (`dyadic_decompose`) into <= 2 * universe_bits (level, key) pieces,
+    each piece estimates as min-over-d of its addressed counters
+    (absent counter = 0), and the range estimate is the SUM of its
+    piece estimates — never an undercount.
+
+    Output: (range_id, lo, hi, est long), one row per input range.
+    Plan: the literal piece table (|ranges| * pieces * depth rows, all
+    bounded by construction) joins the bounded sketch — broadcast on
+    the sketch side, no corpus-scale work at query time."""
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+    spark = sketch.sparkSession
+    rows = []
+    for rid, lo, hi in ranges:
+        if not 0 <= lo <= hi <= (1 << universe_bits):
+            raise ValueError(f"range {rid}: [{lo}, {hi}) outside the universe")
+        for lvl, key in dyadic_decompose(lo, hi):
+            for d in range(depth):
+                rows.append(
+                    (
+                        int(rid),
+                        int(lo),
+                        int(hi),
+                        lvl,
+                        key,
+                        d,
+                        H.py_h48(f"{salt}{lvl}:{d}:{key}") % width,
+                    )
+                )
+    # schema order MUST mirror the tuple append order above
+    # (rid, lo, hi, level, key, d, bucket)
+    pieces = spark.createDataFrame(
+        rows,
+        "range_id int, lo long, hi long, level int, key long, d int, bucket int",
+    )
+    joined = pieces.join(F.broadcast(sketch), ["level", "d", "bucket"], "left")
+    per_piece = joined.groupBy("range_id", "lo", "hi", "level", "key").agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("piece_est")
+    )
+    return (
+        per_piece.groupBy("range_id", "lo", "hi")
+        .agg(F.sum("piece_est").cast("long").alias("est"))
+        .orderBy("range_id")
+    )
+
+
 def count_min_lookup(
     sketch: DataFrame,
     keys: DataFrame,

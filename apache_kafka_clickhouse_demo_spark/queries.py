@@ -260,6 +260,85 @@ def q_value_by_type(spark, sf_dir):
     )
 
 
+DYADIC_BITS = 16
+DYADIC_WIDTH = 2048
+DYADIC_DEPTH = 3
+#: (range_id, lo, hi) half-open value_cents bands
+DYADIC_RANGES = [
+    (1, 0, 1_000),
+    (2, 1_000, 5_000),
+    (3, 5_000, 10_000),
+    (4, 10_000, 20_000),
+    (5, 20_000, 1 << DYADIC_BITS),
+]
+
+
+def q_dyadic_range_counts(spark, sf_dir):
+    """Dyadic count-min range counts (sketches.dyadic_cms_build /
+    dyadic_cms_range_counts — Cormode & Muthukrishnan §4.2, the sketch
+    that answers 'how many values fall in [lo, hi)' from
+    O(levels * depth * width) counters): value_cents bands over the
+    events stream.  The decompositions are driver-side literals inlined
+    into BOTH engines, so the oracle replays the identical cell sums."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    sk = sketches.dyadic_cms_build(
+        ev, "cents", DYADIC_BITS, DYADIC_WIDTH, DYADIC_DEPTH
+    )
+    return sketches.dyadic_cms_range_counts(
+        sk, DYADIC_RANGES, DYADIC_BITS, DYADIC_WIDTH, DYADIC_DEPTH
+    )
+
+
+def _oracle_dyadic_range_counts() -> str:
+    """Mirror of the dyadic CMS: same grid (h48-seeded per (level, d)),
+    same literal decompositions, same min-over-d / sum-over-pieces."""
+    from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+        dyadic_decompose,
+    )
+
+    def h(l_expr: str, d_expr: str, k_expr: str) -> str:
+        return H.sql_h48(
+            f"'dcms:' || CAST({l_expr} AS VARCHAR) || ':' || "
+            f"CAST({d_expr} AS VARCHAR) || ':' || CAST({k_expr} AS VARCHAR)"
+        )
+
+    pieces_vals = ",\n  ".join(
+        f"({rid}, {lo}, {hi}, {lvl}, {key}, {d})"
+        for rid, lo, hi in DYADIC_RANGES
+        for lvl, key in dyadic_decompose(lo, hi)
+        for d in range(DYADIC_DEPTH)
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
+    AND CAST(round(value * 100) AS BIGINT) >= 0
+    AND CAST(round(value * 100) AS BIGINT) < {1 << DYADIC_BITS}
+), cells AS (
+  SELECT t.l AS level, dd.d AS d,
+         {h('t.l', 'dd.d', '(v >> t.l)')} % {DYADIC_WIDTH} AS bucket,
+         count(*) AS n
+  FROM vals, range({DYADIC_BITS + 1}) t(l), range({DYADIC_DEPTH}) dd(d)
+  GROUP BY 1, 2, 3
+), pieces(range_id, lo, hi, level, key, d) AS (VALUES
+  {pieces_vals}
+), pc AS (
+  SELECT p.range_id, p.lo, p.hi, p.level, p.key,
+         min(coalesce(c.n, 0)) AS piece_est
+  FROM pieces p
+  LEFT JOIN cells c
+    ON c.level = p.level AND c.d = p.d
+   AND c.bucket = {h('p.level', 'p.d', 'p.key')} % {DYADIC_WIDTH}
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(range_id AS INTEGER) AS range_id, CAST(lo AS BIGINT) AS lo,
+       CAST(hi AS BIGINT) AS hi, CAST(sum(piece_est) AS BIGINT) AS est
+FROM pc GROUP BY 1, 2, 3 ORDER BY range_id
+"""
+
+
 def q_weighted_percentiles(spark, sf_dir):
     """ClickHouse quantileExactWeighted parity
     (sampling.weighted_quantiles): exact weighted quartiles of
@@ -4567,6 +4646,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: quantileExactWeighted parity (integer exact-weighted rule,
     # one window shuffle + one aggregate)
     "weighted_percentiles": q_weighted_percentiles,
+    # r12: dyadic count-min range counts (the CMS range-query extension
+    # — bounded cell grid, literal decompositions both sides)
+    "dyadic_range_counts": q_dyadic_range_counts,
     # r12: hybrid keyword+vector retrieval via integer-exact
     # reciprocal-rank fusion of the BM25 and ANN arms (SIGIR'09 k=60)
     "hybrid_rrf": q_hybrid_rrf,
@@ -7124,6 +7206,9 @@ SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
        doc_id, rrf_score_nano, n_arms
 FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
 """
+    # dyadic CMS range counts (r12): the count_min_build oracle pattern
+    # over the (level, d, bucket) grid
+    sqls["dyadic_range_counts"] = _oracle_dyadic_range_counts()
     # quantileExactWeighted (r12): same integer rule both sides —
     # smallest v whose running weight reaches ceil(tot * p / 1000);
     # NULL/non-positive weights dropped (the topKWeighted convention)

@@ -205,6 +205,8 @@ HEADLINE = [
     "text_normalize",
     # r12: quantileExactWeighted parity (integer exact-weighted rule)
     "weighted_percentiles",
+    # r12: dyadic count-min range counts (bounded cell grid)
+    "dyadic_range_counts",
 ]
 
 
@@ -343,6 +345,7 @@ BASELINE_SEC = {
     "value_by_type_totals": 0.930,
     "text_normalize": 1.375,
     "weighted_percentiles": 1.720,
+    "dyadic_range_counts": 3.834,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -144,6 +144,10 @@ ALLOWED_BHJ = {
     # same two arms; the hard-negative anti-join runs over the two
     # bounded top-k rank frames, not the corpus
     "hard_negatives": 2,
+    # the dyadic cell grid: (levels+1) * depth * width rows by
+    # CONSTRUCTION (cms_user_counts' class), joined to the literal
+    # decomposition table
+    "dyadic_range_counts": 1,
 }
 
 

@@ -183,6 +183,9 @@ FAMILIES = [
     # r12: exact weighted quantiles (one bounded-group window shuffle +
     # one aggregate)
     "weighted_percentiles",
+    # r12: dyadic CMS range counts (constant fan-out + bounded cell
+    # grid aggregate; grid size independent of the corpus)
+    "dyadic_range_counts",
 ]
 
 PASSES = 2
