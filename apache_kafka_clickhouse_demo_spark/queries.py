@@ -339,6 +339,59 @@ FROM pc GROUP BY 1, 2, 3 ORDER BY range_id
 """
 
 
+def q_stream_range_counts(spark, sf_dir):
+    """Streaming dyadic count-min (stateful.dyadic_cms_stream): the
+    events feed — value_cents precomputed — drains as four blocks into
+    a cell-sharded counter store with exactly-once increments and a
+    LIVE value-band histogram emitted at ingest; counters are LINEAR,
+    so the drained store's merge-on-read structure equals the batch
+    dyadic_cms_build cell-for-cell and the final band estimates are
+    dyadic_range_counts' verbatim — the oracle is the batch SQL
+    unchanged."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _DyadicCmsStreamWriter,
+        dyadic_cms_stream,
+    )
+
+    work = _workdir("stream_dcms_")
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    blk = F.pmod(F.coalesce(F.col("cents"), F.lit(0)), F.lit(4)).cast("int")
+    _write_feed_blocks(ev, work, blk)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = dyadic_cms_stream(
+        spark,
+        src,
+        out_dir=f"{work}/est",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        value_col="cents",
+        ranges=DYADIC_RANGES,
+        universe_bits=DYADIC_BITS,
+        width=DYADIC_WIDTH,
+        depth=DYADIC_DEPTH,
+    )
+    q.processAllAvailable()
+    q.stop()
+    writer = _DyadicCmsStreamWriter(
+        spark,
+        f"{work}/est",
+        f"{work}/store",
+        value_col="cents",
+        ranges=DYADIC_RANGES,
+        universe_bits=DYADIC_BITS,
+        width=DYADIC_WIDTH,
+        depth=DYADIC_DEPTH,
+        writer_id=f"{work}/ck",
+    )
+    return writer.range_counts()
+
+
 def q_weighted_percentiles(spark, sf_dir):
     """ClickHouse quantileExactWeighted parity
     (sampling.weighted_quantiles): exact weighted quartiles of
@@ -4649,6 +4702,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: dyadic count-min range counts (the CMS range-query extension
     # — bounded cell grid, literal decompositions both sides)
     "dyadic_range_counts": q_dyadic_range_counts,
+    # r12: streaming dyadic CMS twin (cell-sharded counter store, live
+    # value-band histogram at ingest; linearity -> oracle unchanged)
+    "stream_range_counts": q_stream_range_counts,
     # r12: hybrid keyword+vector retrieval via integer-exact
     # reciprocal-rank fusion of the BM25 and ANN arms (SIGIR'09 k=60)
     "hybrid_rrf": q_hybrid_rrf,
@@ -7209,6 +7265,9 @@ FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
     # dyadic CMS range counts (r12): the count_min_build oracle pattern
     # over the (level, d, bucket) grid
     sqls["dyadic_range_counts"] = _oracle_dyadic_range_counts()
+    # streaming dyadic CMS (r12): counters linear, blocks partition the
+    # feed -> drained store == batch structure; oracle unchanged
+    sqls["stream_range_counts"] = sqls["dyadic_range_counts"]
     # quantileExactWeighted (r12): same integer rule both sides —
     # smallest v whose running weight reaches ceil(tot * p / 1000);
     # NULL/non-positive weights dropped (the topKWeighted convention)

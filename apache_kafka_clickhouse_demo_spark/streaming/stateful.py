@@ -2218,6 +2218,220 @@ def count_min_stream(
     )
 
 
+class _DyadicCmsStreamWriter:
+    """foreachBatch body of `dyadic_cms_stream`: a continuously-
+    maintained dyadic count-min structure over an unbounded feed — the
+    streaming twin of `sketches.dyadic_cms_build`, emitting a LIVE
+    value-band histogram at ingest (per-block running range counts for
+    a fixed band list).  Dyadic CMS counters are linear and merge by
+    per-cell sum — `_CountMinStreamWriter`'s counter-store architecture
+    carries over verbatim with (level, d, bucket) cells:
+
+    1. Build the BLOCK's structure with the batch operator itself
+       (`dyadic_cms_build` — provably shared grid), bounded increment
+       rows however large the block.
+    2. Pin the store, read ONLY the block's touched cell shards at the
+       pin, merge prior + block cells, and emit the fixed ranges'
+       running estimates AT INGEST (`dyadic_cms_range_counts` against
+       the merged bounded sketch).
+    3. Commit increments to the store, THEN estimates to out — the
+       crash-window order; a half-committed retry pins
+       `txn_version(txn) - 1` (`_resolve_retry_pin`, the shared rule).
+
+    Drained store == the batch structure cell-for-cell (linearity +
+    blocks partition the feed), so the final range estimates equal the
+    batch `dyadic_range_counts` verbatim — the extra
+    `stream_range_counts` hash-checks exactly that, oracle unchanged.
+    """
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        store_dir: str,
+        value_col: str,
+        ranges: list[tuple[int, int, int]],
+        universe_bits: int = 16,
+        width: int = 2048,
+        depth: int = 3,
+        salt: str = "dcms:",
+        cms_shards: int = 8,
+        writer_id: str = "",
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+        if width < 1 or depth < 1 or not 1 <= universe_bits <= 62:
+            raise ValueError("need width, depth >= 1 and 1 <= universe_bits <= 62")
+        self.spark = spark
+        self.value_col = value_col
+        self.ranges = list(ranges)
+        self.universe_bits = universe_bits
+        self.width = width
+        self.depth = depth
+        self.salt = salt
+        self.cms_shards = cms_shards
+        self.writer_id = writer_id
+        self.out = TransactionalTable(out_dir)
+        self.store = TransactionalTable(os.path.join(store_dir, "store"))
+
+    def maintain(self) -> None:
+        """Compact the counter store, fold watermarks, prune, vacuum —
+        between fully-committed batches only (the half-committed-pin
+        argument)."""
+        self.store.optimize(self.spark, partition_by="shard")
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
+        self.store.vacuum()
+
+    def _shard(self):
+        return F.concat(
+            F.lit("y"),
+            F.pmod(
+                (F.col("level").cast("long") * self.depth + F.col("d"))
+                * self.width
+                + F.col("bucket"),
+                F.lit(self.cms_shards),
+            ).cast("string"),
+        )
+
+    def merged_sketch(self, version: int | None = None) -> DataFrame:
+        """Merge-on-read structure at a committed version: (level, d,
+        bucket, n) per-cell sums — bounded rows, directly consumable by
+        `sketches.dyadic_cms_range_counts`."""
+        return (
+            self.store.read(self.spark, version)
+            .groupBy("level", "d", "bucket")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    def range_counts(self) -> DataFrame:
+        """Current range estimates from the drained store."""
+        from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+            dyadic_cms_range_counts,
+        )
+
+        return dyadic_cms_range_counts(
+            self.merged_sketch(),
+            self.ranges,
+            universe_bits=self.universe_bits,
+            width=self.width,
+            depth=self.depth,
+            salt=self.salt,
+        )
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+            dyadic_cms_build,
+            dyadic_cms_range_counts,
+        )
+
+        txn = f"{self.writer_id}:{batch_id}"
+        store_done = self.store.txn_committed(txn)
+        if store_done and self.out.txn_committed(txn):
+            return  # fully-committed replay: no-op, no jobs
+        if not store_done and block.isEmpty():
+            return  # idle trigger: nothing published
+        pin = _resolve_retry_pin(self.store, txn)
+
+        inc = dyadic_cms_build(
+            block,
+            self.value_col,
+            universe_bits=self.universe_bits,
+            width=self.width,
+            depth=self.depth,
+            salt=self.salt,
+        ).withColumn("shard", self._shard())
+
+        # bounded driver action: <= cms_shards shard names
+        block_shards = sorted(
+            (inc.agg(F.collect_set("shard")).first()[0]) or []
+        )
+        if not store_done and not block_shards:
+            # every value NULL/out-of-range: nothing countable, nothing
+            # published (the batch operator's drop contract; the ADVICE
+            # r10 empty-block rule)
+            return
+        try:
+            prior = self.store.read_where(
+                self.spark, "shard", block_shards, version=pin
+            ).select("level", "d", "bucket", "n")
+        except FileNotFoundError:  # no commits at/below the pin
+            prior = self.spark.createDataFrame(
+                [], "level int, d int, bucket int, n long"
+            )
+        merged = (
+            prior.unionByName(inc.select("level", "d", "bucket", "n"))
+            .groupBy("level", "d", "bucket")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        est = dyadic_cms_range_counts(
+            merged,
+            self.ranges,
+            universe_bits=self.universe_bits,
+            width=self.width,
+            depth=self.depth,
+            salt=self.salt,
+        ).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "range_id",
+            "lo",
+            "hi",
+            "est",
+        )
+
+        if not store_done:
+            self.store.append_once(
+                inc.select("shard", "level", "d", "bucket", "n").repartition(
+                    F.col("shard")
+                ),
+                txn=txn,
+                partition_by="shard",
+            )
+        self.out.append_once(est, txn=txn)
+
+
+def dyadic_cms_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    value_col: str,
+    ranges: list[tuple[int, int, int]],
+    universe_bits: int = 16,
+    width: int = 2048,
+    depth: int = 3,
+    salt: str = "dcms:",
+    cms_shards: int = 8,
+):
+    """Continuously-maintained dyadic count-min structure: per-block
+    increments appended exactly-once to a cell-sharded counter store,
+    a live value-band histogram (running range counts for the fixed
+    `ranges`) emitted at ingest.  Mechanics, retry-pin protocol, and
+    the drained-store == batch-structure equality: see
+    `_DyadicCmsStreamWriter`."""
+    writer = _DyadicCmsStreamWriter(
+        spark,
+        out_dir,
+        store_dir,
+        value_col=value_col,
+        ranges=ranges,
+        universe_bits=universe_bits,
+        width=width,
+        depth=depth,
+        salt=salt,
+        cms_shards=cms_shards,
+        writer_id=checkpoint,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class _UniqStreamWriter:
     """foreachBatch body of `uniq_stream`: continuously-maintained
     per-group approximate count-distinct — the streaming twin of the

@@ -207,6 +207,8 @@ HEADLINE = [
     "weighted_percentiles",
     # r12: dyadic count-min range counts (bounded cell grid)
     "dyadic_range_counts",
+    # r12: streaming dyadic CMS twin (live value-band histogram at ingest)
+    "stream_range_counts",
 ]
 
 
@@ -346,6 +348,7 @@ BASELINE_SEC = {
     "text_normalize": 1.375,
     "weighted_percentiles": 1.720,
     "dyadic_range_counts": 3.834,
+    "stream_range_counts": 23.459,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -30,6 +30,7 @@ _SKIP = {
     "stream_funnel",  # streaming drain; fold linted via funnel_levels + stateful tests
     "stream_topk",  # streaming drain; sketch plan linted via top_users_sketch
     "stream_top_spenders",  # streaming drain; weighted sketch plan linted via top_users_weighted
+    "stream_range_counts",  # streaming drain; dyadic grid plan linted via dyadic_range_counts
     "stream_sample",  # streaming drain; bottom-k rank plan is a TakeOrdered by construction
     "stream_index_bm25",  # streaming drain (feed -> index segments); lookup plan linted via bm25_indexed
     "phrase_indexed",  # builds+commits the index at query build; scan twin (phrase_search) is linted

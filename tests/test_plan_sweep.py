@@ -110,6 +110,9 @@ EXECUTING = {
     # weighted sketch plan is swept via the batch twin
     # top_users_weighted, writer machinery shared with stream_topk
     "stream_top_spenders",
+    # streaming drain (feed -> dyadic CMS counter store); the bounded
+    # grid lookup plan is swept via the batch twin dyadic_range_counts
+    "stream_range_counts",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

@@ -1718,6 +1718,110 @@ def test_count_min_stream_half_committed_retry_pins_preappend(
     assert rows2[(2, "b")] == 3
 
 
+def _dcms_writer(spark, tmp_path, tag="w", bits=8, width=64, depth=3,
+                 ranges=((1, 0, 16), (2, 16, 256))):
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _DyadicCmsStreamWriter,
+    )
+
+    return _DyadicCmsStreamWriter(
+        spark,
+        str(tmp_path / f"dcmsout_{tag}"),
+        str(tmp_path / f"dcmsstore_{tag}"),
+        value_col="v",
+        ranges=list(ranges),
+        universe_bits=bits,
+        width=width,
+        depth=depth,
+        cms_shards=4,
+        writer_id=tag,
+    )
+
+
+def _vals_df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v long")
+
+
+def test_dyadic_stream_running_band_counts_accumulate(spark, tmp_path):
+    """Per-block band estimates are at-ingest running totals (exact in
+    the wide-grid regime); the drained store's merged structure equals
+    the batch build on the concatenated feed cell-for-cell; replays,
+    idle blocks, and all-dropped blocks publish nothing."""
+    from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+        dyadic_cms_build,
+    )
+
+    w = _dcms_writer(spark, tmp_path, width=1 << 12)
+    w.process(_vals_df(spark, [3, 5, 20]), 0)
+    w.process(_vals_df(spark, [7, 200, 20]), 1)
+    rows = {
+        (r["batch_id"], r["range_id"]): r["est"]
+        for r in w.out.read(spark).collect()
+    }
+    assert rows == {
+        (0, 1): 2, (0, 2): 1,
+        (1, 1): 3, (1, 2): 3,
+    }
+    merged = {
+        (r["level"], r["d"], r["bucket"]): r["n"]
+        for r in w.merged_sketch().collect()
+    }
+    batch = {
+        (r["level"], r["d"], r["bucket"]): r["n"]
+        for r in dyadic_cms_build(
+            _vals_df(spark, [3, 5, 20, 7, 200, 20]), "v",
+            universe_bits=8, width=1 << 12, depth=3,
+        ).collect()
+    }
+    assert merged == batch and len(merged) > 0
+
+    vs, vo = w.store.version(), w.out.version()
+    w.process(_vals_df(spark, [7, 200, 20]), 1)  # replay: no-op
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+    # all rows NULL/out-of-range: dropped by the batch contract
+    w.process(spark.createDataFrame([(None,), (-3,), (999,)], "v long"), 2)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+
+
+def test_dyadic_stream_half_committed_retry_pins_preappend(
+    spark, tmp_path, monkeypatch
+):
+    """A batch that died between its store and out commits must
+    re-derive the band counts its first attempt computed — re-reading
+    the current version would count the block against itself."""
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
+
+    w = _dcms_writer(spark, tmp_path, width=1 << 12)
+    w.process(_vals_df(spark, [3, 3]), 0)
+
+    orig = TXL.TransactionalTable.append_once
+    calls = {"n": 0}
+
+    def fail_out(self, df, txn, **kw):
+        if "dcmsout_" in self.path:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected out-commit failure")
+        return orig(self, df, txn=txn, **kw)
+
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    block = _vals_df(spark, [5, 20, 20])
+    with pytest.raises(RuntimeError, match="injected"):
+        w.process(block, 1)  # store committed, out did not
+    assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
+
+    w.process(block, 1)  # retry must NOT double-count block 1
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    rows = {
+        (r["batch_id"], r["range_id"]): r["est"]
+        for r in w.out.read(spark).collect()
+    }
+    # the live histogram emits every band each block, zeros included
+    assert rows == {(0, 1): 2, (0, 2): 0, (1, 1): 3, (1, 2): 2}
+
+
 def _uniq_writer(spark, tmp_path, tag="w", shards=4):
     from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
         _UniqStreamWriter,
