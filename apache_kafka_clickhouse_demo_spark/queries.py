@@ -260,6 +260,31 @@ def q_value_by_type(spark, sf_dir):
     )
 
 
+def q_events_limit_by(spark, sf_dir):
+    """ClickHouse `ORDER BY ... LIMIT n BY col` parity: the latest 2
+    events per event type, in one windowed group-limit.  Spark's
+    WindowGroupLimit rewrite turns the rank filter into a partial/final
+    per-partition top-n (no full sort of the corpus — the same
+    optimization the latest_event plan test pins); groups here are
+    bounded-cardinality, and the unbounded-key scale path is the
+    two-phase top-k reduction the similarity module documents."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "event_type", "event_id", "ts",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .orderBy("event_type", "rn")
+    )
+
+
 DYADIC_BITS = 16
 DYADIC_WIDTH = 2048
 DYADIC_DEPTH = 3
@@ -4544,6 +4569,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: WITH TOTALS parity (one ROLLUP aggregate, GROUPING()-tagged
     # grand-total row)
     "value_by_type_totals": q_value_by_type_totals,
+    # r12: LIMIT n BY col parity (windowed group-limit; WindowGroupLimit
+    # partial/final rewrite, no full sort)
+    "events_limit_by": q_events_limit_by,
     "entry_attendance": q_entry_attendance,  # same oracle as mv_cascade_attendance
     "events_preview": q_events_preview,  # P2/O2 trivia
     "show_tables": q_show_tables,  # S8 trivia (tests/test_catalog_and_extras.py)
@@ -6110,6 +6138,18 @@ FROM events
         "value_by_type": """
 SELECT event_type, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value, count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY total_value DESC
+""",
+        "events_limit_by": """
+WITH r AS (
+  SELECT event_type, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts DESC, event_id DESC)
+              AS INTEGER) AS rn
+  FROM events
+)
+SELECT event_type, event_id, ts, value_cents, rn
+FROM r WHERE rn <= 2 ORDER BY event_type, rn
 """,
         "value_by_type_totals": """
 SELECT event_type, CAST(grouping(event_type) AS INTEGER) AS is_total,

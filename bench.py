@@ -209,6 +209,8 @@ HEADLINE = [
     "dyadic_range_counts",
     # r12: streaming dyadic CMS twin (live value-band histogram at ingest)
     "stream_range_counts",
+    # r12: LIMIT n BY col parity (windowed group-limit)
+    "events_limit_by",
 ]
 
 
@@ -349,6 +351,7 @@ BASELINE_SEC = {
     "weighted_percentiles": 1.720,
     "dyadic_range_counts": 3.834,
     "stream_range_counts": 23.459,
+    "events_limit_by": 0.603,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
