@@ -77,7 +77,11 @@ def _mg_fold(count_batch, capacity: int):
             vc = count_batch(pdf)
             if vc.empty:
                 continue
-            acc = acc.add(vc, fill_value=0).astype("int64")
+            # concat + groupby-sum, NOT acc.add(vc, fill_value=0): add's
+            # reindex upcasts to float64 whenever a key is new on either
+            # side, silently capping exactness at 2^53 (ADVICE r12); the
+            # concat fold keeps both int64 inputs integer end-to-end.
+            acc = pd.concat([acc, vc]).groupby(level=0).sum().astype("int64")
             acc, sub = _mg_trim(acc, capacity)
             err += sub
         out = pd.DataFrame(
@@ -136,7 +140,12 @@ def _mgw_partition(capacity: int):
     def count_batch(pdf: pd.DataFrame) -> pd.Series:
         pdf = pdf.dropna(subset=["value", "w"])
         pdf = pdf[pdf["w"] > 0]
-        return pdf.groupby("value")["w"].sum()
+        # A batch that CONTAINED nulls materialized `w` as float64
+        # (pandas nullable-long convention); summing in float64 is only
+        # exact below 2^53, which would silently cap the integer-exact
+        # contract.  Re-anchor to int64 AFTER the drop so the fold is
+        # integer end-to-end (ADVICE r12).
+        return pdf.assign(w=pdf["w"].astype("int64")).groupby("value")["w"].sum()
 
     return _mg_fold(count_batch, capacity)
 

@@ -2273,6 +2273,32 @@ class _DyadicCmsStreamWriter:
         self.writer_id = writer_id
         self.out = TransactionalTable(out_dir)
         self.store = TransactionalTable(os.path.join(store_dir, "store"))
+        # The published running estimates address the FIXED ranges'
+        # dyadic piece cells, which are independent of any block's
+        # touched shards: a piece cell whose prior mass lives in a shard
+        # the block did not touch would join as NULL -> coalesce to 0 ->
+        # min-over-d drives the piece estimate to 0, silently
+        # undercounting the live histogram (ADVICE r12, high).  The
+        # piece-cell shard set is a function of (ranges, salt, width,
+        # depth, cms_shards) only, so compute it ONCE driver-side by
+        # mirroring `_shard()` exactly: bucket = h48(f"{salt}{lvl}:{d}:
+        # {key}") % width, shard = ((lvl*depth + d)*width + bucket) %
+        # cms_shards.  Bounded: <= |ranges| * 2*universe_bits * depth
+        # cells, capped at cms_shards distinct names.
+        from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+        from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+            dyadic_decompose,
+        )
+
+        range_shards: set[str] = set()
+        for _rid, lo, hi in self.ranges:
+            for lvl, key in dyadic_decompose(lo, hi):
+                for d in range(depth):
+                    bucket = py_h48(f"{salt}{lvl}:{d}:{key}") % width
+                    range_shards.add(
+                        f"y{((lvl * depth + d) * width + bucket) % cms_shards}"
+                    )
+        self._range_shards = range_shards
 
     def maintain(self) -> None:
         """Compact the counter store, fold watermarks, prune, vacuum —
@@ -2351,9 +2377,16 @@ class _DyadicCmsStreamWriter:
             # published (the batch operator's drop contract; the ADVICE
             # r10 empty-block rule)
             return
+        # Read the UNION of the block's touched shards (for the merge)
+        # and the fixed ranges' piece-cell shards (for the estimate):
+        # a sparse block routinely misses shards holding prior band
+        # mass, and estimating from block shards alone would zero those
+        # pieces (ADVICE r12).  Increments COMMITTED below stay
+        # block-only; only the read widens.
+        read_shards = sorted(set(block_shards) | self._range_shards)
         try:
             prior = self.store.read_where(
-                self.spark, "shard", block_shards, version=pin
+                self.spark, "shard", read_shards, version=pin
             ).select("level", "d", "bucket", "n")
         except FileNotFoundError:  # no commits at/below the pin
             prior = self.spark.createDataFrame(

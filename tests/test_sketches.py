@@ -93,6 +93,37 @@ def test_weighted_drops_null_and_nonpositive_weights(spark):
     assert got == {"a": 5, "b": 2}
 
 
+def test_weighted_fold_stays_int64_with_null_weights():
+    """ADVICE r12 (low): an Arrow batch CONTAINING null weights
+    materializes `w` as float64; the per-batch fold must re-anchor to
+    int64 after the drop so weighted sums are integer-exact
+    unconditionally (not just below 2^53)."""
+    import pandas as pd
+
+    from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+        _mgw_partition,
+    )
+
+    # each weight is exactly float64-representable, but their int sum
+    # 2^53 + 3 is NOT: a float64 fold rounds it to 2^53 + 4
+    half = 1 << 52
+    pdf = pd.DataFrame(
+        {"value": ["a", "a", "a", "b"], "w": [half, half, 3, None]},
+        dtype="object",
+    )
+    pdf["w"] = pdf["w"].astype("float64")  # the nullable-batch regime
+    (out,) = list(_mgw_partition(capacity=8)([pdf]))
+    got = dict(
+        zip(
+            out["value"].tolist(),
+            out["count_lb"].tolist(),
+            strict=True,
+        )
+    )
+    assert got["a"] == (1 << 53) + 3
+    assert out["count_lb"].dtype == "int64"
+
+
 def test_weighted_trimmed_regime_keeps_bounds(spark):
     # dominant weight mass + long tail through a tiny capacity; the MG
     # bound is total_weight / (capacity + 1)

@@ -1719,7 +1719,7 @@ def test_count_min_stream_half_committed_retry_pins_preappend(
 
 
 def _dcms_writer(spark, tmp_path, tag="w", bits=8, width=64, depth=3,
-                 ranges=((1, 0, 16), (2, 16, 256))):
+                 ranges=((1, 0, 16), (2, 16, 256)), shards=4):
     from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
         _DyadicCmsStreamWriter,
     )
@@ -1733,7 +1733,7 @@ def _dcms_writer(spark, tmp_path, tag="w", bits=8, width=64, depth=3,
         universe_bits=bits,
         width=width,
         depth=depth,
-        cms_shards=4,
+        cms_shards=shards,
         writer_id=tag,
     )
 
@@ -1781,6 +1781,53 @@ def test_dyadic_stream_running_band_counts_accumulate(spark, tmp_path):
     # all rows NULL/out-of-range: dropped by the batch contract
     w.process(spark.createDataFrame([(None,), (-3,), (999,)], "v long"), 2)
     assert (w.store.version(), w.out.version()) == (vs, vo)
+
+
+def test_dyadic_stream_sparse_block_estimate_reads_unread_band_mass(
+    spark, tmp_path
+):
+    """ADVICE r12 (high): the published running band estimates address
+    the FIXED ranges' dyadic piece cells, which are independent of the
+    block — a sparse block whose touched shards miss a shard holding
+    PRIOR band mass must still publish the full running count (the
+    never-an-undercount contract), not see the unread cell join as
+    NULL -> 0 -> min-over-d zeroing the piece.  Construction: many
+    shards (64) so a single-value block touches few; block 0 puts all
+    of range [0,16)'s mass in piece (4,0)'s cells; block 1 is the first
+    range-2 value whose shard footprint provably misses one of those
+    cells' shards (asserted as a precondition, so the test cannot
+    silently degenerate into the dense-block regime)."""
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+
+    bits, width, depth, n_shards = 8, 1 << 12, 3, 64
+
+    def shard(lvl, d, key):
+        b = py_h48(f"dcms:{lvl}:{d}:{key}") % width
+        return f"y{((lvl * depth + d) * width + b) % n_shards}"
+
+    # range 1 = [0, 16) decomposes to the single piece (4, 0); its
+    # depth cell shards hold ALL of block 0's mass (values 3 and 5)
+    piece_shards = {shard(4, d, 0) for d in range(depth)}
+
+    def footprint(v):
+        return {
+            shard(lvl, d, v >> lvl)
+            for lvl in range(bits + 1)
+            for d in range(depth)
+        }
+
+    v2 = next(v for v in range(16, 256) if not piece_shards <= footprint(v))
+
+    w = _dcms_writer(
+        spark, tmp_path, bits=bits, width=width, depth=depth, shards=n_shards
+    )
+    w.process(_vals_df(spark, [3, 5]), 0)
+    w.process(_vals_df(spark, [v2]), 1)
+    rows = {
+        (r["batch_id"], r["range_id"]): r["est"]
+        for r in w.out.read(spark).collect()
+    }
+    assert rows == {(0, 1): 2, (0, 2): 0, (1, 1): 2, (1, 2): 1}
 
 
 def test_dyadic_stream_half_committed_retry_pins_preappend(
