@@ -436,6 +436,145 @@ def dyadic_cms_range_counts(
     )
 
 
+def dyadic_quantiles(
+    sketch: DataFrame,
+    ps: list[int],
+    universe_bits: int = 16,
+    width: int = 2048,
+    depth: int = 3,
+    salt: str = "dcms:",
+) -> DataFrame:
+    """Sketch quantiles over a dyadic CMS built with the SAME parameters
+    — the stated point of the dyadic structure (Cormode & Muthukrishnan
+    2005 §5: quantiles by binary search over prefix range counts), and
+    the `quantileTiming`-class ClickHouse parity path for UNBOUNDED
+    group cardinality where exact `weighted_quantiles`' per-group
+    window funnel is the stated trade.
+
+    `ps` is a literal list of permille fractions (integer house rule,
+    0 < p <= 1000).  For each p the target rank is
+    r = ceil(p * N / 1000) computed integer-exactly, where N is the
+    ROOT cell's estimate (level `universe_bits` has the single key 0,
+    so its min-over-d estimate is the EXACT in-universe count — no
+    collision partner exists).  The returned q_value is the level-0 key
+    reached by the classic descent: starting at the root with `rem = r`,
+    at each level estimate the LEFT child (min-over-d of its addressed
+    counters, absent = 0) and descend left when the estimate covers
+    `rem`, else subtract it and descend right.
+
+    One-sided error, inherited from CMS never-undercounting: node
+    estimates only exceed true prefix counts, so the walk can only turn
+    left EARLY — q_value never exceeds the exact integer-rule quantile
+    (smallest v with count([0, v]) >= r), and in the no-collision
+    regime it EQUALS it.  Both pinned in tests/test_dyadic_cms.py.
+
+    Output: (p_permille int, target_rank long, q_value long), one row per p;
+    empty when the sketch holds no in-universe mass (N = 0).
+
+    Plan shape at 100 TB: ZERO corpus-scale work at query time — the
+    sketch is bounded by construction ((universe_bits+1)*depth*width
+    cells), and the walk is `universe_bits` chained joins of a
+    |ps|-row state frame against broadcast level-slices of that
+    bounded grid, each slice <= depth*width rows.  No window, no
+    driver collect: the descent state (pos, rem) lives in the frame.
+    """
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+    if width < 1 or depth < 1 or not 1 <= universe_bits <= 62:
+        raise ValueError("need width, depth >= 1 and 1 <= universe_bits <= 62")
+    for p in ps:
+        if not 0 < int(p) <= 1000:
+            raise ValueError(f"permille fraction {p} outside (0, 1000]")
+    spark = sketch.sparkSession
+    # persisted: the totals read + universe_bits level-slices all
+    # consume the same bounded grid (<= (universe_bits+1)*depth*width
+    # rows); without it each slice would re-run the corpus aggregate
+    sk = sketch.persist()
+
+    # level `universe_bits` has the single key 0, so its cell buckets
+    # are data-independent literals — the third h48 mirror
+    root = [
+        (d, H.py_h48(f"{salt}{universe_bits}:{d}:0") % width)
+        for d in range(depth)
+    ]
+    totals = (
+        spark.createDataFrame(root, "d int, bucket int")
+        .join(
+            sk.filter(F.col("level") == universe_bits).select(
+                "d", "bucket", "n"
+            ),
+            ["d", "bucket"],
+            "left",
+        )
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_total"))
+    )
+    ps_df = spark.createDataFrame([(int(p),) for p in ps], "p_permille int")
+    st = (
+        ps_df.crossJoin(F.broadcast(totals))  # 1-row scalar
+        .filter(F.col("n_total") >= 1)
+        .select(
+            "p_permille",
+            F.expr(
+                "(CAST(p_permille AS BIGINT) * n_total + 999) DIV 1000"
+            ).alias("target_rank"),
+        )
+        .select(
+            "p_permille",
+            "target_rank",
+            F.col("target_rank").alias("rem"),
+            F.lit(0).cast("long").alias("pos"),
+        )
+    )
+    for lvl in range(universe_bits - 1, -1, -1):
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        H.h48(
+                            F.concat(
+                                F.lit(f"{salt}{lvl}:{d}:"),
+                                (F.col("pos") * 2).cast("string"),
+                            )
+                        ),
+                        F.lit(width),
+                    ).cast("int").alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+        fanned = st.select(
+            "p_permille", "target_rank", "rem", "pos", F.explode(cells).alias("c")
+        ).select(
+            "p_permille",
+            "target_rank",
+            "rem",
+            "pos",
+            F.col("c.d").alias("d"),
+            F.col("c.bucket").alias("bucket"),
+        )
+        lvl_cells = sk.filter(F.col("level") == lvl).select("d", "bucket", "n")
+        left_est = (
+            fanned.join(F.broadcast(lvl_cells), ["d", "bucket"], "left")
+            .groupBy("p_permille", "target_rank", "rem", "pos")
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("left_est"))
+        )
+        go_left = F.col("left_est") >= F.col("rem")
+        st = left_est.select(
+            "p_permille",
+            "target_rank",
+            F.when(go_left, F.col("rem"))
+            .otherwise(F.col("rem") - F.col("left_est"))
+            .alias("rem"),
+            F.when(go_left, F.col("pos") * 2)
+            .otherwise(F.col("pos") * 2 + 1)
+            .alias("pos"),
+        )
+    return st.select(
+        "p_permille", "target_rank", F.col("pos").cast("long").alias("q_value")
+    ).orderBy("p_permille")
+
+
 def count_min_lookup(
     sketch: DataFrame,
     keys: DataFrame,

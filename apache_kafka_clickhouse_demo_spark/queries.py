@@ -364,6 +364,99 @@ FROM pc GROUP BY 1, 2, 3 ORDER BY range_id
 """
 
 
+#: permille fractions for the sketch-quantile parity row
+DYADIC_QUANTILE_PS = [250, 500, 750, 900, 990]
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Sketch quantiles (sketches.dyadic_quantiles — Cormode &
+    Muthukrishnan §5, quantiles by descent over the dyadic CMS): the
+    ClickHouse `quantileTiming`-class path for value_cents over the
+    events stream, answering quantile(p) from the bounded counter grid
+    with zero corpus-scale work at query time.  The grid is h48-seeded
+    both sides and the descent is deterministic, so the DuckDB oracle
+    replays the identical walk (recursive CTE over the same cells) and
+    the row is hash-exact, not approximate-close."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    sk = sketches.dyadic_cms_build(
+        ev, "cents", DYADIC_BITS, DYADIC_WIDTH, DYADIC_DEPTH
+    )
+    return sketches.dyadic_quantiles(
+        sk, DYADIC_QUANTILE_PS, DYADIC_BITS, DYADIC_WIDTH, DYADIC_DEPTH
+    )
+
+
+def _oracle_sketch_quantiles() -> str:
+    """Mirror of the dyadic-CMS quantile descent: same grid, same root
+    total, same integer rank rule, and the SAME walk — a recursive CTE
+    descending one level per step, estimating each LEFT child as
+    min-over-d of its addressed counters (absent = 0)."""
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+
+    def h(l_expr: str, d_expr: str, k_expr: str) -> str:
+        return H.sql_h48(
+            f"'dcms:' || CAST({l_expr} AS VARCHAR) || ':' || "
+            f"CAST({d_expr} AS VARCHAR) || ':' || CAST({k_expr} AS VARCHAR)"
+        )
+
+    root_vals = ",\n  ".join(
+        f"({d}, {py_h48(f'dcms:{DYADIC_BITS}:{d}:0') % DYADIC_WIDTH})"
+        for d in range(DYADIC_DEPTH)
+    )
+    ps_vals = ", ".join(f"({p})" for p in DYADIC_QUANTILE_PS)
+    return f"""
+WITH RECURSIVE vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
+    AND CAST(round(value * 100) AS BIGINT) >= 0
+    AND CAST(round(value * 100) AS BIGINT) < {1 << DYADIC_BITS}
+), cells AS (
+  SELECT t.l AS level, dd.d AS d,
+         {h('t.l', 'dd.d', '(v >> t.l)')} % {DYADIC_WIDTH} AS bucket,
+         count(*) AS n
+  FROM vals, range({DYADIC_BITS + 1}) t(l), range({DYADIC_DEPTH}) dd(d)
+  GROUP BY 1, 2, 3
+), root(d, bucket) AS (VALUES
+  {root_vals}
+), tot AS (
+  SELECT CAST(min(coalesce(c.n, 0)) AS BIGINT) AS n_total
+  FROM root r LEFT JOIN cells c
+    ON c.level = {DYADIC_BITS} AND c.d = r.d AND c.bucket = r.bucket
+), ps(p_permille) AS (VALUES {ps_vals}
+), ranks AS (
+  SELECT p_permille,
+         (CAST(p_permille AS BIGINT) * n_total + 999) // 1000 AS r
+  FROM ps, tot WHERE n_total >= 1
+), nodes AS (
+  SELECT t.lvl AS lvl, 2 * r.k AS key
+  FROM range({DYADIC_BITS}) t(lvl), range({1 << (DYADIC_BITS - 1)}) r(k)
+  WHERE 2 * r.k < (1 << ({DYADIC_BITS} - t.lvl))
+), est AS (
+  SELECT nc.lvl, nc.key, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS e
+  FROM (SELECT n.lvl, n.key, dd.d,
+               {h('n.lvl', 'dd.d', 'n.key')} % {DYADIC_WIDTH} AS bucket
+        FROM nodes n, range({DYADIC_DEPTH}) dd(d)) nc
+  LEFT JOIN cells c
+    ON c.level = nc.lvl AND c.d = nc.d AND c.bucket = nc.bucket
+  GROUP BY 1, 2
+), walk(p_permille, r, lvl, rem, pos) AS (
+  SELECT p_permille, r, {DYADIC_BITS}, r, CAST(0 AS BIGINT) FROM ranks
+  UNION ALL
+  SELECT w.p_permille, w.r, w.lvl - 1,
+         CASE WHEN e.e >= w.rem THEN w.rem ELSE w.rem - e.e END,
+         CASE WHEN e.e >= w.rem THEN 2 * w.pos ELSE 2 * w.pos + 1 END
+  FROM walk w JOIN est e ON e.lvl = w.lvl - 1 AND e.key = 2 * w.pos
+  WHERE w.lvl > 0
+)
+SELECT CAST(p_permille AS INTEGER) AS p_permille,
+       CAST(r AS BIGINT) AS target_rank,
+       CAST(pos AS BIGINT) AS q_value
+FROM walk WHERE lvl = 0 ORDER BY p_permille
+"""
+
+
 def q_stream_range_counts(spark, sf_dir):
     """Streaming dyadic count-min (stateful.dyadic_cms_stream): the
     events feed — value_cents precomputed — drains as four blocks into
@@ -4422,6 +4515,34 @@ def q_domain_doc_counts(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated into the gate in r13 (VERDICT r12 #1: 12 of the 18
+    #    locally-green rows never driver-attested, one per new
+    #    machinery class: stream_range_counts attests the dyadic
+    #    counter-store drain, dyadic_range_counts the batch dyadic
+    #    build, hybrid_indexed both persisted indexes + RRF fusion,
+    #    media_phash_dedup the blob/Arrow perceptual-hash path,
+    #    ann_indexed_reclustered the CAS replace-commit maintenance,
+    #    c4_filters + perplexity_buckets the curation chain,
+    #    weighted_percentiles / top_users_weighted the weighted
+    #    sketch+quantile family, text_normalize the Arrow NFC pass,
+    #    score_calibration the permille-rank calibration,
+    #    events_limit_by the LIMIT BY WindowGroupLimit plan shape).
+    #    Displaced rows keep their operator coverage gated elsewhere
+    #    and stay oracle-checked extras + benched — the absorption
+    #    notes live on each displaced row in EXTRA_QUERIES below.
+    #    Front-loaded: --
+    "stream_range_counts": q_stream_range_counts,
+    "dyadic_range_counts": q_dyadic_range_counts,
+    "hybrid_indexed": q_hybrid_indexed,
+    "media_phash_dedup": q_media_phash_dedup,
+    "ann_indexed_reclustered": q_ann_indexed_reclustered,
+    "c4_filters": q_c4_filters,
+    "perplexity_buckets": q_perplexity_buckets,
+    "weighted_percentiles": q_weighted_percentiles,
+    "top_users_weighted": q_top_users_weighted,
+    "text_normalize": q_text_normalize,
+    "score_calibration": q_score_calibration,
+    "events_limit_by": q_events_limit_by,
     # -- rotated into the gate in r12 (VERDICT r11 #1: the six r11-new
     #    rows, locally hash-green in EXTRAS_ORACLE_r11 but never
     #    driver-attested).  Displaced rows keep their operator coverage
@@ -4471,9 +4592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    per-type counts; the digit scrub stays an extra);
     #    event_type_matrix's conditional-aggregation family keeps
     #    type_user_stats + type_day_cube's CUBE row.  Front-loaded: --
-    "bm25_search": q_bm25_search,
     "dsir_select": q_dsir_select,
-    "phrase_search": q_phrase_search,
     "pii_redact": q_pii_redact,
     # -- rotated into the gate in r10 (VERDICT r9 #1: the only operator
     #    families never driver-attested — both r9 extras, locally
@@ -4497,8 +4616,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    pytest-pinned and stream_topk oracle-checked as an extra;
     #    click_purchase_users' set-ops family is gated via user_set_ops.
     #    Front-loaded: --
-    "substring_dedup": q_substring_dedup,
-    "unigram_rarity": q_unigram_rarity,
     # -- rotated into the gate in r08 (VERDICT r7 #1: the strongest
     #    never-driver-attested operator families).  Displaced rows keep
     #    their operator coverage gated elsewhere (see EXTRA_QUERIES):
@@ -4517,7 +4634,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    filled; never driver-checked): front-loaded.  VERDICT r6 #2. --
     "semantic_dedup": q_semantic_dedup,
     "stream_funnel": q_stream_funnel,
-    "snapshot_changelog": q_snapshot_changelog,
     # -- r07 in-round additions, one per genuinely NEW operator family
     #    (int8-quantized ANN / MOSS winnowing / streaming uniform
     #    sampling): front-loaded --
@@ -4528,18 +4644,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_embed_near_dup": q_stream_embed_near_dup,
     # -- r06 in-round additions, one per new family (MergeTree engines /
     #    behavioral analytics / passage-level dedup): front-loaded --
-    "replacing_latest": q_replacing_latest,
     "funnel_levels": q_funnel_levels,
     "passage_dedup": q_passage_dedup,
     # -- new/changed in r04: front-loaded --
     "text_prep": q_text_prep,
     "mv_cascade_daily": q_mv_cascade_daily,
     # -- never driver-checked in r02 / changed in r03 --
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "ann_topk": q_ann_topk,
-    "text_profile": q_text_profile,
-    "media_features": q_media_features,
-    "user_sessions": q_user_sessions,
     # -- stable green rows from CORRECTNESS_r02 --
     "latest_event": q_latest_event,
     "entry_house_points": q_entry_house_points,
@@ -4547,7 +4657,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_busy_days": q_sql_busy_days,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "asof_last_purchase": q_asof_last_purchase,
     "dedup_exact": q_dedup_exact,
@@ -4569,9 +4678,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12: WITH TOTALS parity (one ROLLUP aggregate, GROUPING()-tagged
     # grand-total row)
     "value_by_type_totals": q_value_by_type_totals,
-    # r12: LIMIT n BY col parity (windowed group-limit; WindowGroupLimit
-    # partial/final rewrite, no full sort)
-    "events_limit_by": q_events_limit_by,
     "entry_attendance": q_entry_attendance,  # same oracle as mv_cascade_attendance
     "events_preview": q_events_preview,  # P2/O2 trivia
     "show_tables": q_show_tables,  # S8 trivia (tests/test_catalog_and_extras.py)
@@ -4701,56 +4807,42 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: margin-based bitext mining (CCMatrix rule; ratio margin over
     # both sides' k-NN means as fixed-order folds)
     "margin_bitext": q_margin_bitext,
-    # r12: re-centroided grown ANN index (maintain_ann_index recluster
-    # generation swap — VERDICT r11 #3); oracle = full-corpus IVF mirror
-    "ann_indexed_reclustered": q_ann_indexed_reclustered,
     # r12: streaming count-min twin (cell-sharded counter store, linear
     # merge — VERDICT r11 #6); oracle = the batch CMS SQL verbatim
     "stream_cms_counts": q_stream_cms_counts,
-    # r12: perceptual-hash media dedup (blockhash fingerprints over
-    # Arrow blob batches + pigeonhole chunk-join; the multimodal
-    # family's dedup member — oracle is the naive all-pairs form)
-    "media_phash_dedup": q_media_phash_dedup,
     # r12: streaming per-group HLL count-distinct (the sketch family's
     # third streaming twin; register-exact union -> oracle = the batch
     # uniq_users_approx SQL verbatim)
     "stream_uniq_users": q_stream_uniq_users,
-    # r12: per-source score calibration (FineWeb per-dump percentile
-    # rank, integer-exact — the step before any cross-source threshold)
-    "score_calibration": q_score_calibration,
-    # r12: C4 line/page cleaning (Raffel et al. 2020 — the rule set
-    # Gopher's table A1 complements; line filter + page flags + keep)
-    "c4_filters": q_c4_filters,
-    # r12: Unicode + whitespace normalization (ftfy-lite first step;
-    # one Arrow NFC pass + codegen rules, oracle via nfc_normalize)
-    "text_normalize": q_text_normalize,
-    # r12: quantileExactWeighted parity (integer exact-weighted rule,
-    # one window shuffle + one aggregate)
-    "weighted_percentiles": q_weighted_percentiles,
-    # r12: dyadic count-min range counts (the CMS range-query extension
-    # — bounded cell grid, literal decompositions both sides)
-    "dyadic_range_counts": q_dyadic_range_counts,
-    # r12: streaming dyadic CMS twin (cell-sharded counter store, live
-    # value-band histogram at ingest; linearity -> oracle unchanged)
-    "stream_range_counts": q_stream_range_counts,
     # r12: hybrid keyword+vector retrieval via integer-exact
     # reciprocal-rank fusion of the BM25 and ANN arms (SIGIR'09 k=60)
     "hybrid_rrf": q_hybrid_rrf,
     # r12: DPR-style hard-negative mining (BM25 candidates anti-joined
     # against the vector arm's top-k; bounded rank-frame input)
     "hard_negatives": q_hard_negatives,
-    # r12: index-backed hybrid retrieval (both RRF arms answer from
-    # persisted indexes via pruned reads — the 100 TB serving shape)
-    "hybrid_indexed": q_hybrid_indexed,
-    # r12: CCNet perplexity bucketing (bigram surprisal -> per-language
-    # permille calibration -> head/middle/tail thirds)
-    "perplexity_buckets": q_perplexity_buckets,
-    # r12: topKWeighted parity (weighted Misra-Gries, exact regime at
-    # gate scale; shared trim/finalize machinery with the topK row)
-    "top_users_weighted": q_top_users_weighted,
     # r12: streaming topKWeighted twin (same generational store; the
     # weight changes increments, not the merge/publish machinery)
     "stream_top_spenders": q_stream_top_spenders,
+    # r13: sketch quantiles by dyadic-CMS descent (Cormode &
+    # Muthukrishnan §5 — the range-count structure's stated purpose);
+    # oracle replays the identical walk as a recursive CTE
+    "sketch_quantiles": q_sketch_quantiles,
+    # rotated OUT of the gate in r13 for the twelve never-driver-
+    # attested rows (VERDICT r12 #1); every operator each row carried
+    # keeps >= 1 green gate row or a provably-shared gated code path,
+    # and all twelve stay oracle-checked extras + benched:
+    "replacing_latest": q_replacing_latest,  # engine family keeps replacing_deletes (strictly richer: same FINAL read + tombstones); round trip pinned in tests/test_mergetree_engines.py
+    "snapshot_changelog": q_snapshot_changelog,  # CDC family keeps replacing_deletes' versioned-upsert FINAL read; changelog semantics pytest-pinned
+    "q6_forecast_revenue": q6_forecast_revenue,  # TPC-H family keeps q1/q3 gate rows; scan+filter shape plan-tested
+    "ann_topk": q_ann_topk,  # ANN family keeps ann_indexed/ann_indexed_grown/stream_index_ann + entering ann_indexed_reclustered; exact top-k stays the recall oracle in tests/test_ann_recall.py
+    "bm25_search": q_bm25_search,  # BM25 family keeps bm25_indexed + entering hybrid_indexed; scan/index bit-identity pinned in tests/test_search_index.py
+    "phrase_search": q_phrase_search,  # phrase family keeps phrase_indexed (same positional machinery via the index path)
+    "substring_dedup": q_substring_dedup,  # dedup family keeps passage_dedup + containment_pairs + dedup_exact/minhash/clusters gate rows; span-removal semantics pytest-pinned
+    "unigram_rarity": q_unigram_rarity,  # rarity family keeps entering perplexity_buckets (bigram surprisal + calibration) with bigram_rarity extra
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # PPJoin prefix-filter machinery gated via containment_pairs; minhash-LSH gate row carries near-dup
+    "text_profile": q_text_profile,  # text family keeps text_prep + quality_classifier + gopher_rules + entering c4_filters; lang-id/quality/token extras stay locally checked
+    "media_features": q_media_features,  # multimodal family keeps entering media_phash_dedup (same Arrow blob-batch mapInPandas path); media_frame_sample extra stays
+    "user_sessions": q_user_sessions,  # window family keeps funnel_levels + top_orders_per_customer gate rows; sessionization oracle stays locally checked
     # rotated OUT of the gate in r12 for the six r11-new rows (VERDICT
     # r11 #1); every operator they carried keeps >= 1 green gate row or
     # a provably-shared gated code path (see the QUERIES rotation
@@ -7308,6 +7400,8 @@ FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
     # streaming dyadic CMS (r12): counters linear, blocks partition the
     # feed -> drained store == batch structure; oracle unchanged
     sqls["stream_range_counts"] = sqls["dyadic_range_counts"]
+    # sketch quantiles (r13): recursive-CTE replay of the same descent
+    sqls["sketch_quantiles"] = _oracle_sketch_quantiles()
     # quantileExactWeighted (r12): same integer rule both sides —
     # smallest v whose running weight reaches ceil(tot * p / 1000);
     # NULL/non-positive weights dropped (the topKWeighted convention)

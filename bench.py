@@ -211,6 +211,8 @@ HEADLINE = [
     "stream_range_counts",
     # r12: LIMIT n BY col parity (windowed group-limit)
     "events_limit_by",
+    # r13: sketch quantiles by dyadic-CMS descent (bounded-grid walk)
+    "sketch_quantiles",
 ]
 
 
@@ -352,6 +354,7 @@ BASELINE_SEC = {
     "dyadic_range_counts": 3.834,
     "stream_range_counts": 23.459,
     "events_limit_by": 0.603,
+    "sketch_quantiles": 9.252,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -86,3 +86,73 @@ def test_out_of_universe_range_raises(spark):
     sk = SK.dyadic_cms_build(df, "cents", 8, 64, 2)
     with pytest.raises(ValueError):
         SK.dyadic_cms_range_counts(sk, [(1, 0, 257)], 8, 64, 2)
+
+
+# ---------------------------------------------------------------------------
+# dyadic_quantiles (r13): descent correctness, one-sided error, edge rules
+# ---------------------------------------------------------------------------
+
+
+def _exact_quantile(vals, p, bits=16):
+    """The integer house rule: smallest v with count([0, v]) >= r,
+    r = ceil(p * N / 1000), over in-universe values only."""
+    inuniv = sorted(v for v in vals if 0 <= v < (1 << bits))
+    n = len(inuniv)
+    r = (p * n + 999) // 1000
+    return inuniv[r - 1], r
+
+
+def _quantiles(spark, vals, ps, width, depth=3, bits=16):
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    sk = SK.dyadic_cms_build(df, "cents", bits, width, depth)
+    out = SK.dyadic_quantiles(sk, ps, bits, width, depth)
+    return {r["p_permille"]: (r["q_value"], r["target_rank"])
+            for r in out.collect()}
+
+
+PS = [1, 250, 500, 750, 900, 990, 1000]
+
+
+def test_quantiles_exact_in_wide_grid(spark):
+    # no collisions -> every node estimate is the true prefix count ->
+    # the descent IS the exact integer-rule quantile, ranks included
+    got = _quantiles(spark, VALS, PS, width=1 << 14)
+    for p in PS:
+        q, r = _exact_quantile(VALS, p)
+        assert got[p] == (q, r), (p, got[p], (q, r))
+
+
+def test_quantiles_never_overshoot_and_bracket(spark):
+    # narrow grid forces collisions: node estimates only OVERCOUNT, so
+    # the walk can only turn left early -> q_sketch <= q_exact; and the
+    # returned q must still bracket the rank under the sketch's own
+    # estimates: est([0, q+1)) >= target_rank (the defining invariant)
+    width = 64
+    got = _quantiles(spark, VALS, PS, width=width)
+    df = spark.createDataFrame([(v,) for v in VALS], "cents long")
+    sk = SK.dyadic_cms_build(df, "cents", 16, width, 3)
+    probe = [(p, 0, int(got[p][0]) + 1) for p in PS]
+    prefix_est = {
+        r["range_id"]: r["est"]
+        for r in SK.dyadic_cms_range_counts(sk, probe, 16, width, 3).collect()
+    }
+    for p in PS:
+        q_sk, r = got[p]
+        q_ex, _ = _exact_quantile(VALS, p)
+        assert q_sk <= q_ex, (p, q_sk, q_ex)
+        assert prefix_est[p] >= r, (p, prefix_est[p], r)
+
+
+def test_quantiles_empty_universe_returns_empty(spark):
+    rows = [(None,), (-5,), (1 << 16,)]
+    df = spark.createDataFrame(rows, "cents long")
+    sk = SK.dyadic_cms_build(df, "cents", 16, 64, 2)
+    assert SK.dyadic_quantiles(sk, [500], 16, 64, 2).collect() == []
+
+
+def test_quantiles_validate_ps(spark):
+    df = spark.createDataFrame([(1,)], "cents long")
+    sk = SK.dyadic_cms_build(df, "cents", 8, 64, 2)
+    for bad in (0, -1, 1001):
+        with pytest.raises(ValueError):
+            SK.dyadic_quantiles(sk, [bad], 8, 64, 2)

@@ -65,6 +65,7 @@ _NESTED_LOOP_OK = {
     "hard_negatives",  # the same two arms as hybrid_rrf (mining itself is a bounded anti-join)
     "hybrid_indexed",  # bm25_lookup's 1-row corpus-agg broadcast rides along (bm25_indexed's class)
     "perplexity_buckets",  # bigram_rarity's per-position rows x broadcast(1-row corpus-total agg)
+    "sketch_quantiles",  # |ps|-row literal frame x broadcast(1-row root-total agg); tfidf_top_terms' scalar class
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

@@ -151,6 +151,11 @@ ALLOWED_BHJ = {
     # CONSTRUCTION (cms_user_counts' class), joined to the literal
     # decomposition table
     "dyadic_range_counts": 1,
+    # the quantile descent: universe_bits joins of the |ps|-row state
+    # frame against broadcast LEVEL SLICES of the same bounded grid
+    # (<= depth * width rows each); the 3-row literal root-cell join
+    # — every build side is grid-bounded, none scales with the corpus
+    "sketch_quantiles": 16,
 }
 
 

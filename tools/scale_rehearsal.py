@@ -186,6 +186,10 @@ FAMILIES = [
     # r12: dyadic CMS range counts (constant fan-out + bounded cell
     # grid aggregate; grid size independent of the corpus)
     "dyadic_range_counts",
+    # r13: sketch quantiles (dyadic_range_counts' build + a walk over
+    # broadcast level-slices of the bounded grid — query-time work is
+    # corpus-independent by construction; the curve measures the build)
+    "sketch_quantiles",
 ]
 
 PASSES = 2
