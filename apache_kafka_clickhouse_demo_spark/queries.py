@@ -2178,6 +2178,41 @@ def q_media_phash_dedup(spark, sf_dir):
     )
 
 
+def q_media_phash_clusters(spark, sf_dir):
+    """Bounded cluster/representative form of perceptual-hash media
+    dedup (VERDICT r12 #4): the pair LISTING is quadratic in
+    duplicate-class size — correct, but the wrong API for
+    heavy-duplication corpora at 100 TB, where the LAION-style consumer
+    wants ONE canonical doc per near-dup class.  Composition of three
+    proven pieces: media_phash_pairs -> connected_components ->
+    cluster_representatives, keeping the LARGEST copy per cluster
+    (n_bytes as score — the keep-the-highest-resolution analog; ties ->
+    smallest doc_id; NULL blobs score 0).  Output is one row per
+    cluster — LINEAR in docs whatever the duplicate structure, so the
+    quadratic pair relation never reaches a sink."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = is_wide_source(docs)
+    media = multimodal.attach_media(docs)
+    pairs = multimodal.media_phash_pairs(media)
+    labeled = dedup.connected_components(media.select("doc_id"), pairs)
+    scored = media.select(
+        "doc_id",
+        F.coalesce(F.col("meta.n_bytes"), F.lit(0)).alias("n_bytes"),
+    )
+    return (
+        dedup.cluster_representatives(
+            labeled, scored, wide, score_col="n_bytes"
+        )
+        .select(
+            "cluster_id",
+            "rep_doc_id",
+            "cluster_size",
+            F.col("rep_score_milli").alias("rep_n_bytes"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """SINGLE mapInPandas pass computing feature extraction + fake resize
     over Arrow blob batches (multimodal.media_profile) — the gate query for
@@ -4827,6 +4862,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Muthukrishnan §5 — the range-count structure's stated purpose);
     # oracle replays the identical walk as a recursive CTE
     "sketch_quantiles": q_sketch_quantiles,
+    # r13: bounded cluster/representative form of phash media dedup
+    # (VERDICT r12 #4) — pairs -> components -> keep-the-largest;
+    # output linear in docs however heavy the duplication
+    "media_phash_clusters": q_media_phash_clusters,
     # rotated OUT of the gate in r13 for the twelve never-driver-
     # attested rows (VERDICT r12 #1); every operator each row carried
     # keeps >= 1 green gate row or a provably-shared gated code path,
@@ -5081,6 +5120,40 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {maxh}
 ORDER BY id_a, id_b
+"""
+
+
+def _oracle_media_phash_clusters() -> str:
+    """Transitive closure (recursive CTE) over the naive all-pairs phash
+    oracle + keep-the-largest argmax — mirrors the composed Spark
+    pipeline stage for stage (pairs -> components -> representative)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_oracle_media_phash()})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS node, r.label FROM edges e JOIN reach r ON e.dst = r.node
+), cc AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+), sc AS (
+  SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n_bytes
+  FROM documents
+), j AS (
+  SELECT c.cluster_id, c.doc_id, s.n_bytes,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.n_bytes DESC, c.doc_id) AS rn
+  FROM cc c JOIN sc s USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(cluster_size AS INTEGER) AS cluster_size,
+       n_bytes AS rep_n_bytes
+FROM j WHERE rn = 1 ORDER BY cluster_id
 """
 
 
@@ -7209,6 +7282,7 @@ FROM r ORDER BY doc_id
 """,
         "media_features": _oracle_media_features(),
         "media_phash_dedup": _oracle_media_phash(),
+        "media_phash_clusters": _oracle_media_phash_clusters(),
         "score_calibration": f"""
 WITH s AS (
   SELECT doc_id, {_SQL_SYNTH_SOURCE} AS source,

@@ -213,6 +213,8 @@ HEADLINE = [
     "events_limit_by",
     # r13: sketch quantiles by dyadic-CMS descent (bounded-grid walk)
     "sketch_quantiles",
+    # r13: phash media dedup, cluster/representative form (linear output)
+    "media_phash_clusters",
 ]
 
 
@@ -355,6 +357,7 @@ BASELINE_SEC = {
     "stream_range_counts": 23.459,
     "events_limit_by": 0.603,
     "sketch_quantiles": 9.252,
+    "media_phash_clusters": 4.879,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

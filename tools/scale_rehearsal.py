@@ -190,6 +190,10 @@ FAMILIES = [
     # broadcast level-slices of the bounded grid — query-time work is
     # corpus-independent by construction; the curve measures the build)
     "sketch_quantiles",
+    # r13: cluster/representative form of phash media dedup — the pair
+    # blow-up (quadratic in duplicate-class size) collapses to one row
+    # per component before any sink; curve = hash pass + CC rounds
+    "media_phash_clusters",
 ]
 
 PASSES = 2
