@@ -460,8 +460,8 @@ FROM walk WHERE lvl = 0 ORDER BY p_permille
 def q_stream_range_counts(spark, sf_dir):
     """Streaming dyadic count-min (stateful.dyadic_cms_stream): the
     events feed — value_cents precomputed — drains as four blocks into
-    a cell-sharded counter store with exactly-once increments and a
-    LIVE value-band histogram emitted at ingest; counters are LINEAR,
+    a cell-sharded counter store — increments and the LIVE value-band
+    histogram in ONE atomic commit per block (r13); counters are LINEAR,
     so the drained store's merge-on-read structure equals the batch
     dyadic_cms_build cell-for-cell and the final band estimates are
     dyadic_range_counts' verbatim — the oracle is the batch SQL
@@ -485,7 +485,6 @@ def q_stream_range_counts(spark, sf_dir):
     q = dyadic_cms_stream(
         spark,
         src,
-        out_dir=f"{work}/est",
         store_dir=f"{work}/store",
         checkpoint=f"{work}/ck",
         value_col="cents",
@@ -498,7 +497,6 @@ def q_stream_range_counts(spark, sf_dir):
     q.stop()
     writer = _DyadicCmsStreamWriter(
         spark,
-        f"{work}/est",
         f"{work}/store",
         value_col="cents",
         ranges=DYADIC_RANGES,
@@ -3787,7 +3785,6 @@ def q_stream_uniq_users(spark, sf_dir):
     q = uniq_stream(
         spark,
         src,
-        out_dir=f"{work}/est",
         store_dir=f"{work}/store",
         checkpoint=f"{work}/ck",
         group_col="event_type",
@@ -3797,7 +3794,6 @@ def q_stream_uniq_users(spark, sf_dir):
     q.stop()
     writer = _UniqStreamWriter(
         spark,
-        f"{work}/est",
         f"{work}/store",
         group_col="event_type",
         key_col="user_id",
@@ -3813,7 +3809,8 @@ def q_stream_uniq_users(spark, sf_dir):
 def q_stream_cms_counts(spark, sf_dir):
     """Streaming count-min sketch (stateful.count_min_stream — r12,
     VERDICT r11 #6): the events feed drains as four blocks into a
-    cell-sharded counter store with exactly-once per-block increments;
+    cell-sharded counter store — increments and running estimates in
+    ONE atomic commit per block (r13);
     CMS counters are LINEAR, so the drained store's merge-on-read
     sketch equals the batch count_min_build over the whole feed
     cell-for-cell, and the final per-user estimates are
@@ -3836,7 +3833,6 @@ def q_stream_cms_counts(spark, sf_dir):
     q = count_min_stream(
         spark,
         src,
-        out_dir=f"{work}/est",
         store_dir=f"{work}/store",
         checkpoint=f"{work}/ck",
         key_col="user_id",
@@ -3847,7 +3843,6 @@ def q_stream_cms_counts(spark, sf_dir):
     q.stop()
     writer = _CountMinStreamWriter(
         spark,
-        f"{work}/est",
         f"{work}/store",
         key_col="user_id",
         width=CMS_WIDTH,

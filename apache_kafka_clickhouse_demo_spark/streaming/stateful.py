@@ -1886,6 +1886,11 @@ class _DomainCapStreamWriter:
                 W.partitionBy(self._key()).orderBy("doc_id")
             ),
         ).withColumn("_shard", self._shard())
+        # persisted (r13 group-commit round): the shard collect, the
+        # domain probe, and the survivor join all consume `ranked` —
+        # uncached, the canonicalize+window chain re-ran up to 4x per
+        # block (two collects + the two appends' stages); block-bounded
+        ranked = ranked.persist()
 
         # bounded driver actions: <= domain_shards shard names, and a
         # CAPPED distinct-domain probe (limit MAX+1 — the collect is
@@ -1952,24 +1957,30 @@ class _DomainCapStreamWriter:
         ).withColumn(
             "domain_rank", (F.col("_prior") + F.col("_r")).cast("int")
         )
-
-        if not store_done:
-            increments = (
-                survivors.groupBy("_shard", "reg_domain")
-                .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                .select(F.col("_shard").alias("shard"), "reg_domain", "n")
+        # persisted: the increment aggregate and the out append both
+        # read the survivor set; block-bounded rows
+        survivors = survivors.persist()
+        try:
+            if not store_done:
+                increments = (
+                    survivors.groupBy("_shard", "reg_domain")
+                    .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                    .select(F.col("_shard").alias("shard"), "reg_domain", "n")
+                )
+                self.store.append_once(
+                    increments.repartition(F.col("shard")),
+                    txn=txn,
+                    partition_by="shard",
+                )
+            out_df = survivors.select(
+                "doc_id", "url_norm", "reg_domain", "domain_rank"
             )
-            self.store.append_once(
-                increments.repartition(F.col("shard")),
-                txn=txn,
-                partition_by="shard",
-            )
-        out_df = survivors.select(
-            "doc_id", "url_norm", "reg_domain", "domain_rank"
-        )
-        if self.out_files is not None:
-            out_df = out_df.coalesce(self.out_files)
-        self.out.append_once(out_df, txn=txn)
+            if self.out_files is not None:
+                out_df = out_df.coalesce(self.out_files)
+            self.out.append_once(out_df, txn=txn)
+        finally:
+            survivors.unpersist()
+            ranked.unpersist()
 
 
 def domain_cap_stream(
@@ -2040,19 +2051,19 @@ class _CountMinStreamWriter:
        distinct keys — est over everything that has arrived through
        this block (`count_min_lookup` against the merged bounded
        sketch).
-    3. Commit the block's increments to the store, THEN the estimates
-       to out (the crash-window order every writer here uses).
+    3. ONE atomic publish (r13, VERDICT r12 #3 — the group-commit
+       protocol proven on the dyadic twin): increments (shard `c*`)
+       and the block's estimate rows (namespaced shard `o`) union into
+       a single frame, staged by ONE write job and committed under ONE
+       txn record.  The block sketch is PERSISTED so the shard-name
+       collect, the merge, and the staged write share one computation
+       (measured 3x per block under the two-commit protocol).
 
-    Exactly-once under retry: the running estimates are a function of
-    the PRE-APPEND counters, so a batch that died between its two
-    commits must re-derive the counts its first attempt saw — the
-    current version now INCLUDES that attempt's increments, and
-    re-reading it would double-count the block against itself
-    (estimates inflated by one block's worth).  The pin is therefore
-    `txn_version(txn) - 1` on a store-committed retry and `version()`
-    on the normal path — `_DomainCapStreamWriter`'s protocol verbatim,
-    with the same loud failure when log maintenance folded the pin
-    away.
+    Exactly-once under retry is now structural: a replayed block is
+    either fully committed (skip, no jobs) or fully absent — nothing
+    of an uncommitted txn is ever visible, so the pre-block snapshot
+    IS the current version and the half-committed
+    `txn_version(txn) - 1` pin case no longer exists for this writer.
 
     Because counters are linear and the feed's blocks partition the
     corpus, the DRAINED store's merged sketch equals the batch
@@ -2061,10 +2072,13 @@ class _CountMinStreamWriter:
     CMS SQL verbatim).
     """
 
+    #: namespaced shard holding the published estimate rows (store
+    #: cells use `c{n}`)
+    OUT_SHARD = "o"
+
     def __init__(
         self,
         spark,
-        out_dir: str,
         store_dir: str,
         key_col: str,
         width: int = 1024,
@@ -2084,7 +2098,6 @@ class _CountMinStreamWriter:
         self.salt = salt
         self.cms_shards = cms_shards
         self.writer_id = writer_id
-        self.out = TransactionalTable(out_dir)
         self.store = TransactionalTable(os.path.join(store_dir, "store"))
 
     def maintain(self) -> None:
@@ -2109,12 +2122,23 @@ class _CountMinStreamWriter:
     def merged_sketch(self, version: int | None = None) -> DataFrame:
         """The store's merge-on-read sketch at a committed version:
         (d, bucket, n) with per-cell sums — bounded by depth*width rows,
-        directly consumable by `sketches.count_min_lookup`."""
+        directly consumable by `sketches.count_min_lookup`.  The filter
+        drops the co-located estimate rows (shard `o`), whose cell
+        columns are NULL by the unified-schema construction."""
         return (
             self.store.read(self.spark, version)
+            .filter(F.col("d").isNotNull())
             .groupBy("d", "bucket")
             .agg(F.sum("n").cast("long").alias("n"))
         )
+
+    def out_rows(self, version: int | None = None) -> DataFrame:
+        """The published per-block running estimates (batch_id, <key>,
+        est) — the former separate out table, now the `o` shard of the
+        single atomically-committed store."""
+        return self.store.read_where(
+            self.spark, "shard", [self.OUT_SHARD], version=version
+        ).select("batch_id", self.key_col, "est")
 
     def process(self, block: DataFrame, batch_id: int) -> None:
         from apache_kafka_clickhouse_demo_spark.operators.sketches import (
@@ -2123,68 +2147,75 @@ class _CountMinStreamWriter:
         )
 
         txn = f"{self.writer_id}:{batch_id}"
-        store_done = self.store.txn_committed(txn)
-        if store_done and self.out.txn_committed(txn):
-            return  # fully-committed replay: no-op, no jobs
-        if not store_done and block.isEmpty():
+        if self.store.txn_committed(txn):
+            return  # single atomic publish: committed means FULLY done
+        if block.isEmpty():
             return  # idle trigger: nothing published
-        pin = _resolve_retry_pin(self.store, txn)
+        # nothing of an uncommitted txn is ever visible (single commit),
+        # so the current version IS the pre-block snapshot
+        pin = self.store.version()
 
         inc = count_min_build(
             block, self.key_col, width=self.width, depth=self.depth, salt=self.salt
         ).withColumn("shard", self._shard())
-
-        # bounded driver action: <= cms_shards shard names (the block's
-        # increments are <= depth*width rows by construction)
-        block_shards = sorted(
-            (inc.agg(F.collect_set("shard")).first()[0]) or []
-        )
-        if not store_done and not block_shards:
-            # all keys NULL: CMS counts non-NULL keys (the batch
-            # operator's contract), so there is nothing to count and
-            # nothing is published — the ADVICE r10 empty-block rule
-            # (store_done implies the first attempt saw countable keys)
-            return
+        # persisted: the shard-name collect materializes the bounded
+        # sketch (<= depth*width rows); the staged write's two branches
+        # (increments + the estimate's merge) then read the cache
+        inc = inc.persist()
         try:
-            prior = self.store.read_where(
-                self.spark, "shard", block_shards, version=pin
-            ).select("d", "bucket", "n")
-        except FileNotFoundError:  # no commits at/below the pin
-            prior = self.spark.createDataFrame([], "d int, bucket int, n long")
-        merged = (
-            prior.unionByName(inc.select("d", "bucket", "n"))
-            .groupBy("d", "bucket")
-            .agg(F.sum("n").cast("long").alias("n"))
-        )
-        keys = (
-            block.select(self.key_col)
-            .filter(F.col(self.key_col).isNotNull())
-            .distinct()
-        )
-        est = count_min_lookup(
-            merged, keys, self.key_col,
-            width=self.width, depth=self.depth, salt=self.salt,
-        ).select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.col(self.key_col),
-            F.col("est"),
-        )
-
-        if not store_done:
+            # bounded driver action: <= cms_shards shard names
+            block_shards = sorted(
+                (inc.agg(F.collect_set("shard")).first()[0]) or []
+            )
+            if not block_shards:
+                # all keys NULL: CMS counts non-NULL keys (the batch
+                # operator's contract), so there is nothing to count
+                # and nothing is published — the ADVICE r10 empty-block
+                # rule
+                return
+            try:
+                prior = self.store.read_where(
+                    self.spark, "shard", block_shards, version=pin
+                ).select("d", "bucket", "n")
+            except FileNotFoundError:  # no commits at/below the pin
+                prior = self.spark.createDataFrame([], "d int, bucket int, n long")
+            merged = (
+                prior.unionByName(inc.select("d", "bucket", "n"))
+                .groupBy("d", "bucket")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+            keys = (
+                block.select(self.key_col)
+                .filter(F.col(self.key_col).isNotNull())
+                .distinct()
+            )
+            est = count_min_lookup(
+                merged, keys, self.key_col,
+                width=self.width, depth=self.depth, salt=self.salt,
+            ).select(
+                F.lit(self.OUT_SHARD).alias("shard"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.col(self.key_col),
+                F.col("est"),
+            )
+            # ONE staged write, ONE commit record naming both shard
+            # sets; every file carries the unified column set, so no
+            # read ever needs schema merging
+            unified = inc.select(
+                "shard", "d", "bucket", "n"
+            ).unionByName(est, allowMissingColumns=True)
             self.store.append_once(
-                inc.select("shard", "d", "bucket", "n").repartition(
-                    F.col("shard")
-                ),
+                unified.repartition(F.col("shard")),
                 txn=txn,
                 partition_by="shard",
             )
-        self.out.append_once(est, txn=txn)
+        finally:
+            inc.unpersist()
 
 
 def count_min_stream(
     spark,
     source: DataFrame,
-    out_dir: str,
     store_dir: str,
     checkpoint: str,
     key_col: str,
@@ -2194,13 +2225,13 @@ def count_min_stream(
     cms_shards: int = 8,
 ):
     """Continuously-maintained count-min sketch: per-block increments
-    appended exactly-once to a cell-sharded counter store (merge-on-read
-    sums), per-block running point estimates emitted at ingest.
-    Mechanics, the retry-pin protocol, and the drained-store == batch
-    sketch equality: see `_CountMinStreamWriter`."""
+    and the running point estimates published in ONE atomic commit per
+    block to a cell-sharded counter store (estimates under the
+    namespaced `o` shard; read back via the writer's `out_rows()`).
+    Mechanics, single-commit replay rule, and the drained-store ==
+    batch sketch equality: see `_CountMinStreamWriter`."""
     writer = _CountMinStreamWriter(
         spark,
-        out_dir,
         store_dir,
         key_col=key_col,
         width=width,
@@ -2229,14 +2260,26 @@ class _DyadicCmsStreamWriter:
 
     1. Build the BLOCK's structure with the batch operator itself
        (`dyadic_cms_build` — provably shared grid), bounded increment
-       rows however large the block.
-    2. Pin the store, read ONLY the block's touched cell shards at the
-       pin, merge prior + block cells, and emit the fixed ranges'
-       running estimates AT INGEST (`dyadic_cms_range_counts` against
-       the merged bounded sketch).
-    3. Commit increments to the store, THEN estimates to out — the
-       crash-window order; a half-committed retry pins
-       `txn_version(txn) - 1` (`_resolve_retry_pin`, the shared rule).
+       rows however large the block, PERSISTED: the shard-name collect,
+       the merge, and the staged write all consume it, and without the
+       cache each consumer re-runs the block aggregate (measured 3x per
+       block pre-r13).
+    2. Pin the store, read the union of the block's touched cell shards
+       and the fixed ranges' piece-cell shards at the pin, merge prior
+       + block cells, and derive the ranges' running estimates AT
+       INGEST (`dyadic_cms_range_counts` against the merged bounded
+       sketch).
+    3. ONE atomic publish (VERDICT r12 #3, the group-commit
+       experiment): the increments (shard `y*`) and the estimate rows
+       (namespaced shard `o`, the r7 b*/p* convention) are union'd into
+       a single frame — every file carries the unified column set, so
+       reads never need schema merging — staged by ONE write job, and
+       committed under ONE txn record naming both shard sets.  The
+       two-commit crash window is GONE: a replayed block is either
+       fully committed (skip, no jobs) or fully absent (recompute
+       against a pre-block snapshot — the retry pin degenerates to the
+       current version, since nothing of an uncommitted txn is ever
+       visible).
 
     Drained store == the batch structure cell-for-cell (linearity +
     blocks partition the feed), so the final range estimates equal the
@@ -2244,10 +2287,13 @@ class _DyadicCmsStreamWriter:
     `stream_range_counts` hash-checks exactly that, oracle unchanged.
     """
 
+    #: namespaced shard holding the published estimate rows (the r7
+    #: single-table b*/p* convention; store cells use `y{n}`)
+    OUT_SHARD = "o"
+
     def __init__(
         self,
         spark,
-        out_dir: str,
         store_dir: str,
         value_col: str,
         ranges: list[tuple[int, int, int]],
@@ -2271,7 +2317,6 @@ class _DyadicCmsStreamWriter:
         self.salt = salt
         self.cms_shards = cms_shards
         self.writer_id = writer_id
-        self.out = TransactionalTable(out_dir)
         self.store = TransactionalTable(os.path.join(store_dir, "store"))
         # The published running estimates address the FIXED ranges'
         # dyadic piece cells, which are independent of any block's
@@ -2323,12 +2368,23 @@ class _DyadicCmsStreamWriter:
     def merged_sketch(self, version: int | None = None) -> DataFrame:
         """Merge-on-read structure at a committed version: (level, d,
         bucket, n) per-cell sums — bounded rows, directly consumable by
-        `sketches.dyadic_cms_range_counts`."""
+        `sketches.dyadic_cms_range_counts`.  The level filter drops the
+        co-located estimate rows (shard `o`), whose cell columns are
+        NULL by the unified-schema construction."""
         return (
             self.store.read(self.spark, version)
+            .filter(F.col("level").isNotNull())
             .groupBy("level", "d", "bucket")
             .agg(F.sum("n").cast("long").alias("n"))
         )
+
+    def out_rows(self, version: int | None = None) -> DataFrame:
+        """The published running band estimates (batch_id, range_id,
+        lo, hi, est) — the former separate out table, now the `o` shard
+        of the single atomically-committed store."""
+        return self.store.read_where(
+            self.spark, "shard", [self.OUT_SHARD], version=version
+        ).select("batch_id", "range_id", "lo", "hi", "est")
 
     def range_counts(self) -> DataFrame:
         """Current range estimates from the drained store."""
@@ -2352,12 +2408,14 @@ class _DyadicCmsStreamWriter:
         )
 
         txn = f"{self.writer_id}:{batch_id}"
-        store_done = self.store.txn_committed(txn)
-        if store_done and self.out.txn_committed(txn):
-            return  # fully-committed replay: no-op, no jobs
-        if not store_done and block.isEmpty():
+        if self.store.txn_committed(txn):
+            return  # single atomic publish: committed means FULLY done
+        if block.isEmpty():
             return  # idle trigger: nothing published
-        pin = _resolve_retry_pin(self.store, txn)
+        # nothing of an uncommitted txn is ever visible (single commit),
+        # so the current version IS the pre-block snapshot — no
+        # half-committed pin case exists for this writer anymore
+        pin = self.store.version()
 
         inc = dyadic_cms_build(
             block,
@@ -2367,66 +2425,77 @@ class _DyadicCmsStreamWriter:
             depth=self.depth,
             salt=self.salt,
         ).withColumn("shard", self._shard())
-
-        # bounded driver action: <= cms_shards shard names
-        block_shards = sorted(
-            (inc.agg(F.collect_set("shard")).first()[0]) or []
-        )
-        if not store_done and not block_shards:
-            # every value NULL/out-of-range: nothing countable, nothing
-            # published (the batch operator's drop contract; the ADVICE
-            # r10 empty-block rule)
-            return
-        # Read the UNION of the block's touched shards (for the merge)
-        # and the fixed ranges' piece-cell shards (for the estimate):
-        # a sparse block routinely misses shards holding prior band
-        # mass, and estimating from block shards alone would zero those
-        # pieces (ADVICE r12).  Increments COMMITTED below stay
-        # block-only; only the read widens.
-        read_shards = sorted(set(block_shards) | self._range_shards)
+        # persisted: the shard-name collect below MATERIALIZES the
+        # bounded grid (<= (bits+1)*depth*width rows), and the staged
+        # write's two branches (increment rows + the estimate's merge)
+        # then read the cache instead of re-running the block aggregate
+        inc = inc.persist()
         try:
-            prior = self.store.read_where(
-                self.spark, "shard", read_shards, version=pin
-            ).select("level", "d", "bucket", "n")
-        except FileNotFoundError:  # no commits at/below the pin
-            prior = self.spark.createDataFrame(
-                [], "level int, d int, bucket int, n long"
+            # bounded driver action: <= cms_shards shard names
+            block_shards = sorted(
+                (inc.agg(F.collect_set("shard")).first()[0]) or []
             )
-        merged = (
-            prior.unionByName(inc.select("level", "d", "bucket", "n"))
-            .groupBy("level", "d", "bucket")
-            .agg(F.sum("n").cast("long").alias("n"))
-        )
-        est = dyadic_cms_range_counts(
-            merged,
-            self.ranges,
-            universe_bits=self.universe_bits,
-            width=self.width,
-            depth=self.depth,
-            salt=self.salt,
-        ).select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            "range_id",
-            "lo",
-            "hi",
-            "est",
-        )
-
-        if not store_done:
+            if not block_shards:
+                # every value NULL/out-of-range: nothing countable,
+                # nothing published (the batch operator's drop
+                # contract; the ADVICE r10 empty-block rule)
+                return
+            # Read the UNION of the block's touched shards (for the
+            # merge) and the fixed ranges' piece-cell shards (for the
+            # estimate): a sparse block routinely misses shards holding
+            # prior band mass, and estimating from block shards alone
+            # would zero those pieces (ADVICE r12).  Committed
+            # increments stay block-only; only the read widens.  The
+            # estimate shard never enters: read_shards holds y* names
+            # only, so prior rows are always cell rows.
+            read_shards = sorted(set(block_shards) | self._range_shards)
+            try:
+                prior = self.store.read_where(
+                    self.spark, "shard", read_shards, version=pin
+                ).select("level", "d", "bucket", "n")
+            except FileNotFoundError:  # no commits at/below the pin
+                prior = self.spark.createDataFrame(
+                    [], "level int, d int, bucket int, n long"
+                )
+            merged = (
+                prior.unionByName(inc.select("level", "d", "bucket", "n"))
+                .groupBy("level", "d", "bucket")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+            est = dyadic_cms_range_counts(
+                merged,
+                self.ranges,
+                universe_bits=self.universe_bits,
+                width=self.width,
+                depth=self.depth,
+                salt=self.salt,
+            ).select(
+                F.lit(self.OUT_SHARD).alias("shard"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "range_id",
+                "lo",
+                "hi",
+                "est",
+            )
+            # ONE staged write, ONE commit record naming both shard
+            # sets; every parquet file carries the unified column set
+            # (cell columns NULL on estimate rows and vice versa), so
+            # no read ever needs schema merging
+            unified = inc.select(
+                "shard", "level", "d", "bucket", "n"
+            ).unionByName(est, allowMissingColumns=True)
             self.store.append_once(
-                inc.select("shard", "level", "d", "bucket", "n").repartition(
-                    F.col("shard")
-                ),
+                unified.repartition(F.col("shard")),
                 txn=txn,
                 partition_by="shard",
             )
-        self.out.append_once(est, txn=txn)
+        finally:
+            inc.unpersist()
 
 
 def dyadic_cms_stream(
     spark,
     source: DataFrame,
-    out_dir: str,
     store_dir: str,
     checkpoint: str,
     value_col: str,
@@ -2438,14 +2507,14 @@ def dyadic_cms_stream(
     cms_shards: int = 8,
 ):
     """Continuously-maintained dyadic count-min structure: per-block
-    increments appended exactly-once to a cell-sharded counter store,
-    a live value-band histogram (running range counts for the fixed
-    `ranges`) emitted at ingest.  Mechanics, retry-pin protocol, and
-    the drained-store == batch-structure equality: see
-    `_DyadicCmsStreamWriter`."""
+    increments and the live value-band histogram (running range counts
+    for the fixed `ranges`) published in ONE atomic commit per block to
+    a cell-sharded counter store (estimates under the namespaced `o`
+    shard; read them back via the writer's `out_rows()`).  Mechanics,
+    single-commit replay rule, and the drained-store == batch-structure
+    equality: see `_DyadicCmsStreamWriter`."""
     writer = _DyadicCmsStreamWriter(
         spark,
-        out_dir,
         store_dir,
         value_col=value_col,
         ranges=ranges,
@@ -2479,15 +2548,15 @@ class _UniqStreamWriter:
     State: one transactional table of (group, state) HLL-binary rows
     under `shard=u<hash(group) % uniq_shards>`, unioned per group at
     read.  Per block: ONE per-group `uniq_state` aggregate (<= block's
-    distinct groups rows), running estimates AT INGEST for the block's
-    groups (union of the pre-append snapshot's states + the block's
-    own), then the two commits in the crash-window order.  A
-    half-committed retry pins `txn_version(txn) - 1` — HLL union IS
-    idempotent under double-merge (same registers), but the OUT rows
-    must equal what the first attempt computed, and reading the
-    current version would be a torn read of this txn's own append —
-    the protocol stays the domain_cap/CMS one for the same
-    reproducibility reason.
+    distinct groups rows, PERSISTED — the shard collect and the staged
+    write's two branches share it), running estimates AT INGEST for
+    the block's groups (union of the pre-block snapshot's states + the
+    block's own), then ONE atomic publish (r13, the group-commit
+    protocol proven on the dyadic/CMS twins): state rows (shard `u*`)
+    and estimate rows (namespaced shard `o`) staged by one write job
+    under one txn record.  A replayed block is fully committed (skip)
+    or fully absent (recompute against the current version, which IS
+    the pre-block snapshot) — the half-committed pin case is gone.
 
     The drained store's per-group union is register-identical to the
     batch whole-input sketch, so the final estimates equal
@@ -2498,10 +2567,13 @@ class _UniqStreamWriter:
 
     _NULL_KEY = "\x00 null-group"
 
+    #: namespaced shard holding the published estimate rows (state
+    #: rows use `u{n}`)
+    OUT_SHARD = "o"
+
     def __init__(
         self,
         spark,
-        out_dir: str,
         store_dir: str,
         group_col: str,
         key_col: str,
@@ -2517,7 +2589,6 @@ class _UniqStreamWriter:
         self.lg_k = lg_k
         self.uniq_shards = uniq_shards
         self.writer_id = writer_id
-        self.out = TransactionalTable(out_dir)
         self.store = TransactionalTable(os.path.join(store_dir, "store"))
 
     def maintain(self) -> None:
@@ -2544,75 +2615,91 @@ class _UniqStreamWriter:
 
         return (
             self.store.read(self.spark, version)
+            .filter(F.col("state").isNotNull())
             .groupBy(self.group_col)
             .agg(S.uniq_merge("state").alias("approx_uniq"))
         )
+
+    def out_rows(self, version: int | None = None) -> DataFrame:
+        """The published per-block running estimates (batch_id, <group>,
+        approx_uniq) — the former separate out table, now the `o` shard
+        of the single atomically-committed store."""
+        return self.store.read_where(
+            self.spark, "shard", [self.OUT_SHARD], version=version
+        ).select("batch_id", self.group_col, "approx_uniq")
 
     def process(self, block: DataFrame, batch_id: int) -> None:
         from apache_kafka_clickhouse_demo_spark.functions import agg_state as S
 
         txn = f"{self.writer_id}:{batch_id}"
-        store_done = self.store.txn_committed(txn)
-        if store_done and self.out.txn_committed(txn):
+        if self.store.txn_committed(txn):
+            return  # single atomic publish: committed means FULLY done
+        if block.isEmpty():
             return
-        if not store_done and block.isEmpty():
-            return
-        pin = _resolve_retry_pin(self.store, txn)
+        # nothing of an uncommitted txn is ever visible (single commit)
+        pin = self.store.version()
 
         inc = (
             block.groupBy(self.group_col)
             .agg(S.uniq_state(self.key_col, self.lg_k).alias("state"))
             .withColumn("shard", self._shard())
         )
-
-        block_shards = sorted((inc.agg(F.collect_set("shard")).first()[0]) or [])
-        gtype = block.schema[self.group_col].dataType.simpleString()
+        # persisted: the shard collect materializes the per-group state
+        # rows (<= block's distinct groups); the staged write's two
+        # branches then read the cache
+        inc = inc.persist()
         try:
-            prior = self.store.read_where(
-                self.spark, "shard", block_shards, version=pin
-            ).select(self.group_col, "state")
-        except FileNotFoundError:
-            prior = self.spark.createDataFrame(
-                [], f"{self.group_col} {gtype}, state binary"
+            block_shards = sorted(
+                (inc.agg(F.collect_set("shard")).first()[0]) or []
             )
-        # running estimate at ingest: union prior + block states per
-        # group, restricted to the BLOCK's groups (null-safe semi join
-        # so a NULL group accumulates like any other)
-        gc = self.group_col
-        merged = (
-            prior.unionByName(inc.select(gc, "state"))
-            .groupBy(gc)
-            .agg(S.uniq_merge("state").alias("approx_uniq"))
-        )
-        est = (
-            merged.alias("m")
-            .join(
-                inc.select(gc).distinct().alias("g"),
-                F.col(f"m.{gc}").eqNullSafe(F.col(f"g.{gc}")),
-                "leftsemi",
+            gtype = block.schema[self.group_col].dataType.simpleString()
+            try:
+                prior = self.store.read_where(
+                    self.spark, "shard", block_shards, version=pin
+                ).select(self.group_col, "state")
+            except FileNotFoundError:
+                prior = self.spark.createDataFrame(
+                    [], f"{self.group_col} {gtype}, state binary"
+                )
+            # running estimate at ingest: union prior + block states per
+            # group, restricted to the BLOCK's groups (null-safe semi
+            # join so a NULL group accumulates like any other)
+            gc = self.group_col
+            merged = (
+                prior.unionByName(inc.select(gc, "state"))
+                .groupBy(gc)
+                .agg(S.uniq_merge("state").alias("approx_uniq"))
             )
-            .select(
-                F.lit(batch_id).cast("long").alias("batch_id"),
-                F.col(gc),
-                F.col("approx_uniq"),
+            est = (
+                merged.alias("m")
+                .join(
+                    inc.select(gc).distinct().alias("g"),
+                    F.col(f"m.{gc}").eqNullSafe(F.col(f"g.{gc}")),
+                    "leftsemi",
+                )
+                .select(
+                    F.lit(self.OUT_SHARD).alias("shard"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.col(gc),
+                    F.col("approx_uniq"),
+                )
             )
-        )
-
-        if not store_done:
+            # ONE staged write, ONE commit record naming both shard sets
+            unified = inc.select(
+                "shard", self.group_col, "state"
+            ).unionByName(est, allowMissingColumns=True)
             self.store.append_once(
-                inc.select("shard", self.group_col, "state").repartition(
-                    F.col("shard")
-                ),
+                unified.repartition(F.col("shard")),
                 txn=txn,
                 partition_by="shard",
             )
-        self.out.append_once(est, txn=txn)
+        finally:
+            inc.unpersist()
 
 
 def uniq_stream(
     spark,
     source: DataFrame,
-    out_dir: str,
     store_dir: str,
     checkpoint: str,
     group_col: str,
@@ -2621,13 +2708,13 @@ def uniq_stream(
     uniq_shards: int = 8,
 ):
     """Continuously-maintained per-group HLL count-distinct: per-block
-    `uniqState` rows appended exactly-once to a group-sharded state
-    store (merge-on-read union), per-block running estimates at ingest.
-    Mechanics, the retry-pin protocol, and the drained-store == batch
-    sketch register-identity: see `_UniqStreamWriter`."""
+    `uniqState` rows and the running estimates published in ONE atomic
+    commit per block to a group-sharded state store (estimates under
+    the namespaced `o` shard; read back via the writer's `out_rows()`).
+    Mechanics, single-commit replay rule, and the drained-store ==
+    batch sketch register-identity: see `_UniqStreamWriter`."""
     writer = _UniqStreamWriter(
         spark,
-        out_dir,
         store_dir,
         group_col=group_col,
         key_col=key_col,

@@ -1613,7 +1613,6 @@ def _cms_writer(spark, tmp_path, tag="w", width=64, depth=4, shards=4):
 
     return _CountMinStreamWriter(
         spark,
-        str(tmp_path / f"cmsout_{tag}"),
         str(tmp_path / f"cmsstore_{tag}"),
         key_col="k",
         width=width,
@@ -1642,7 +1641,7 @@ def test_count_min_stream_running_estimates_accumulate(spark, tmp_path):
     w.process(_keys_df(spark, ["a", "a", "b"]), 0)
     w.process(_keys_df(spark, ["a", "b", "c", "c"]), 1)
     rows = {
-        (r["batch_id"], r["k"]): r["est"] for r in w.out.read(spark).collect()
+        (r["batch_id"], r["k"]): r["est"] for r in w.out_rows().collect()
     }
     assert rows == {
         (0, "a"): 2, (0, "b"): 1,
@@ -1661,51 +1660,56 @@ def test_count_min_stream_running_estimates_accumulate(spark, tmp_path):
     }
     assert merged == batch and len(merged) > 0
 
-    vs, vo = w.store.version(), w.out.version()
+    vs = w.store.version()
     w.process(_keys_df(spark, ["a", "b", "c", "c"]), 1)  # replay: no-op
-    assert (w.store.version(), w.out.version()) == (vs, vo)
+    assert w.store.version() == vs
     w.process(_keys_df(spark, []).filter("k IS NOT NULL"), 2)  # idle
-    assert (w.store.version(), w.out.version()) == (vs, vo)
+    assert w.store.version() == vs
     # all-NULL-key block: CMS counts non-NULL keys, nothing published
     w.process(spark.createDataFrame([(None,), (None,)], "k string"), 3)
-    assert (w.store.version(), w.out.version()) == (vs, vo)
+    assert w.store.version() == vs
 
 
-def test_count_min_stream_half_committed_retry_pins_preappend(
+def test_count_min_stream_atomic_commit_failure_replays_clean(
     spark, tmp_path, monkeypatch
 ):
-    """The retry-pin protocol on the CMS store: a batch that died
-    between its store and out commits must re-derive the estimates its
-    first attempt computed — re-reading the current version would count
-    the block against itself and inflate every estimate by one block's
-    worth."""
+    """r13 single-commit protocol on the CMS store: increments and
+    estimates land in ONE txn record, so a crash anywhere before the
+    publish leaves NOTHING visible, and the retry recomputes the
+    identical block against the pre-block snapshot — estimates exact,
+    counters never double-published."""
     import pytest
 
     from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
 
     w = _cms_writer(spark, tmp_path)
     w.process(_keys_df(spark, ["a", "a"]), 0)
+    v0 = w.store.version()
 
-    orig = TXL.TransactionalTable.append_once
+    orig = TXL.TransactionalTable._publish
     calls = {"n": 0}
 
-    def fail_out(self, df, txn, **kw):
-        if "cmsout_" in self.path:
+    def fail_publish(self, payload, dest_path):
+        if "cmsstore_" in self.path:
             calls["n"] += 1
             if calls["n"] == 1:
-                raise RuntimeError("injected out-commit failure")
-        return orig(self, df, txn=txn, **kw)
+                raise RuntimeError("injected publish failure")
+        return orig(self, payload, dest_path)
 
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    monkeypatch.setattr(TXL.TransactionalTable, "_publish", fail_publish)
     block = _keys_df(spark, ["a", "b", "b"])
     with pytest.raises(RuntimeError, match="injected"):
-        w.process(block, 1)  # store committed, out did not
-    assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
+        w.process(block, 1)
+    # nothing visible: no version bump, no txn, no estimate rows
+    assert w.store.version() == v0
+    assert not w.store.txn_committed("w:1")
+    assert {r["batch_id"] for r in w.out_rows().collect()} == {0}
 
-    w.process(block, 1)  # retry: estimates must NOT double-count block 1
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    w.process(block, 1)  # retry: one commit, exact running estimates
+    monkeypatch.setattr(TXL.TransactionalTable, "_publish", orig)
+    assert w.store.version() == v0 + 1
     rows = {
-        (r["batch_id"], r["k"]): r["est"] for r in w.out.read(spark).collect()
+        (r["batch_id"], r["k"]): r["est"] for r in w.out_rows().collect()
     }
     assert rows == {(0, "a"): 2, (1, "a"): 3, (1, "b"): 2}
 
@@ -1713,7 +1717,7 @@ def test_count_min_stream_half_committed_retry_pins_preappend(
     # continue from the true totals
     w.process(_keys_df(spark, ["b"]), 2)
     rows2 = {
-        (r["batch_id"], r["k"]): r["est"] for r in w.out.read(spark).collect()
+        (r["batch_id"], r["k"]): r["est"] for r in w.out_rows().collect()
     }
     assert rows2[(2, "b")] == 3
 
@@ -1726,7 +1730,6 @@ def _dcms_writer(spark, tmp_path, tag="w", bits=8, width=64, depth=3,
 
     return _DyadicCmsStreamWriter(
         spark,
-        str(tmp_path / f"dcmsout_{tag}"),
         str(tmp_path / f"dcmsstore_{tag}"),
         value_col="v",
         ranges=list(ranges),
@@ -1756,7 +1759,7 @@ def test_dyadic_stream_running_band_counts_accumulate(spark, tmp_path):
     w.process(_vals_df(spark, [7, 200, 20]), 1)
     rows = {
         (r["batch_id"], r["range_id"]): r["est"]
-        for r in w.out.read(spark).collect()
+        for r in w.out_rows().collect()
     }
     assert rows == {
         (0, 1): 2, (0, 2): 1,
@@ -1775,12 +1778,12 @@ def test_dyadic_stream_running_band_counts_accumulate(spark, tmp_path):
     }
     assert merged == batch and len(merged) > 0
 
-    vs, vo = w.store.version(), w.out.version()
+    vs = w.store.version()
     w.process(_vals_df(spark, [7, 200, 20]), 1)  # replay: no-op
-    assert (w.store.version(), w.out.version()) == (vs, vo)
+    assert w.store.version() == vs
     # all rows NULL/out-of-range: dropped by the batch contract
     w.process(spark.createDataFrame([(None,), (-3,), (999,)], "v long"), 2)
-    assert (w.store.version(), w.out.version()) == (vs, vo)
+    assert w.store.version() == vs
 
 
 def test_dyadic_stream_sparse_block_estimate_reads_unread_band_mass(
@@ -1825,48 +1828,73 @@ def test_dyadic_stream_sparse_block_estimate_reads_unread_band_mass(
     w.process(_vals_df(spark, [v2]), 1)
     rows = {
         (r["batch_id"], r["range_id"]): r["est"]
-        for r in w.out.read(spark).collect()
+        for r in w.out_rows().collect()
     }
     assert rows == {(0, 1): 2, (0, 2): 0, (1, 1): 2, (1, 2): 1}
 
 
-def test_dyadic_stream_half_committed_retry_pins_preappend(
+def test_dyadic_stream_atomic_commit_failure_replays_clean(
     spark, tmp_path, monkeypatch
 ):
-    """A batch that died between its store and out commits must
-    re-derive the band counts its first attempt computed — re-reading
-    the current version would count the block against itself."""
+    """r13 single-commit protocol: increments and estimates land in ONE
+    txn record, so a crash ANYWHERE before the commit publishes leaves
+    NOTHING visible — no half-committed state exists by construction —
+    and the retry recomputes the identical block against the pre-block
+    snapshot (no double counting, estimates exact)."""
     import pytest
 
+    from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+        dyadic_cms_build,
+    )
     from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
 
     w = _dcms_writer(spark, tmp_path, width=1 << 12)
     w.process(_vals_df(spark, [3, 3]), 0)
+    v0 = w.store.version()
 
-    orig = TXL.TransactionalTable.append_once
+    # die AFTER staging, BEFORE the commit record publishes — the
+    # latest possible crash point of the single publish
+    orig = TXL.TransactionalTable._publish
     calls = {"n": 0}
 
-    def fail_out(self, df, txn, **kw):
-        if "dcmsout_" in self.path:
+    def fail_publish(self, payload, dest_path):
+        if "dcmsstore_" in self.path:
             calls["n"] += 1
             if calls["n"] == 1:
-                raise RuntimeError("injected out-commit failure")
-        return orig(self, df, txn=txn, **kw)
+                raise RuntimeError("injected publish failure")
+        return orig(self, payload, dest_path)
 
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    monkeypatch.setattr(TXL.TransactionalTable, "_publish", fail_publish)
     block = _vals_df(spark, [5, 20, 20])
     with pytest.raises(RuntimeError, match="injected"):
-        w.process(block, 1)  # store committed, out did not
-    assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
+        w.process(block, 1)
+    # nothing visible: no store version, no txn, no estimate rows
+    assert w.store.version() == v0
+    assert not w.store.txn_committed("w:1")
+    assert {r["batch_id"] for r in w.out_rows().collect()} == {0}
 
-    w.process(block, 1)  # retry must NOT double-count block 1
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    w.process(block, 1)  # retry: one commit, exact running estimates
+    monkeypatch.setattr(TXL.TransactionalTable, "_publish", orig)
+    assert w.store.version() == v0 + 1
     rows = {
         (r["batch_id"], r["range_id"]): r["est"]
-        for r in w.out.read(spark).collect()
+        for r in w.out_rows().collect()
     }
     # the live histogram emits every band each block, zeros included
     assert rows == {(0, 1): 2, (0, 2): 0, (1, 1): 3, (1, 2): 2}
+    # drained store == batch structure cell-for-cell (no double count)
+    merged = {
+        (r["level"], r["d"], r["bucket"]): r["n"]
+        for r in w.merged_sketch().collect()
+    }
+    batch = {
+        (r["level"], r["d"], r["bucket"]): r["n"]
+        for r in dyadic_cms_build(
+            _vals_df(spark, [3, 3, 5, 20, 20]), "v",
+            universe_bits=8, width=1 << 12, depth=3,
+        ).collect()
+    }
+    assert merged == batch
 
 
 def _uniq_writer(spark, tmp_path, tag="w", shards=4):
@@ -1876,7 +1904,6 @@ def _uniq_writer(spark, tmp_path, tag="w", shards=4):
 
     return _UniqStreamWriter(
         spark,
-        str(tmp_path / f"uniqout_{tag}"),
         str(tmp_path / f"uniqstore_{tag}"),
         group_col="g",
         key_col="k",
@@ -1902,7 +1929,7 @@ def test_uniq_stream_running_estimates_accumulate(spark, tmp_path):
     w.process(_gk_df(spark, [("a", "u2"), ("a", "u3"), (None, "y")]), 1)
     rows = {
         (r["batch_id"], r["g"]): r["approx_uniq"]
-        for r in w.out.read(spark).collect()
+        for r in w.out_rows().collect()
     }
     assert rows == {
         (0, "a"): 2, (0, "b"): 1, (0, None): 1,
@@ -1926,55 +1953,59 @@ def test_uniq_stream_running_estimates_accumulate(spark, tmp_path):
     # merged-from-blocks == whole-input sketch (register identity)
     assert got == want == {"a": 3, "b": 1, None: 2}
 
-    vs, vo = w.store.version(), w.out.version()
+    vs = w.store.version()
     w.process(_gk_df(spark, [("a", "u2"), ("a", "u3"), (None, "y")]), 1)
-    assert (w.store.version(), w.out.version()) == (vs, vo)
+    assert w.store.version() == vs
     w.process(_gk_df(spark, []).filter("k IS NOT NULL"), 2)
-    assert (w.store.version(), w.out.version()) == (vs, vo)
+    assert w.store.version() == vs
 
 
-def test_uniq_stream_half_committed_retry_pins_preappend(
+def test_uniq_stream_atomic_commit_failure_replays_clean(
     spark, tmp_path, monkeypatch
 ):
-    """The retry-pin protocol on the HLL state store: the retried OUT
-    rows must equal the first attempt's (estimates from the PRE-append
-    snapshot + the block's own states — HLL union is idempotent, but
-    the out rows' provenance must still be the pinned snapshot, not a
-    torn read of this txn's own append)."""
+    """r13 single-commit protocol on the HLL state store: state rows
+    and estimates land in ONE txn record — a crash anywhere before the
+    publish leaves nothing visible, and the retry recomputes the block
+    against the pre-block snapshot (out rows exact, states never
+    double-published — union idempotence is no longer even needed)."""
     import pytest
 
     from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
 
     w = _uniq_writer(spark, tmp_path)
     w.process(_gk_df(spark, [("a", "u1")]), 0)
+    v0 = w.store.version()
 
-    orig = TXL.TransactionalTable.append_once
+    orig = TXL.TransactionalTable._publish
     calls = {"n": 0}
 
-    def fail_out(self, df, txn, **kw):
-        if "uniqout_" in self.path:
+    def fail_publish(self, payload, dest_path):
+        if "uniqstore_" in self.path:
             calls["n"] += 1
             if calls["n"] == 1:
-                raise RuntimeError("injected out-commit failure")
-        return orig(self, df, txn=txn, **kw)
+                raise RuntimeError("injected publish failure")
+        return orig(self, payload, dest_path)
 
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    monkeypatch.setattr(TXL.TransactionalTable, "_publish", fail_publish)
     block = _gk_df(spark, [("a", "u2"), ("b", "u9")])
     with pytest.raises(RuntimeError, match="injected"):
         w.process(block, 1)
-    assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
+    assert w.store.version() == v0
+    assert not w.store.txn_committed("w:1")
+    assert {r["batch_id"] for r in w.out_rows().collect()} == {0}
 
     w.process(block, 1)
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    monkeypatch.setattr(TXL.TransactionalTable, "_publish", orig)
+    assert w.store.version() == v0 + 1
     rows = {
         (r["batch_id"], r["g"]): r["approx_uniq"]
-        for r in w.out.read(spark).collect()
+        for r in w.out_rows().collect()
     }
     assert rows == {(0, "a"): 1, (1, "a"): 2, (1, "b"): 1}
 
     w.process(_gk_df(spark, [("a", "u3")]), 2)
     rows2 = {
         (r["batch_id"], r["g"]): r["approx_uniq"]
-        for r in w.out.read(spark).collect()
+        for r in w.out_rows().collect()
     }
     assert rows2[(2, "a")] == 3
