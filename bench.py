@@ -50,7 +50,59 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the combined registry (gate QUERIES or non-gate EXTRA_QUERIES) — names are
 # kept stable across rounds so per-query times stay comparable to the
 # BASELINE.md table.
-ALL_QUERIES = {**Q.QUERIES, **Q.EXTRA_QUERIES}
+# ---------------------------------------------------------------------------
+# Non-registry benched operators (VERDICT r12 #5): pure-Python-pinned /
+# non-SQL-expressible operators (the BPE precedent) carry no oracle
+# registry row, but their walls are regression-guarded here at the
+# HEADLINE grain.  Parameters mirror SCALING.md's measured points.
+# ---------------------------------------------------------------------------
+
+#: memo so the apply row does not re-pay the fit every bench pass
+_UNIGRAM_VOCAB_CACHE: dict = {}
+
+
+def _fit_unigram(spark, sf_dir):
+    from apache_kafka_clickhouse_demo_spark.operators import tokenizer as TK
+
+    docs = Q._t(spark, sf_dir, "documents")
+    return TK.unigram_fit(docs, vocab_size=2048, seed_size=4096, max_rounds=6)
+
+
+def _bench_unigram_fit(spark, sf_dir):
+    vocab = _fit_unigram(spark, sf_dir)
+    _UNIGRAM_VOCAB_CACHE[sf_dir] = vocab
+    return spark.createDataFrame(vocab, "piece string, milli_logp long")
+
+
+def _bench_unigram_apply(spark, sf_dir):
+    from apache_kafka_clickhouse_demo_spark.operators import tokenizer as TK
+
+    vocab = _UNIGRAM_VOCAB_CACHE.get(sf_dir)
+    if vocab is None:
+        vocab = _UNIGRAM_VOCAB_CACHE[sf_dir] = _fit_unigram(spark, sf_dir)
+    return TK.unigram_apply(Q._t(spark, sf_dir, "documents"), vocab)
+
+
+def _bench_pack_bins_ffd(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from apache_kafka_clickhouse_demo_spark.functions import text as TX
+    from apache_kafka_clickhouse_demo_spark.operators import text_analysis as TA
+
+    docs = Q._t(spark, sf_dir, "documents")
+    items = docs.select(
+        "doc_id", F.size(TX.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return TA.pack_bins_ffd(items, capacity=512)
+
+
+BENCH_ONLY = {
+    "unigram_fit": _bench_unigram_fit,
+    "unigram_apply": _bench_unigram_apply,
+    "pack_bins_ffd": _bench_pack_bins_ffd,
+}
+
+ALL_QUERIES = {**Q.QUERIES, **Q.EXTRA_QUERIES, **BENCH_ONLY}
 
 HEADLINE = [
     "extract_typed_events",
@@ -215,6 +267,11 @@ HEADLINE = [
     "sketch_quantiles",
     # r13: phash media dedup, cluster/representative form (linear output)
     "media_phash_clusters",
+    # r13 (VERDICT r12 #5): the pure-Python-pinned tokenizer/packing
+    # family's trend rows — BENCH_ONLY callables, no oracle registry row
+    "unigram_fit",
+    "unigram_apply",
+    "pack_bins_ffd",
 ]
 
 
@@ -358,6 +415,9 @@ BASELINE_SEC = {
     "events_limit_by": 0.603,
     "sketch_quantiles": 9.252,
     "media_phash_clusters": 4.879,
+    "unigram_fit": 3.528,
+    "unigram_apply": 2.323,
+    "pack_bins_ffd": 1.178,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its
