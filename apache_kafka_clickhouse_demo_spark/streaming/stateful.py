@@ -2729,3 +2729,321 @@ def uniq_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class _PackBinsStreamWriter:
+    """foreachBatch body of `pack_bins_stream`: streaming first-fit bin
+    packing at INGEST — the packing family's streaming twin (VERDICT
+    r12 #6).  Training-data pipelines pack while they ingest, not only
+    in batch: each arriving block's documents pack into their buckets'
+    OPEN bins the moment they land, so a downstream dataloader can
+    start reading full bins without waiting for the corpus to close.
+
+    State is a COUNTER store, exactly the domain_cap shape: open-bin
+    fills per bucket as (bucket, bin_id, delta) increment rows under
+    `shard=p<bucket % pack_shards>` — bin fills are SUMS of what each
+    block placed, so the state algebra is linear (merge-on-read,
+    maintenance compacts files, never meaning) even though packing
+    itself is a sequential fold.  Per block:
+
+    1. Canonicalize with the batch operator's exact drop rule (NULL id
+       / NULL or negative tokens dropped; bucket = h48(salt || id) %
+       buckets — `text_analysis.pack_bins_ffd`'s expressions verbatim).
+    2. Pin the store, read the touched buckets' open-bin fills at the
+       pin, and pack per bucket in ONE applyInPandas fold: the block's
+       docs in FFD order (n_tokens desc, doc_id asc) place first-fit
+       into prior bins (bin_id asc) then newly-opened bins (ids
+       continue past the bucket's max).  Oversized docs open a bin of
+       their own, flagged `overflow` — the batch contract.
+    3. Commit the placements' per-bin fill increments to the store,
+       THEN the assignment rows to out — the two-commit crash-window
+       order, with `_resolve_retry_pin`'s rule (assignments are a
+       function of the PRE-append fills; a half-committed retry must
+       re-derive what the first attempt saw, and the out rows are
+       corpus-scale so they stay a separate table rather than
+       funneling through one store shard — the domain_cap trade, not
+       the dyadic/CMS unified commit).
+
+    Batch equality (the pin): on a bucket-aligned feed — block
+    boundaries never split a bucket — every bucket packs with no prior
+    state in exactly one block, so the drained assignments equal the
+    batch `pack_bins_ffd` output verbatim (tests/test_pack_bins.py).
+    Across blocks the fold is the honest streaming deviation: FFD
+    order holds WITHIN a block, first-fit into open bins across them
+    (a doc cannot displace history it arrived after), and `bin_fill`
+    on an assignment row is the bin's fill as of its emitting block.
+
+    Plan shape at 100 TB: per block, one block-bounded canonicalize +
+    one shuffle on <= `buckets` keys + a bounded prior read
+    (O(touched shards) files); per-bucket fold cost is O(n_b log n_b +
+    n_b * bins_touched) — bucketing is the standard FFD
+    parallelization, each bucket one dataloader shard.
+    """
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        store_dir: str,
+        capacity: int,
+        buckets: int = 64,
+        salt: str = "ffd:",
+        id_col: str = "doc_id",
+        n_col: str = "n_tokens",
+        pack_shards: int = 8,
+        writer_id: str = "",
+    ):
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
+
+        if capacity <= 0 or buckets <= 0:
+            raise ValueError("capacity and buckets must be positive")
+        self.spark = spark
+        self.capacity = capacity
+        self.buckets = buckets
+        self.salt = salt
+        self.id_col = id_col
+        self.n_col = n_col
+        self.pack_shards = pack_shards
+        self.writer_id = writer_id
+        self.out = TransactionalTable(out_dir)
+        self.store = TransactionalTable(os.path.join(store_dir, "store"))
+
+    def maintain(self) -> None:
+        """Compact the open-bin store, fold watermarks, prune, vacuum —
+        between fully-committed batches only (the half-committed-pin
+        argument)."""
+        self.store.optimize(self.spark, partition_by="shard")
+        self.store.checkpoint(compact_txn_watermarks=True)
+        self.store.prune_log()
+        self.store.vacuum()
+
+    def _shard(self):
+        return F.concat(
+            F.lit("p"),
+            F.pmod(F.col("bucket"), F.lit(self.pack_shards)).cast("string"),
+        )
+
+    def open_bins(self, version: int | None = None) -> DataFrame:
+        """Merge-on-read open-bin state at a committed version:
+        (bucket, bin_id, fill) per-bin fill sums."""
+        return (
+            self.store.read(self.spark, version)
+            .groupBy("bucket", "bin_id")
+            .agg(F.sum("delta").cast("long").alias("fill"))
+        )
+
+    def _pack_fn(self):
+        import pandas as pd
+
+        capacity = self.capacity
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "bin_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "bin_fill": pd.Series(dtype="int64"),
+                    "overflow": pd.Series(dtype="bool"),
+                }
+            )
+            docs = pdf[pdf["doc_id"].notna()]
+            if len(docs) == 0:
+                return empty  # prior-bins-only group: nothing arrived
+            prior = pdf[pdf["prior_bin"].notna()].sort_values("prior_bin")
+            bin_ids = [int(b) for b in prior["prior_bin"]]
+            fills = [int(f) for f in prior["prior_fill"]]
+            next_id = (max(bin_ids) + 1) if bin_ids else 0
+            docs = docs.sort_values(
+                ["n_tokens", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            )
+            assign: list[int] = []
+            for n in docs["n_tokens"]:
+                n = int(n)
+                placed = -1
+                for i, f in enumerate(fills):
+                    if f + n <= capacity:
+                        placed = i
+                        fills[i] = f + n
+                        break
+                if placed < 0:
+                    placed = len(fills)
+                    bin_ids.append(next_id)
+                    next_id += 1
+                    fills.append(n)
+                assign.append(placed)
+            return pd.DataFrame(
+                {
+                    "bucket": int(docs["bucket"].iloc[0]),
+                    "bin_id": [bin_ids[i] for i in assign],
+                    "doc_id": docs["doc_id"].astype("int64").to_numpy(),
+                    "n_tokens": docs["n_tokens"].astype("int64").to_numpy(),
+                    "bin_fill": [fills[i] for i in assign],
+                    "overflow": [
+                        int(t) > capacity
+                        for t in docs["n_tokens"].to_numpy()
+                    ],
+                }
+            )
+
+        return pack
+
+    def process(self, block: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import types as T
+
+        from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+        txn = f"{self.writer_id}:{batch_id}"
+        store_done = self.store.txn_committed(txn)
+        if store_done and self.out.txn_committed(txn):
+            return  # fully-committed replay: no-op, no jobs
+        if not store_done and block.isEmpty():
+            return  # idle trigger: nothing published
+        pin = _resolve_retry_pin(self.store, txn)
+
+        src = block.select(
+            (
+                H.h48(
+                    F.concat(F.lit(self.salt), F.col(self.id_col).cast("string"))
+                )
+                % self.buckets
+            ).alias("bucket"),
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.col(self.n_col).cast("long").alias("n_tokens"),
+        ).filter(
+            F.col("doc_id").isNotNull()
+            & F.col("n_tokens").isNotNull()
+            & (F.col("n_tokens") >= 0)
+        )
+        # persisted: the bucket collect and the pack shuffle both read it
+        src = src.persist()
+        try:
+            # bounded driver action: <= `buckets` distinct bucket ids
+            block_buckets = sorted(
+                (src.agg(F.collect_set("bucket")).first()[0]) or []
+            )
+            if not store_done and not block_buckets:
+                return  # every row dropped by the batch contract
+            block_shards = sorted(
+                {f"p{b % self.pack_shards}" for b in block_buckets}
+            )
+            try:
+                prior = (
+                    self.store.read_where(
+                        self.spark, "shard", block_shards, version=pin
+                    )
+                    .filter(F.col("bucket").isin(block_buckets))
+                    .groupBy("bucket", "bin_id")
+                    .agg(F.sum("delta").cast("long").alias("prior_fill"))
+                    .select(
+                        "bucket",
+                        F.col("bin_id").alias("prior_bin"),
+                        "prior_fill",
+                    )
+                )
+            except FileNotFoundError:  # no commits at/below the pin
+                prior = self.spark.createDataFrame(
+                    [], "bucket long, prior_bin long, prior_fill long"
+                )
+            unioned = src.select(
+                "bucket",
+                "doc_id",
+                "n_tokens",
+                F.lit(None).cast("long").alias("prior_bin"),
+                F.lit(None).cast("long").alias("prior_fill"),
+            ).unionByName(
+                prior.select(
+                    "bucket",
+                    F.lit(None).cast("long").alias("doc_id"),
+                    F.lit(None).cast("long").alias("n_tokens"),
+                    "prior_bin",
+                    "prior_fill",
+                )
+            )
+            out_schema = T.StructType(
+                [
+                    T.StructField("bucket", T.LongType()),
+                    T.StructField("bin_id", T.LongType()),
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("n_tokens", T.LongType()),
+                    T.StructField("bin_fill", T.LongType()),
+                    T.StructField("overflow", T.BooleanType()),
+                ]
+            )
+            packed = unioned.groupBy("bucket").applyInPandas(
+                self._pack_fn(), out_schema
+            )
+            # persisted: the increment aggregate and the out append both
+            # read the assignments; block-bounded rows
+            packed = packed.persist()
+            try:
+                if not store_done:
+                    increments = (
+                        packed.groupBy("bucket", "bin_id")
+                        .agg(F.sum("n_tokens").cast("long").alias("delta"))
+                        .withColumn("shard", self._shard())
+                        .select("shard", "bucket", "bin_id", "delta")
+                    )
+                    self.store.append_once(
+                        increments.repartition(F.col("shard")),
+                        txn=txn,
+                        partition_by="shard",
+                    )
+                self.out.append_once(
+                    packed.select(
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                        "bucket",
+                        "bin_id",
+                        "doc_id",
+                        "n_tokens",
+                        "bin_fill",
+                        "overflow",
+                    ),
+                    txn=txn,
+                )
+            finally:
+                packed.unpersist()
+        finally:
+            src.unpersist()
+
+
+def pack_bins_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    capacity: int,
+    buckets: int = 64,
+    salt: str = "ffd:",
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+    pack_shards: int = 8,
+):
+    """Streaming first-fit bin packing: each block's documents pack
+    into their buckets' open bins at ingest, with per-bin fill
+    increments appended exactly-once to a bucket-sharded counter store
+    and assignment rows to out.  Mechanics, the retry-pin protocol,
+    and the bucket-aligned batch-equality pin: see
+    `_PackBinsStreamWriter`."""
+    writer = _PackBinsStreamWriter(
+        spark,
+        out_dir,
+        store_dir,
+        capacity=capacity,
+        buckets=buckets,
+        salt=salt,
+        id_col=id_col,
+        n_col=n_col,
+        pack_shards=pack_shards,
+        writer_id=checkpoint,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -96,10 +96,55 @@ def _bench_pack_bins_ffd(spark, sf_dir):
     return TA.pack_bins_ffd(items, capacity=512)
 
 
+def _bench_stream_pack_bins(spark, sf_dir):
+    """Checkpointed 4-block drain of the r13 streaming FFD twin —
+    ingest-time packing of the sf documents (capacity 512, whitespace
+    token counts); returns the drained assignment rows."""
+    from pyspark.sql import functions as F
+
+    from apache_kafka_clickhouse_demo_spark.functions import text as TX
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _PackBinsStreamWriter,
+        pack_bins_stream,
+    )
+
+    work = Q._workdir("stream_pack_")
+    docs = Q._t(spark, sf_dir, "documents")
+    items = docs.select(
+        "doc_id", F.size(TX.tokens("text")).cast("long").alias("n_tokens")
+    )
+    blk = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+    Q._write_feed_blocks(items, work, blk)
+    src = (
+        spark.readStream.schema(items.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = pack_bins_stream(
+        spark,
+        src,
+        out_dir=f"{work}/out",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        capacity=512,
+    )
+    q.processAllAvailable()
+    q.stop()
+    writer = _PackBinsStreamWriter(
+        spark,
+        f"{work}/out",
+        f"{work}/store",
+        capacity=512,
+        writer_id=f"{work}/ck",
+    )
+    return writer.out.read(spark)
+
+
 BENCH_ONLY = {
     "unigram_fit": _bench_unigram_fit,
     "unigram_apply": _bench_unigram_apply,
     "pack_bins_ffd": _bench_pack_bins_ffd,
+    "stream_pack_bins": _bench_stream_pack_bins,
 }
 
 ALL_QUERIES = {**Q.QUERIES, **Q.EXTRA_QUERIES, **BENCH_ONLY}
@@ -272,6 +317,8 @@ HEADLINE = [
     "unigram_fit",
     "unigram_apply",
     "pack_bins_ffd",
+    # r13 (VERDICT r12 #6): the streaming FFD twin's drain
+    "stream_pack_bins",
 ]
 
 
@@ -418,6 +465,7 @@ BASELINE_SEC = {
     "unigram_fit": 3.528,
     "unigram_apply": 2.323,
     "pack_bins_ffd": 1.178,
+    "stream_pack_bins": 11.483,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -97,3 +97,141 @@ def test_determinism_across_runs_and_bucket_locality(spark):
     assert a == b
     # every doc appears exactly once
     assert sorted(r[2] for r in a) == sorted(d for d, _ in ROWS)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin (r13, VERDICT r12 #6): _PackBinsStreamWriter
+# ---------------------------------------------------------------------------
+
+
+def _pack_writer(spark, tmp_path, tag="w", capacity=100, buckets=4,
+                 shards=2):
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _PackBinsStreamWriter,
+    )
+
+    return _PackBinsStreamWriter(
+        spark,
+        str(tmp_path / f"packout_{tag}"),
+        str(tmp_path / f"packstore_{tag}"),
+        capacity=capacity,
+        buckets=buckets,
+        pack_shards=shards,
+        writer_id=tag,
+    )
+
+
+def _items_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+STREAM_ROWS = [(i, (i * 37) % 90 + 5) for i in range(60)] + [(1000, 400)]  # 1 overflow
+
+
+def test_pack_stream_bucket_aligned_drain_equals_batch(spark, tmp_path):
+    """The pin: on a feed whose block boundaries never split a bucket,
+    every bucket packs with no prior state in exactly one block, so the
+    drained assignments equal the batch pack_bins_ffd verbatim —
+    including bin ids, final fills, and the overflow flag."""
+    capacity, buckets = 100, 4
+    w = _pack_writer(spark, tmp_path, capacity=capacity, buckets=buckets)
+    by_bucket: dict[int, list] = {}
+    for doc_id, n in STREAM_ROWS:
+        b = H.py_h48(f"ffd:{doc_id}") % buckets
+        by_bucket.setdefault(b, []).append((doc_id, n))
+    for i, b in enumerate(sorted(by_bucket)):
+        w.process(_items_df(spark, by_bucket[b]), i)
+
+    got = sorted(
+        (r["bucket"], r["bin_id"], r["doc_id"], r["n_tokens"],
+         r["bin_fill"], r["overflow"])
+        for r in w.out.read(spark).collect()
+    )
+    want = sorted(
+        (r["bucket"], r["bin_id"], r["doc_id"], r["n_tokens"],
+         r["bin_fill"], r["overflow"])
+        for r in TA.pack_bins_ffd(
+            _items_df(spark, STREAM_ROWS), capacity, buckets=buckets
+        ).collect()
+    )
+    assert got == want and len(got) == len(STREAM_ROWS)
+
+
+def test_pack_stream_open_bins_accumulate_across_blocks(spark, tmp_path):
+    """Cross-block semantics: a later block's docs first-fit into the
+    bucket's OPEN bins (bin_id order) before opening new ones, and
+    bin_fill reflects the running fill as of the emitting block."""
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+
+    capacity, buckets = 100, 1  # one bucket: everything shares state
+    w = _pack_writer(spark, tmp_path, capacity=capacity, buckets=buckets)
+    w.process(_items_df(spark, [(1, 60), (2, 55)]), 0)  # bins 0:[60] 1:[55]
+    w.process(_items_df(spark, [(3, 40), (4, 30)]), 1)
+    # FFD order in block 1: doc 3 (40) -> bin 0 (60+40=100);
+    # doc 4 (30) -> bin 1 (55+30=85)
+    rows = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in w.out.read(spark).collect()
+    }
+    assert rows[1] == (0, 60) and rows[2] == (1, 55)
+    assert rows[3] == (0, 100) and rows[4] == (1, 85)
+    fills = {
+        (r["bucket"], r["bin_id"]): r["fill"]
+        for r in w.open_bins().collect()
+    }
+    assert fills == {(0, 0): 100, (0, 1): 85}
+
+    # replay: no-op; all-dropped block publishes nothing
+    vs, vo = w.store.version(), w.out.version()
+    w.process(_items_df(spark, [(3, 40), (4, 30)]), 1)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+    w.process(_items_df(spark, [(None, 5), (9, None), (10, -1)]), 2)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+
+
+def test_pack_stream_half_committed_retry_rederives_assignments(
+    spark, tmp_path, monkeypatch
+):
+    """The retry-pin rule: a batch that died between its store and out
+    commits must re-derive the assignments its first attempt computed —
+    re-reading the current version would see the block's own fill
+    increments and pack against phantom half-full bins."""
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
+
+    w = _pack_writer(spark, tmp_path, capacity=100, buckets=1)
+    w.process(_items_df(spark, [(1, 60)]), 0)  # bin 0 at fill 60
+
+    orig = TXL.TransactionalTable.append_once
+    calls = {"n": 0}
+
+    def fail_out(self, df, txn, **kw):
+        if "packout_" in self.path:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected out-commit failure")
+        return orig(self, df, txn=txn, **kw)
+
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    block = _items_df(spark, [(2, 40), (3, 70)])
+    with pytest.raises(RuntimeError, match="injected"):
+        w.process(block, 1)  # store committed, out did not
+    assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
+
+    w.process(block, 1)  # retry must pack against the PRE-append fills
+    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    rows = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in w.out.read(spark).collect()
+    }
+    # FFD order: doc 3 (70) first -> won't fit bin 0 (60+70>100) -> new
+    # bin 1; doc 2 (40) -> fits bin 0 (60+40=100)
+    assert rows[1] == (0, 60)
+    assert rows[3] == (1, 70) and rows[2] == (0, 100)
+    # counters not double-published: open bins reflect ONE copy of block 1
+    fills = {
+        (r["bucket"], r["bin_id"]): r["fill"]
+        for r in w.open_bins().collect()
+    }
+    assert fills == {(0, 0): 100, (0, 1): 70}
