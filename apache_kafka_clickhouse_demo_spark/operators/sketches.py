@@ -306,6 +306,7 @@ def dyadic_cms_build(
     width: int = 2048,
     depth: int = 3,
     salt: str = "dcms:",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Dyadic count-min structure (Cormode & Muthukrishnan 2005 §4.2 —
     the CMS extension that answers RANGE counts, the building block of
@@ -317,6 +318,11 @@ def dyadic_cms_build(
 
     Stated contract: values must be integers in [0, 2^universe_bits);
     NULL and out-of-range rows are dropped (range mass only moves up).
+    With `weight_col` the structure counts WEIGHT MASS instead of rows
+    (ClickHouse `quantileTimingWeighted`-class parity): integer weights,
+    NULL and non-positive weights dropped — the topKWeighted
+    convention; everything downstream (range counts, quantiles) then
+    answers over the weighted distribution unchanged.
     Hash row (l, d) seeds h48 with `{salt}{l}:{d}:` — engine-portable,
     so every counter (and every estimate) is deterministic and the
     DuckDB oracle mirrors the grid exactly (the count_min_build
@@ -343,12 +349,18 @@ def dyadic_cms_build(
     if width < 1 or depth < 1 or not 1 <= universe_bits <= 62:
         raise ValueError("need width, depth >= 1 and 1 <= universe_bits <= 62")
     v = F.col(value_col).cast("long")
-    base = (
-        spread_small(df)
-        .filter(v.isNotNull() & (v >= 0) & (v < (1 << universe_bits)))
-        .groupBy(v.alias("_v"))
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    kept = spread_small(df).filter(
+        v.isNotNull() & (v >= 0) & (v < (1 << universe_bits))
     )
+    if weight_col is None:
+        base = kept.groupBy(v.alias("_v")).agg(F.count(F.lit(1)).alias("_cnt"))
+    else:
+        w = F.col(weight_col).cast("long")
+        base = (
+            kept.filter(w.isNotNull() & (w > 0))
+            .groupBy(v.alias("_v"))
+            .agg(F.sum(w).alias("_cnt"))
+        )
     cells = F.array(
         *[
             F.struct(

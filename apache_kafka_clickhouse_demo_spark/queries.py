@@ -388,11 +388,33 @@ def q_sketch_quantiles(spark, sf_dir):
     )
 
 
-def _oracle_sketch_quantiles() -> str:
+def q_sketch_quantiles_weighted(spark, sf_dir):
+    """quantileTimingWeighted-class parity (r13): the same dyadic-CMS
+    quantile descent over WEIGHT MASS — value_cents weighted by the
+    props.k payload (weighted_percentiles' exact inputs, so the sketch
+    path and the exact per-group window funnel answer the same
+    distribution family).  Build counts weight sums per cell (NULL /
+    non-positive weights dropped, the topKWeighted convention); the
+    descent is unchanged — counters are counters."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    sk = sketches.dyadic_cms_build(
+        ev, "cents", DYADIC_BITS, DYADIC_WIDTH, DYADIC_DEPTH, weight_col="k"
+    )
+    return sketches.dyadic_quantiles(
+        sk, DYADIC_QUANTILE_PS, DYADIC_BITS, DYADIC_WIDTH, DYADIC_DEPTH
+    )
+
+
+def _oracle_sketch_quantiles(weighted: bool = False) -> str:
     """Mirror of the dyadic-CMS quantile descent: same grid, same root
     total, same integer rank rule, and the SAME walk — a recursive CTE
     descending one level per step, estimating each LEFT child as
-    min-over-d of its addressed counters (absent = 0)."""
+    min-over-d of its addressed counters (absent = 0).  `weighted`
+    switches the cells to per-value weight sums (the engine build's
+    weight_col path)."""
     from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
 
     def h(l_expr: str, d_expr: str, k_expr: str) -> str:
@@ -406,16 +428,30 @@ def _oracle_sketch_quantiles() -> str:
         for d in range(DYADIC_DEPTH)
     )
     ps_vals = ", ".join(f"({p})" for p in DYADIC_QUANTILE_PS)
-    return f"""
-WITH RECURSIVE vals AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+    if weighted:
+        vals_sql = f"""
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS wt
+  FROM events
   WHERE value IS NOT NULL
     AND CAST(round(value * 100) AS BIGINT) >= 0
     AND CAST(round(value * 100) AS BIGINT) < {1 << DYADIC_BITS}
+    AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 0"""
+        mass = "sum(wt)"
+    else:
+        vals_sql = f"""
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
+    AND CAST(round(value * 100) AS BIGINT) >= 0
+    AND CAST(round(value * 100) AS BIGINT) < {1 << DYADIC_BITS}"""
+        mass = "count(*)"
+    return f"""
+WITH RECURSIVE vals AS ({vals_sql}
 ), cells AS (
   SELECT t.l AS level, dd.d AS d,
          {h('t.l', 'dd.d', '(v >> t.l)')} % {DYADIC_WIDTH} AS bucket,
-         count(*) AS n
+         {mass} AS n
   FROM vals, range({DYADIC_BITS + 1}) t(l), range({DYADIC_DEPTH}) dd(d)
   GROUP BY 1, 2, 3
 ), root(d, bucket) AS (VALUES
@@ -4857,6 +4893,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Muthukrishnan §5 — the range-count structure's stated purpose);
     # oracle replays the identical walk as a recursive CTE
     "sketch_quantiles": q_sketch_quantiles,
+    # r13: the weighted form (quantileTimingWeighted parity — weight
+    # mass per cell, descent unchanged)
+    "sketch_quantiles_weighted": q_sketch_quantiles_weighted,
     # r13: bounded cluster/representative form of phash media dedup
     # (VERDICT r12 #4) — pairs -> components -> keep-the-largest;
     # output linear in docs however heavy the duplication
@@ -7471,6 +7510,7 @@ FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
     sqls["stream_range_counts"] = sqls["dyadic_range_counts"]
     # sketch quantiles (r13): recursive-CTE replay of the same descent
     sqls["sketch_quantiles"] = _oracle_sketch_quantiles()
+    sqls["sketch_quantiles_weighted"] = _oracle_sketch_quantiles(weighted=True)
     # quantileExactWeighted (r12): same integer rule both sides —
     # smallest v whose running weight reaches ceil(tot * p / 1000);
     # NULL/non-positive weights dropped (the topKWeighted convention)

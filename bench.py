@@ -310,6 +310,8 @@ HEADLINE = [
     "events_limit_by",
     # r13: sketch quantiles by dyadic-CMS descent (bounded-grid walk)
     "sketch_quantiles",
+    # r13: the weighted form (quantileTimingWeighted parity)
+    "sketch_quantiles_weighted",
     # r13: phash media dedup, cluster/representative form (linear output)
     "media_phash_clusters",
     # r13 (VERDICT r12 #5): the pure-Python-pinned tokenizer/packing
@@ -524,6 +526,7 @@ BASELINE_SEC = {
     "stream_range_counts": 23.459,
     "events_limit_by": 0.603,
     "sketch_quantiles": 9.252,
+    "sketch_quantiles_weighted": 11.307,
     "media_phash_clusters": 4.879,
     "unigram_fit": 3.528,
     "unigram_apply": 2.323,

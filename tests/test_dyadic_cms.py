@@ -156,3 +156,48 @@ def test_quantiles_validate_ps(spark):
     for bad in (0, -1, 1001):
         with pytest.raises(ValueError):
             SK.dyadic_quantiles(sk, [bad], 8, 64, 2)
+
+
+def test_weighted_build_counts_weight_mass_and_drop_rule(spark):
+    """weight_col switches the structure to weight-mass counts
+    (quantileTimingWeighted parity): NULL/non-positive weights dropped,
+    cells equal the unweighted build over the weight-expanded rows."""
+    rows = [(5, 3), (5, None), (7, 0), (7, -2), (9, 2)]
+    dfw = spark.createDataFrame(rows, "cents long, w long")
+    expanded = spark.createDataFrame(
+        [(5,)] * 3 + [(9,)] * 2, "cents long"
+    )
+    cw = {
+        (r["level"], r["d"], r["bucket"]): r["n"]
+        for r in SK.dyadic_cms_build(
+            dfw, "cents", 8, 256, 2, weight_col="w"
+        ).collect()
+    }
+    ce = {
+        (r["level"], r["d"], r["bucket"]): r["n"]
+        for r in SK.dyadic_cms_build(expanded, "cents", 8, 256, 2).collect()
+    }
+    assert cw == ce and len(cw) > 0
+
+
+def test_weighted_quantiles_exact_in_wide_grid(spark):
+    """The descent over a weighted structure answers the exact
+    integer weighted-quantile rule (smallest v with cumulative weight
+    >= ceil(p * W / 1000)) in the no-collision regime."""
+    rows = [(v, (v * 7) % 5 + 1) for v in range(0, 200, 3)]
+    df = spark.createDataFrame(rows, "cents long, w long")
+    sk = SK.dyadic_cms_build(df, "cents", 16, 1 << 14, 3, weight_col="w")
+    got = {
+        r["p_permille"]: (r["q_value"], r["target_rank"])
+        for r in SK.dyadic_quantiles(sk, PS, 16, 1 << 14, 3).collect()
+    }
+    total = sum(w for _, w in rows)
+    cum = []
+    acc = 0
+    for v, w in sorted(rows):
+        acc += w
+        cum.append((v, acc))
+    for p in PS:
+        r = (p * total + 999) // 1000
+        q = next(v for v, c in cum if c >= r)
+        assert got[p] == (q, r), (p, got[p], (q, r))

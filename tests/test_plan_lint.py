@@ -66,6 +66,7 @@ _NESTED_LOOP_OK = {
     "hybrid_indexed",  # bm25_lookup's 1-row corpus-agg broadcast rides along (bm25_indexed's class)
     "perplexity_buckets",  # bigram_rarity's per-position rows x broadcast(1-row corpus-total agg)
     "sketch_quantiles",  # |ps|-row literal frame x broadcast(1-row root-total agg); tfidf_top_terms' scalar class
+    "sketch_quantiles_weighted",  # same walk over the weighted grid
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

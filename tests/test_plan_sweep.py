@@ -156,6 +156,8 @@ ALLOWED_BHJ = {
     # (<= depth * width rows each); the 3-row literal root-cell join
     # — every build side is grid-bounded, none scales with the corpus
     "sketch_quantiles": 16,
+    # the same descent over the weighted grid — identical join shape
+    "sketch_quantiles_weighted": 16,
 }
 
 

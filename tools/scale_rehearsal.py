@@ -190,6 +190,9 @@ FAMILIES = [
     # broadcast level-slices of the bounded grid — query-time work is
     # corpus-independent by construction; the curve measures the build)
     "sketch_quantiles",
+    # r13: the weighted form — identical bounded-grid walk, cells carry
+    # weight mass (same universe-bounded aggregate regime)
+    "sketch_quantiles_weighted",
     # r13: cluster/representative form of phash media dedup — the pair
     # blow-up (quadratic in duplicate-class size) collapses to one row
     # per component before any sink; curve = hash pass + CC rounds
