@@ -205,6 +205,88 @@ def sequence_count(
     )
 
 
+def sequence_match_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: Sequence[Column],
+    max_gap_seconds: Sequence[int | None],
+) -> DataFrame:
+    """ClickHouse `sequenceMatch('(?1)(?t<=g1)(?2)(?t<=g2)(?3)')` parity
+    — the time-CONDITION pattern form, where each ADJACENT pair of
+    matched steps must occur within its own gap, as opposed to
+    `windowFunnel`'s single window anchored at the chain's first event.
+    `max_gap_seconds[i]` bounds ts(step i+2) - ts(step i+1); None means
+    unconstrained (the `.*` form between those steps).
+
+    Output: (k, seq_level) — the longest PREFIX of `steps` some
+    gap-valid chain completes, in [1, len(steps)]; `sequenceMatch` of
+    the full pattern is `seq_level = len(steps)`.  Keys with no step-1
+    event are absent (the level-0 rule).
+
+    Semantics and determinism: the shared `tick_expr` total order and
+    one-vote-per-(key, ts, step) contract (module docstring).  The fold
+    keeps, per depth, the MAXIMAL chain-END time: an upper-bounded gap
+    can only get easier as the previous end moves later, so a fresher
+    end dominates an earlier one for every possible extension and the
+    greedy fold decides exactly the exists-a-chain predicate the SQL
+    oracle states with joins.  (Lower-bound `(?t>g)` forms break that
+    dominance and are deliberately NOT supported — a stated contract,
+    not an oversight.)
+
+    Plan shape: window_funnel's verbatim — one hash aggregate collecting
+    each key's matching-event ticks (map-side combinable sets), then a
+    codegen `aggregate` fold; no join, no window sort, no Python.
+    """
+    n = len(steps)
+    if not 1 <= n <= _TICK_BASE:
+        raise ValueError(f"1..{_TICK_BASE} steps supported, got {n}")
+    if len(max_gap_seconds) != n - 1:
+        raise ValueError("need exactly len(steps) - 1 gap bounds")
+    gaps_us = [
+        None if g is None else int(g) * 1_000_000 for g in max_gap_seconds
+    ]
+
+    ticks = (
+        df.select(
+            F.col(key_col).alias("k"),
+            tick_expr(ts_col, steps).alias("tick"),
+        )
+        .filter(F.col("tick").isNotNull())
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_set("tick")).alias("ticks"))
+    )
+
+    def fold(acc: Column, t: Column) -> Column:
+        step = t % _TICK_BASE
+        t_us = F.shiftright(t, _TICK_SHIFT)  # exact un-encode (see above)
+        slots = []
+        for j in range(n):
+            if j == 0:
+                upd = F.when(step == 0, F.greatest(acc[0], t_us)).otherwise(acc[0])
+            else:
+                ok = (step == j) & (acc[j - 1] >= 0)
+                if gaps_us[j - 1] is not None:
+                    ok = ok & (t_us - acc[j - 1] <= F.lit(gaps_us[j - 1]))
+                # chain END time: sorted ticks make t_us >= any prior slot
+                upd = F.when(ok, F.greatest(acc[j], t_us)).otherwise(acc[j])
+            slots.append(upd)
+        return F.array(*slots)
+
+    def deepest(a: Column) -> Column:
+        slots = [
+            F.when(a[j] >= 0, F.lit(j + 1)).otherwise(F.lit(0)) for j in range(n)
+        ]
+        return (slots[0] if n == 1 else F.greatest(*slots)).cast("int")
+
+    init = F.array_repeat(F.lit(-1).cast("long"), n)
+    depth = F.aggregate("ticks", init, fold, deepest)
+    return (
+        ticks.select(F.col("k"), depth.alias("seq_level"))
+        .filter(F.col("seq_level") >= 1)
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     key_col: str,

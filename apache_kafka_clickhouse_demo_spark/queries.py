@@ -3360,6 +3360,27 @@ def q_sequence_count(spark, sf_dir):
     )
 
 
+#: adjacent-pair gap bounds for the sequenceMatch time-condition row
+SEQ_GAPS_S = (3600, 7200)
+
+
+def q_sequence_match_time(spark, sf_dir):
+    """sequenceMatch('(?1)(?t<=3600)(?2)(?t<=7200)(?3)') parity (r13,
+    operators/funnel.py sequence_match_gaps): per user, the longest
+    prefix of view -> click -> purchase completed by a chain whose
+    ADJACENT steps each land within their own gap — the time-CONDITION
+    pattern form windowFunnel's single first-event-anchored window
+    cannot express.  seq_level = 3 is the full-pattern sequenceMatch."""
+    steps = [F.col("event_type") == s for s in FUNNEL_STEPS]
+    return (
+        funnel.sequence_match_gaps(
+            _t(spark, sf_dir, "events"), "user_id", "ts", steps, SEQ_GAPS_S
+        )
+        .select(F.col("k").alias("user_id"), "seq_level")
+        .orderBy("user_id")
+    )
+
+
 def q_unigram_rarity(spark, sf_dir):
     """Unigram-LM surprisal quality filter (CCNet/Gopher perplexity-filter
     family) over the documents table: per-document reciprocal-frequency
@@ -4896,6 +4917,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13: the weighted form (quantileTimingWeighted parity — weight
     # mass per cell, descent unchanged)
     "sketch_quantiles_weighted": q_sketch_quantiles_weighted,
+    # r13: sequenceMatch time-condition parity (per-adjacent-pair gap
+    # bounds; declarative exists-a-chain oracle via joins)
+    "sequence_match_time": q_sequence_match_time,
     # r13: bounded cluster/representative form of phash media dedup
     # (VERDICT r12 #4) — pairs -> components -> keep-the-largest;
     # output linear in docs however heavy the duplication
@@ -5829,6 +5853,33 @@ GROUP BY day ORDER BY day
         "funnel_levels": _funnel_oracle(),
         # greedy earliest-match fold mirrored with DuckDB's list_reduce
         # (init element prepended; acc = [pointer, count] BIGINT pair)
+        "sequence_match_time": """
+WITH ev AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) AS us,
+         CASE event_type WHEN 'view' THEN 0
+                         WHEN 'click' THEN 1 ELSE 2 END AS step
+  FROM events WHERE event_type IN ('view','click','purchase')
+), c1 AS (
+  SELECT DISTINCT u FROM ev WHERE step = 0
+), c2 AS (
+  -- tick order: step 0 < step 1 at equal ts, so a.us <= b.us suffices
+  SELECT DISTINCT a.u
+  FROM ev a JOIN ev b ON a.u = b.u
+  WHERE a.step = 0 AND b.step = 1
+    AND a.us <= b.us AND b.us - a.us <= 3600000000
+), c3 AS (
+  SELECT DISTINCT a.u
+  FROM ev a JOIN ev b ON a.u = b.u JOIN ev c ON b.u = c.u
+  WHERE a.step = 0 AND b.step = 1 AND c.step = 2
+    AND a.us <= b.us AND b.us - a.us <= 3600000000
+    AND b.us <= c.us AND c.us - b.us <= 7200000000
+)
+SELECT u AS user_id,
+       CAST(CASE WHEN u IN (SELECT u FROM c3) THEN 3
+                 WHEN u IN (SELECT u FROM c2) THEN 2
+                 ELSE 1 END AS INTEGER) AS seq_level
+FROM c1 ORDER BY user_id
+""",
         "sequence_count": f"""
 WITH ev AS (
   SELECT DISTINCT user_id AS u,

@@ -312,6 +312,8 @@ HEADLINE = [
     "sketch_quantiles",
     # r13: the weighted form (quantileTimingWeighted parity)
     "sketch_quantiles_weighted",
+    # r13: sequenceMatch time-condition parity (adjacent-pair gaps)
+    "sequence_match_time",
     # r13: phash media dedup, cluster/representative form (linear output)
     "media_phash_clusters",
     # r13 (VERDICT r12 #5): the pure-Python-pinned tokenizer/packing
@@ -527,6 +529,7 @@ BASELINE_SEC = {
     "events_limit_by": 0.603,
     "sketch_quantiles": 9.252,
     "sketch_quantiles_weighted": 11.307,
+    "sequence_match_time": 1.114,
     "media_phash_clusters": 4.879,
     "unigram_fit": 3.528,
     "unigram_apply": 2.323,

@@ -229,3 +229,50 @@ def test_sequence_count_equal_ts_orders_by_step(spark):
         (1, "buy", "2024-01-01 10:00:00"),
     ]
     assert _counts(spark, rows) == {1: 1}
+
+
+def test_sequence_match_gaps_constrain_adjacent_pairs(spark):
+    """r13 sequenceMatch('(?1)(?t<=g1)(?2)(?t<=g2)(?3)') parity: gaps
+    bind per ADJACENT pair (not windowFunnel's whole-chain window), a
+    fresher prior-step end rescues a chain an older one would fail
+    (the dominance the fold relies on), and lower-bound forms raise."""
+    import datetime as dt
+
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.operators import funnel as FU
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, etype, mins):
+        return (uid, etype, t0 + dt.timedelta(minutes=mins))
+
+    rows = [
+        # u1: view@0 click@30 purchase@90 -> gaps 30m, 60m: full match
+        ev(1, "view", 0), ev(1, "click", 30), ev(1, "purchase", 90),
+        # u2: view@0 click@120 -> first gap 120m > 60m: stuck at 1
+        ev(2, "view", 0), ev(2, "click", 120), ev(2, "purchase", 125),
+        # u3: purchase only -> absent (no step-1 event)
+        ev(3, "purchase", 5),
+        # u4: dominance: early view@0 (click@70 fails 60m gap) but a
+        # FRESHER view@20 makes click@70 valid; purchase@200 fails the
+        # second gap (130m > 120m) -> level 2
+        ev(4, "view", 0), ev(4, "view", 20), ev(4, "click", 70),
+        ev(4, "purchase", 200),
+        # u5: whole-chain duration 170m exceeds any 150m window, but
+        # each adjacent gap is fine -> full match (the form windowFunnel
+        # cannot express)
+        ev(5, "view", 0), ev(5, "click", 55), ev(5, "purchase", 170),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    got = {
+        r["k"]: r["seq_level"]
+        for r in FU.sequence_match_gaps(
+            df, "user_id", "ts", steps, (3600, 7200)
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 4: 2, 5: 3}
+
+    with pytest.raises(ValueError):
+        FU.sequence_match_gaps(df, "user_id", "ts", steps, (3600,))

@@ -193,6 +193,9 @@ FAMILIES = [
     # r13: the weighted form — identical bounded-grid walk, cells carry
     # weight mass (same universe-bounded aggregate regime)
     "sketch_quantiles_weighted",
+    # r13: sequenceMatch time-condition form (window_funnel's plan
+    # family verbatim: one tick aggregate + codegen fold)
+    "sequence_match_time",
     # r13: cluster/representative form of phash media dedup — the pair
     # blow-up (quadratic in duplicate-class size) collapses to one row
     # per component before any sink; curve = hash pass + CC rounds
