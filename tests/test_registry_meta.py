@@ -20,12 +20,24 @@ def test_gate_and_extras_do_not_overlap():
 
 
 def test_bench_headline_exists_and_baselines_point_at_headliners():
-    all_queries = {**Q.QUERIES, **Q.EXTRA_QUERIES}
-    missing = [n for n in bench.HEADLINE if n not in all_queries]
+    # bench rows resolve in the registry OR in bench.BENCH_ONLY (the
+    # r13 non-SQL-expressible trend rows: unigram fit/apply, FFD
+    # packing and its streaming twin)
+    missing = [n for n in bench.HEADLINE if n not in bench.ALL_QUERIES]
     assert missing == [], f"HEADLINE names not in any registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
-    stray = [n for n in bench.BASELINE_SEC if n not in bench.HEADLINE]
+    # r13 tiering: a baseline may point at a SAMPLED_TIER row that is
+    # not in this round's window — but never at an unknown name
+    allowed = set(bench.HEADLINE) | set(bench.SAMPLED_TIER)
+    stray = [n for n in bench.BASELINE_SEC if n not in allowed]
     assert stray == [], f"stall-guard baselines for non-headline queries: {stray}"
+    assert set(bench.SAMPLED_TIER) <= set(bench.ALL_QUERIES)
+    # every tier row gets a trend point within a full rotation cycle
+    cycle = set()
+    n_rounds = -(-len(bench.SAMPLED_TIER) // bench.SAMPLE_K)
+    for r in range(1, n_rounds + 1):
+        cycle |= set(bench._sampled_window(r))
+    assert cycle == set(bench.SAMPLED_TIER)
 
 
 def test_every_headliner_has_a_stall_guard_entry():
