@@ -886,3 +886,176 @@ def margin_bitext(
         F.col("m.margin").alias("margin"),
         (F.col("m.margin") >= F.lit(threshold)).alias("mined"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ-ADC): Jégou, Douze & Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS
+# memory-bound serving path the SQ8/IVF/RP-LSH trio was missing.
+# ---------------------------------------------------------------------------
+
+#: micro-unit fixed point for PQ distances: quantizing every per-subspace
+#: partial distance to floor(d * 1e6 + 0.5) makes the ADC sum an INTEGER —
+#: order-free across partitions and exactly mirrored by the oracle (the
+#: rrf_score_nano / feature_ufp precedent); 1e-6 is far below any ranking
+#: gap the 64-dim unit vectors produce.
+PQ_MICRO = 1_000_000
+
+
+def _pq_subvectors(df, dim: int, m: int, id_col: str, out_id: str, vec_col: str):
+    """(out_id, m, sv): each vector normalized once, then split into m
+    contiguous subvectors of dim/m components (posexplode keeps the
+    subspace index)."""
+    ds = dim // m
+    nv = df.select(
+        F.col(id_col).alias(out_id), V.normalize(vec_col).alias("nv")
+    )
+    slices = F.array(*[F.slice("nv", j * ds + 1, ds) for j in range(m)])
+    return nv.select(out_id, F.posexplode(slices).alias("m", "sv"))
+
+
+def _pq_dist_micro(a: str, b: str) -> Column:
+    """Integer micro-unit squared L2 between two subvectors: the fold
+    accumulates (x-y)^2 left-to-right in double (the V.dot order
+    contract) and quantizes ONCE at the end."""
+    sq = F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(sq * PQ_MICRO + F.lit(0.5)).cast("long")
+
+
+def pq_codes(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    target_codes: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "pq:",
+    corpus_count: int | None = None,
+):
+    """Per-subspace codebooks + corpus PQ codes.
+
+    Codebooks are deterministic hash-samples per subspace (expected
+    ~target_codes entries at ANY corpus size; code id = donor vec_id —
+    the IVF cent_id convention, no renumbering pass), so the DuckDB
+    oracle reproduces the draw exactly.  Encoding assigns each vector's
+    subvector to its nearest codebook entry by INTEGER micro-L2 (ties
+    -> smallest code) — one broadcast join on the subspace key + one
+    min_by hash aggregate.
+
+    Returns (cb, codes): cb = (m, code, cv), bounded ~m*target_codes
+    rows by the sampling construction; codes = (vid, m, code) — the
+    m-byte-per-vector compressed corpus representation (kept in long
+    form: ADC consumes exactly this shape).
+
+    Plan shape at 100 TB: the corpus-scale work is one m-way row-local
+    fan-out + one broadcast-join-and-aggregate pass; the codebook draw
+    is a filter on the same pass.  Codes are what downstream serving
+    reads — m codes instead of dim floats, the 32x scan-bytes cut that
+    is PQ's entire point.
+    """
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    n = corpus_count if corpus_count is not None else _memoized_count(corpus)
+    modulus = max(1, n // target_codes)
+    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+
+    sub = _pq_subvectors(spread_small(corpus), dim, m, id_col, "vid", vec_col)
+    cb = sub.filter(
+        H.h48(
+            F.concat(
+                F.lit(salt),
+                F.col("m").cast("string"),
+                F.lit(":"),
+                F.col("vid").cast("string"),
+            )
+        )
+        % modulus
+        == 0
+    ).select("m", F.col("vid").alias("code"), F.col("sv").alias("cv"))
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vid", "m", "code", _pq_dist_micro("sv", "cv").alias("dmicro"))
+        .groupBy("vid", "m")
+        .agg(F.min_by("code", F.struct("dmicro", "code")).alias("code"))
+    )
+    return cb, codes
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    target_codes: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "pq:",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the ADC form: queries
+    stay exact, the corpus is its codes): per query, a distance TABLE
+    of integer micro partial distances to every codebook entry
+    (|queries| * m * target_codes rows, bounded), then each doc's ADC
+    distance is the SUM of its m addressed table cells — one equi-join
+    of the long-form codes against the broadcast table + one integer
+    sum aggregate, never a vector op against the corpus at query time.
+
+    Output: (query_id, neighbor_id, rank, adc_dist_micro), rank 1..k by
+    (distance asc, neighbor_id asc); self-matches excluded.  Approximate
+    by construction (quantization error); hash-exact vs the oracle
+    because both engines walk identical integer tables.
+
+    Plan shape at 100 TB: the corpus-side scan reads CODES, not
+    embeddings (m longs vs dim floats — the memory-bound serving
+    regime); scoring is m bounded-table lookups per doc via one
+    broadcast hash join, partial-aggregated map-side; top-k is the
+    two-phase (query, partition) merge every ANN operator here uses.
+    """
+    cb, codes = pq_codes(
+        corpus, dim, m=m, target_codes=target_codes,
+        vec_col=vec_col, id_col=id_col, salt=salt,
+    )
+    qsub = _pq_subvectors(queries, dim, m, id_col, "query_id", vec_col)
+    dtable = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", _pq_dist_micro("sv", "cv").alias("pdist")
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum("pdist").cast("long").alias("adc"))
+        .select(
+            "query_id",
+            F.struct(
+                F.col("adc").alias("adc"),
+                F.col("vid").alias("neighbor_id"),
+            ).alias("entry"),
+        )
+    )
+    partial = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list("entry")), 1, k).alias("topk"))
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("topk"))), 1, k).alias(
+            "topk"
+        )
+    )
+    return (
+        merged.select("query_id", F.posexplode("topk").alias("_pos", "e"))
+        .select(
+            "query_id",
+            F.col("e.neighbor_id").alias("neighbor_id"),
+            (F.col("_pos") + 1).alias("rank"),
+            F.col("e.adc").alias("adc_dist_micro"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1903,6 +1903,29 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+PQ_M = 8
+PQ_TARGET_CODES = 64
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ-ADC approximate top-k (similarity.pq_adc_topk — Jégou et al.
+    2011, the FAISS memory-bound serving path): per-subspace
+    hash-sampled codebooks, corpus compressed to m codes per vector,
+    queries scored by summing integer micro-unit distance-table cells.
+    Completes the ANN quantization family (SQ8 = scalar, IVF = coarse,
+    PQ = product); recall vs the exact operator bounded in
+    tests/test_ann_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < ANN_NUM_QUERIES),
+        dim=EMBED_DIM,
+        k=ANN_K,
+        m=PQ_M,
+        target_codes=PQ_TARGET_CODES,
+    )
+
+
 def q_ann_sq8_topk(spark, sf_dir):
     """Int8-quantized brute-force ANN (similarity.sq8_topk): per-vector
     symmetric scalar quantization, integer-dot scoring — the ~4-8x
@@ -4920,6 +4943,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13: sequenceMatch time-condition parity (per-adjacent-pair gap
     # bounds; declarative exists-a-chain oracle via joins)
     "sequence_match_time": q_sequence_match_time,
+    # r13: PQ-ADC approximate top-k (Jégou et al. 2011 — completes the
+    # ANN quantization family: SQ8 scalar / IVF coarse / PQ product)
+    "ann_pq_topk": q_ann_pq_topk,
     # r13: bounded cluster/representative form of phash media dedup
     # (VERDICT r12 #4) — pairs -> components -> keep-the-largest;
     # output linear in docs however heavy the duplication
@@ -5342,6 +5368,66 @@ WITH nemb AS ({nemb}),
 SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos_sim
 FROM ranked WHERE rnk <= {ANN_K}
 ORDER BY query_id, rank
+"""
+
+
+def _oracle_ann_pq() -> str:
+    """Mirror of pq_codes + pq_adc_topk: same normalized subvector
+    slices, same per-subspace hash-sampled codebooks (modulus from the
+    corpus count), same integer micro-L2 cells, same ADC integer sums
+    and (dist asc, id asc) ranking."""
+    norm = V.sql_normalize("embedding", EMBED_DIM)
+    ds = EMBED_DIM // PQ_M
+    h = H.sql_h48(
+        "'pq:' || CAST(m AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)"
+    )
+    dist_sc = (
+        f"CAST(floor(list_sum(list_transform(range(1, {ds + 1}), "
+        f"i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) "
+        f"* 1000000.0 + 0.5) AS BIGINT)"
+    )
+    dist_qc = dist_sc.replace("s.sv", "q.sv")
+    return f"""
+WITH nv AS (
+  SELECT vec_id, {norm} AS nv FROM embeddings
+), sub AS (
+  SELECT vec_id, CAST(j AS INTEGER) AS m,
+         nv[j * {ds} + 1 : j * {ds} + {ds}] AS sv
+  FROM nv, range({PQ_M}) t(j)
+), params AS (
+  SELECT greatest(1, count(*) // {PQ_TARGET_CODES}) AS modulus
+  FROM embeddings
+), cb AS (
+  SELECT m, vec_id AS code, sv AS cv FROM sub, params
+  WHERE {h} % modulus = 0
+), enc AS (
+  SELECT s.vec_id AS vid, s.m, c.code, {dist_sc} AS dmicro
+  FROM sub s JOIN cb c ON s.m = c.m
+), codes AS (
+  SELECT vid, m, code FROM (
+    SELECT vid, m, code,
+           row_number() OVER (PARTITION BY vid, m
+                              ORDER BY dmicro, code) AS rn
+    FROM enc) WHERE rn = 1
+), dtable AS (
+  SELECT q.vec_id AS query_id, q.m, c.code, {dist_qc} AS pdist
+  FROM (SELECT * FROM sub WHERE vec_id < {ANN_NUM_QUERIES}) q
+  JOIN cb c ON q.m = c.m
+), scored AS (
+  SELECT d.query_id, k.vid AS neighbor_id,
+         CAST(sum(d.pdist) AS BIGINT) AS adc
+  FROM codes k JOIN dtable d ON k.m = d.m AND k.code = d.code
+  WHERE k.vid <> d.query_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+       adc AS adc_dist_micro
+FROM r WHERE rnk <= {ANN_K} ORDER BY query_id, rank
 """
 
 
@@ -6875,6 +6961,7 @@ ORDER BY id_a, id_b
         "ann_lsh_topk": _oracle_ann_topk(use_lsh=True),
         "ann_ivf_topk": _oracle_ann_ivf(),
         "ann_sq8_topk": _oracle_ann_sq8(),
+        "ann_pq_topk": _oracle_ann_pq(),
         "url_blocklist": f"""
 WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
 n AS (SELECT doc_id,

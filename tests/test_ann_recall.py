@@ -200,3 +200,37 @@ def test_diverse_sample_two_level_identical_to_one_hop(spark, monkeypatch):
     two_level = rows(sampling.diverse_sample(corpus, 2, target_centroids=64))
     assert two_level == one_hop
     assert len({c for c, _, _ in one_hop}) > 10  # real multi-cell quota
+
+
+def test_pq_planted_duplicate_rank1_and_recall(spark, sf_dir):
+    """PQ-ADC contracts (r13): (a) a planted exact-direction duplicate
+    normalizes to the identical vector, so every subvector takes the
+    SAME code as its original and ADC(query, plant) is the minimal
+    self-distance -> rank 1; (b) recall@10 vs brute force on the random
+    gate fixture must clear a floor — PQ quantizes 8-dim subspaces to
+    ~64 codes, far coarser than SQ8, so the floor is the approximate
+    operator's honest level, not SQ8's 0.8."""
+    corpus, queries = _fixture(spark)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.pq_adc_topk(
+            corpus, queries, dim=DIM, k=10, m=4, target_codes=32
+        ).collect()
+    }
+    for qid in range(N_QUERIES):
+        assert got[(qid, 1)] == PLANT_BASE + qid
+
+    from apache_kafka_clickhouse_demo_spark import queries as Q
+
+    all_queries = {**Q.QUERIES, **Q.EXTRA_QUERIES}
+    exact = all_queries["ann_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = all_queries["ann_pq_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    total = exact.count()
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    recall = hits / total
+    print(f"ann_pq_topk: recall@10 = {recall:.3f}")
+    assert recall >= 0.3, f"pq recall {recall:.3f} under floor"

@@ -158,6 +158,14 @@ ALLOWED_BHJ = {
     "sketch_quantiles": 16,
     # the same descent over the weighted grid — identical join shape
     "sketch_quantiles_weighted": 16,
+    # PQ-ADC's three builds, all bounded by the sampling/query-set
+    # construction at ANY corpus size: (a) the per-subspace codebook
+    # (expected m * target_codes rows — the hash-sample modulus scales
+    # with the corpus, the IVF cents argument) joined to encode the
+    # corpus, (b) the same codebook joined to build the query distance
+    # table, (c) the distance table itself (<= |queries| * m *
+    # codebook rows) joined against the long-form codes
+    "ann_pq_topk": 3,
 }
 
 

@@ -196,6 +196,9 @@ FAMILIES = [
     # r13: sequenceMatch time-condition form (window_funnel's plan
     # family verbatim: one tick aggregate + codegen fold)
     "sequence_match_time",
+    # r13: PQ-ADC top-k (codebook draw + encode pass + bounded
+    # distance-table join; corpus-side work is the m-way fan-out)
+    "ann_pq_topk",
     # r13: cluster/representative form of phash media dedup — the pair
     # blow-up (quadratic in duplicate-class size) collapses to one row
     # per component before any sink; curve = hash pass + CC rounds
