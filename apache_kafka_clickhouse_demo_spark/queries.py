@@ -1926,6 +1926,25 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (similarity.ivfpq_topk — the full FAISS IVFPQ serving
+    composition): the gate-green coarse quantizer prunes to nprobe
+    cells, the PQ machinery ADC-scores only the pruned candidates over
+    m-code compressed vectors — at 100 TB the cell join ships codes,
+    not embeddings, and scoring touches ~nprobe/K of the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < ANN_NUM_QUERIES),
+        dim=EMBED_DIM,
+        k=ANN_K,
+        m=PQ_M,
+        target_codes=PQ_TARGET_CODES,
+        nprobe=IVF_NPROBE,
+        target_centroids=IVF_TARGET_CENTROIDS,
+    )
+
+
 def q_ann_sq8_topk(spark, sf_dir):
     """Int8-quantized brute-force ANN (similarity.sq8_topk): per-vector
     symmetric scalar quantization, integer-dot scoring — the ~4-8x
@@ -4946,6 +4965,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13: PQ-ADC approximate top-k (Jégou et al. 2011 — completes the
     # ANN quantization family: SQ8 scalar / IVF coarse / PQ product)
     "ann_pq_topk": q_ann_pq_topk,
+    # r13: IVF-PQ composition (coarse prune + ADC over codes — the
+    # 100 TB serving shape)
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     # r13: bounded cluster/representative form of phash media dedup
     # (VERDICT r12 #4) — pairs -> components -> keep-the-largest;
     # output linear in docs however heavy the duplication
@@ -5371,12 +5393,14 @@ ORDER BY query_id, rank
 """
 
 
-def _oracle_ann_pq() -> str:
-    """Mirror of pq_codes + pq_adc_topk: same normalized subvector
-    slices, same per-subspace hash-sampled codebooks (modulus from the
-    corpus count), same integer micro-L2 cells, same ADC integer sums
-    and (dist asc, id asc) ranking."""
-    norm = V.sql_normalize("embedding", EMBED_DIM)
+def _sql_pq_codes() -> str:
+    """Shared PQ mirror CTE text (sub/pqparams/cb/enc/codes) over an
+    in-scope `nemb(vec_id, nv)` CTE — used by BOTH the plain PQ-ADC
+    oracle and the IVF-PQ oracle so the two SQL mirrors cannot drift
+    (the `_sql_ivf_quantizer` precedent).  Mirrors pq_codes exactly:
+    same subvector slices, same per-subspace hash-sample (modulus from
+    the corpus count), same integer micro-L2 and (dmicro, code)
+    tie-break."""
     ds = EMBED_DIM // PQ_M
     h = H.sql_h48(
         "'pq:' || CAST(m AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)"
@@ -5386,38 +5410,81 @@ def _oracle_ann_pq() -> str:
         f"i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) "
         f"* 1000000.0 + 0.5) AS BIGINT)"
     )
-    dist_qc = dist_sc.replace("s.sv", "q.sv")
-    return f"""
-WITH nv AS (
-  SELECT vec_id, {norm} AS nv FROM embeddings
-), sub AS (
+    return f"""sub AS (
   SELECT vec_id, CAST(j AS INTEGER) AS m,
          nv[j * {ds} + 1 : j * {ds} + {ds}] AS sv
-  FROM nv, range({PQ_M}) t(j)
-), params AS (
+  FROM nemb, range({PQ_M}) t(j)
+), pqparams AS (
   SELECT greatest(1, count(*) // {PQ_TARGET_CODES}) AS modulus
   FROM embeddings
 ), cb AS (
-  SELECT m, vec_id AS code, sv AS cv FROM sub, params
+  SELECT m, vec_id AS code, sv AS cv FROM sub, pqparams
   WHERE {h} % modulus = 0
 ), enc AS (
-  SELECT s.vec_id AS vid, s.m, c.code, {dist_sc} AS dmicro
+  SELECT s.vec_id AS cvid, s.m, c.code, {dist_sc} AS dmicro
   FROM sub s JOIN cb c ON s.m = c.m
 ), codes AS (
-  SELECT vid, m, code FROM (
-    SELECT vid, m, code,
-           row_number() OVER (PARTITION BY vid, m
+  SELECT cvid, m, code FROM (
+    SELECT cvid, m, code,
+           row_number() OVER (PARTITION BY cvid, m
                               ORDER BY dmicro, code) AS rn
     FROM enc) WHERE rn = 1
 ), dtable AS (
-  SELECT q.vec_id AS query_id, q.m, c.code, {dist_qc} AS pdist
-  FROM (SELECT * FROM sub WHERE vec_id < {ANN_NUM_QUERIES}) q
-  JOIN cb c ON q.m = c.m
-), scored AS (
-  SELECT d.query_id, k.vid AS neighbor_id,
+  SELECT s.vec_id AS query_id, s.m, c.code, {dist_sc} AS pdist
+  FROM sub s JOIN cb c ON s.m = c.m
+  WHERE s.vec_id < {ANN_NUM_QUERIES}
+)"""
+
+
+def _oracle_ann_pq() -> str:
+    """Mirror of pq_codes + pq_adc_topk: shared PQ CTEs, full-corpus ADC
+    integer sums, (dist asc, id asc) ranking."""
+    norm = V.sql_normalize("embedding", EMBED_DIM)
+    return f"""
+WITH nemb AS (
+  SELECT vec_id, {norm} AS nv FROM embeddings
+), {_sql_pq_codes()}, scored AS (
+  SELECT d.query_id, k.cvid AS neighbor_id,
          CAST(sum(d.pdist) AS BIGINT) AS adc
   FROM codes k JOIN dtable d ON k.m = d.m AND k.code = d.code
-  WHERE k.vid <> d.query_id
+  WHERE k.cvid <> d.query_id
+  GROUP BY 1, 2
+), r AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+       adc AS adc_dist_micro
+FROM r WHERE rnk <= {ANN_K} ORDER BY query_id, rank
+"""
+
+
+def _oracle_ann_ivfpq() -> str:
+    """Mirror of ivfpq_topk: the shared IVF quantizer CTEs (same probe
+    decisions as the ann_ivf_topk oracle) pruning the candidates, then
+    the shared PQ CTEs scoring them by ADC integer sums."""
+    return f"""
+WITH {_sql_ivf_quantizer('avid')}, {_sql_pq_codes()}, probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {V.sql_dot('q.nv', 'c.cv', EMBED_DIM)} DESC,
+                                       c.cent_id) AS rn
+    FROM nemb q, cents c WHERE q.vec_id < {ANN_NUM_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+), cands AS (
+  SELECT p.query_id, a.avid AS vid
+  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+  WHERE a.avid <> p.query_id
+), scored AS (
+  SELECT cd.query_id, cd.vid AS neighbor_id,
+         CAST(sum(d.pdist) AS BIGINT) AS adc
+  FROM cands cd
+  JOIN codes k ON cd.vid = k.cvid
+  JOIN dtable d ON d.query_id = cd.query_id
+               AND d.m = k.m AND d.code = k.code
   GROUP BY 1, 2
 ), r AS (
   SELECT query_id, neighbor_id, adc,
@@ -6962,6 +7029,7 @@ ORDER BY id_a, id_b
         "ann_ivf_topk": _oracle_ann_ivf(),
         "ann_sq8_topk": _oracle_ann_sq8(),
         "ann_pq_topk": _oracle_ann_pq(),
+        "ann_ivfpq_topk": _oracle_ann_ivfpq(),
         "url_blocklist": f"""
 WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
 n AS (SELECT doc_id,

@@ -316,6 +316,8 @@ HEADLINE = [
     "sequence_match_time",
     # r13: PQ-ADC approximate top-k (completes the quantization family)
     "ann_pq_topk",
+    # r13: IVF-PQ composition (the 100 TB serving shape)
+    "ann_ivfpq_topk",
     # r13: phash media dedup, cluster/representative form (linear output)
     "media_phash_clusters",
     # r13 (VERDICT r12 #5): the pure-Python-pinned tokenizer/packing
@@ -533,6 +535,7 @@ BASELINE_SEC = {
     "sketch_quantiles_weighted": 11.307,
     "sequence_match_time": 1.114,
     "ann_pq_topk": 2.405,
+    "ann_ivfpq_topk": 3.188,
     "media_phash_clusters": 4.879,
     "unigram_fit": 3.528,
     "unigram_apply": 2.323,

@@ -234,3 +234,68 @@ def test_pq_planted_duplicate_rank1_and_recall(spark, sf_dir):
     recall = hits / total
     print(f"ann_pq_topk: recall@10 = {recall:.3f}")
     assert recall >= 0.3, f"pq recall {recall:.3f} under floor"
+
+
+def test_ivfpq_planted_duplicate_rank1_and_probed_subset(spark, sf_dir):
+    """IVF-PQ contracts (r13): (a) a planted exact-direction duplicate
+    lands in its original's cell (scale-invariant assignment) AND takes
+    identical codes -> rank 1; (b) its results are a SUBSET of plain
+    PQ-ADC's candidate relation restricted to probed cells — per query
+    every returned neighbor must also appear in that query's IVF cell
+    probe (the pruning really prunes, scoring identical)."""
+    corpus, queries = _fixture(spark)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.ivfpq_topk(
+            corpus, queries, dim=DIM, k=10, m=4, target_codes=32,
+            nprobe=2, target_centroids=16,
+        ).collect()
+    }
+    for qid in range(N_QUERIES):
+        assert got[(qid, 1)] == PLANT_BASE + qid
+
+    from apache_kafka_clickhouse_demo_spark import queries as Q
+
+    all_queries = {**Q.QUERIES, **Q.EXTRA_QUERIES}
+    ivf = all_queries["ann_ivf_topk"](spark, sf_dir)
+    ivfpq = all_queries["ann_ivfpq_topk"](spark, sf_dir)
+    # same probe decisions: every IVF-PQ neighbor lives in a probed
+    # cell, so it must appear among the IVF arm's CANDIDATES — checked
+    # through the cell relation itself
+    from apache_kafka_clickhouse_demo_spark.operators import similarity as SS
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents, assign = SS.ivf_quantize(
+        emb, Q.IVF_TARGET_CENTROIDS, "embedding", "vec_id", Q.IVF_SALT, n
+    )
+    q = emb.filter(F.col("vec_id") < Q.ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+    )
+    probed = (
+        ivfpq.select("query_id", F.col("neighbor_id").alias("vid"))
+        .join(assign.select("vid", "cent_id"), "vid")
+        .select("query_id", "cent_id")
+        .distinct()
+    )
+    # each (query, cell) pair used by a returned neighbor must be one of
+    # the query's nprobe probes — recompute them independently
+    from pyspark.sql import Window as W
+
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+
+    qn = emb.filter(F.col("vec_id") < Q.ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), V.normalize("embedding").alias("qn")
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    probes = (
+        qn.crossJoin(F.broadcast(cents))
+        .select("query_id", "cent_id", V.dot("qn", "cv").alias("ccos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= Q.IVF_NPROBE)
+        .select("query_id", "cent_id")
+    )
+    stray = probed.join(probes, ["query_id", "cent_id"], "left_anti").count()
+    assert stray == 0

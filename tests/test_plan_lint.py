@@ -67,6 +67,7 @@ _NESTED_LOOP_OK = {
     "perplexity_buckets",  # bigram_rarity's per-position rows x broadcast(1-row corpus-total agg)
     "sketch_quantiles",  # |ps|-row literal frame x broadcast(1-row root-total agg); tfidf_top_terms' scalar class
     "sketch_quantiles_weighted",  # same walk over the weighted grid
+    "ann_ivfpq_topk",  # probe selection: queries x broadcast(fixed-target centroid table), ann_ivf_topk's class (the PQ stages join on keys, no nested loop)
 }
 
 _ALL = {**Q.QUERIES, **Q.EXTRA_QUERIES}

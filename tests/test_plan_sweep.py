@@ -166,6 +166,11 @@ ALLOWED_BHJ = {
     # table, (c) the distance table itself (<= |queries| * m *
     # codebook rows) joined against the long-form codes
     "ann_pq_topk": 3,
+    # IVF-PQ: the same bounded PQ builds — codebook x 2 (encode +
+    # distance table) + the distance-table join; the IVF probe side is
+    # a BroadcastNestedLoopJoin (lint-audited), not a BHJ, and the
+    # cell/candidate joins are key shuffles
+    "ann_ivfpq_topk": 3,
 }
 
 

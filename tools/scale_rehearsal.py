@@ -199,6 +199,9 @@ FAMILIES = [
     # r13: PQ-ADC top-k (codebook draw + encode pass + bounded
     # distance-table join; corpus-side work is the m-way fan-out)
     "ann_pq_topk",
+    # r13: IVF-PQ composition (coarse assignment + encode builds; the
+    # serving join ships codes into ~nprobe/K of the corpus)
+    "ann_ivfpq_topk",
     # r13: cluster/representative form of phash media dedup — the pair
     # blow-up (quadratic in duplicate-class size) collapses to one row
     # per component before any sink; curve = hash pass + CC rounds
