@@ -2048,6 +2048,53 @@ def q_pack_sequences(spark, sf_dir):
     ).sortWithinPartitions("bucket", "doc_id", "chunk_idx")
 
 
+def q_stream_strat_sample(spark, sf_dir):
+    """Streaming stratified quota sample (r13,
+    stateful.reservoir_sample_stream with group_col — the per-group
+    generalization of the r7 uniform reservoir): the documents feed
+    drains as four blocks into the generational bottom-k-PER-GROUP
+    store (state <= groups * N rows); per-group bottom-k is mergeable
+    exactly like the uniform sketch, so the drained sample equals the
+    batch `stratified_sample` statement over the whole feed VERBATIM —
+    the oracle is sample_stratified's SQL unchanged."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        reservoir_sample_stream,
+        reservoir_stream_writer,
+    )
+
+    work = _workdir("stream_strat_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    blk = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+    feed = _write_feed_blocks(docs, work, blk)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = reservoir_sample_stream(
+        spark,
+        src,
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        id_col="doc_id",
+        k=STRAT_N,
+        salt=STRAT_SALT,
+        group_col="source",
+    )
+    q.processAllAvailable()
+    q.stop()
+    w = reservoir_stream_writer(
+        spark,
+        f"{work}/store",
+        id_col="doc_id",
+        k=STRAT_N,
+        writer_id=f"{work}/ck",
+        salt=STRAT_SALT,
+        group_col="source",
+    )
+    return w.stratified().orderBy("source", "strat_rank")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Exact per-source quota sample (N smallest h48 per source) via the
     two-phase partition-local reduction — no per-group window funnel, so
@@ -4968,6 +5015,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13: IVF-PQ composition (coarse prune + ADC over codes — the
     # 100 TB serving shape)
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    # r13: streaming stratified quota sample (per-group bottom-k
+    # generational store; drained == batch stratified_sample verbatim)
+    "stream_strat_sample": q_stream_strat_sample,
     # r13: bounded cluster/representative form of phash media dedup
     # (VERDICT r12 #4) — pairs -> components -> keep-the-largest;
     # output linear in docs however heavy the duplication
@@ -7717,6 +7767,9 @@ FROM r WHERE rnk <= {BM25_K} ORDER BY query_id, rank
     # sketch quantiles (r13): recursive-CTE replay of the same descent
     sqls["sketch_quantiles"] = _oracle_sketch_quantiles()
     sqls["sketch_quantiles_weighted"] = _oracle_sketch_quantiles(weighted=True)
+    # r13 streaming stratified sample: per-group bottom-k is mergeable
+    # and blocks partition the feed -> drained == the batch statement
+    sqls["stream_strat_sample"] = sqls["sample_stratified"]
     # quantileExactWeighted (r12): same integer rule both sides —
     # smallest v whose running weight reaches ceil(tot * p / 1000);
     # NULL/non-positive weights dropped (the topKWeighted convention)

@@ -1126,6 +1126,7 @@ class _ReservoirStreamWriter:
         compact_every: int | None = None,
         writer_id: str = "",
         salt: str = "sample:",
+        group_col: str | None = None,
     ):
         from apache_kafka_clickhouse_demo_spark.sources.txlog import (
             TransactionalTable,
@@ -1138,6 +1139,13 @@ class _ReservoirStreamWriter:
         self.compact_every = compact_every
         self.writer_id = writer_id
         self.salt = salt
+        #: r13: set -> STRATIFIED streaming sample (bottom-k PER GROUP —
+        #: the batch `sampling.stratified_sample` quota, maintained at
+        #: ingest).  Same mergeable bottom-k algebra per group; state is
+        #: <= groups * k rows, and the drained sample equals the batch
+        #: statement over the whole feed verbatim (same salt, same
+        #: (hash, id) rank rule).
+        self.group_col = group_col
         self.store = TransactionalTable(store_dir)
 
     def _rank(self):
@@ -1158,14 +1166,28 @@ class _ReservoirStreamWriter:
         return stored.filter(F.col("gen") == gen).drop("gen"), int(gen), snap_v
 
     def _bottom_k(self, df: DataFrame) -> DataFrame:
-        # TakeOrdered: k is a sketch size, never corpus-sized
-        return df.orderBy("rank", self.id_col).limit(self.k)
+        if self.group_col is None:
+            # TakeOrdered: k is a sketch size, never corpus-sized
+            return df.orderBy("rank", self.id_col).limit(self.k)
+        # per-group trim: the window runs over BLOCK-bounded candidates
+        # or the <= groups*k stored generation, never the feed (the
+        # block-local-window streaming norm domain_cap established)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(self.group_col).orderBy("rank", self.id_col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.k)
+            .drop("_rn")
+        )
 
     def process(self, block: DataFrame, batch_id: int) -> None:
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn):  # replayed batch
             return
         cols = [self.id_col, *self.payload_cols]
+        if self.group_col is not None and self.group_col not in cols:
+            cols.append(self.group_col)
         # dedup by id BEFORE the bottom-k trim (review r7): duplicate rows
         # of one id inside a single micro-batch (the at-least-once overlap
         # case) would each occupy a k-slot and could displace a genuinely
@@ -1197,11 +1219,29 @@ class _ReservoirStreamWriter:
         self.store.vacuum()
 
     def sample(self) -> DataFrame:
-        """The current k-sample (id + payload columns, rank dropped)."""
+        """The current sample (id + payload columns, rank dropped)."""
         latest, _gen, _v = self._latest()
         if latest is None:
             raise FileNotFoundError(f"no sample committed yet in {self.store.path}")
         return latest.drop("rank")
+
+    def stratified(self) -> DataFrame:
+        """The current per-group sample in the batch operator's exact
+        shape: (group, id, strat_rank 1..k by (hash, id)).  The window
+        runs over the <= groups*k stored generation only."""
+        from pyspark.sql import Window as W
+
+        if self.group_col is None:
+            raise ValueError("stratified() needs a group_col writer")
+        latest, _gen, _v = self._latest()
+        if latest is None:
+            raise FileNotFoundError(f"no sample committed yet in {self.store.path}")
+        w = W.partitionBy(self.group_col).orderBy("rank", self.id_col)
+        return latest.select(
+            self.group_col,
+            self.id_col,
+            F.row_number().over(w).cast("int").alias("strat_rank"),
+        )
 
 
 def reservoir_stream_writer(
@@ -1212,9 +1252,13 @@ def reservoir_stream_writer(
     payload_cols: list[str] | None = None,
     compact_every: int | None = None,
     writer_id: str = "",
+    salt: str = "sample:",
+    group_col: str | None = None,
 ) -> _ReservoirStreamWriter:
     """The stream's writer object, exposed for direct `process(block, id)`
-    testing and `sample()` reads of the store."""
+    testing and `sample()`/`stratified()` reads of the store.  Pass
+    `group_col` (+ the batch operator's salt) for the r13 stratified
+    form: a per-group quota sample maintained at ingest."""
     return _ReservoirStreamWriter(
         spark,
         store_dir,
@@ -1223,6 +1267,8 @@ def reservoir_stream_writer(
         payload_cols=payload_cols,
         compact_every=compact_every,
         writer_id=writer_id,
+        salt=salt,
+        group_col=group_col,
     )
 
 
@@ -1235,12 +1281,17 @@ def reservoir_sample_stream(
     k: int,
     payload_cols: list[str] | None = None,
     compact_every: int | None = None,
+    salt: str = "sample:",
+    group_col: str | None = None,
 ):
     """Streaming uniform k-sample of an unbounded feed — the streaming
     twin of the hash-rank batch samplers (`train_test_split.in_sample` /
     `hash_sample`), kept continuously current as the stream grows.
-    Mechanics and guarantees: see `_ReservoirStreamWriter`; read the
-    current sample any time with `reservoir_stream_writer(...).sample()`."""
+    With `group_col` (+ the batch salt) this is the STRATIFIED form
+    (r13): `sampling.stratified_sample`'s per-group quota maintained at
+    ingest, state <= groups * k rows.  Mechanics and guarantees: see
+    `_ReservoirStreamWriter`; read the current sample any time with
+    `reservoir_stream_writer(...).sample()` / `.stratified()`."""
     writer = _ReservoirStreamWriter(
         spark,
         store_dir,
@@ -1249,6 +1300,8 @@ def reservoir_sample_stream(
         payload_cols=payload_cols,
         compact_every=compact_every,
         writer_id=checkpoint,
+        salt=salt,
+        group_col=group_col,
     )
     return (
         source.writeStream.foreachBatch(writer.process)

@@ -318,6 +318,8 @@ HEADLINE = [
     "ann_pq_topk",
     # r13: IVF-PQ composition (the 100 TB serving shape)
     "ann_ivfpq_topk",
+    # r13: streaming stratified quota sample (per-group bottom-k drain)
+    "stream_strat_sample",
     # r13: phash media dedup, cluster/representative form (linear output)
     "media_phash_clusters",
     # r13 (VERDICT r12 #5): the pure-Python-pinned tokenizer/packing
@@ -536,6 +538,7 @@ BASELINE_SEC = {
     "sequence_match_time": 1.114,
     "ann_pq_topk": 2.405,
     "ann_ivfpq_topk": 3.188,
+    "stream_strat_sample": 5.698,
     "media_phash_clusters": 4.879,
     "unigram_fit": 3.528,
     "unigram_apply": 2.323,

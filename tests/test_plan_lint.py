@@ -40,6 +40,7 @@ _SKIP = {
     "stream_index_ann",  # streaming drain (feed -> ANN segments); lookup plan linted via ann_ivf_topk
     "stream_cms_counts",  # streaming drain (feed -> counter store); sketch lookup plan linted via cms_user_counts
     "stream_uniq_users",  # streaming drain (feed -> HLL state store); uniqMerge read linted via uniq_users_approx
+    "stream_strat_sample",  # streaming drain (feed -> generational per-group bottom-k store); quota plan linted via sample_stratified
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):

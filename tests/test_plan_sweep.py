@@ -113,6 +113,9 @@ EXECUTING = {
     # streaming drain (feed -> dyadic CMS counter store); the bounded
     # grid lookup plan is swept via the batch twin dyadic_range_counts
     "stream_range_counts",
+    # streaming drain (feed -> generational per-group bottom-k store);
+    # the quota plan is swept via the batch twin sample_stratified
+    "stream_strat_sample",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

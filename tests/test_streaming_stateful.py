@@ -948,6 +948,49 @@ def test_reservoir_stream_matches_batch_and_replays_idempotently(spark, tmp_path
     assert {(r["event_id"], r["tag"]) for r in w.sample().collect()} == expect
 
 
+def test_stratified_reservoir_matches_batch_quota_per_group(spark, tmp_path):
+    """r13 stratified form: per-group bottom-k accumulates across blocks
+    into the batch `stratified_sample` answer VERBATIM (same salt, same
+    (hash, id) rank rule, strat_rank included), small groups keep all
+    their rows, and replay is a no-op."""
+    from apache_kafka_clickhouse_demo_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        reservoir_stream_writer,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(200)] + [(900, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = reservoir_stream_writer(
+        spark, str(tmp_path / "strat_store"), "doc_id", k=5,
+        writer_id="r1", salt="strat:", group_col="source",
+    )
+    blocks = [
+        df.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    for i, b in enumerate(blocks):
+        w.process(b, i)
+
+    want = {
+        (r["source"], r["doc_id"], r["strat_rank"])
+        for r in stratified_sample(
+            df, group_col="source", n_per_group=5, id_col="doc_id",
+            salt="strat:",
+        ).collect()
+    }
+    got = {
+        (r["source"], r["doc_id"], r["strat_rank"])
+        for r in w.stratified().collect()
+    }
+    assert got == want
+    assert sum(1 for g, _i, _r in got if g == "rare") == 1  # quota, not pad
+
+    v = w.store.version()
+    w.process(blocks[2], 2)  # replay: no-op
+    assert w.store.version() == v
+
+
 def test_reservoir_new_run_handover_and_duplicate_ids(spark, tmp_path):
     """A new stream run (fresh writer id, batch ids restart) continues the
     SAME sample above the stored generations, and re-seen ids (at-least-
