@@ -2792,30 +2792,37 @@ class _PackBinsStreamWriter:
     OPEN bins the moment they land, so a downstream dataloader can
     start reading full bins without waiting for the corpus to close.
 
-    State is a COUNTER store, exactly the domain_cap shape: open-bin
-    fills per bucket as (bucket, bin_id, delta) increment rows under
-    `shard=p<bucket % pack_shards>` — bin fills are SUMS of what each
-    block placed, so the state algebra is linear (merge-on-read,
-    maintenance compacts files, never meaning) even though packing
-    itself is a sequential fold.  Per block:
+    State is a GENERATIONAL open-bin snapshot (the reservoir-store
+    discipline), NOT an append-only counter store: bin fills are
+    read-modify-write and — decisively — the set of bins ever created
+    grows with the corpus, so any design whose per-block read touches
+    all historical bins is unbounded at 100 TB (the first cut of this
+    writer had exactly that flaw; caught by the open-bin accounting
+    below, rewritten before it shipped a scale claim).  Each block
+    commits generation g+1 = the post-block OPEN bins only, bounded by
+    construction:
 
-    1. Canonicalize with the batch operator's exact drop rule (NULL id
-       / NULL or negative tokens dropped; bucket = h48(salt || id) %
-       buckets — `text_analysis.pack_bins_ffd`'s expressions verbatim).
-    2. Pin the store, read the touched buckets' open-bin fills at the
-       pin, and pack per bucket in ONE applyInPandas fold: the block's
-       docs in FFD order (n_tokens desc, doc_id asc) place first-fit
-       into prior bins (bin_id asc) then newly-opened bins (ids
-       continue past the bucket's max).  Oversized docs open a bin of
-       their own, flagged `overflow` — the batch contract.
-    3. Commit the placements' per-bin fill increments to the store,
-       THEN the assignment rows to out — the two-commit crash-window
-       order, with `_resolve_retry_pin`'s rule (assignments are a
-       function of the PRE-append fills; a half-committed retry must
-       re-derive what the first attempt saw, and the out rows are
-       corpus-scale so they stay a separate table rather than
-       funneling through one store shard — the domain_cap trade, not
-       the dyadic/CMS unified commit).
+    - a bin CLOSES (leaves the snapshot forever; its rows already left
+      through `out`) once its remaining capacity drops below
+      `close_below` — it can no longer host anything but scraps;
+    - each bucket carries at most `max_open` open bins — when FFD
+      leaves more, the OLDEST (smallest bin_id) close first (FIFO, the
+      order a dataloader drains), a deterministic cap that bounds the
+      snapshot at buckets * max_open rows whatever arrives;
+    - per-bucket `next_bin_id` rides in the snapshot as a sentinel row
+      (bin_id = -1, fill = next id), so closed ids are never reused.
+
+    Per block: canonicalize with the batch operator's exact drop rule,
+    pack per bucket in ONE applyInPandas fold (block docs in FFD order
+    — n_tokens desc, doc_id asc — first-fit into open bins by bin_id
+    asc, then new bins; oversized docs open their own bin, flagged
+    `overflow`, and close immediately), then commit the new snapshot
+    generation (append_once + version-CAS — concurrent writers
+    rejected) and THEN the assignment rows to out, with
+    `_resolve_retry_pin`'s rule: assignments are a function of the
+    PRE-block snapshot, so a half-committed retry re-reads the
+    generation at `txn_version - 1` and re-derives byte-identical out
+    rows.
 
     Batch equality (the pin): on a bucket-aligned feed — block
     boundaries never split a bucket — every bucket packs with no prior
@@ -2827,10 +2834,10 @@ class _PackBinsStreamWriter:
     on an assignment row is the bin's fill as of its emitting block.
 
     Plan shape at 100 TB: per block, one block-bounded canonicalize +
-    one shuffle on <= `buckets` keys + a bounded prior read
-    (O(touched shards) files); per-bucket fold cost is O(n_b log n_b +
-    n_b * bins_touched) — bucketing is the standard FFD
-    parallelization, each bucket one dataloader shard.
+    one shuffle on <= `buckets` keys + ONE read of the <= buckets *
+    (max_open + 1)-row latest generation; per-bucket fold cost is
+    O(n_b log n_b + n_b * bins_touched).  Bucketing is the standard
+    FFD parallelization — each bucket is one dataloader shard.
     """
 
     def __init__(
@@ -2843,52 +2850,76 @@ class _PackBinsStreamWriter:
         salt: str = "ffd:",
         id_col: str = "doc_id",
         n_col: str = "n_tokens",
-        pack_shards: int = 8,
+        close_below: int | None = None,
+        max_open: int = 64,
         writer_id: str = "",
     ):
         from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
 
-        if capacity <= 0 or buckets <= 0:
-            raise ValueError("capacity and buckets must be positive")
+        if capacity <= 0 or buckets <= 0 or max_open <= 0:
+            raise ValueError("capacity, buckets, max_open must be positive")
         self.spark = spark
         self.capacity = capacity
         self.buckets = buckets
         self.salt = salt
         self.id_col = id_col
         self.n_col = n_col
-        self.pack_shards = pack_shards
+        #: a bin with remaining < close_below leaves the snapshot; the
+        #: default trades at most ~1.5% fill (capacity // 64) for the
+        #: bounded-state guarantee
+        self.close_below = (
+            max(1, capacity // 64) if close_below is None else close_below
+        )
+        self.max_open = max_open
         self.writer_id = writer_id
         self.out = TransactionalTable(out_dir)
         self.store = TransactionalTable(os.path.join(store_dir, "store"))
 
     def maintain(self) -> None:
-        """Compact the open-bin store, fold watermarks, prune, vacuum —
+        """Fold superseded generations away, compact, prune, vacuum —
         between fully-committed batches only (the half-committed-pin
         argument)."""
-        self.store.optimize(self.spark, partition_by="shard")
+        gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
+        if gen is None:
+            return
+        self.store.optimize(self.spark, keep_where=F.col("gen") == int(gen))
         self.store.checkpoint(compact_txn_watermarks=True)
         self.store.prune_log()
         self.store.vacuum()
 
-    def _shard(self):
-        return F.concat(
-            F.lit("p"),
-            F.pmod(F.col("bucket"), F.lit(self.pack_shards)).cast("string"),
-        )
+    def _latest(self, version: int | None = None):
+        """(open-bin frame, gen, snapshot version) at a committed
+        version — the reservoir `_latest` discipline."""
+        snap_v = self.store.version() if version is None else version
+        if snap_v < 0:
+            return None, -1, snap_v
+        try:
+            stored = self.store.read(self.spark, version=snap_v)
+        except FileNotFoundError:
+            return None, -1, snap_v
+        gen = stored.agg(F.max("gen")).first()[0]
+        if gen is None:
+            return None, -1, snap_v
+        return stored.filter(F.col("gen") == gen).drop("gen"), int(gen), snap_v
 
     def open_bins(self, version: int | None = None) -> DataFrame:
-        """Merge-on-read open-bin state at a committed version:
-        (bucket, bin_id, fill) per-bin fill sums."""
-        return (
-            self.store.read(self.spark, version)
-            .groupBy("bucket", "bin_id")
-            .agg(F.sum("delta").cast("long").alias("fill"))
+        """The current OPEN bins: (bucket, bin_id, fill) — the bounded
+        snapshot, sentinels excluded."""
+        latest, _gen, _v = self._latest(version)
+        if latest is None:
+            return self.spark.createDataFrame(
+                [], "bucket long, bin_id long, fill long"
+            )
+        return latest.filter(F.col("bin_id") >= 0).select(
+            "bucket", "bin_id", "fill"
         )
 
     def _pack_fn(self):
         import pandas as pd
 
         capacity = self.capacity
+        close_below = self.close_below
+        max_open = self.max_open
 
         def pack(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
@@ -2899,47 +2930,83 @@ class _PackBinsStreamWriter:
                     "n_tokens": pd.Series(dtype="int64"),
                     "bin_fill": pd.Series(dtype="int64"),
                     "overflow": pd.Series(dtype="bool"),
+                    "is_open": pd.Series(dtype="bool"),
                 }
             )
-            docs = pdf[pdf["doc_id"].notna()]
-            if len(docs) == 0:
-                return empty  # prior-bins-only group: nothing arrived
-            prior = pdf[pdf["prior_bin"].notna()].sort_values("prior_bin")
+            bucket = int(pdf["bucket"].iloc[0])
+            sent = pdf[(pdf["prior_bin"].notna()) & (pdf["prior_bin"] < 0)]
+            prior = pdf[(pdf["prior_bin"].notna()) & (pdf["prior_bin"] >= 0)]
+            prior = prior.sort_values("prior_bin")
             bin_ids = [int(b) for b in prior["prior_bin"]]
             fills = [int(f) for f in prior["prior_fill"]]
-            next_id = (max(bin_ids) + 1) if bin_ids else 0
-            docs = docs.sort_values(
-                ["n_tokens", "doc_id"], ascending=[False, True],
-                kind="mergesort",
+            next_id = (
+                int(sent["prior_fill"].iloc[0])
+                if len(sent)
+                else ((max(bin_ids) + 1) if bin_ids else 0)
             )
+            docs = pdf[pdf["doc_id"].notna()]
             assign: list[int] = []
-            for n in docs["n_tokens"]:
-                n = int(n)
-                placed = -1
-                for i, f in enumerate(fills):
-                    if f + n <= capacity:
-                        placed = i
-                        fills[i] = f + n
-                        break
-                if placed < 0:
-                    placed = len(fills)
-                    bin_ids.append(next_id)
-                    next_id += 1
-                    fills.append(n)
-                assign.append(placed)
-            return pd.DataFrame(
+            if len(docs):
+                docs = docs.sort_values(
+                    ["n_tokens", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                )
+                for n in docs["n_tokens"]:
+                    n = int(n)
+                    placed = -1
+                    for i, f in enumerate(fills):
+                        if f + n <= capacity:
+                            placed = i
+                            fills[i] = f + n
+                            break
+                    if placed < 0:
+                        placed = len(fills)
+                        bin_ids.append(next_id)
+                        next_id += 1
+                        fills.append(n)
+                    assign.append(placed)
+            # post-block OPEN set: remaining >= close_below, then the
+            # max_open LARGEST ids survive (oldest close first)
+            open_idx = [
+                i for i, f in enumerate(fills)
+                if capacity - f >= close_below
+            ]
+            open_idx = sorted(open_idx, key=lambda i: bin_ids[i])[-max_open:]
+            open_set = set(open_idx)
+            out_rows = (
+                pd.DataFrame(
+                    {
+                        "bucket": bucket,
+                        "bin_id": [bin_ids[i] for i in assign],
+                        "doc_id": docs["doc_id"].astype("int64").to_numpy(),
+                        "n_tokens": docs["n_tokens"].astype("int64").to_numpy(),
+                        "bin_fill": [fills[i] for i in assign],
+                        "overflow": [
+                            int(t) > capacity
+                            for t in docs["n_tokens"].to_numpy()
+                        ],
+                        "is_open": False,
+                    }
+                )
+                if len(docs)
+                else empty
+            )
+            state_rows = pd.DataFrame(
                 {
-                    "bucket": int(docs["bucket"].iloc[0]),
-                    "bin_id": [bin_ids[i] for i in assign],
-                    "doc_id": docs["doc_id"].astype("int64").to_numpy(),
-                    "n_tokens": docs["n_tokens"].astype("int64").to_numpy(),
-                    "bin_fill": [fills[i] for i in assign],
-                    "overflow": [
-                        int(t) > capacity
-                        for t in docs["n_tokens"].to_numpy()
-                    ],
+                    "bucket": bucket,
+                    "bin_id": [bin_ids[i] for i in open_idx] + [-1],
+                    "doc_id": pd.array(
+                        [None] * (len(open_idx) + 1), dtype="Int64"
+                    ),
+                    "n_tokens": pd.array(
+                        [None] * (len(open_idx) + 1), dtype="Int64"
+                    ),
+                    "bin_fill": [fills[i] for i in open_idx] + [next_id],
+                    "overflow": False,
+                    "is_open": True,
                 }
             )
+            return pd.concat([out_rows, state_rows], ignore_index=True)
 
         return pack
 
@@ -2970,35 +3037,26 @@ class _PackBinsStreamWriter:
             & F.col("n_tokens").isNotNull()
             & (F.col("n_tokens") >= 0)
         )
-        # persisted: the bucket collect and the pack shuffle both read it
+        # persisted: the emptiness probe and the pack shuffle both read it
         src = src.persist()
         try:
-            # bounded driver action: <= `buckets` distinct bucket ids
-            block_buckets = sorted(
-                (src.agg(F.collect_set("bucket")).first()[0]) or []
-            )
-            if not store_done and not block_buckets:
+            # bounded driver action: is there anything countable at all?
+            if not store_done and src.isEmpty():
                 return  # every row dropped by the batch contract
-            block_shards = sorted(
-                {f"p{b % self.pack_shards}" for b in block_buckets}
-            )
-            try:
-                prior = (
-                    self.store.read_where(
-                        self.spark, "shard", block_shards, version=pin
-                    )
-                    .filter(F.col("bucket").isin(block_buckets))
-                    .groupBy("bucket", "bin_id")
-                    .agg(F.sum("delta").cast("long").alias("prior_fill"))
-                    .select(
-                        "bucket",
-                        F.col("bin_id").alias("prior_bin"),
-                        "prior_fill",
-                    )
-                )
-            except FileNotFoundError:  # no commits at/below the pin
+            prev, prev_gen, _v = self._latest(pin)
+            if prev is None:
                 prior = self.spark.createDataFrame(
                     [], "bucket long, prior_bin long, prior_fill long"
+                )
+            else:
+                # the WHOLE snapshot rides into the pack: untouched
+                # buckets' bins (and sentinels) must carry forward into
+                # generation g+1 — the frame is <= buckets *
+                # (max_open + 1) rows by construction
+                prior = prev.select(
+                    "bucket",
+                    F.col("bin_id").alias("prior_bin"),
+                    F.col("fill").alias("prior_fill"),
                 )
             unioned = src.select(
                 "bucket",
@@ -3023,29 +3081,26 @@ class _PackBinsStreamWriter:
                     T.StructField("n_tokens", T.LongType()),
                     T.StructField("bin_fill", T.LongType()),
                     T.StructField("overflow", T.BooleanType()),
+                    T.StructField("is_open", T.BooleanType()),
                 ]
             )
             packed = unioned.groupBy("bucket").applyInPandas(
                 self._pack_fn(), out_schema
             )
-            # persisted: the increment aggregate and the out append both
-            # read the assignments; block-bounded rows
+            # persisted: the snapshot write and the out append both read
+            # the fold's output; <= block + buckets*(max_open+1) rows
             packed = packed.persist()
             try:
                 if not store_done:
-                    increments = (
-                        packed.groupBy("bucket", "bin_id")
-                        .agg(F.sum("n_tokens").cast("long").alias("delta"))
-                        .withColumn("shard", self._shard())
-                        .select("shard", "bucket", "bin_id", "delta")
+                    snapshot = packed.filter(F.col("is_open")).select(
+                        F.lit(prev_gen + 1).cast("long").alias("gen"),
+                        "bucket",
+                        "bin_id",
+                        F.col("bin_fill").alias("fill"),
                     )
-                    self.store.append_once(
-                        increments.repartition(F.col("shard")),
-                        txn=txn,
-                        partition_by="shard",
-                    )
+                    self.store.append_once(snapshot, txn=txn, cas_version=_v)
                 self.out.append_once(
-                    packed.select(
+                    packed.filter(~F.col("is_open")).select(
                         F.lit(batch_id).cast("long").alias("batch_id"),
                         "bucket",
                         "bin_id",
@@ -3073,13 +3128,14 @@ def pack_bins_stream(
     salt: str = "ffd:",
     id_col: str = "doc_id",
     n_col: str = "n_tokens",
-    pack_shards: int = 8,
+    close_below: int | None = None,
+    max_open: int = 64,
 ):
     """Streaming first-fit bin packing: each block's documents pack
-    into their buckets' open bins at ingest, with per-bin fill
-    increments appended exactly-once to a bucket-sharded counter store
-    and assignment rows to out.  Mechanics, the retry-pin protocol,
-    and the bucket-aligned batch-equality pin: see
+    into their buckets' open bins at ingest; the bounded open-bin
+    snapshot commits as a new generation and the assignment rows go to
+    out exactly-once.  Mechanics, state bounds, the retry-pin
+    protocol, and the bucket-aligned batch-equality pin: see
     `_PackBinsStreamWriter`."""
     writer = _PackBinsStreamWriter(
         spark,
@@ -3090,7 +3146,8 @@ def pack_bins_stream(
         salt=salt,
         id_col=id_col,
         n_col=n_col,
-        pack_shards=pack_shards,
+        close_below=close_below,
+        max_open=max_open,
         writer_id=checkpoint,
     )
     return (

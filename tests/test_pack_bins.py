@@ -105,7 +105,7 @@ def test_determinism_across_runs_and_bucket_locality(spark):
 
 
 def _pack_writer(spark, tmp_path, tag="w", capacity=100, buckets=4,
-                 shards=2):
+                 max_open=64):
     from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
         _PackBinsStreamWriter,
     )
@@ -116,7 +116,7 @@ def _pack_writer(spark, tmp_path, tag="w", capacity=100, buckets=4,
         str(tmp_path / f"packstore_{tag}"),
         capacity=capacity,
         buckets=buckets,
-        pack_shards=shards,
+        max_open=max_open,
         writer_id=tag,
     )
 
@@ -175,11 +175,13 @@ def test_pack_stream_open_bins_accumulate_across_blocks(spark, tmp_path):
     }
     assert rows[1] == (0, 60) and rows[2] == (1, 55)
     assert rows[3] == (0, 100) and rows[4] == (1, 85)
+    # bounded snapshot: bin 0 reached capacity -> CLOSED (left the
+    # state forever); only bin 1 stays open
     fills = {
         (r["bucket"], r["bin_id"]): r["fill"]
         for r in w.open_bins().collect()
     }
-    assert fills == {(0, 0): 100, (0, 1): 85}
+    assert fills == {(0, 1): 85}
 
     # replay: no-op; all-dropped block publishes nothing
     vs, vo = w.store.version(), w.out.version()
@@ -229,9 +231,39 @@ def test_pack_stream_half_committed_retry_rederives_assignments(
     # bin 1; doc 2 (40) -> fits bin 0 (60+40=100)
     assert rows[1] == (0, 60)
     assert rows[3] == (1, 70) and rows[2] == (0, 100)
-    # counters not double-published: open bins reflect ONE copy of block 1
+    # state not double-published: the snapshot reflects ONE copy of
+    # block 1 (bin 0 closed at capacity; bin 1 open at 70)
     fills = {
         (r["bucket"], r["bin_id"]): r["fill"]
         for r in w.open_bins().collect()
     }
-    assert fills == {(0, 0): 100, (0, 1): 70}
+    assert fills == {(0, 1): 70}
+
+
+def test_pack_stream_state_stays_bounded_and_ids_never_reuse(spark, tmp_path):
+    """The 100 TB contract: the snapshot holds at most max_open open
+    bins per bucket (oldest close first when FFD leaves more), closed
+    bins never reappear, and new bins continue past the bucket's max
+    id even after closures (the sentinel next_id)."""
+    w = _pack_writer(spark, tmp_path, capacity=100, buckets=1, max_open=2)
+    # each 51-token doc opens its own bin (51+51 > 100): 4 open bins
+    # would exceed max_open=2 -> the two OLDEST close
+    w.process(_items_df(spark, [(1, 51), (2, 51), (3, 51), (4, 51)]), 0)
+    fills = {
+        (r["bucket"], r["bin_id"]): r["fill"]
+        for r in w.open_bins().collect()
+    }
+    assert fills == {(0, 2): 51, (0, 3): 51}
+    # a 49-token doc fits the surviving bin 2 (51+49=100, closes it);
+    # a 60-token doc opens bin 4 — NOT a reused id 0/1
+    w.process(_items_df(spark, [(5, 49), (6, 60)]), 1)
+    rows = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in w.out.read(spark).collect()
+    }
+    assert rows[5] == (2, 100) and rows[6] == (4, 60)
+    fills = {
+        (r["bucket"], r["bin_id"]): r["fill"]
+        for r in w.open_bins().collect()
+    }
+    assert fills == {(0, 3): 51, (0, 4): 60}
