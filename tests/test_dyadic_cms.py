@@ -201,3 +201,30 @@ def test_weighted_quantiles_exact_in_wide_grid(spark):
         r = (p * total + 999) // 1000
         q = next(v for v, c in cum if c >= r)
         assert got[p] == (q, r), (p, got[p], (q, r))
+
+
+def test_quantiles_property_sweep(spark):
+    """Property sweep across deterministic pseudo-random corpora: in the
+    wide-grid regime the descent equals the exact integer rule for
+    every p; in a narrow grid it never overshoots and its target ranks
+    are identical (ranks depend only on the exact root total).  One
+    Spark session, several corpora — the hypothesis-style sweep without
+    per-example session cost."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = rng.randint(30, 300)
+        vals = [rng.randrange(0, 1 << 12) for _ in range(n)]
+        # skew half the corpora: heavy duplicates stress tie handling
+        if seed % 2:
+            vals += [vals[0]] * rng.randint(10, 50)
+        ps = sorted(rng.sample(range(1, 1001), 5))
+        wide = _quantiles(spark, vals, ps, width=1 << 14)
+        narrow = _quantiles(spark, vals, ps, width=32)
+        for p in ps:
+            q_ex, r_ex = _exact_quantile(vals, p)
+            assert wide[p] == (q_ex, r_ex), (seed, p, wide[p], (q_ex, r_ex))
+            q_na, r_na = narrow[p]
+            assert r_na == r_ex  # rank from the exact root total
+            assert q_na <= q_ex, (seed, p, q_na, q_ex)
