@@ -2052,3 +2052,27 @@ def test_uniq_stream_atomic_commit_failure_replays_clean(
         for r in w.out_rows().collect()
     }
     assert rows2[(2, "a")] == 3
+
+
+def test_dyadic_stream_unified_files_carry_full_schema(spark, tmp_path):
+    """The single-commit protocol's no-schema-merge contract: every
+    parquet file a block stages carries the UNIFIED column set (cell
+    columns NULL on estimate rows and vice versa), so any read of any
+    shard subset resolves without mergeSchema."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    w = _dcms_writer(spark, tmp_path, width=1 << 12)
+    w.process(_vals_df(spark, [3, 5, 20]), 0)
+    files = [
+        f for f in glob.glob(str(tmp_path / "dcmsstore_w" / "store" / "**" / "*.parquet"),
+                             recursive=True)
+        if os.path.sep + "_" not in f
+    ]
+    assert files
+    cols = {"level", "d", "bucket", "n", "batch_id", "range_id", "lo", "hi", "est"}
+    for f in files:
+        names = set(pq.read_schema(f).names)
+        assert cols <= names | {"shard"}, (f, names)
