@@ -767,3 +767,420 @@ def ann_index_lookup(
         .select(F.col("vid").alias("neighbor_id"), "nv", "cent_id")
     )
     return ivf_probe_topk(cents, assign, q, k, nprobe)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (r14, VERDICT r13 #4)
+# ---------------------------------------------------------------------------
+
+#: PQ codebook shard (bounded: ~m * target_codes rows, fixed at creation)
+PQ_CB_SHARD = "cb"
+
+
+def _ivfpq_nulls() -> dict:
+    return {
+        "cent_id": F.lit(None).cast("long"),
+        "vid": F.lit(None).cast("long"),
+        "nv": F.lit(None).cast("array<double>"),
+        "cv": F.lit(None).cast("array<double>"),
+        "sub_m": F.lit(None).cast("int"),
+        "code": F.lit(None).cast("long"),
+        "n_vecs": F.lit(None).cast("long"),
+        "n_shards": F.lit(None).cast("long"),
+        "pq_m": F.lit(None).cast("long"),
+        "dim": F.lit(None).cast("long"),
+    }
+
+
+def _ivfpq_row(shard, **cols):
+    """One projection over the unified IVFPQ schema: `shard` plus every
+    column from `_ivfpq_nulls()`, overridden by `cols`.  All five row
+    kinds (assignment / code / centroid / codebook / meta) project
+    through here, so the single-commit frames can never drift schemas
+    (the unified-schema file contract the drains pinned in r13)."""
+    nulls = _ivfpq_nulls()
+    return [shard.alias("shard")] + [
+        (cols[k] if k in cols else nulls[k]).alias(k) for k in nulls
+    ]
+
+
+def _ivfpq_segment_frames(
+    assign: DataFrame,
+    codes: DataFrame,
+    n_shards: int,
+    pq_m: int,
+    dim: int,
+    cents: DataFrame | None = None,
+    cb: DataFrame | None = None,
+) -> DataFrame:
+    """One IVFPQ segment as a single frame — published in ONE atomic
+    commit (build: CAS at version -1; extend: append/append_once), so a
+    reader pinned at any version sees assignments, codes, codebooks and
+    centroids that agree (the two-table alternative would re-open the
+    torn-read window the group-commit drains closed in r13):
+
+        shard = "v<cent_id % n_shards>"  assignment rows (cent_id, vid,
+                                         nv) AND code rows (cent_id,
+                                         vid, sub_m, code) — code rows
+                                         have sub_m set, assignment
+                                         rows don't; parquet column
+                                         pruning means a serving read
+                                         that selects only (cent_id,
+                                         vid, sub_m, code) never
+                                         decodes the nv bytes
+        shard = "cent"                   centroid rows (creation only)
+        shard = "cb"                     PQ codebook rows (creation
+                                         only; bounded m*target_codes)
+        shard = "m"                      meta (n_vecs, n_shards, pq_m,
+                                         dim) — stored data, the
+                                         term-index modulus rule
+    """
+    vshard = F.concat(F.lit("v"), (F.col("cent_id") % n_shards).cast("string"))
+    arows = assign.select(
+        *_ivfpq_row(
+            vshard,
+            cent_id=F.col("cent_id").cast("long"),
+            vid=F.col("vid").cast("long"),
+            nv=F.col("nv"),
+        )
+    )
+    # codes carry their cell so a probed shard read needs NO join back
+    # to the assignment rows: (vid, sub_m, code) x cell membership
+    crows = codes.join(
+        assign.select("vid", "cent_id"), "vid"
+    ).select(
+        *_ivfpq_row(
+            vshard,
+            cent_id=F.col("cent_id").cast("long"),
+            vid=F.col("vid").cast("long"),
+            sub_m=F.col("m").cast("int"),
+            code=F.col("code").cast("long"),
+        )
+    )
+    meta = assign.agg(F.count(F.lit(1)).cast("long").alias("_n")).select(
+        *_ivfpq_row(
+            F.lit(META_SHARD),
+            n_vecs=F.col("_n"),
+            n_shards=F.lit(int(n_shards)).cast("long"),
+            pq_m=F.lit(int(pq_m)).cast("long"),
+            dim=F.lit(int(dim)).cast("long"),
+        )
+    )
+    out = arows.unionByName(crows).unionByName(meta)
+    if cents is not None:
+        out = out.unionByName(
+            cents.select(
+                *_ivfpq_row(
+                    F.lit(ANN_CENT_SHARD),
+                    cent_id=F.col("cent_id").cast("long"),
+                    cv=F.col("cv"),
+                )
+            )
+        )
+    if cb is not None:
+        out = out.unionByName(
+            cb.select(
+                *_ivfpq_row(
+                    F.lit(PQ_CB_SHARD),
+                    sub_m=F.col("m").cast("int"),
+                    code=F.col("code").cast("long"),
+                    cv=F.col("cv"),
+                )
+            )
+        )
+    return out
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    target_codes: int = 64,
+    target_centroids: int | None = None,
+    n_shards: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ivf_salt: str = "ivf:",
+    pq_salt: str = "pq:",
+    corpus_count: int | None = None,
+    txn: str | None = None,
+) -> TransactionalTable:
+    """Persist the full IVF-PQ serving structure once — coarse
+    centroids, PQ codebooks, cell assignments AND the m-code compressed
+    corpus — so `ivfpq_index_lookup` reads committed codes from nprobe
+    shards only, never re-running the linear encode pass the scan-path
+    `similarity.ivfpq_topk` pays per invocation (VERDICT r13 #4: at
+    gate scale those one-time builds WERE the row's wall; at 100 TB
+    they are a once-per-index-lifetime cost, not a per-query one).
+
+    Same quantizer (`ivf_quantize`) and encoder (`pq_codes` /
+    `_pq_encode_sub`) as the scan path, by import — the stored index
+    answers bit-identically to `ivfpq_topk` on the same corpus (pinned
+    by tests/test_search_index.py).  Both the centroid set and the PQ
+    codebooks are FIXED at creation (the extend contract); recluster
+    re-founds centroids but codes are codebook-relative and survive a
+    recluster untouched.
+    """
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        _memoized_count,
+        ivf_quantize,
+        pq_codes,
+    )
+
+    n = corpus_count if corpus_count is not None else _memoized_count(emb)
+    cents, assign = ivf_quantize(emb, target_centroids, vec_col, id_col, ivf_salt, n)
+    cb, codes = pq_codes(
+        emb, dim, m=m, target_codes=target_codes,
+        vec_col=vec_col, id_col=id_col, salt=pq_salt, corpus_count=n,
+    )
+    if n_shards is None:
+        n_shards = shards_for_store(n)
+
+    table = TransactionalTable(path)
+    if table.version() >= 0:
+        raise ValueError(
+            f"IVFPQ index at {path} already built (version {table.version()}); "
+            "grow it with extend_ivfpq_index, or rebuild into a fresh path"
+        )
+    # the build_ann_index founding guards, doubled: an empty centroid OR
+    # codebook draw would durably publish an index no lookup can answer
+    if cents.isEmpty():
+        raise ValueError(
+            "founding segment hash-sampled zero centroids — found the "
+            "index on a larger block, or pass a smaller target_centroids"
+        )
+    if cb.isEmpty():
+        raise ValueError(
+            "founding segment hash-sampled zero PQ codebook entries — "
+            "found the index on a larger block, or pass a smaller "
+            "target_codes"
+        )
+    table.append(
+        _ivfpq_segment_frames(assign, codes, n_shards, m, dim, cents, cb),
+        partition_by="shard",
+        cas_version=-1,
+        txn=txn,
+    )
+    return table
+
+
+def ivfpq_index_meta(
+    spark: SparkSession, table: TransactionalTable, version: int | None = None
+) -> tuple[int, int, int, int]:
+    """(n_vecs, n_shards, pq_m, dim): n_vecs SUMS per-segment meta rows;
+    the other three are creation-fixed invariants, min==max checked
+    driver-side like `ann_index_meta`."""
+    row = (
+        table.read_where(spark, "shard", [META_SHARD], version=version)
+        .agg(
+            F.sum("n_vecs").alias("nv"),
+            F.min("n_shards").alias("sn"), F.max("n_shards").alias("sx"),
+            F.min("pq_m").alias("mn"), F.max("pq_m").alias("mx"),
+            F.min("dim").alias("dn"), F.max("dim").alias("dx"),
+        )
+        .first()
+    )
+    for lo, hi, what in (
+        (row["sn"], row["sx"], "n_shards"),
+        (row["mn"], row["mx"], "pq_m"),
+        (row["dn"], row["dx"], "dim"),
+    ):
+        if lo != hi:
+            raise ValueError(
+                f"{table.path}: IVFPQ meta rows disagree on {what} "
+                f"({lo} != {hi}) — corrupted store"
+            )
+    return int(row["nv"]), int(row["sn"]), int(row["mn"]), int(row["dn"])
+
+
+def extend_ivfpq_index(
+    emb: DataFrame,
+    table: TransactionalTable,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ivf_salt: str = "ivf:",
+    txn: str | None = None,
+) -> TransactionalTable:
+    """Append a segment of NEW vectors: assign against the STORED
+    centroids and encode against the STORED codebooks (both read at one
+    pinned version with the stored modulus/params — nothing re-trained,
+    the fixed-generation contract `extend_ann_index` states for
+    centroids, extended here to the PQ codebooks), publishing
+    assignment rows + code rows + the segment's meta row in ONE atomic
+    commit."""
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+    from apache_kafka_clickhouse_demo_spark.operators import similarity as _S
+
+    spark = emb.sparkSession
+    pin = table.version()
+    _, n_shards, pq_m, dim = ivfpq_index_meta(spark, table, version=pin)
+    cents = table.read_where(
+        spark, "shard", [ANN_CENT_SHARD], version=pin
+    ).select("cent_id", "cv")
+    cb = table.read_where(spark, "shard", [PQ_CB_SHARD], version=pin).select(
+        F.col("sub_m").alias("m"), "code", "cv"
+    )
+    vecs = spread_small(emb).select(
+        F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
+    )
+    k = cents.count()  # bounded: the centroid table is fixed-size
+    if k > _S._TWO_LEVEL_MIN_CENTROIDS:
+        assign = _S._assign_two_level(vecs, cents, k, ivf_salt)
+    else:
+        assign = _S._assign_one_hop(vecs, cents)
+    codes = _S.pq_encode(emb, cb, dim, pq_m, vec_col, id_col)
+    seg = _ivfpq_segment_frames(assign, codes, n_shards, pq_m, dim)
+    if txn is not None:
+        table.append_once(seg, txn=txn, partition_by="shard")
+    else:
+        table.append(seg, partition_by="shard")
+    return table
+
+
+def maintain_ivfpq_index(
+    spark: SparkSession,
+    table: TransactionalTable,
+    recluster: bool = False,
+    target_centroids: int | None = None,
+    salt: str = "ivf:",
+) -> int:
+    """`maintain_ann_index`'s contract on the IVFPQ store.
+
+    Default: compact to one file per shard.  ``recluster=True``: found
+    a new CENTROID generation from a fresh full-corpus hash draw and
+    re-bucket every stored row — assignments move cells, but the PQ
+    codes are CODEBOOK-relative, so each vid's (sub_m, code) rows are
+    preserved verbatim and simply follow their vector into its new
+    cell (no re-encode: ADC distances are unchanged by construction,
+    which is what makes the reclustered index answer exactly like a
+    same-generation rebuild).  Codebooks and dim/pq_m meta survive the
+    swap; one CAS replace-commit via `TransactionalTable.optimize`."""
+    if not recluster:
+        return table.optimize(spark, partition_by="shard")
+
+    import math
+
+    from apache_kafka_clickhouse_demo_spark.operators import similarity as _S
+
+    def _recluster(snap: DataFrame) -> DataFrame:
+        meta = (
+            snap.filter(F.col("shard") == META_SHARD)
+            .agg(
+                F.sum("n_vecs").alias("nv"),
+                F.min("n_shards").alias("sn"), F.max("n_shards").alias("sx"),
+                F.min("pq_m").alias("mn"), F.max("pq_m").alias("mx"),
+                F.min("dim").alias("dn"), F.max("dim").alias("dx"),
+            )
+            .first()
+        )
+        for lo, hi, what in (
+            (meta["sn"], meta["sx"], "n_shards"),
+            (meta["mn"], meta["mx"], "pq_m"),
+            (meta["dn"], meta["dx"], "dim"),
+        ):
+            if lo != hi:
+                raise ValueError(
+                    f"{table.path}: IVFPQ meta rows disagree on {what} "
+                    f"({lo} != {hi}) — corrupted store"
+                )
+        n_vecs, n_shards = int(meta["nv"]), int(meta["sn"])
+        pq_m, dim = int(meta["mn"]), int(meta["dn"])
+        vrows = snap.filter(F.col("shard").startswith("v"))
+        vecs = vrows.filter(F.col("sub_m").isNull()).select("vid", "nv")
+        old_codes = vrows.filter(F.col("sub_m").isNotNull()).select(
+            "vid", F.col("sub_m").alias("m"), "code"
+        )
+        cb = snap.filter(F.col("shard") == PQ_CB_SHARD).select(
+            F.col("sub_m").alias("m"), "code", "cv"
+        )
+        k = target_centroids if target_centroids else max(1, math.isqrt(n_vecs))
+        modulus = max(1, n_vecs // k)
+        cents = vecs.filter(
+            H.h48(F.concat(F.lit(salt), F.col("vid").cast("string"))) % modulus
+            == 0
+        ).select(F.col("vid").alias("cent_id"), F.col("nv").alias("cv"))
+        if cents.isEmpty():
+            raise ValueError(
+                "recluster hash-sampled zero centroids — pass a larger "
+                "target_centroids or recluster after more growth"
+            )
+        if k > _S._TWO_LEVEL_MIN_CENTROIDS:
+            assign = _S._assign_two_level(vecs, cents, k, salt)
+        else:
+            assign = _S._assign_one_hop(vecs, cents)
+        return _ivfpq_segment_frames(
+            assign, old_codes, n_shards, pq_m, dim, cents, cb
+        )
+
+    return table.optimize(spark, partition_by="shard", transform=_recluster)
+
+
+def ivfpq_index_lookup(
+    spark: SparkSession,
+    table: TransactionalTable,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    version: int | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN over the persisted index — the 100 TB serving shape:
+    probe each query's nprobe stored centroids (bounded broadcast
+    dots), read ONLY the shards those cells bucket into, select ONLY
+    the code columns (parquet never decodes the nv bytes — the read is
+    m longs per candidate, PQ's 32x scan-bytes cut, now at REST), and
+    ADC-score against the query's bounded distance table.  No linear
+    pass anywhere at query time; answers are bit-identical to the scan
+    path `similarity.ivfpq_topk` on the same corpus (pinned by test) —
+    ranking via the SHARED `_adc_rank_topk`."""
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+    from apache_kafka_clickhouse_demo_spark.operators import similarity as _S
+    from pyspark.sql import Window
+
+    if version is None:
+        version = table.version()
+    _, n_shards, pq_m, dim = ivfpq_index_meta(spark, table, version=version)
+    cents = table.read_where(
+        spark, "shard", [ANN_CENT_SHARD], version=version
+    ).select("cent_id", "cv")
+    cb = table.read_where(spark, "shard", [PQ_CB_SHARD], version=version).select(
+        F.col("sub_m").alias("m"), "code", "cv"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.normalize(vec_col).alias("qn")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "cent_id", V.dot("qn", "cv").alias("ccos"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cent_id")
+    )
+    # bounded driver action: the probe-cell set (<= |queries| x nprobe
+    # ids), same class as ann_index_lookup's broadcast planning
+    probe_rows = probes.collect()
+    probe_cells = sorted({r["cent_id"] for r in probe_rows})
+    shards = sorted({f"v{c % n_shards}" for c in probe_cells})
+    pairs = spark.createDataFrame(probe_rows, "query_id long, cent_id long")
+    code_rows = (
+        table.read_where(spark, "shard", shards, version=version)
+        .filter(F.col("sub_m").isNotNull() & F.col("cent_id").isin(probe_cells))
+        .select("cent_id", "vid", F.col("sub_m").alias("m"), "code")
+    )
+    qsub = _S._pq_subvectors(queries, dim, pq_m, id_col, "query_id", vec_col)
+    dtable = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", _S._pq_dist_micro("sv", "cv").alias("pdist")
+    )
+    scored = (
+        code_rows.join(F.broadcast(pairs), "cent_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .join(F.broadcast(dtable), ["query_id", "m", "code"])
+        .groupBy("query_id", "vid")
+        .agg(F.sum("pdist").cast("long").alias("adc"))
+    )
+    return _S._adc_rank_topk(scored, k)

@@ -981,13 +981,73 @@ def pq_codes(
         % modulus
         == 0
     ).select("m", F.col("vid").alias("code"), F.col("sv").alias("cv"))
-    codes = (
+    return cb, _pq_encode_sub(sub, cb)
+
+
+def _pq_encode_sub(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codebook-entry assignment of long-form subvectors
+    (vid, m, sv) against a bounded codebook (m, code, cv): one broadcast
+    join on the subspace key + one min_by hash aggregate, integer
+    micro-L2 with (dmicro, code) tie-break.  Factored (r14) so
+    `pq_codes` and the persisted IVFPQ index's extend/re-encode hooks
+    provably share one encoder — a copy would let the stored codes
+    silently drift from the scan path's."""
+    return (
         sub.join(F.broadcast(cb), "m")
         .select("vid", "m", "code", _pq_dist_micro("sv", "cv").alias("dmicro"))
         .groupBy("vid", "m")
         .agg(F.min_by("code", F.struct("dmicro", "code")).alias("code"))
     )
-    return cb, codes
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: DataFrame,
+    dim: int,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against a FIXED codebook (the persisted-index
+    extension path: codebooks are fixed at creation, extensions encode
+    against the stored generation — the PQ analogue of
+    `extend_ann_index`'s fixed-centroid contract).  Returns
+    (vid, m, code)."""
+    sub = _pq_subvectors(spread_small(df), dim, m, id_col, "vid", vec_col)
+    return _pq_encode_sub(sub, cb)
+
+
+def _adc_rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k over ADC scores (query_id, vid, adc) — the
+    (query, partition) partial-merge every ANN operator here uses,
+    factored (r14) so the scan paths and the persisted IVFPQ index
+    lookup share one ranking.  Output: (query_id, neighbor_id, rank,
+    adc_dist_micro), rank 1..k by (adc asc, neighbor_id asc)."""
+    entries = scored.select(
+        "query_id",
+        F.struct(
+            F.col("adc").alias("adc"),
+            F.col("vid").alias("neighbor_id"),
+        ).alias("entry"),
+    )
+    partial = entries.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list("entry")), 1, k).alias("topk"))
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("topk"))), 1, k).alias(
+            "topk"
+        )
+    )
+    return (
+        merged.select("query_id", F.posexplode("topk").alias("_pos", "e"))
+        .select(
+            "query_id",
+            F.col("e.neighbor_id").alias("neighbor_id"),
+            (F.col("_pos") + 1).alias("rank"),
+            F.col("e.adc").alias("adc_dist_micro"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def pq_adc_topk(
@@ -1033,32 +1093,8 @@ def pq_adc_topk(
         .filter(F.col("vid") != F.col("query_id"))
         .groupBy("query_id", "vid")
         .agg(F.sum("pdist").cast("long").alias("adc"))
-        .select(
-            "query_id",
-            F.struct(
-                F.col("adc").alias("adc"),
-                F.col("vid").alias("neighbor_id"),
-            ).alias("entry"),
-        )
     )
-    partial = scored.groupBy(
-        "query_id", F.spark_partition_id().alias("_pid")
-    ).agg(F.slice(F.array_sort(F.collect_list("entry")), 1, k).alias("topk"))
-    merged = partial.groupBy("query_id").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("topk"))), 1, k).alias(
-            "topk"
-        )
-    )
-    return (
-        merged.select("query_id", F.posexplode("topk").alias("_pos", "e"))
-        .select(
-            "query_id",
-            F.col("e.neighbor_id").alias("neighbor_id"),
-            (F.col("_pos") + 1).alias("rank"),
-            F.col("e.adc").alias("adc_dist_micro"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _adc_rank_topk(scored, k)
 
 
 def ivfpq_topk(
@@ -1136,29 +1172,5 @@ def ivfpq_topk(
         .join(F.broadcast(dtable), ["query_id", "m", "code"])
         .groupBy("query_id", "vid")
         .agg(F.sum("pdist").cast("long").alias("adc"))
-        .select(
-            "query_id",
-            F.struct(
-                F.col("adc").alias("adc"),
-                F.col("vid").alias("neighbor_id"),
-            ).alias("entry"),
-        )
     )
-    partial = scored.groupBy(
-        "query_id", F.spark_partition_id().alias("_pid")
-    ).agg(F.slice(F.array_sort(F.collect_list("entry")), 1, k).alias("topk"))
-    merged = partial.groupBy("query_id").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("topk"))), 1, k).alias(
-            "topk"
-        )
-    )
-    return (
-        merged.select("query_id", F.posexplode("topk").alias("_pos", "e"))
-        .select(
-            "query_id",
-            F.col("e.neighbor_id").alias("neighbor_id"),
-            (F.col("_pos") + 1).alias("rank"),
-            F.col("e.adc").alias("adc_dist_micro"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _adc_rank_topk(scored, k)

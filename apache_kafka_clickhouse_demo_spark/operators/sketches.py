@@ -498,28 +498,46 @@ def dyadic_quantiles(
         if not 0 < int(p) <= 1000:
             raise ValueError(f"permille fraction {p} outside (0, 1000]")
     spark = sketch.sparkSession
-    # persisted: the totals read + universe_bits level-slices all
-    # consume the same bounded grid (<= (universe_bits+1)*depth*width
-    # rows); without it each slice would re-run the corpus aggregate
+    # The totals read + universe_bits level-slices all consume the same
+    # bounded grid (<= (universe_bits+1)*depth*width cells by
+    # construction).  Persist it ONLY while eagerly materializing those
+    # slices (localCheckpoint runs the corpus aggregate once, into
+    # RDD-cleaner-managed blocks), then unpersist before building the
+    # lazy descent plan — ADVICE r13: the old persist() with no
+    # unpersist left the grid pinned in executor cache per invocation.
     sk = sketch.persist()
-
-    # level `universe_bits` has the single key 0, so its cell buckets
-    # are data-independent literals — the third h48 mirror
-    root = [
-        (d, H.py_h48(f"{salt}{universe_bits}:{d}:0") % width)
-        for d in range(depth)
-    ]
-    totals = (
-        spark.createDataFrame(root, "d int, bucket int")
-        .join(
-            sk.filter(F.col("level") == universe_bits).select(
-                "d", "bucket", "n"
-            ),
-            ["d", "bucket"],
-            "left",
+    try:
+        # level `universe_bits` has the single key 0, so its cell
+        # buckets are data-independent literals — the third h48 mirror
+        root = [
+            (d, H.py_h48(f"{salt}{universe_bits}:{d}:0") % width)
+            for d in range(depth)
+        ]
+        totals = (
+            spark.createDataFrame(root, "d int, bucket int")
+            .join(
+                sk.filter(F.col("level") == universe_bits).select(
+                    "d", "bucket", "n"
+                ),
+                ["d", "bucket"],
+                "left",
+            )
+            .agg(
+                F.min(F.coalesce(F.col("n"), F.lit(0)))
+                .cast("long")
+                .alias("n_total")
+            )
+            .localCheckpoint(eager=True)  # 1 row
         )
-        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_total"))
-    )
+        # each slice <= depth*width rows, bounded by construction
+        lvl_slices = {
+            lvl: sk.filter(F.col("level") == lvl)
+            .select("d", "bucket", "n")
+            .localCheckpoint(eager=True)
+            for lvl in range(universe_bits)
+        }
+    finally:
+        sk.unpersist()
     ps_df = spark.createDataFrame([(int(p),) for p in ps], "p_permille int")
     st = (
         ps_df.crossJoin(F.broadcast(totals))  # 1-row scalar
@@ -565,7 +583,7 @@ def dyadic_quantiles(
             F.col("c.d").alias("d"),
             F.col("c.bucket").alias("bucket"),
         )
-        lvl_cells = sk.filter(F.col("level") == lvl).select("d", "bucket", "n")
+        lvl_cells = lvl_slices[lvl]
         left_est = (
             fanned.join(F.broadcast(lvl_cells), ["d", "bucket"], "left")
             .groupBy("p_permille", "target_rank", "rem", "pos")

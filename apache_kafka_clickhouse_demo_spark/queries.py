@@ -4691,6 +4691,34 @@ def q_domain_doc_counts(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated into the gate in r14 (VERDICT r13 #1: 12 of the 13
+    #    locally-green rows never driver-attested, one per machinery
+    #    class per the judge's nomination: sketch_quantiles attests the
+    #    dyadic descent walk (+ the weighted form's mass-per-cell
+    #    variant), ann_ivfpq_topk both PQ stages + the IVF composition
+    #    (ann_pq_topk stays an extra — ADC is load-bearing inside the
+    #    gated composition), stream_strat_sample the per-group bottom-k
+    #    generational store, media_phash_clusters the CC/representative
+    #    composition, sequence_match_time the gap-constrained fold,
+    #    stream_cms_counts / stream_uniq_users / stream_top_spenders
+    #    the three remaining counter-store streaming twins, hybrid_rrf
+    #    the rank-fusion arm math, hard_negatives the anti-join mining,
+    #    value_by_type_totals the WITH TOTALS ROLLUP parity.  Displaced
+    #    rows keep their operator coverage gated elsewhere and stay
+    #    oracle-checked extras + benched — absorption notes live on
+    #    each displaced row in EXTRA_QUERIES below.  Front-loaded: --
+    "sketch_quantiles": q_sketch_quantiles,
+    "sketch_quantiles_weighted": q_sketch_quantiles_weighted,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "stream_strat_sample": q_stream_strat_sample,
+    "media_phash_clusters": q_media_phash_clusters,
+    "sequence_match_time": q_sequence_match_time,
+    "stream_cms_counts": q_stream_cms_counts,
+    "stream_uniq_users": q_stream_uniq_users,
+    "hybrid_rrf": q_hybrid_rrf,
+    "hard_negatives": q_hard_negatives,
+    "stream_top_spenders": q_stream_top_spenders,
+    "value_by_type_totals": q_value_by_type_totals,
     # -- rotated into the gate in r13 (VERDICT r12 #1: 12 of the 18
     #    locally-green rows never driver-attested, one per new
     #    machinery class: stream_range_counts attests the dyadic
@@ -4738,8 +4766,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_indexed_grown": q_ann_indexed_grown,
     "stream_index_ann": q_stream_index_ann,
     "stream_domain_cap": q_stream_domain_cap,
-    "cms_user_counts": q_cms_user_counts,
-    "gopher_rules": q_gopher_rules,
     "temperature_mixture": q_temperature_mixture,
     # -- rotated into the gate in r11 (VERDICT r10 #1: the persisted-
     #    index subsystem — a whole transactional index family, r10-new,
@@ -4752,9 +4778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    top_orders_per_customer + funnel_levels; type_user_stats'
     #    composite-key group-by keeps type_day_cube + mv_cascade_daily +
     #    sql_busy_days.  Front-loaded: --
-    "bm25_indexed": q_bm25_indexed,
     "phrase_indexed": q_phrase_indexed,
-    "ann_indexed": q_ann_indexed,
     "stream_index_bm25": q_stream_index_bm25,
     # -- rotated into the gate late-r10: four NEW operator families from
     #    this round's build, never driver-attested (all locally
@@ -4805,7 +4829,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    type_day_cube's grouping-sets family.  Front-loaded: --
     "replacing_deletes": q_replacing_deletes,
     "type_day_cube": q_type_day_cube,
-    "containment_pairs": q_containment_pairs,
     # -- rotated into the gate in r07 (landed mid-r06 after the 50 slots
     #    filled; never driver-checked): front-loaded.  VERDICT r6 #2. --
     "semantic_dedup": q_semantic_dedup,
@@ -4816,14 +4839,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated into the gate in r06 (landed r05 after slots filled;
     #    never driver-checked): front-loaded --
     "pack_sequences": q_pack_sequences,
-    "stream_near_dup": q_stream_near_dup,
     "stream_embed_near_dup": q_stream_embed_near_dup,
     # -- r06 in-round additions, one per new family (MergeTree engines /
     #    behavioral analytics / passage-level dedup): front-loaded --
-    "funnel_levels": q_funnel_levels,
     "passage_dedup": q_passage_dedup,
     # -- new/changed in r04: front-loaded --
-    "text_prep": q_text_prep,
     "mv_cascade_daily": q_mv_cascade_daily,
     # -- never driver-checked in r02 / changed in r03 --
     # -- stable green rows from CORRECTNESS_r02 --
@@ -4832,12 +4852,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mv_cascade_attendance": q_mv_cascade_attendance,
     "sql_busy_days": q_sql_busy_days,
     "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "top_orders_per_customer": q_top_orders_per_customer,
     "asof_last_purchase": q_asof_last_purchase,
-    "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
     "corpus_curation": q_corpus_curation,
 }
 
@@ -4851,9 +4867,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attendance_daily_merged": q_attendance_daily_merged,  # M3/A6/A7 batch form; oracle identical to attendance_daily_compacted, streaming form gated by mv_cascade_daily (r04)
     "count_events": q_count_events,  # A1 via n_events in type_user_stats et al.
     "value_by_type": q_value_by_type,  # absorbed into type_user_stats
-    # r12: WITH TOTALS parity (one ROLLUP aggregate, GROUPING()-tagged
-    # grand-total row)
-    "value_by_type_totals": q_value_by_type_totals,
     "entry_attendance": q_entry_attendance,  # same oracle as mv_cascade_attendance
     "events_preview": q_events_preview,  # P2/O2 trivia
     "show_tables": q_show_tables,  # S8 trivia (tests/test_catalog_and_extras.py)
@@ -4983,45 +4996,27 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: margin-based bitext mining (CCMatrix rule; ratio margin over
     # both sides' k-NN means as fixed-order folds)
     "margin_bitext": q_margin_bitext,
-    # r12: streaming count-min twin (cell-sharded counter store, linear
-    # merge — VERDICT r11 #6); oracle = the batch CMS SQL verbatim
-    "stream_cms_counts": q_stream_cms_counts,
-    # r12: streaming per-group HLL count-distinct (the sketch family's
-    # third streaming twin; register-exact union -> oracle = the batch
-    # uniq_users_approx SQL verbatim)
-    "stream_uniq_users": q_stream_uniq_users,
-    # r12: hybrid keyword+vector retrieval via integer-exact
-    # reciprocal-rank fusion of the BM25 and ANN arms (SIGIR'09 k=60)
-    "hybrid_rrf": q_hybrid_rrf,
-    # r12: DPR-style hard-negative mining (BM25 candidates anti-joined
-    # against the vector arm's top-k; bounded rank-frame input)
-    "hard_negatives": q_hard_negatives,
-    # r12: streaming topKWeighted twin (same generational store; the
-    # weight changes increments, not the merge/publish machinery)
-    "stream_top_spenders": q_stream_top_spenders,
-    # r13: sketch quantiles by dyadic-CMS descent (Cormode &
-    # Muthukrishnan §5 — the range-count structure's stated purpose);
-    # oracle replays the identical walk as a recursive CTE
-    "sketch_quantiles": q_sketch_quantiles,
-    # r13: the weighted form (quantileTimingWeighted parity — weight
-    # mass per cell, descent unchanged)
-    "sketch_quantiles_weighted": q_sketch_quantiles_weighted,
-    # r13: sequenceMatch time-condition parity (per-adjacent-pair gap
-    # bounds; declarative exists-a-chain oracle via joins)
-    "sequence_match_time": q_sequence_match_time,
     # r13: PQ-ADC approximate top-k (Jégou et al. 2011 — completes the
-    # ANN quantization family: SQ8 scalar / IVF coarse / PQ product)
+    # ANN quantization family: SQ8 scalar / IVF coarse / PQ product).
+    # Stays an extra in the r14 rotation: the ADC scoring stage is
+    # load-bearing inside the gated ann_ivfpq_topk composition.
     "ann_pq_topk": q_ann_pq_topk,
-    # r13: IVF-PQ composition (coarse prune + ADC over codes — the
-    # 100 TB serving shape)
-    "ann_ivfpq_topk": q_ann_ivfpq_topk,
-    # r13: streaming stratified quota sample (per-group bottom-k
-    # generational store; drained == batch stratified_sample verbatim)
-    "stream_strat_sample": q_stream_strat_sample,
-    # r13: bounded cluster/representative form of phash media dedup
-    # (VERDICT r12 #4) — pairs -> components -> keep-the-largest;
-    # output linear in docs however heavy the duplication
-    "media_phash_clusters": q_media_phash_clusters,
+    # rotated OUT of the gate in r14 for the twelve never-driver-
+    # attested rows (VERDICT r13 #1); every operator each row carried
+    # keeps >= 1 green gate row or a provably-shared gated code path,
+    # and all twelve stay oracle-checked extras + benched:
+    "q3_shipping_priority": q3_shipping_priority,  # TPC-H join+agg+order family keeps q1_pricing_summary; the shape also load-bears in top_users_weighted and score_calibration
+    "top_orders_per_customer": q_top_orders_per_customer,  # per-group top-N family keeps events_limit_by (same WindowGroupLimit physical shape); rank machinery load-bearing in score_calibration + hybrid_indexed
+    "dedup_exact": q_dedup_exact,  # exact hash-groupBy dedup; family keeps dedup_minhash_lsh + media_phash_dedup, and the groupBy-argmax canonicalization load-bears inside media_phash_clusters (entering)
+    "dedup_clusters": q_dedup_clusters,  # CC family keeps media_phash_clusters (entering: same connected_components + representative path, dedup.py) and CC load-bears inside gate-green corpus_curation
+    "containment_pairs": q_containment_pairs,  # n-gram set-similarity family keeps dedup_minhash_lsh + passage_dedup
+    "text_prep": q_text_prep,  # normalization family keeps text_normalize (Arrow NFC) + c4_filters
+    "gopher_rules": q_gopher_rules,  # curation-rules family keeps c4_filters + perplexity_buckets + quality_classifier + corpus_curation
+    "bm25_indexed": q_bm25_indexed,  # persisted-BM25 family keeps stream_index_bm25 (builds the same index streaming) + hybrid_indexed (serves from it)
+    "ann_indexed": q_ann_indexed,  # persisted-ANN family keeps ann_indexed_grown + ann_indexed_reclustered + stream_index_ann + hybrid_indexed (all maintain/serve the same segment-model index)
+    "cms_user_counts": q_cms_user_counts,  # CMS family keeps stream_cms_counts (entering; its oracle IS this row's batch SQL) + dyadic_range_counts + stream_range_counts
+    "funnel_levels": q_funnel_levels,  # funnel family keeps stream_funnel + sequence_match_time (entering: the gap-constrained fold over the same event-sequence machinery)
+    "stream_near_dup": q_stream_near_dup,  # streaming near-dup family keeps stream_embed_near_dup (same exactly-once bucket-pruned drain architecture) + dedup_minhash_lsh (batch banding)
     # rotated OUT of the gate in r13 for the twelve never-driver-
     # attested rows (VERDICT r12 #1); every operator each row carried
     # keeps >= 1 green gate row or a provably-shared gated code path,
@@ -5297,7 +5292,12 @@ WITH RECURSIVE pairs AS (
 ), cc AS (
   SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 ), sc AS (
-  SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n_bytes
+  -- octet_length(encode(..)) = UTF-8 byte count, mirroring the engine's
+  -- meta.n_bytes exactly regardless of fixture text encoding (ADVICE
+  -- r13: length() counts characters and matched only because the
+  -- fixtures happen to be pure ASCII)
+  SELECT doc_id,
+         CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes
   FROM documents
 ), j AS (
   SELECT c.cluster_id, c.doc_id, s.n_bytes,

@@ -1944,95 +1944,102 @@ class _DomainCapStreamWriter:
         # uncached, the canonicalize+window chain re-ran up to 4x per
         # block (two collects + the two appends' stages); block-bounded
         ranked = ranked.persist()
-
-        # bounded driver actions: <= domain_shards shard names, and a
-        # CAPPED distinct-domain probe (limit MAX+1 — the collect is
-        # bounded by the cap, never by block size; a 250k-literal isin
-        # was measured to hang analysis, so big blocks skip the
-        # pushdown instead of building one)
-        block_shards = sorted(
-            (ranked.agg(F.collect_set("_shard")).first()[0]) or []
-        )
-        doms = [
-            r["reg_domain"]
-            for r in ranked.select("reg_domain")
-            .distinct()
-            .limit(self.MAX_PUSHDOWN_DOMAINS + 1)
-            .collect()
-        ]
-        push = (
-            [d for d in doms if d is not None]
-            if len(doms) <= self.MAX_PUSHDOWN_DOMAINS
-            else None
-        )
+        # ADVICE r13: the try must begin IMMEDIATELY after the
+        # persist — the shard collect, the capped domain probe and
+        # the prior read below all sit between persist and the
+        # commit block, and an exception there leaked the cached
+        # block before this wrapper existed
         try:
-            prior = self.store.read_where(
-                self.spark, "shard", block_shards, version=pin
-            )
-            if push is not None:
-                # with maintain()'s domain-sorted shard files this
-                # prunes parquet row groups by min/max stats, so the
-                # read decodes the BLOCK's domains, not every domain a
-                # shard holds (a shard's row count grows with the TOTAL
-                # domain count; the block's does not)
-                prior = prior.filter(
-                    F.col("reg_domain").isin(push)
-                    | F.col("reg_domain").isNull()
-                )
-            prior = prior.groupBy("reg_domain").agg(
-                F.sum("n").alias("_prior")
-            )
-        except FileNotFoundError:  # no commits at/below the pin — an
-            # INDEPENDENT empty frame (deriving it from `ranked` would
-            # alias the join's two sides to one lineage -> ambiguous refs)
-            prior = self.spark.createDataFrame(
-                [], "reg_domain string, _prior long"
-            )
 
-        joined = (
-            ranked.alias("r")
-            .join(
-                prior.alias("p"),
-                F.col("r.reg_domain").eqNullSafe(F.col("p.reg_domain")),
-                "left",
+            # bounded driver actions: <= domain_shards shard names, and a
+            # CAPPED distinct-domain probe (limit MAX+1 — the collect is
+            # bounded by the cap, never by block size; a 250k-literal isin
+            # was measured to hang analysis, so big blocks skip the
+            # pushdown instead of building one)
+            block_shards = sorted(
+                (ranked.agg(F.collect_set("_shard")).first()[0]) or []
             )
-            .select(
-                F.col("r.doc_id").alias("doc_id"),
-                F.col("r.url_norm").alias("url_norm"),
-                F.col("r.reg_domain").alias("reg_domain"),
-                F.col("r._r").alias("_r"),
-                F.col("r._shard").alias("_shard"),
-                F.coalesce(F.col("p._prior"), F.lit(0)).alias("_prior"),
+            doms = [
+                r["reg_domain"]
+                for r in ranked.select("reg_domain")
+                .distinct()
+                .limit(self.MAX_PUSHDOWN_DOMAINS + 1)
+                .collect()
+            ]
+            push = (
+                [d for d in doms if d is not None]
+                if len(doms) <= self.MAX_PUSHDOWN_DOMAINS
+                else None
             )
-        )
-        survivors = joined.filter(
-            F.col("_prior") + F.col("_r") <= self.cap
-        ).withColumn(
-            "domain_rank", (F.col("_prior") + F.col("_r")).cast("int")
-        )
-        # persisted: the increment aggregate and the out append both
-        # read the survivor set; block-bounded rows
-        survivors = survivors.persist()
-        try:
-            if not store_done:
-                increments = (
-                    survivors.groupBy("_shard", "reg_domain")
-                    .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                    .select(F.col("_shard").alias("shard"), "reg_domain", "n")
+            try:
+                prior = self.store.read_where(
+                    self.spark, "shard", block_shards, version=pin
                 )
-                self.store.append_once(
-                    increments.repartition(F.col("shard")),
-                    txn=txn,
-                    partition_by="shard",
+                if push is not None:
+                    # with maintain()'s domain-sorted shard files this
+                    # prunes parquet row groups by min/max stats, so the
+                    # read decodes the BLOCK's domains, not every domain a
+                    # shard holds (a shard's row count grows with the TOTAL
+                    # domain count; the block's does not)
+                    prior = prior.filter(
+                        F.col("reg_domain").isin(push)
+                        | F.col("reg_domain").isNull()
+                    )
+                prior = prior.groupBy("reg_domain").agg(
+                    F.sum("n").alias("_prior")
                 )
-            out_df = survivors.select(
-                "doc_id", "url_norm", "reg_domain", "domain_rank"
+            except FileNotFoundError:  # no commits at/below the pin — an
+                # INDEPENDENT empty frame (deriving it from `ranked` would
+                # alias the join's two sides to one lineage -> ambiguous refs)
+                prior = self.spark.createDataFrame(
+                    [], "reg_domain string, _prior long"
+                )
+
+            joined = (
+                ranked.alias("r")
+                .join(
+                    prior.alias("p"),
+                    F.col("r.reg_domain").eqNullSafe(F.col("p.reg_domain")),
+                    "left",
+                )
+                .select(
+                    F.col("r.doc_id").alias("doc_id"),
+                    F.col("r.url_norm").alias("url_norm"),
+                    F.col("r.reg_domain").alias("reg_domain"),
+                    F.col("r._r").alias("_r"),
+                    F.col("r._shard").alias("_shard"),
+                    F.coalesce(F.col("p._prior"), F.lit(0)).alias("_prior"),
+                )
             )
-            if self.out_files is not None:
-                out_df = out_df.coalesce(self.out_files)
-            self.out.append_once(out_df, txn=txn)
+            survivors = joined.filter(
+                F.col("_prior") + F.col("_r") <= self.cap
+            ).withColumn(
+                "domain_rank", (F.col("_prior") + F.col("_r")).cast("int")
+            )
+            # persisted: the increment aggregate and the out append both
+            # read the survivor set; block-bounded rows
+            survivors = survivors.persist()
+            try:
+                if not store_done:
+                    increments = (
+                        survivors.groupBy("_shard", "reg_domain")
+                        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                        .select(F.col("_shard").alias("shard"), "reg_domain", "n")
+                    )
+                    self.store.append_once(
+                        increments.repartition(F.col("shard")),
+                        txn=txn,
+                        partition_by="shard",
+                    )
+                out_df = survivors.select(
+                    "doc_id", "url_norm", "reg_domain", "domain_rank"
+                )
+                if self.out_files is not None:
+                    out_df = out_df.coalesce(self.out_files)
+                self.out.append_once(out_df, txn=txn)
+            finally:
+                survivors.unpersist()
         finally:
-            survivors.unpersist()
             ranked.unpersist()
 
 

@@ -372,13 +372,17 @@ SAMPLED_TIER = [
 SAMPLE_K = 8
 
 
-def _round_number() -> int:
-    """The driver writes one CORRECTNESS_r{N}.json per completed round;
-    counting them dates the CURRENT round deterministically."""
-    import glob as _glob
+#: Explicit round constant, bumped at each round start (ADVICE r13:
+#: counting CORRECTNESS_r*.json files shifted the sampled window WITHIN
+#: a round once the driver dropped a new artifact mid-round — two bench
+#: runs in one round could time different SAMPLED_TIER windows).
+ROUND = 14
 
-    here = Path(__file__).resolve().parent
-    return len(_glob.glob(str(here / "CORRECTNESS_r*.json"))) + 1
+
+def _round_number() -> int:
+    """The committed ROUND constant — stable for the whole round
+    regardless of which driver artifacts exist locally."""
+    return ROUND
 
 
 def _sampled_window(rnd: int) -> list[str]:

@@ -79,9 +79,11 @@ def profile(spark, which: str) -> None:
 
     ST._NearDupStreamWriter.process = process
 
+    # rotation-proof lookup: these rows move between gate and extras
+    reg = {**Q.QUERIES, **Q.EXTRA_QUERIES}
     fn = {
-        "minhash": Q.QUERIES["stream_near_dup"],
-        "embed": Q.QUERIES["stream_embed_near_dup"],
+        "minhash": reg["stream_near_dup"],
+        "embed": reg["stream_embed_near_dup"],
     }[which]
     try:
         t0 = time.time()
