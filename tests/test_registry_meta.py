@@ -32,9 +32,17 @@ def test_bench_headline_exists_and_baselines_point_at_headliners():
     stray = [n for n in bench.BASELINE_SEC if n not in allowed]
     assert stray == [], f"stall-guard baselines for non-headline queries: {stray}"
     assert set(bench.SAMPLED_TIER) <= set(bench.ALL_QUERIES)
-    # every tier row gets a trend point within a full rotation cycle
-    cycle = set()
+    # r14 (VERDICT r13 #7): every gate row is ALWAYS timed — the tier
+    # may only hold non-gate extras/BENCH_ONLY rows
+    assert not set(bench.SAMPLED_TIER) & set(Q.QUERIES), (
+        set(bench.SAMPLED_TIER) & set(Q.QUERIES)
+    )
+    # every tier row gets a trend point within a full rotation cycle,
+    # and the cycle stays at the r13 cadence (<= 3 rounds) so a sampled
+    # row is never unchecked longer than that
     n_rounds = -(-len(bench.SAMPLED_TIER) // bench.SAMPLE_K)
+    assert n_rounds <= 3, n_rounds
+    cycle = set()
     for r in range(1, n_rounds + 1):
         cycle |= set(bench._sampled_window(r))
     assert cycle == set(bench.SAMPLED_TIER)

@@ -1451,6 +1451,85 @@ def test_ann_index_stream_writer_founds_then_extends(spark, tmp_path):
     assert before == after and len(before) > 0
 
 
+def test_ivfpq_index_stream_writer_founds_then_extends(spark, tmp_path):
+    """_IvfPqIndexStreamWriter (r14): block 0 founds centroids AND PQ
+    codebooks, later blocks extend against both FIXED generations;
+    replays/empty blocks publish nothing; a second writer over an
+    existing index extends instead of re-founding; the accumulated
+    index answers the one-shot founding-draw construction verbatim."""
+    import random
+
+    from apache_kafka_clickhouse_demo_spark.operators import search_index as SI
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _IvfPqIndexStreamWriter,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    w = _IvfPqIndexStreamWriter(
+        spark, str(tmp_path / "ix"), writer_id="s",
+        dim=8, m=4, target_codes=8, target_centroids=6,
+    )
+    b0 = emb.filter(F.col("vec_id") < 20)
+    b1 = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 25))
+    w.process(b0, 0)
+    cb_after_found = sorted(
+        (r["sub_m"], r["code"])
+        for r in w.table.read_where(spark, "shard", [SI.PQ_CB_SHARD]).collect()
+    )
+    w.process(b0, 0)  # committed replay: no-op
+    w.process(b0.filter("vec_id < 0"), 1)  # empty block: no-op
+    v = w.table.version()
+    w.process(b1, 2)
+    assert w.table.version() == v + 1
+    assert SI.ivfpq_index_meta(spark, w.table)[0] == 25
+
+    w2 = _IvfPqIndexStreamWriter(
+        spark, str(tmp_path / "ix"), writer_id="s2",
+        dim=8, m=4, target_codes=2, target_centroids=2,
+    )
+    w2.process(emb.filter(F.col("vec_id") >= 25), 0)
+    cb_after = sorted(
+        (r["sub_m"], r["code"])
+        for r in w2.table.read_where(spark, "shard", [SI.PQ_CB_SHARD]).collect()
+    )
+    assert cb_after == cb_after_found  # codebooks fixed at creation
+    assert SI.ivfpq_index_meta(spark, w2.table)[0] == 30
+
+    # the streamed index == a one-shot build on block 0 + one extend of
+    # the rest (same founding draws -> identical lookups)
+    oneshot = SI.build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 20), str(tmp_path / "ref"),
+        dim=8, m=4, target_codes=8, target_centroids=6,
+    )
+    SI.extend_ivfpq_index(emb.filter(F.col("vec_id") >= 20), oneshot)
+    q = emb.filter(F.col("vec_id") < 3)
+    got = [
+        tuple(r)
+        for r in SI.ivfpq_index_lookup(spark, w2.table, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in SI.ivfpq_index_lookup(spark, oneshot, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # maintenance compacts without changing answers
+    w2.maintain()
+    after = [
+        tuple(r)
+        for r in SI.ivfpq_index_lookup(spark, w2.table, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert after == want
+
+
 def test_ann_index_stream_checkpointed_drain(spark, tmp_path):
     """End-to-end checkpointed ann_index_stream over a file feed: the
     accumulated index answers exactly as a manual found+extend over the
@@ -1766,7 +1845,7 @@ def test_count_min_stream_atomic_commit_failure_replays_clean(
 
 
 def _dcms_writer(spark, tmp_path, tag="w", bits=8, width=64, depth=3,
-                 ranges=((1, 0, 16), (2, 16, 256)), shards=4):
+                 ranges=((1, 0, 16), (2, 16, 256)), shards=4, ps=None):
     from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
         _DyadicCmsStreamWriter,
     )
@@ -1781,6 +1860,7 @@ def _dcms_writer(spark, tmp_path, tag="w", bits=8, width=64, depth=3,
         depth=depth,
         cms_shards=shards,
         writer_id=tag,
+        ps=ps,
     )
 
 
@@ -1874,6 +1954,95 @@ def test_dyadic_stream_sparse_block_estimate_reads_unread_band_mass(
         for r in w.out_rows().collect()
     }
     assert rows == {(0, 1): 2, (0, 2): 0, (1, 1): 2, (1, 2): 1}
+
+
+def test_dyadic_stream_running_quantiles_accumulate(spark, tmp_path):
+    """r14 (VERDICT r13 #6): a writer constructed with `ps` publishes
+    running quantiles per block in the SAME atomic commit — exact in
+    the wide-grid (no-collision) regime, where the descent equals the
+    integer-rule quantile; the drained store's descent equals the batch
+    dyadic_quantiles over the concatenated feed verbatim."""
+    from apache_kafka_clickhouse_demo_spark.operators.sketches import (
+        dyadic_cms_build,
+        dyadic_quantiles,
+    )
+
+    w = _dcms_writer(spark, tmp_path, width=1 << 12, ps=[500, 900])
+    w.process(_vals_df(spark, [3, 5, 20]), 0)
+    w.process(_vals_df(spark, [7, 200, 20]), 1)
+    qrows = {
+        (r["batch_id"], r["p_permille"]): (r["target_rank"], r["q_value"])
+        for r in w.quantile_rows().collect()
+    }
+    # block 0: {3,5,20} -> p500 rank 2 = 5, p900 rank 3 = 20
+    # block 1: {3,5,7,20,20,200} -> p500 rank 3 = 7, p900 rank 6 = 200
+    assert qrows == {
+        (0, 500): (2, 5), (0, 900): (3, 20),
+        (1, 500): (3, 7), (1, 900): (6, 200),
+    }
+    # the range-count publication is unchanged by the ps composition
+    rows = {
+        (r["batch_id"], r["range_id"]): r["est"]
+        for r in w.out_rows().collect()
+    }
+    assert rows == {(0, 1): 2, (0, 2): 1, (1, 1): 3, (1, 2): 3}
+    # drained-store descent == batch descent over the one-shot build
+    drained = [tuple(r) for r in w.quantiles().collect()]
+    batch = [
+        tuple(r)
+        for r in dyadic_quantiles(
+            dyadic_cms_build(
+                _vals_df(spark, [3, 5, 20, 7, 200, 20]), "v",
+                universe_bits=8, width=1 << 12, depth=3,
+            ),
+            [500, 900], universe_bits=8, width=1 << 12, depth=3,
+        ).collect()
+    ]
+    assert drained == batch and len(drained) == 2
+
+
+def test_dyadic_stream_quantile_commit_failure_replays_clean(
+    spark, tmp_path, monkeypatch
+):
+    """The quantile rows ride the SAME single publish: a crash before
+    the commit record leaves no increments, no estimates AND no
+    quantile rows; the retry re-derives all three against the pre-block
+    snapshot."""
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
+
+    w = _dcms_writer(spark, tmp_path, width=1 << 12, ps=[500])
+    w.process(_vals_df(spark, [3, 3]), 0)
+    v0 = w.store.version()
+
+    orig = TXL.TransactionalTable._publish
+    calls = {"n": 0}
+
+    def fail_publish(self, payload, dest_path):
+        if "dcmsstore_" in self.path:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected publish failure")
+        return orig(self, payload, dest_path)
+
+    monkeypatch.setattr(TXL.TransactionalTable, "_publish", fail_publish)
+    block = _vals_df(spark, [5, 20, 20])
+    with pytest.raises(RuntimeError, match="injected"):
+        w.process(block, 1)
+    assert w.store.version() == v0
+    assert {r["batch_id"] for r in w.quantile_rows().collect()} == {0}
+
+    w.process(block, 1)  # retry
+    monkeypatch.setattr(TXL.TransactionalTable, "_publish", orig)
+    assert w.store.version() == v0 + 1
+    qrows = {
+        (r["batch_id"], r["p_permille"]): (r["target_rank"], r["q_value"])
+        for r in w.quantile_rows().collect()
+    }
+    # block 0: {3,3} -> p500 rank 1 = 3
+    # block 1: {3,3,5,20,20} -> p500 rank 3 = 5 (exact: no double count)
+    assert qrows == {(0, 500): (1, 3), (1, 500): (3, 5)}
 
 
 def test_dyadic_stream_atomic_commit_failure_replays_clean(
