@@ -1174,3 +1174,114 @@ def ivfpq_topk(
         .agg(F.sum("pdist").cast("long").alias("adc"))
     )
     return _adc_rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic spherical k-means (Lloyd refinement of the hash draw) — r14
+# ---------------------------------------------------------------------------
+
+#: centroid components are averaged in INTEGER micro-units so the sums
+#: are order-free (a double sum over an arbitrary-size cluster is
+#: order-dependent and would break the cross-engine mirror); 1e-6 is far
+#: below any assignment margin the unit vectors produce
+KM_MICRO = 1_000_000
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    rounds: int = 2,
+    target_centroids: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "ivf:",
+    corpus_count: int | None = None,
+):
+    """Spherical k-means: the shared IVF hash draw as init, then `rounds`
+    Lloyd iterations — assign every vector to its argmax-cosine centroid
+    (the SHARED `_assign_one_hop`/`_assign_two_level` machinery), then
+    recompute each centroid as the RENORMALIZED mean of its members.
+    This is the trained-quantizer upgrade over the one-shot draw that
+    `ivf_quantize` (and therefore SemDeDup / the ANN index family)
+    founds on: the draw is unbiased but untrained, and cluster quality
+    is what bounds SemDeDup's within-cell recall and IVF's probe cost
+    (cf. Jégou et al. 2011, who train the coarse quantizer by exactly
+    this Lloyd process).
+
+    Determinism contract (what makes it oracle-exact rather than
+    approximately-close): member means are computed in INTEGER
+    micro-units — each normalized component is quantized ONCE to
+    floor(x * 1e6 + 0.5), summed exactly (integer sums are order-free
+    under any partitioning), divided by the member count with integer
+    DIV, and only then rescaled to double and renormalized through the
+    shared fixed-order `V.normalize`.  Both engines therefore see
+    bit-identical centroids at every round, so assignments (ties on
+    smallest cent_id) match exactly.  Centroids keep their ORIGINAL
+    cent_id (the founding donor's vid) across rounds; a centroid whose
+    cell empties vanishes (no members -> no row), the standard Lloyd
+    degeneracy, stated rather than patched.
+
+    Returns (cents, assign): cents = (cent_id, cv) — the refined
+    generation, bounded ~target_centroids rows; assign = (vid, nv,
+    cent_id) under the final generation.
+
+    Plan shape at 100 TB: per round, one broadcast argmax pass over the
+    corpus (the ivf_topk assignment cost, two-level above the K
+    threshold) + one (cent_id, dim)-keyed integer sum whose output is
+    K * dim rows — bounded by construction, broadcastable back.  Rounds
+    are a small constant (2 by default); nothing quadratic anywhere.
+    """
+    if rounds < 1:
+        raise ValueError("need rounds >= 1")
+    n = corpus_count if corpus_count is not None else _memoized_count(corpus)
+    cents, assign = ivf_quantize(
+        corpus, target_centroids, vec_col, id_col, salt, n
+    )
+    k = target_centroids if target_centroids else max(1, math.isqrt(n))
+    vecs = None  # reuse assign's (vid, nv) — already normalized once
+    for _ in range(rounds):
+        # integer-micro member means, keyed by (cent_id, dim index)
+        comp = assign.select(
+            "cent_id",
+            F.posexplode(
+                F.transform(
+                    "nv",
+                    lambda x: F.floor(x * KM_MICRO + F.lit(0.5)).cast("long"),
+                )
+            ).alias("i", "q"),
+        )
+        means = (
+            comp.groupBy("cent_id", "i")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("c"))
+            .select(
+                "cent_id",
+                "i",
+                # components are signed: Spark's DIV and DuckDB's //
+                # both truncate toward zero on BIGINT (verified -7/2 ->
+                # -3 on both), so the quotient matches cross-engine
+                # even for negative sums
+                F.expr("s DIV c").alias("m"),
+            )
+        )
+        new_cv = (
+            means.groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "m"))
+                ).alias("im")
+            )
+            .select(
+                "cent_id",
+                F.transform(
+                    "im", lambda e: e["m"].cast("double") / F.lit(float(KM_MICRO))
+                ).alias("raw"),
+            )
+            .select("cent_id", V.normalize("raw").alias("cv"))
+        )
+        cents = new_cv
+        if vecs is None:
+            vecs = assign.select("vid", "nv")
+        if k > _TWO_LEVEL_MIN_CENTROIDS:
+            assign = _assign_two_level(vecs, cents, k, salt)
+        else:
+            assign = _assign_one_hop(vecs, cents)
+    return cents, assign

@@ -2108,6 +2108,30 @@ def q_ann_ivfpq_reclustered(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+KMEANS_ROUNDS = 2
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic spherical k-means (similarity.kmeans_refine — r14):
+    the shared IVF hash draw as init, then two Lloyd rounds with
+    INTEGER-MICRO member means (order-free sums, DIV quotients, shared
+    renormalize), the trained-quantizer upgrade SemDeDup/IVF-class
+    curation runs at 100 TB (Jégou et al. train the coarse quantizer by
+    exactly this process).  Output: every vector's final cluster.  The
+    oracle replays both unrolled rounds cell-for-cell, so the row is
+    hash-exact, not approximately-close."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = similarity.kmeans_refine(
+        emb,
+        rounds=KMEANS_ROUNDS,
+        target_centroids=IVF_TARGET_CENTROIDS,
+        salt=IVF_SALT,
+    )
+    return assign.select(
+        F.col("vid").alias("vec_id"), F.col("cent_id")
+    ).orderBy("vec_id")
+
+
 def q_ann_sq8_topk(spark, sf_dir):
     """Int8-quantized brute-force ANN (similarity.sq8_topk): per-vector
     symmetric scalar quantization, integer-dot scoring — the ~4-8x
@@ -5223,6 +5247,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r14: streaming IVFPQ index twin (block 0 founds both generations,
     # later blocks extend exactly-once)
     "stream_index_ivfpq": q_stream_index_ivfpq,
+    # r14: deterministic spherical k-means (Lloyd refinement of the
+    # hash draw, integer-micro means — the trained coarse quantizer)
+    "kmeans_clusters": q_kmeans_clusters,
     # rotated OUT of the gate in r14 for the twelve never-driver-
     # attested rows (VERDICT r13 #1); every operator each row carried
     # keeps >= 1 green gate row or a provably-shared gated code path,
@@ -5851,6 +5878,43 @@ SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
        adc AS adc_dist_micro
 FROM r WHERE rnk <= {ANN_K} ORDER BY query_id, rank
 """
+
+
+def _oracle_kmeans() -> str:
+    """Mirror of kmeans_refine with ROUNDS unrolled: the shared IVF
+    quantizer CTEs give round 0's assignment; each Lloyd round computes
+    per-(cent, dim) integer-micro sums, truncating BIGINT quotients,
+    list-rebuild ordered by dim, the shared renormalize, and the shared
+    argmax re-assignment."""
+    norm_raw = V.sql_normalize("raw", EMBED_DIM)
+    parts = [f"WITH {_sql_ivf_quantizer('avid')}"]
+    prev_assign, prev_id = "assign", "avid"
+    for r in range(1, KMEANS_ROUNDS + 1):
+        parts.append(f""", m{r} AS (
+  SELECT cent_id, CAST(t.i AS INTEGER) AS i,
+         CAST(sum(CAST(floor(a.nv[t.i] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS c
+  FROM {prev_assign} a, range(1, {EMBED_DIM + 1}) t(i)
+  GROUP BY 1, 2
+), cv{r} AS (
+  SELECT cent_id, {norm_raw} AS cv FROM (
+    SELECT cent_id,
+           list(CAST(s // c AS DOUBLE) / 1000000.0 ORDER BY i) AS raw
+    FROM m{r} GROUP BY cent_id)
+), assign{r} AS (
+  SELECT vec_id AS {prev_id}, nv, cent_id FROM (
+    SELECT e.vec_id, e.nv, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {V.sql_dot('e.nv', 'c.cv', EMBED_DIM)} DESC,
+                                       c.cent_id) AS rn
+    FROM nemb e, cv{r} c
+  ) WHERE rn = 1
+)""")
+        prev_assign = f"assign{r}"
+    parts.append(f"""
+SELECT {prev_id} AS vec_id, cent_id FROM {prev_assign} ORDER BY vec_id
+""")
+    return "".join(parts)
 
 
 def _oracle_ann_sq8() -> str:
@@ -7393,6 +7457,7 @@ ORDER BY id_a, id_b
         "ann_ivfpq_grown": _oracle_ann_ivfpq_grown(),
         # streamed founding/extend == the grown construction verbatim
         "stream_index_ivfpq": _oracle_ann_ivfpq_grown(),
+        "kmeans_clusters": _oracle_kmeans(),
         "ann_ivfpq_reclustered": _oracle_ann_ivfpq_reclustered(),
         "url_blocklist": f"""
 WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),

@@ -331,6 +331,8 @@ HEADLINE = [
     "stream_sketch_quantiles",
     # r14: streaming IVFPQ index twin
     "stream_index_ivfpq",
+    # r14: deterministic spherical k-means (trained coarse quantizer)
+    "kmeans_clusters",
     # r13 (VERDICT r12 #5): the pure-Python-pinned tokenizer/packing
     # family's trend rows — BENCH_ONLY callables, no oracle registry row
     "unigram_fit",
@@ -597,6 +599,7 @@ BASELINE_SEC = {
     "ann_ivfpq_reclustered": 12.654,
     "stream_index_ivfpq": 12.922,
     "stream_sketch_quantiles": 23.267,
+    "kmeans_clusters": 3.499,
     "stream_strat_sample": 5.698,
     "media_phash_clusters": 4.879,
     "unigram_fit": 3.528,

@@ -84,3 +84,41 @@ def test_cluster_representatives_best_score_wins_ties_on_id(spark):
         for r in cluster_representatives(labeled, scored, wide=False).collect()
     }
     assert got == {1: (2, 3, 99), 7: (7, 1, 5), 8: (8, 2, 4)}
+
+
+def test_kmeans_refine_trains_deterministically(spark):
+    """kmeans_refine (r14): one Lloyd round on a hand fixture — two
+    obvious 2-D blobs whose hash draw lands one centroid each — must
+    pull each centroid to its blob's renormalized integer-micro mean
+    and keep every member assigned; rounds are deterministic (same
+    inputs -> bit-identical assignment), and an emptied cell vanishes
+    rather than resurrecting."""
+    from apache_kafka_clickhouse_demo_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    # blob A around (1, 0), blob B around (0, 1); ids chosen so the
+    # hash draw (modulus n // k) samples at least one of each side is
+    # fixture-dependent — use target_centroids = n so EVERY point
+    # founds a centroid, then one round must collapse assignments to
+    # the min-id argmax structure deterministically
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.95, 0.05]),
+        (10, [0.0, 1.0]), (11, [0.1, 0.9]), (12, [0.05, 0.95]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1, a1 = kmeans_refine(emb, rounds=1, target_centroids=2)
+    c2, a2 = kmeans_refine(emb, rounds=1, target_centroids=2)
+    got1 = sorted((r["vid"], r["cent_id"]) for r in a1.collect())
+    got2 = sorted((r["vid"], r["cent_id"]) for r in a2.collect())
+    assert got1 == got2 and len(got1) == 6
+    # every member lands with its own blob: no assignment crosses blobs
+    blob = {v: ("A" if v < 10 else "B") for v, _ in got1}
+    by_cent: dict = {}
+    for v, c in got1:
+        by_cent.setdefault(c, set()).add(blob[v])
+    assert all(len(s) == 1 for s in by_cent.values()), by_cent
+    # centroids are unit-norm after the integer-micro mean
+    for r in c1.collect():
+        n2 = sum(x * x for x in r["cv"])
+        assert abs(n2 - 1.0) < 1e-9

@@ -56,6 +56,7 @@ _NESTED_LOOP_OK = {
     "unigram_rarity",  # token occurrences x broadcast(1-row corpus-total agg); same class as tfidf_top_terms
     "bigram_rarity",  # bigram occurrences x broadcast(1-row corpus-total agg); same class as unigram_rarity
     "semantic_dedup",  # corpus x broadcast(fixed-target centroid table), like ann_ivf_topk
+    "kmeans_clusters",  # per Lloyd round: corpus x broadcast(fixed-target centroid table), ann_ivf_topk's class; the mean aggregate is a key shuffle
     "diverse_sample",  # same shared quantizer: corpus x broadcast(fixed-target centroid table)
     "q11_important_parts",  # per-part values x broadcast(1-row scoped-total agg); inequality threshold keeps it a nested loop by construction
     "q22_global_sales_opportunity",  # customers x broadcast(1-row sum/count agg); same scalar-threshold class
