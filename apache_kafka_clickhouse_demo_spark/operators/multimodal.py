@@ -402,3 +402,58 @@ def media_phash_pairs(
         is_wide_source(media),
         hash_col="phash",
     )
+
+
+def media_phash_edges(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Connectivity-preserving edge set for phash CLUSTERING, linear in
+    duplicate-class size (r15, VERDICT r14 #5).  The pair LISTING is
+    legitimately quadratic in copies (a 100 TB corpus that is mostly
+    re-posts of the same images materializes C(n,2) pairs per class);
+    the cluster consumer only needs edges that CONNECT components, so:
+
+    - equal-phash star collapse: one shuffle on phash, rep = min doc_id
+      per distinct fingerprint, emit (rep, member) — n-1 edges per
+      equal class instead of C(n,2), exact because equal fingerprints
+      are Hamming distance 0 <= d by definition;
+    - distinct-fingerprint pairs: the shared pigeonhole `hamming_pairs`
+      over ONE representative per distinct phash value — the quadratic
+      term now scales with distinct near fingerprints, not with copies.
+
+    CC over (stars UNION rep-pairs) equals CC over the full verified
+    pair graph: every emitted edge joins vertices within distance d
+    (stars are distance 0, rep pairs are bit_count-verified), and for
+    any qualifying pair (a, b), hamming(rep(a), rep(b)) = hamming(a, b)
+    <= d because equal phashes hash equal — so the path
+    a - rep(a) - rep(b) - b exists.  Gate row media_phash_clusters
+    consumes this and stays hash-exact against the all-pairs
+    transitive-closure oracle; the pairs listing (media_phash_dedup)
+    keeps the exact all-pairs contract.
+
+    Output: (id_a, id_b) with id_a < id_b (min-rep stars orient
+    naturally; hamming_pairs orders its output).  NULL phashes drop —
+    same as the pair listing (NULL never equi-joins)."""
+    from pyspark.sql import Window
+
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import hamming_pairs
+    from apache_kafka_clickhouse_demo_spark.sources.tables import is_wide_source
+
+    wide = is_wide_source(media)
+    hashes = media_phash(media).filter(F.col("phash").isNotNull())
+    # one shuffle on phash serves BOTH the star edges and the distinct-
+    # fingerprint representative set; persisted because two plan
+    # branches consume it (the module's cache contract applies)
+    tagged = hashes.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("phash"))
+    ).persist()
+    stars = tagged.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    reps = tagged.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "phash"
+    )
+    rep_pairs = hamming_pairs(
+        reps, PHASH_BITS, max_hamming, wide, hash_col="phash"
+    ).select("id_a", "id_b")
+    return stars.unionByName(rep_pairs)

@@ -1237,6 +1237,23 @@ def kmeans_refine(
         corpus, target_centroids, vec_col, id_col, salt, n
     )
     k = target_centroids if target_centroids else max(1, math.isqrt(n))
+    return _lloyd_rounds(assign, rounds, k, salt)
+
+
+def _lloyd_rounds(
+    assign: DataFrame, rounds: int, k: int, salt: str
+) -> tuple[DataFrame, DataFrame]:
+    """The deterministic Lloyd core of `kmeans_refine`, factored out so
+    the persisted-index founding/recluster paths (`search_index.
+    build_ann_index` / `maintain_ann_index` and the IVFPQ twins,
+    `refine_rounds=N` — r15, VERDICT r14 #2) run the EXACT shared
+    iteration: integer-micro member means, DIV quotients, the shared
+    renormalize and argmax re-assignment.  `assign` is an initial
+    (vid, nv, cent_id) generation (normally `ivf_quantize`'s draw); `k`
+    only selects the assignment strategy (two-level above the
+    threshold).  Returns (cents, assign) under the final generation —
+    see `kmeans_refine` for the full determinism contract."""
+    cents = None
     vecs = None  # reuse assign's (vid, nv) — already normalized once
     for _ in range(rounds):
         # integer-micro member means, keyed by (cent_id, dim index)

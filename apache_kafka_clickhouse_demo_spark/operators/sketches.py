@@ -506,10 +506,22 @@ def dyadic_quantiles(
     spark = sketch.sparkSession
     # bounded driver collect: <= (universe_bits+1)*depth*width cells by
     # construction — the ONLY corpus-scale work is the upstream build
-    cells = {
-        (r["level"], r["d"], r["bucket"]): r["n"]
-        for r in sketch.select("level", "d", "bucket", "n").collect()
-    }
+    cells: dict[tuple[int, int, int], int] = {}
+    for r in sketch.select("level", "d", "bucket", "n").collect():
+        key = (r["level"], r["d"], r["bucket"])
+        if key in cells:
+            # ADVICE r14: a dict keyed on the cell address would silently
+            # keep the LAST row of an un-merged store read (the r13
+            # distributed walk took a min over joined rows — a different
+            # wrong answer).  Counters are linear, so duplicates mean the
+            # caller skipped the groupBy-sum merge; fail loudly instead
+            # of walking a corrupted grid.
+            raise ValueError(
+                f"dyadic_quantiles: duplicate sketch cell {key} — pass a "
+                "merged sketch (groupBy(level,d,bucket).sum(n)), not raw "
+                "store increments"
+            )
+        cells[key] = r["n"]
 
     def est(lvl: int, key: int) -> int:
         # min-over-d of the addressed counters, absent = 0 — the exact

@@ -2728,11 +2728,6 @@ class _DyadicCmsStreamWriter:
                 "shard", "level", "d", "bucket", "n"
             ).unionByName(est, allowMissingColumns=True)
             if self.ps:
-                # bounded (<= (bits+1)*depth*width rows): consumed TWICE
-                # when quantiles publish — the descent's grid collect
-                # and the staged write's estimate branch — and uncached
-                # each consumer re-runs the prior read + merge
-                merged = merged.persist()
                 # running quantiles AT INGEST (r14, VERDICT r13 #6):
                 # the r13 descent composed over the SAME pre-append
                 # snapshot + block cells, published in the SAME single

@@ -333,6 +333,13 @@ HEADLINE = [
     "stream_index_ivfpq",
     # r14: deterministic spherical k-means (trained coarse quantizer)
     "kmeans_clusters",
+    # r15 (VERDICT r14 #1): the two legacy extras that rotated into the
+    # gate without ever having been benched — gate rows are always-timed
+    "q18_large_volume_customers",
+    "value_window_analytics",
+    # r15 (VERDICT r14 #2): index founded on the trained quantizer —
+    # <3 rounds old, always timed per the tier rule
+    "ann_indexed_refined",
     # r13 (VERDICT r12 #5): the pure-Python-pinned tokenizer/packing
     # family's trend rows — BENCH_ONLY callables, no oracle registry row
     "unigram_fit",
@@ -388,7 +395,8 @@ SAMPLED_TIER = [
     "stream_near_dup",
     "stream_url_dedup",
     "dedup_ngram_jaccard",
-    "web_curation",
+    # web_curation left the tier in r15: it rotated INTO the gate
+    # (VERDICT r14 #1) and every gate row is always-timed
     "cluster_representatives",
     "stream_sample",
     "dedup_simhash",
@@ -416,7 +424,7 @@ SAMPLE_K = 14
 #: counting CORRECTNESS_r*.json files shifted the sampled window WITHIN
 #: a round once the driver dropped a new artifact mid-round — two bench
 #: runs in one round could time different SAMPLED_TIER windows).
-ROUND = 14
+ROUND = 15
 
 
 def _round_number() -> int:
@@ -606,6 +614,12 @@ BASELINE_SEC = {
     "unigram_apply": 2.323,
     "pack_bins_ffd": 1.178,
     "stream_pack_bins": 11.483,
+    # r15 seeds (tools/seed_bench.py, larger of two record mins): the
+    # two legacy extras entering the gate (never benched before) + the
+    # trained-quantizer index founding (VERDICT r14 #2)
+    "q18_large_volume_customers": 1.061,
+    "value_window_analytics": 1.114,
+    "ann_indexed_refined": 7.070,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

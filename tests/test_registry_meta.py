@@ -48,6 +48,23 @@ def test_bench_headline_exists_and_baselines_point_at_headliners():
     assert cycle == set(bench.SAMPLED_TIER)
 
 
+def test_round_constant_tracks_driver_artifacts():
+    """ADVICE r14: ROUND is a manually bumped constant; a forgotten bump
+    would silently re-time the same SAMPLED_TIER window forever.  The
+    driver drops CORRECTNESS_r{N}.json at round N's close, so during
+    round N the artifact count is N-1 (start) or N (after the driver's
+    mid-round run).  A stale constant fails here the moment the next
+    artifact lands instead of silently repeating a window."""
+    import pathlib
+
+    root = pathlib.Path(bench.__file__).resolve().parent
+    n_artifacts = len(list(root.glob("CORRECTNESS_r*.json")))
+    assert n_artifacts <= bench.ROUND <= n_artifacts + 1, (
+        f"bench.ROUND={bench.ROUND} but {n_artifacts} CORRECTNESS_r*.json "
+        "artifacts exist — bump (or un-bump) ROUND at round start"
+    )
+
+
 def test_every_headliner_has_a_stall_guard_entry():
     """A headliner without a baseline entry silently disables its stall
     guard (bound = inf); every name must carry its trend start."""

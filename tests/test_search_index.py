@@ -672,3 +672,139 @@ def test_ivfpq_lookup_reads_prune_to_probed_shards(spark, tmp_path):
         if "shard=v" in f
     }
     assert len(all_vshards) > len(allowed)  # pruning is real on this fixture
+
+
+# ---------------------------------------------------------------------------
+# r15 (VERDICT r14 #2): refine_rounds — the trained quantizer wired into
+# the founding / recluster paths
+# ---------------------------------------------------------------------------
+
+
+def test_refined_founding_matches_kmeans_generation(spark, tmp_path):
+    """build_ann_index(refine_rounds=R) stores EXACTLY the kmeans_refine
+    generation (shared _lloyd_rounds by import), and ann_index_lookup
+    over it answers bit-identically to ivf_probe_topk on that
+    generation — the refined twin of the scan/index bit-identity
+    contract."""
+    from apache_kafka_clickhouse_demo_spark.functions import vectors as V
+    from apache_kafka_clickhouse_demo_spark.operators import similarity as SIM
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 8)
+    table = SI.build_ann_index(
+        emb, str(tmp_path / "ann"), target_centroids=16, n_shards=8,
+        refine_rounds=2,
+    )
+    cents, assign = SIM.kmeans_refine(emb, rounds=2, target_centroids=16)
+    stored_cents = {
+        (r["cent_id"], tuple(r["cv"]))
+        for r in table.read_where(spark, "shard", [SI.ANN_CENT_SHARD]).select(
+            "cent_id", "cv"
+        ).collect()
+    }
+    trained_cents = {(r["cent_id"], tuple(r["cv"])) for r in cents.collect()}
+    assert stored_cents == trained_cents and stored_cents
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), V.normalize("embedding").alias("qn")
+    )
+    via_scan = [
+        tuple(r)
+        for r in SIM.ivf_probe_topk(
+            cents, assign.select(F.col("vid").alias("neighbor_id"), "nv", "cent_id"),
+            q, k=5, nprobe=2,
+        ).orderBy("query_id", "rank").collect()
+    ]
+    via_index = [
+        tuple(r)
+        for r in SI.ann_index_lookup(spark, table, queries, k=5, nprobe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert via_scan == via_index and len(via_scan) > 0
+
+
+def test_refined_recluster_trains_generation_codes_survive(spark, tmp_path):
+    """maintain_ivfpq_index(recluster=True, refine_rounds=1): the code
+    rows survive the trained generation swap verbatim (codebook-relative
+    — no re-encode), the centroid set differs from the unrefined
+    recluster (training did something), and with nprobe covering every
+    cell the refined index answers EXACTLY like the unrefined one (cell
+    membership only prunes; ADC scores are generation-independent)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    def build(path):
+        return SI.build_ivfpq_index(
+            emb, path, dim=64, m=8, target_codes=64,
+            target_centroids=16, n_shards=8,
+        )
+
+    t_plain = build(str(tmp_path / "plain"))
+    t_ref = build(str(tmp_path / "ref"))
+    codes_before = {
+        (r["vid"], r["sub_m"], r["code"])
+        for r in t_ref.read(spark)
+        .filter(F.col("shard").startswith("v") & F.col("sub_m").isNotNull())
+        .select("vid", "sub_m", "code")
+        .collect()
+    }
+    SI.maintain_ivfpq_index(spark, t_plain, recluster=True, target_centroids=8)
+    SI.maintain_ivfpq_index(
+        spark, t_ref, recluster=True, target_centroids=8, refine_rounds=1
+    )
+    codes_after = {
+        (r["vid"], r["sub_m"], r["code"])
+        for r in t_ref.read(spark)
+        .filter(F.col("shard").startswith("v") & F.col("sub_m").isNotNull())
+        .select("vid", "sub_m", "code")
+        .collect()
+    }
+    assert codes_after == codes_before and codes_before
+    cents_plain = {
+        (r["cent_id"], tuple(r["cv"]))
+        for r in t_plain.read_where(spark, "shard", [SI.ANN_CENT_SHARD])
+        .select("cent_id", "cv").collect()
+    }
+    cents_ref = {
+        (r["cent_id"], tuple(r["cv"]))
+        for r in t_ref.read_where(spark, "shard", [SI.ANN_CENT_SHARD])
+        .select("cent_id", "cv").collect()
+    }
+    assert cents_ref != cents_plain  # Lloyd moved the fresh draw
+    # donor ids preserved: training renames nothing, only moves vectors
+    assert {c for c, _ in cents_ref} <= {c for c, _ in cents_plain}
+    nprobe_all = max(len(cents_plain), len(cents_ref))
+    ans_plain = [
+        tuple(r)
+        for r in SI.ivfpq_index_lookup(
+            spark, t_plain, queries, k=5, nprobe=nprobe_all
+        ).orderBy("query_id", "rank").collect()
+    ]
+    ans_ref = [
+        tuple(r)
+        for r in SI.ivfpq_index_lookup(
+            spark, t_ref, queries, k=5, nprobe=nprobe_all
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert ans_plain == ans_ref and len(ans_plain) > 0
+
+
+def test_extend_ivfpq_duplicate_vid_guard(spark, tmp_path):
+    """ADVICE r14: extend_ivfpq_index(check_duplicates=True) refuses a
+    segment whose vids are already indexed (duplicate code rows would
+    double ADC sums at lookup); disjoint vids pass under the same
+    flag."""
+    import pytest
+
+    emb = _emb(spark)
+    founding = emb.filter(F.expr("vec_id % 4 <> 3"))
+    growth = emb.filter(F.expr("vec_id % 4 = 3"))
+    table = SI.build_ivfpq_index(
+        founding, str(tmp_path / "ix"), dim=64, m=8, target_codes=64,
+        target_centroids=16, n_shards=8,
+    )
+    with pytest.raises(ValueError, match="already in"):
+        SI.extend_ivfpq_index(founding.limit(3), table, check_duplicates=True)
+    SI.extend_ivfpq_index(growth, table, check_duplicates=True)
+    n_meta = SI.ivfpq_index_meta(spark, table)[0]
+    assert n_meta == emb.count()

@@ -206,6 +206,15 @@ FAMILIES = [
     # blow-up (quadratic in duplicate-class size) collapses to one row
     # per component before any sink; curve = hash pass + CC rounds
     "media_phash_clusters",
+    # r15 (VERDICT r14 #6): deterministic spherical k-means — per-round
+    # work is one corpus x dim posexplode aggregate into k*dim cells +
+    # one re-assignment; centroid count self-scales as isqrt(n), so the
+    # two-level assignment path must engage at rehearsal K
+    "kmeans_clusters",
+    # r15 (VERDICT r14 #2): index founded on the trained quantizer —
+    # the founding pays refine_rounds Lloyd passes (each linear in the
+    # corpus), lookup stays O(nprobe) pruned reads
+    "ann_indexed_refined",
 ]
 
 PASSES = 2
