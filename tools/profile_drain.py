@@ -107,11 +107,116 @@ def profile(spark, which: str) -> None:
           f"persist/unpersist, plan construction)")
 
 
+def profile_query(spark, name: str, passes: int = 2) -> None:
+    """Generic drain profile (r15, VERDICT r14 #3): wrap EVERY
+    `_*StreamWriter.process` in `streaming/stateful.py` plus the
+    TransactionalTable ops, run the named registry query `passes` times
+    in ONE session, and print per-pass walls + the sub-op breakdown of
+    each pass.  Pass 1 vs pass 2 separates JVM/codegen + Arrow warm-up
+    (shrinks on pass 2) from the per-block commit-machinery floor
+    (doesn't): the family-wide answer to "where do the first-pass
+    seconds go".  Queries with no foreachBatch writer (the
+    applyInPandasWithState folds, e.g. stream_funnel) still report the
+    pass walls — their warm-up is Arrow/state machinery, not store
+    jobs, and shows up as the pass-1/pass-2 delta alone."""
+    import inspect
+
+    reg = {**Q.QUERIES, **Q.EXTRA_QUERIES}
+    fn = reg[name]
+    writer_classes = [
+        cls
+        for nm, cls in inspect.getmembers(ST, inspect.isclass)
+        if nm.endswith("StreamWriter") and hasattr(cls, "process")
+    ]
+
+    for p in range(1, passes + 1):
+        acc: dict[str, float] = defaultdict(float)
+        counts: dict[str, int] = defaultdict(int)
+        blocks: list[float] = []
+
+        def timed(obj, nm, label):
+            orig = getattr(obj, nm)
+
+            def wrap(*a, **k):
+                t0 = time.time()
+                try:
+                    return orig(*a, **k)
+                finally:
+                    acc[label] += time.time() - t0
+                    counts[label] += 1
+
+            setattr(obj, nm, wrap)
+            return orig
+
+        origs = [
+            (TX.TransactionalTable, "append_once",
+             timed(TX.TransactionalTable, "append_once", "append_once")),
+            (TX.TransactionalTable, "read_where",
+             timed(TX.TransactionalTable, "read_where", "read_where(plan)")),
+            (TX.TransactionalTable, "commit_files",
+             timed(TX.TransactionalTable, "commit_files", "commit_files")),
+            (TX.TransactionalTable, "txn_committed",
+             timed(TX.TransactionalTable, "txn_committed", "txn_committed")),
+            (DataFrame, "first", timed(DataFrame, "first", "collect(first)")),
+        ]
+        saved = []
+        for cls in writer_classes:
+            orig_process = cls.process
+
+            def make(orig_p):
+                def process(self, block, batch_id):
+                    t0 = time.time()
+                    try:
+                        return orig_p(self, block, batch_id)
+                    finally:
+                        blocks.append(time.time() - t0)
+
+                return process
+
+            cls.process = make(orig_process)
+            saved.append((cls, orig_process))
+
+        spark.catalog.clearCache()
+        try:
+            t0 = time.time()
+            n = fn(spark, SF).count()
+            total = time.time() - t0
+        finally:
+            for cls, orig_process in saved:
+                cls.process = orig_process
+            for obj, nm, orig in origs:
+                setattr(obj, nm, orig)
+
+        in_blocks = sum(blocks)
+        print(f"\n=== {name} pass {p}: total {total:.2f}s, {n} rows ===")
+        if blocks:
+            print(
+                f"blocks ({len(blocks)}): "
+                + " ".join(f"{b:.2f}" for b in blocks)
+                + f"  sum {in_blocks:.2f}s"
+            )
+            print(
+                f"outside process() [feed + streaming machinery + final "
+                f"read]: {total - in_blocks:.2f}s"
+            )
+        for label in sorted(acc, key=acc.get, reverse=True):
+            print(f"  {label:18s} {acc[label]:6.2f}s  x{counts[label]}")
+        if blocks:
+            print(
+                f"  (in-process remainder: "
+                f"{in_blocks - sum(acc.values()):.2f}s)"
+            )
+
+
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = get_spark(app_name="profile_drain")
-    for w in (["minhash", "embed"] if which == "both" else [which]):
-        profile(spark, w)
+    if which == "query":
+        for name in sys.argv[2:]:
+            profile_query(spark, name)
+    else:
+        for w in (["minhash", "embed"] if which == "both" else [which]):
+            profile(spark, w)
     spark.stop()
     return 0
 
