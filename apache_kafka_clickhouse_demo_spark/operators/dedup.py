@@ -1240,6 +1240,49 @@ def cluster_representatives(
     )
 
 
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_pct: int,
+    salt: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/test split (r15): assign every NEAR-DUP
+    cluster ATOMICALLY to one side — h48(salt || cluster_id) buckets
+    the component label, and every member follows its label.
+
+    A plain per-doc hash split (`train_test_split`) leaks test
+    near-duplicates into train: two 99%-identical crawls of the same
+    page hash independently, and one lands on each side — the
+    contamination mode Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") measure as inflated eval scores.
+    Keying the bucket on the connected-component label makes that
+    structurally impossible (near-dups share a component by
+    construction) while keeping the split deterministic, engine-
+    independent, and re-run-stable — the same properties
+    train_test_split guarantees per-doc.
+
+    Output: (doc_id, cluster_id, split).  Singleton docs are their own
+    cluster (connected_components contract), so non-duplicated docs
+    split i.i.d. exactly like the per-doc hash split.
+
+    Plan shape at 100 TB: `pairs` is the proven banded/pigeonhole edge
+    set and `connected_components` the large-star/small-star fixpoint;
+    the split itself adds ZERO shuffles — one row-local hash projection
+    on the CC output."""
+    labeled = connected_components(docs.select(id_col), pairs)
+    bucket = H.h48(
+        F.concat(F.lit(salt), F.col("cluster_id").cast("string"))
+    ) % 100
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -1455,6 +1498,73 @@ def domain_cap(
         parts.withColumn("domain_rank", F.row_number().over(w2))
         .filter(F.col("domain_rank") <= cap)
         .select("doc_id", "url_norm", "reg_domain", "domain_rank")
+    )
+
+
+def domain_token_cap(
+    docs: DataFrame,
+    budget: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    suffixes: tuple[str, ...] = TX.PUBLIC_SUFFIXES,
+    pre_shards: int = 16,
+    two_level: bool | None = None,
+) -> DataFrame:
+    """Per-domain TOKEN budget (r15): keep each registered domain's
+    lowest-id docs while the running whitespace-token total stays
+    within `budget` — the token-level form of `domain_cap`, because an
+    LLM training mixture is specified in TOKENS per source, not doc
+    counts (a domain of 10-word stubs and a domain of 10k-word articles
+    should not get the same doc quota).
+
+    Charge model: every doc charges greatest(ws_tokens, 1) — the same
+    whitespace token count as `token_counts`, floored at 1 so a
+    zero-token doc is not infinitely admissible.  A doc is kept iff its
+    cumulative charge, in doc_id order within the domain, is <= budget;
+    lowest-id-first makes the kept set deterministic and retry-stable
+    (domain_cap's contract).
+
+    Skew safety, exact BY CONSTRUCTION: the >=1 floor means no doc with
+    per-domain id-rank > budget can ever fit, so phase 1 prunes with
+    domain_cap's exact two-level rank at cap=budget (per-(domain,
+    id-hash shard) rank, keep each shard's `budget` smallest — the
+    union provably contains every admissible doc), and phase 2's
+    running-sum window partitions are <= budget rows regardless of the
+    domain's true size — a mega-domain never lands one unbounded sorted
+    task.  `two_level` defaults to `is_wide_source(docs)`, the
+    small-fast / scale-safe split domain_cap documents."""
+    from pyspark.sql import Window as W
+
+    if two_level is None:
+        two_level = is_wide_source(docs)
+    u = F.col(url_col)
+    valid = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    host = TX.url_host(u)
+    t = F.trim(F.lower(F.col(text_col)))
+    charge = F.greatest(F.size(F.split(t, r"\s+")), F.lit(1)).cast("long")
+    parts = spread_small(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.when(valid, TX.registered_domain(host, suffixes)).alias("reg_domain"),
+        charge.alias("doc_tokens"),
+    )
+    if two_level:
+        shard = F.pmod(F.xxhash64("doc_id"), F.lit(pre_shards))
+        w1 = W.partitionBy("reg_domain", shard.alias("_s")).orderBy("doc_id")
+        parts = (
+            parts.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= budget)
+            .drop("_r1")
+        )
+    w2 = (
+        W.partitionBy("reg_domain")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        parts.withColumn("cum_tokens", F.sum("doc_tokens").over(w2))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "reg_domain", "doc_tokens", "cum_tokens")
     )
 
 

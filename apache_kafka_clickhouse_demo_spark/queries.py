@@ -1805,6 +1805,32 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(docs, pairs).sortWithinPartitions("doc_id")
 
 
+#: Cluster-atomic split salt — distinct from SPLIT_SALT so the two
+#: splits are decorrelated (a doc's per-doc bucket says nothing about
+#: its cluster's bucket)
+CSPLIT_SALT = "csplit:"
+
+
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split (dedup.cluster_safe_split, r15):
+    near-dup clusters (MinHash-LSH pairs -> connected components, the
+    dedup_clusters machinery verbatim) assigned ATOMICALLY to train or
+    test by h48 on the component label — the split contract Lee et al.
+    2022 show plain per-doc splits violate.  Oracle: the recursive-CTE
+    transitive closure + the same h48 bucket on cluster_id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        num_perm=MINHASH_PERM,
+        bands=MINHASH_BANDS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+    return dedup.cluster_safe_split(
+        docs, pairs, SPLIT_TRAIN_PCT, CSPLIT_SALT
+    ).orderBy("doc_id")
+
+
 def q_event_type_matrix(spark, sf_dir):
     """countIf/sumIf-style conditional aggregation (manual pivot): one hash
     aggregate producing a wide per-user activity matrix — no per-type
@@ -3798,6 +3824,27 @@ def q_domain_cap(spark, sf_dir):
     return dedup.domain_cap(docs, cap=DOMAIN_CAP_K).orderBy("doc_id")
 
 
+#: Per-domain token budget — sized so the sf fixtures keep roughly half
+#: of each domain's ~5-6 docs (mean ~54 ws tokens/doc)
+DOMAIN_TOKEN_BUDGET = 150
+
+
+def q_domain_token_cap(spark, sf_dir):
+    """Per-domain TOKEN budget (dedup.domain_token_cap, r15): keep each
+    registered domain's lowest-id docs while the running
+    greatest(ws_tokens, 1) total stays within DOMAIN_TOKEN_BUDGET — the
+    token-level domain_cap, because LLM mixtures budget tokens per
+    source, not doc counts.  Exact skew-safe two levels: the >=1 charge
+    floor bounds phase 2's cumsum partitions at `budget` rows by
+    construction (see the operator docstring's proof)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"), "text"
+    )
+    return dedup.domain_token_cap(docs, budget=DOMAIN_TOKEN_BUDGET).orderBy(
+        "doc_id"
+    )
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Domain-level boilerplate-line removal (dedup.boilerplate_lines) —
     the RefinedWeb/CCNet line-wise correction: lines present in >=50% of
@@ -4908,6 +4955,50 @@ def q_stream_domain_cap(spark, sf_dir):
     return spark.read.parquet(f"{work}/kept").orderBy("doc_id")
 
 
+def q_stream_token_cap(spark, sf_dir):
+    """Streaming per-domain TOKEN budget (stateful.domain_token_cap_stream,
+    r15): four id-ordered blocks; each admits a domain's rows only while
+    the accumulated greatest(ws_tokens, 1) charge — EVERY seen row's,
+    not just survivors', the batch-cumsum parity argument in the writer
+    docstring — stays within DOMAIN_TOKEN_BUDGET, emitting the global
+    cum_tokens.  On the id-ordered feed this equals the batch operator
+    exactly, so the oracle is domain_token_cap's running-charge SQL
+    verbatim."""
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        domain_token_cap_stream,
+    )
+
+    work = _workdir("stream_tokcap_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"), "text"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    blk = (
+        F.when(F.col("doc_id") <= (hi * 1) // 4, 0)
+        .when(F.col("doc_id") <= (hi * 2) // 4, 1)
+        .when(F.col("doc_id") <= (hi * 3) // 4, 2)
+        .otherwise(3)
+    )
+    _write_feed_blocks(docs, work, blk)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/feed")
+    )
+    q = domain_token_cap_stream(
+        spark,
+        src,
+        out_dir=f"{work}/kept",
+        store_dir=f"{work}/store",
+        checkpoint=f"{work}/ck",
+        budget=DOMAIN_TOKEN_BUDGET,
+        out_files=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{work}/kept").orderBy("doc_id")
+
+
 def q_stream_url_dedup(spark, sf_dir):
     """Streaming URL-level dedup (stateful.url_dedup_stream): the doc
     feed arrives as four id-ordered blocks; each block canonicalizes its
@@ -5272,6 +5363,15 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r15 (VERDICT r14 #2): index founded on the TRAINED quantizer —
     # build_ann_index(refine_rounds=KMEANS_ROUNDS) + unchanged lookup
     "ann_indexed_refined": q_ann_indexed_refined,
+    # r15: leakage-safe split — near-dup clusters assigned atomically
+    # to train/test by h48 on the component label (Lee et al. 2022)
+    "cluster_safe_split": q_cluster_safe_split,
+    # r15: per-domain TOKEN budget — the token-level domain_cap with
+    # the >=1-charge floor bounding the cumsum partitions by budget
+    "domain_token_cap": q_domain_token_cap,
+    # r15: its streaming twin — token-level mixture enforcement at
+    # ingest, all-rows charge accounting for batch-cumsum parity
+    "stream_token_cap": q_stream_token_cap,
     # r10: CLIP-score image-text pair filtering (LAION recipe; cosine
     # between two modality embeddings, row-local)
     "pair_cosine_filter": q_pair_cosine_filter,
@@ -7547,6 +7647,33 @@ ORDER BY id_a, id_b
         "stream_index_ivfpq": _oracle_ann_ivfpq_grown(),
         "kmeans_clusters": _oracle_kmeans(),
         "ann_indexed_refined": _oracle_ann_refined(),
+        # r15: the transitive-closure CC labels + the same h48 bucket
+        # keyed on cluster_id — every member follows its label
+        "cluster_safe_split": f"""
+WITH cc AS ({_oracle_dedup_clusters()})
+SELECT doc_id, cluster_id,
+       CASE WHEN ({H.sql_h48(f"'{CSPLIT_SALT}' || CAST(cluster_id AS VARCHAR)")} % 100)
+                 < {SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split
+FROM cc ORDER BY doc_id
+""",
+        # r15: running greatest(ws_tokens, 1) per registered domain in
+        # doc_id order, kept while the cumulative charge fits the budget
+        "domain_token_cap": f"""
+WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url, text FROM documents),
+n AS (SELECT doc_id,
+             {TX.sql_registered_domain(TX.sql_url_host('url'))} AS reg_domain,
+             CAST(greatest(len({_sql_toks('text')}), 1) AS BIGINT) AS doc_tokens
+      FROM u),
+c AS (SELECT doc_id, reg_domain, doc_tokens,
+             CAST(sum(doc_tokens) OVER (
+               PARTITION BY reg_domain ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM n)
+SELECT doc_id, reg_domain, doc_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {DOMAIN_TOKEN_BUDGET} ORDER BY doc_id
+""",
         "ann_ivfpq_reclustered": _oracle_ann_ivfpq_reclustered(),
         "url_blocklist": f"""
 WITH u AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
@@ -8098,6 +8225,9 @@ FROM s ORDER BY doc_id
     sqls["ann_indexed_reclustered"] = sqls["ann_ivf_topk"]
     # id-ordered feed: first-cap-arrivals == lowest cap ids per domain
     sqls["stream_domain_cap"] = sqls["domain_cap"]
+    # id-ordered feed + all-rows charge accounting: the streamed token
+    # budget's admissions == the batch running-charge prefix verbatim
+    sqls["stream_token_cap"] = sqls["domain_token_cap"]
     h = lambda d, e: H.sql_h48(f"'cms:' || CAST({d} AS VARCHAR) || ':' || CAST({e} AS VARCHAR)")  # noqa: E731
     sqls["cms_user_counts"] = f"""
 WITH ev AS (

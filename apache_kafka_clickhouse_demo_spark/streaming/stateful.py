@@ -1977,6 +1977,20 @@ class _DomainCapStreamWriter:
     batch operator's `PARTITION BY reg_domain` NULL semantics — hashed
     under a sentinel for shard routing only; output keeps reg_domain
     NULL.
+
+    ``token_mode=True`` (r15) turns the quota into a TOKEN budget — the
+    streaming twin of `dedup.domain_token_cap`: each row charges
+    greatest(ws_tokens, 1) of `text_col`, the block-local window becomes
+    a running charge SUM instead of a row_number, and admission is
+    `prior_charge + running_charge <= cap`.  One accounting difference
+    from the doc-quota mode is load-bearing for batch parity: the store
+    accumulates EVERY seen row's charge, not just survivors' — the
+    batch operator's cumsum counts rejected docs' tokens too (doc 4 of
+    a domain stays rejected even if doc 3's rejection left budget
+    behind), and with charge=1 the two accountings are equivalent only
+    because rank-based admission never un-rejects.  Output:
+    (doc_id, reg_domain, doc_tokens, cum_tokens) — the batch operator's
+    rows VERBATIM on an id-ordered feed (the oracle).
     """
 
     #: shard-routing sentinel for NULL reg_domain (never a real domain —
@@ -2000,6 +2014,8 @@ class _DomainCapStreamWriter:
         domain_shards: int = 16,
         writer_id: str = "",
         out_files: int | None = None,
+        token_mode: bool = False,
+        text_col: str = "text",
     ):
         from apache_kafka_clickhouse_demo_spark.sources.txlog import TransactionalTable
 
@@ -2013,6 +2029,8 @@ class _DomainCapStreamWriter:
         self.domain_shards = domain_shards
         self.writer_id = writer_id
         self.out_files = out_files
+        self.token_mode = token_mode
+        self.text_col = text_col
         self.out = TransactionalTable(out_dir)
         self.store = TransactionalTable(os.path.join(store_dir, "store"))
 
@@ -2060,13 +2078,40 @@ class _DomainCapStreamWriter:
             # the first attempt saw a non-empty block — re-derive it)
         pin = _resolve_retry_pin(self.store, txn)
 
-        parts = url_parts(block, self.url_col, self.id_col, self.suffixes)
-        ranked = parts.withColumn(
-            "_r",
-            F.row_number().over(
+        if self.token_mode:
+            # inline url_parts + the batch operator's exact charge
+            # expression (url_parts drops text; one projection, still
+            # row-local whole-stage codegen)
+            u = F.col(self.url_col)
+            valid = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+            t = F.trim(F.lower(F.col(self.text_col)))
+            charge = F.greatest(
+                F.size(F.split(t, r"\s+")), F.lit(1)
+            ).cast("long")
+            parts = block.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.when(valid, TX_FN.url_normalize(u)).alias("url_norm"),
+                F.when(
+                    valid, TX_FN.registered_domain(TX_FN.url_host(u), self.suffixes)
+                ).alias("reg_domain"),
+                charge.alias("_charge"),
+            )
+            # running CHARGE within the block per domain — admission is
+            # prior + running <= budget, the batch cumsum split at the
+            # block boundary
+            rank_col = F.sum("_charge").over(
+                W.partitionBy(self._key())
+                .orderBy("doc_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+        else:
+            parts = url_parts(block, self.url_col, self.id_col, self.suffixes)
+            rank_col = F.row_number().over(
                 W.partitionBy(self._key()).orderBy("doc_id")
-            ),
-        ).withColumn("_shard", self._shard())
+            ).cast("long")
+        ranked = parts.withColumn("_r", rank_col).withColumn(
+            "_shard", self._shard()
+        )
         # persisted (r13 group-commit round): the shard collect, the
         # domain probe, and the survivor join all consume `ranked` —
         # uncached, the canonicalize+window chain re-ran up to 4x per
@@ -2123,6 +2168,7 @@ class _DomainCapStreamWriter:
                     [], "reg_domain string, _prior long"
                 )
 
+            extra = ["_charge"] if self.token_mode else []
             joined = (
                 ranked.alias("r")
                 .join(
@@ -2137,31 +2183,57 @@ class _DomainCapStreamWriter:
                     F.col("r._r").alias("_r"),
                     F.col("r._shard").alias("_shard"),
                     F.coalesce(F.col("p._prior"), F.lit(0)).alias("_prior"),
+                    *[F.col(f"r.{c}").alias(c) for c in extra],
                 )
             )
             survivors = joined.filter(
                 F.col("_prior") + F.col("_r") <= self.cap
             ).withColumn(
-                "domain_rank", (F.col("_prior") + F.col("_r")).cast("int")
+                "domain_rank",
+                (F.col("_prior") + F.col("_r")).cast(
+                    "long" if self.token_mode else "int"
+                ),
             )
             # persisted: the increment aggregate and the out append both
             # read the survivor set; block-bounded rows
             survivors = survivors.persist()
             try:
                 if not store_done:
-                    increments = (
-                        survivors.groupBy("_shard", "reg_domain")
-                        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                        .select(F.col("_shard").alias("shard"), "reg_domain", "n")
-                    )
+                    if self.token_mode:
+                        # EVERY seen row's charge accumulates (see the
+                        # class docstring's batch-parity argument) — the
+                        # aggregate reads `ranked`, not the survivors
+                        increments = (
+                            ranked.groupBy("_shard", "reg_domain")
+                            .agg(F.sum("_charge").cast("long").alias("n"))
+                            .select(
+                                F.col("_shard").alias("shard"), "reg_domain", "n"
+                            )
+                        )
+                    else:
+                        increments = (
+                            survivors.groupBy("_shard", "reg_domain")
+                            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                            .select(
+                                F.col("_shard").alias("shard"), "reg_domain", "n"
+                            )
+                        )
                     self.store.append_once(
                         increments.repartition(F.col("shard")),
                         txn=txn,
                         partition_by="shard",
                     )
-                out_df = survivors.select(
-                    "doc_id", "url_norm", "reg_domain", "domain_rank"
-                )
+                if self.token_mode:
+                    out_df = survivors.select(
+                        "doc_id",
+                        "reg_domain",
+                        F.col("_charge").alias("doc_tokens"),
+                        F.col("domain_rank").alias("cum_tokens"),
+                    )
+                else:
+                    out_df = survivors.select(
+                        "doc_id", "url_norm", "reg_domain", "domain_rank"
+                    )
                 if self.out_files is not None:
                     out_df = out_df.coalesce(self.out_files)
                 self.out.append_once(out_df, txn=txn)
@@ -2207,6 +2279,55 @@ def domain_cap_stream(
         domain_shards=domain_shards,
         writer_id=checkpoint,
         out_files=out_files,
+    )
+    return (
+        source.writeStream.foreachBatch(writer.process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def domain_token_cap_stream(
+    spark,
+    source: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    budget: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    suffixes: tuple[str, ...] = TX_FN.PUBLIC_SUFFIXES,
+    domain_shards: int = 16,
+    out_files: int | None = None,
+    expected_domain_rows: int | None = None,
+):
+    """Streaming per-domain TOKEN budget (r15): admit each registered
+    domain's arrivals while the accumulated greatest(ws_tokens, 1)
+    charge stays within `budget` — the streaming twin of
+    `dedup.domain_token_cap`, i.e. token-level mixture enforcement AT
+    INGEST (an over-crawled domain stops costing downstream stages the
+    moment its token budget fills).  Mechanics, the exactly-once retry
+    pin, and the all-rows charge accounting that makes an id-ordered
+    feed equal the batch operator verbatim: `_DomainCapStreamWriter`
+    (token_mode=True)."""
+    if expected_domain_rows is not None:
+        domain_shards = shards_for_store(expected_domain_rows)
+    writer = _DomainCapStreamWriter(
+        spark,
+        out_dir,
+        store_dir,
+        cap=budget,
+        url_col=url_col,
+        id_col=id_col,
+        suffixes=suffixes,
+        domain_shards=domain_shards,
+        writer_id=checkpoint,
+        out_files=out_files,
+        token_mode=True,
+        text_col=text_col,
     )
     return (
         source.writeStream.foreachBatch(writer.process)

@@ -340,6 +340,11 @@ HEADLINE = [
     # r15 (VERDICT r14 #2): index founded on the trained quantizer —
     # <3 rounds old, always timed per the tier rule
     "ann_indexed_refined",
+    # r15: leakage-safe cluster-atomic split + per-domain token budget
+    # + the token budget's streaming twin
+    "cluster_safe_split",
+    "domain_token_cap",
+    "stream_token_cap",
     # r13 (VERDICT r12 #5): the pure-Python-pinned tokenizer/packing
     # family's trend rows — BENCH_ONLY callables, no oracle registry row
     "unigram_fit",
@@ -620,6 +625,12 @@ BASELINE_SEC = {
     "q18_large_volume_customers": 1.061,
     "value_window_analytics": 1.114,
     "ann_indexed_refined": 7.070,
+    # r15 new-coverage seeds (same protocol)
+    "cluster_safe_split": 2.867,
+    "domain_token_cap": 1.105,
+    # 4-block drain (dedicated quiet session; drain-family variance
+    # tolerance applies)
+    "stream_token_cap": 12.396,
 }
 
 #: A query is anomalous when its accepted min exceeds this multiple of its

@@ -122,3 +122,33 @@ def test_kmeans_refine_trains_deterministically(spark):
     for r in c1.collect():
         n2 = sum(x * x for x in r["cv"])
         assert abs(n2 - 1.0) < 1e-9
+
+
+def test_cluster_safe_split_is_cluster_atomic_and_deterministic(spark):
+    """r15: every member of a near-dup component gets the SAME split
+    (keyed on the component label), matching the driver-side h48 of
+    that label; singletons split independently like a per-doc hash."""
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in cluster_safe_split(docs, pairs, 50, "s:").collect()
+    }
+    # component atomicity
+    assert out[0] == out[1] == out[2]
+    assert out[4] == out[5]
+    # labels are component minima; singletons are their own cluster
+    assert out[0][0] == 0 and out[4][0] == 4
+    for d in (3, 6, 7):
+        assert out[d][0] == d
+    # the bucket is exactly h48(salt || label) % 100 < pct
+    for d, (label, split) in out.items():
+        want = "train" if py_h48(f"s:{label}") % 100 < 50 else "test"
+        assert split == want, (d, label)

@@ -37,10 +37,12 @@ _SKIP = {
     "ann_indexed",  # builds+commits the IVF index at query build; scan twin (ann_ivf_topk) is linted
     "ann_indexed_grown",  # same: builds + extends the IVF index at query build
     "ann_indexed_reclustered",  # same: builds + extends + reclusters at query build; lookup plan linted via ann_ivf_topk
+    "ann_indexed_refined",  # same: builds + commits the trained-quantizer index at query build (r15); Lloyd plan linted via kmeans_clusters, lookup via ann_ivf_topk
     "stream_index_ann",  # streaming drain (feed -> ANN segments); lookup plan linted via ann_ivf_topk
     "stream_cms_counts",  # streaming drain (feed -> counter store); sketch lookup plan linted via cms_user_counts
     "stream_uniq_users",  # streaming drain (feed -> HLL state store); uniqMerge read linted via uniq_users_approx
     "stream_strat_sample",  # streaming drain (feed -> generational per-group bottom-k store); quota plan linted via sample_stratified
+    "stream_token_cap",  # streaming drain (feed -> per-domain token-charge counters, r15); cumsum plan linted via domain_token_cap
 }
 
 # Deliberate, bounded nested-loop/cross shapes (reason must hold at scale):

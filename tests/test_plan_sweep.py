@@ -91,6 +91,11 @@ EXECUTING = {
     # generation swap); recluster semantics pinned in
     # tests/test_search_index.py, lookup plan swept via ann_ivf_topk
     "ann_indexed_reclustered",
+    # builds + commits the TRAINED-quantizer index at query build (r15,
+    # refine_rounds): the Lloyd-round plan is swept via kmeans_clusters,
+    # the lookup via ann_ivf_topk; generation bit-identity pinned in
+    # tests/test_search_index.py
+    "ann_indexed_refined",
     # builds + commits BOTH persisted indexes at query build; each arm's
     # lookup plan is swept via its scan twin (bm25_search /
     # ann_ivf_topk) and the fuse is swept standalone via hybrid_rrf
@@ -129,6 +134,10 @@ EXECUTING = {
     # streaming drain (feed -> IVFPQ index segments, r14); lookup plan
     # swept via the scan twin ann_ivfpq_topk
     "stream_index_ivfpq",
+    # streaming drain (feed -> per-domain token-charge counter store,
+    # r15); the cumsum/prune plan is swept via the batch twin
+    # domain_token_cap, writer exactly-once shares _DomainCapStreamWriter
+    "stream_token_cap",
 }
 
 #: Audited bounded-by-construction broadcast builds (count per query).

@@ -2245,3 +2245,86 @@ def test_dyadic_stream_unified_files_carry_full_schema(spark, tmp_path):
     for f in files:
         names = set(pq.read_schema(f).names)
         assert cols <= names | {"shard"}, (f, names)
+
+
+def _tokcap_writer(spark, tmp_path, budget, tag="tw"):
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _DomainCapStreamWriter,
+    )
+
+    return _DomainCapStreamWriter(
+        spark,
+        str(tmp_path / f"kept_{tag}"),
+        str(tmp_path / f"store_{tag}"),
+        cap=budget,
+        writer_id=tag,
+        token_mode=True,
+    )
+
+
+def _tok_docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_token_cap_stream_budget_accumulates_across_blocks(spark, tmp_path):
+    """r15: the per-domain TOKEN counter suppresses across blocks —
+    with budget=10, a domain that charged 8 in block 0 admits one more
+    3-token doc NEVER (8+3 > 10) but a 2-token doc fits; cum_tokens
+    carries the GLOBAL running charge, and an empty text charges 1."""
+    w = _tokcap_writer(spark, tmp_path, budget=10)
+    a = "https://a.com/p"
+    b = "https://b.org/p"
+    w.process(
+        _tok_docs_df(
+            spark,
+            [(1, a, "one two three four five"), (2, a, "x y z"), (10, b, "")],
+        ),
+        0,
+    )  # a.com: 5 + 3 = 8; b.org: floor 1
+    w.process(
+        _tok_docs_df(
+            spark,
+            [(3, a, "p q r"), (4, a, "s t"), (11, b, "k l m n o p q r s")],
+        ),
+        1,
+    )  # a.com: doc 3 (8+3=11 > 10) rejected; doc 4 (11+2=13) rejected
+    #   because the BATCH cumsum counts doc 3's charge (all-rows
+    #   accounting) — without it, 8+2=10 would wrongly admit doc 4.
+    #   b.org: 1 + 9 = 10, exactly on budget.
+    kept = {
+        r["doc_id"]: (r["doc_tokens"], r["cum_tokens"])
+        for r in w.out.read(spark).collect()
+    }
+    assert kept == {1: (5, 5), 2: (3, 8), 10: (1, 1), 11: (9, 10)}
+
+    # replay of a fully-committed batch: no-op (versions unchanged)
+    vs, vo = w.store.version(), w.out.version()
+    w.process(_tok_docs_df(spark, [(3, a, "p q r"), (4, a, "s t")]), 1)
+    assert (w.store.version(), w.out.version()) == (vs, vo)
+
+
+def test_token_cap_stream_matches_batch_on_id_ordered_feed(spark, tmp_path):
+    """Drain parity: feeding id-ordered blocks through the token-mode
+    writer equals dedup.domain_token_cap on the concatenated corpus
+    row-for-row — including a domain whose rejections leave unusable
+    budget behind (the all-rows accounting case)."""
+    from apache_kafka_clickhouse_demo_spark.operators.dedup import (
+        domain_token_cap,
+    )
+
+    rows = [
+        (i, f"https://dom{i % 3}.com/p", "w " * ((i * 7) % 11 + 1))
+        for i in range(40)
+    ]
+    w = _tokcap_writer(spark, tmp_path, budget=25, tag="par")
+    for blk in range(4):
+        w.process(_tok_docs_df(spark, rows[blk * 10 : (blk + 1) * 10]), blk)
+    streamed = {
+        (r["doc_id"], r["reg_domain"], r["doc_tokens"], r["cum_tokens"])
+        for r in w.out.read(spark).collect()
+    }
+    batch = {
+        (r["doc_id"], r["reg_domain"], r["doc_tokens"], r["cum_tokens"])
+        for r in domain_token_cap(_tok_docs_df(spark, rows), budget=25).collect()
+    }
+    assert streamed == batch and streamed

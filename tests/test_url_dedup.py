@@ -342,3 +342,66 @@ def test_url_blocklist_blocks_subdomains_not_substrings(spark):
     docs = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r["doc_id"] for r in url_blocklist_filter(docs, ["evil.co.uk"]).collect()}
     assert got == {4, 5, 6, 7}
+
+
+def test_domain_token_cap_budget_boundary_and_charge_floor(spark):
+    """r15: a doc is kept iff its RUNNING greatest(ws_tokens, 1) charge
+    fits the budget in doc_id order; a zero/empty-text doc charges 1
+    (the floor that bounds the skew prune), and a doc that would
+    overflow the budget is dropped along with everything after it."""
+    rows = [
+        (0, "https://big.com/a", "one two three"),          # 3 -> cum 3
+        (1, "https://big.com/b", ""),                        # floor 1 -> 4
+        (2, "https://big.com/c", "a b c d e"),               # 5 -> 9
+        (3, "https://big.com/d", "x y"),                     # 2 -> 11 > 10
+        (4, "https://big.com/e", "z"),                       # after overflow
+        (5, "https://tiny.org/a", " ".join(["t"] * 10)),     # 10 -> exactly 10
+        (6, "https://tiny.org/b", "u"),                      # 1 -> 11 > 10
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {
+        r["doc_id"]: (r["reg_domain"], r["doc_tokens"], r["cum_tokens"])
+        for r in dedup.domain_token_cap(docs, budget=10).collect()
+    }
+    assert out == {
+        0: ("big.com", 3, 3),
+        1: ("big.com", 1, 4),
+        2: ("big.com", 5, 9),
+        5: ("tiny.org", 10, 10),
+    }
+
+
+def test_domain_token_cap_two_level_matches_naive_window(spark):
+    """The budget-rank prefilter is exact: two_level=True equals the
+    naive single-window cumsum for every (budget, pre_shards), including
+    a skewed domain far larger than the budget."""
+    from pyspark.sql import Window as W
+
+    rows = [
+        (i, f"https://dom{i % 3}.com/p", "w " * ((i % 7) + 1)) for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    for budget, shards in ((5, 2), (23, 3), (80, 16)):
+        fast = {
+            (r["doc_id"], r["cum_tokens"])
+            for r in dedup.domain_token_cap(
+                docs, budget=budget, pre_shards=shards, two_level=True
+            ).collect()
+        }
+        t = F.trim(F.lower(F.col("text")))
+        charge = F.greatest(F.size(F.split(t, r"\s+")), F.lit(1)).cast("long")
+        parts = dedup.url_parts(docs).join(
+            docs.select("doc_id", charge.alias("doc_tokens")), "doc_id"
+        )
+        w = (
+            W.partitionBy("reg_domain")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        naive = {
+            (r["doc_id"], r["cum_tokens"])
+            for r in parts.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget)
+            .collect()
+        }
+        assert fast == naive, (budget, shards)

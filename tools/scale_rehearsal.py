@@ -215,6 +215,16 @@ FAMILIES = [
     # the founding pays refine_rounds Lloyd passes (each linear in the
     # corpus), lookup stays O(nprobe) pruned reads
     "ann_indexed_refined",
+    # r15: leakage-safe split — the dedup_clusters machinery (banded
+    # pairs + star-star CC) plus one row-local hash projection
+    "cluster_safe_split",
+    # r15: per-domain token budget — one (optional) two-level rank
+    # prune + one cumsum window whose partitions are <= budget rows by
+    # construction.  The blow-up keeps the SAME ~92 registered domains
+    # (urls derive from doc_id mod constants) while per-domain doc mass
+    # grows with copies — exactly the skew regime the two-level prune
+    # exists for, so the curve measures the operator's hard case
+    "domain_token_cap",
 ]
 
 PASSES = 2
