@@ -594,6 +594,7 @@ def extend_ann_index(
     id_col: str = "vec_id",
     salt: str = "ivf:",
     txn: str | None = None,
+    params: tuple[int, int] | None = None,
 ) -> TransactionalTable:
     """Append a segment of NEW vectors to an existing ANN index — the
     term index's Lucene-segment model on the embedding side: new vectors
@@ -622,14 +623,22 @@ def extend_ann_index(
 
     spark = emb.sparkSession
     pin = table.version()
-    _, n_shards = ann_index_meta(spark, table, version=pin)
+    if params is not None:
+        # r15: (n_shards, k) are creation-fixed by the extend contract,
+        # so a repeat caller (the streaming writer) passes them back
+        # instead of re-paying the meta + centroid-count jobs per block
+        n_shards, k = params
+    else:
+        _, n_shards = ann_index_meta(spark, table, version=pin)
+        k = None
     cents = table.read_where(
         spark, "shard", [ANN_CENT_SHARD], version=pin
     ).select("cent_id", "cv")
     vecs = spread_small(emb).select(
         F.col(id_col).alias("vid"), V.normalize(vec_col).alias("nv")
     )
-    k = cents.count()  # bounded: the centroid table is fixed-size
+    if k is None:
+        k = cents.count()  # bounded: the centroid table is fixed-size
     if k > _S._TWO_LEVEL_MIN_CENTROIDS:
         assign = _S._assign_two_level(vecs, cents, k, salt)
     else:
@@ -1050,6 +1059,7 @@ def extend_ivfpq_index(
     ivf_salt: str = "ivf:",
     txn: str | None = None,
     check_duplicates: bool = False,
+    params: tuple[int, int, int, int] | None = None,
 ) -> TransactionalTable:
     """Append a segment of NEW vectors: assign against the STORED
     centroids and encode against the STORED codebooks (both read at one
@@ -1074,7 +1084,16 @@ def extend_ivfpq_index(
 
     spark = emb.sparkSession
     pin = table.version()
-    _, n_shards, pq_m, dim = ivfpq_index_meta(spark, table, version=pin)
+    if params is not None:
+        # r15: (n_shards, pq_m, dim, k) are ALL creation-fixed by the
+        # extend contract (the stored-modulus / fixed-generation rules
+        # this docstring states), so a repeat caller — the streaming
+        # writer extending every block — passes them back instead of
+        # re-paying the meta aggregate + centroid count jobs per block.
+        n_shards, pq_m, dim, k = params
+    else:
+        _, n_shards, pq_m, dim = ivfpq_index_meta(spark, table, version=pin)
+        k = None
     cents = table.read_where(
         spark, "shard", [ANN_CENT_SHARD], version=pin
     ).select("cent_id", "cv")
@@ -1105,7 +1124,8 @@ def extend_ivfpq_index(
                 f"the index (e.g. {sorted(r['vid'] for r in dup)}) — "
                 "duplicate code rows would corrupt ADC rankings"
             )
-    k = cents.count()  # bounded: the centroid table is fixed-size
+    if k is None:
+        k = cents.count()  # bounded: the centroid table is fixed-size
     if k > _S._TWO_LEVEL_MIN_CENTROIDS:
         assign = _S._assign_two_level(vecs, cents, k, ivf_salt)
     else:

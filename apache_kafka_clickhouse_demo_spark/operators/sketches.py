@@ -448,6 +448,97 @@ def dyadic_cms_range_counts(
     )
 
 
+def dyadic_range_counts_py(
+    cells: dict[tuple[int, int, int], int],
+    ranges: list[tuple[int, int, int]],
+    universe_bits: int = 16,
+    width: int = 2048,
+    depth: int = 3,
+    salt: str = "dcms:",
+) -> list[tuple[int, int, int, int]]:
+    """Driver-side mirror of `dyadic_cms_range_counts` over an
+    already-MERGED cell dict {(level, d, bucket): n} — the identical
+    integer rule (per-piece min-over-d with absent = 0, per-range sum
+    of pieces, ranges with an empty dyadic cover omitted exactly as the
+    distributed groupBy drops them) via the same py_h48 addressing, so
+    the two forms are bit-identical by construction.  All-integer: no
+    accumulation-order or float divergence is possible.
+
+    This is the r15 streaming-drain shape: the writer's merged grid is
+    bounded by construction and already driver-resident for the
+    quantile walk, so the per-block range estimates cost zero extra
+    cluster jobs.  The distributed form stays the batch/query-time
+    shape.  Returns (range_id, lo, hi, est) tuples ordered by
+    range_id."""
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+
+    out: list[tuple[int, int, int, int]] = []
+    for rid, lo, hi in ranges:
+        if not 0 <= lo <= hi <= (1 << universe_bits):
+            raise ValueError(f"range {rid}: [{lo}, {hi}) outside the universe")
+        pieces = dyadic_decompose(lo, hi)
+        if not pieces:  # empty range: the distributed groupBy emits no row
+            continue
+        est = 0
+        for lvl, key in pieces:
+            est += min(
+                cells.get((lvl, d, py_h48(f"{salt}{lvl}:{d}:{key}") % width), 0)
+                for d in range(depth)
+            )
+        out.append((int(rid), int(lo), int(hi), int(est)))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def dyadic_quantiles_py(
+    cells: dict[tuple[int, int, int], int],
+    ps: list[int],
+    universe_bits: int = 16,
+    width: int = 2048,
+    depth: int = 3,
+    salt: str = "dcms:",
+) -> list[tuple[int, int, int]]:
+    """The descent walk of `dyadic_quantiles` over an already-merged
+    cell dict — factored out (r15) so the streaming writer's per-block
+    live-quantile publish shares the EXACT walk with the batch operator
+    instead of re-collecting the merged grid through a cluster job.
+    Returns (p_permille, target_rank, q_value) tuples sorted by p;
+    empty when the sketch holds no in-universe mass."""
+    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
+
+    if width < 1 or depth < 1 or not 1 <= universe_bits <= 62:
+        raise ValueError("need width, depth >= 1 and 1 <= universe_bits <= 62")
+    for p in ps:
+        if not 0 < int(p) <= 1000:
+            raise ValueError(f"permille fraction {p} outside (0, 1000]")
+
+    def est(lvl: int, key: int) -> int:
+        # min-over-d of the addressed counters, absent = 0 — the exact
+        # integer rule the distributed walk and the SQL mirror apply
+        return min(
+            cells.get(
+                (lvl, d, py_h48(f"{salt}{lvl}:{d}:{key}") % width), 0
+            )
+            for d in range(depth)
+        )
+
+    n_total = est(universe_bits, 0)
+    out: list[tuple[int, int, int]] = []
+    if n_total >= 1:
+        for p in sorted(int(p) for p in ps):
+            target = (p * n_total + 999) // 1000
+            rem, pos = target, 0
+            for lvl in range(universe_bits - 1, -1, -1):
+                left = est(lvl, pos * 2)
+                if left >= rem:
+                    pos = pos * 2
+                else:
+                    rem -= left
+                    pos = pos * 2 + 1
+            out.append((p, target, pos))
+    return out
+
+
 def dyadic_quantiles(
     sketch: DataFrame,
     ps: list[int],
@@ -496,8 +587,6 @@ def dyadic_quantiles(
     on the 4-block drain after this rewrite, bit-identical output (the
     DuckDB oracle replays the same walk and stays hash-exact).
     """
-    from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
-
     if width < 1 or depth < 1 or not 1 <= universe_bits <= 62:
         raise ValueError("need width, depth >= 1 and 1 <= universe_bits <= 62")
     for p in ps:
@@ -523,30 +612,10 @@ def dyadic_quantiles(
             )
         cells[key] = r["n"]
 
-    def est(lvl: int, key: int) -> int:
-        # min-over-d of the addressed counters, absent = 0 — the exact
-        # integer rule the distributed walk and the SQL mirror apply
-        return min(
-            cells.get(
-                (lvl, d, py_h48(f"{salt}{lvl}:{d}:{key}") % width), 0
-            )
-            for d in range(depth)
-        )
-
-    n_total = est(universe_bits, 0)
-    out = []
-    if n_total >= 1:
-        for p in sorted(int(p) for p in ps):
-            target = (p * n_total + 999) // 1000
-            rem, pos = target, 0
-            for lvl in range(universe_bits - 1, -1, -1):
-                left = est(lvl, pos * 2)
-                if left >= rem:
-                    pos = pos * 2
-                else:
-                    rem -= left
-                    pos = pos * 2 + 1
-            out.append((p, target, pos))
+    out = dyadic_quantiles_py(
+        cells, ps, universe_bits=universe_bits, width=width, depth=depth,
+        salt=salt,
+    )
     return spark.createDataFrame(
         out, "p_permille int, target_rank long, q_value long"
     ).orderBy("p_permille")

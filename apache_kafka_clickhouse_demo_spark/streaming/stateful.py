@@ -912,6 +912,14 @@ class _TopKStreamWriter:
         # every store/exactness/concurrency contract above carries over
         self.weight_col = weight_col
         self.store = TransactionalTable(store_dir)
+        #: driver-resident mirror of the newest COMMITTED generation:
+        #: (counts {value: count_lb}, trim-error total, gen, version) —
+        #: bounded at <= capacity+1 rows by the MG invariant.  Advanced
+        #: only after a successful publish; rebuilt through `_latest()`
+        #: on first use (restart/handover) and invalidated on a lost
+        #: CAS race so the retry re-reads the sibling's commit exactly
+        #: as the r14 per-block read did (r15 driver-walk rewrite).
+        self._mem: tuple[dict[str, int], int, int, int] | None = None
 
     def _latest(self) -> tuple[DataFrame | None, int, int]:
         """(newest generation's summary or None, its gen number or -1,
@@ -929,11 +937,34 @@ class _TopKStreamWriter:
     def _latest_summary(self) -> DataFrame | None:
         return self._latest()[0]
 
+    def _latest_local(self) -> tuple[dict[str, int], int, int, int]:
+        """(counts, trim-error total, gen, snapshot version) of the
+        newest committed generation — from the driver mirror when this
+        writer advanced it, else ONE bounded read through `_latest()`
+        (<= capacity+1 rows by the MG invariant)."""
+        if self._mem is not None:
+            return self._mem
+        prev, prev_gen, snap_v = self._latest()
+        counts: dict[str, int] = {}
+        err = 0
+        if prev is not None:
+            for r in prev.collect():
+                err += int(r["trim_err"])
+                if r["value"] is not None:
+                    counts[r["value"]] = (
+                        counts.get(r["value"], 0) + int(r["count_lb"])
+                    )
+        self._mem = (counts, err, prev_gen, snap_v)
+        return self._mem
+
     def process(self, block: DataFrame, batch_id: int) -> None:
         from apache_kafka_clickhouse_demo_spark.operators.sketches import (
             _SUMMARY_SCHEMA,
             _mg_partition,
             _mgw_partition,
+        )
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+            ConcurrentWriteError,
         )
 
         txn = f"{self.writer_id}:{batch_id}"
@@ -952,55 +983,58 @@ class _TopKStreamWriter:
                 )
                 .mapInPandas(_mgw_partition(self.capacity), _SUMMARY_SCHEMA)
             )
-        prev, prev_gen, snap_v = self._latest()
-        merged = block_sums if prev is None else prev.unionByName(block_sums)
-        merged = merged.persist()
-
-        counts = (
-            merged.filter(F.col("value").isNotNull())
-            .groupBy("value")
-            .agg(F.sum("count_lb").alias("count_lb"))
-        ).persist()
-        # (C+1)-th largest merged count = the trim subtrahend (0 when the
-        # merged summary already fits).  Bounded driver action: 1 row over
-        # a frame of <= (tasks + 1) x (C + 1) values.
-        head = counts.orderBy(F.desc("count_lb")).limit(self.capacity + 1)
-        n_head, sub_min = head.agg(
-            F.count(F.lit(1)), F.coalesce(F.min("count_lb"), F.lit(0))
-        ).first()
-        sub = int(sub_min) if n_head > self.capacity else 0
-        err_prev = merged.agg(
-            F.coalesce(F.sum("trim_err"), F.lit(0)).cast("long")
-        ).first()[0]
-
-        trimmed = (
-            counts.select(
-                "value", (F.col("count_lb") - F.lit(sub)).alias("count_lb")
-            )
-            .filter(F.col("count_lb") > 0)
-            .withColumn("trim_err", F.lit(0).cast("long"))
-        )
-        sentinel = self.spark.createDataFrame(
-            [(None, 0, int(err_prev) + sub)], _SUMMARY_SCHEMA
-        )
+        # ONE bounded collect (<= (tasks + 1) x (capacity + 1) rows by
+        # the MG per-task invariant): the block-scale fold stays
+        # distributed; the merge-and-trim moves DRIVER-side over the
+        # mirrored summary — all-integer, so bit-identical to the r14
+        # distributed groupBy/orderBy form, at two cluster jobs per
+        # block (this collect + the staged publish) instead of five
+        # (r15 driver-walk rewrite).
+        block_rows = block_sums.collect()
+        prev_counts, prev_err, prev_gen, snap_v = self._latest_local()
+        counts = dict(prev_counts)
+        err = prev_err
+        for r in block_rows:
+            err += int(r["trim_err"])
+            if r["value"] is not None:
+                counts[r["value"]] = counts.get(r["value"], 0) + int(
+                    r["count_lb"]
+                )
+        # (C+1)-th largest merged count = the trim subtrahend (0 when
+        # the merged summary already fits) — the exact order statistic
+        # the r14 orderBy-desc-limit head computed
+        if len(counts) > self.capacity:
+            sub = sorted(counts.values(), reverse=True)[self.capacity]
+        else:
+            sub = 0
+        trimmed = {v: c - sub for v, c in counts.items() if c - sub > 0}
         # generation = stored max + 1, NOT the batch id: a NEW stream run
         # (fresh checkpoint, batch ids restart at 0) over an existing
         # durable store must write ABOVE the stored generations or
         # _latest() keeps serving the old run's summary and the new run's
         # counts silently vanish — the same restart hazard the near-dup
         # writer_id scoping exists for (code-review mid-r6)
-        new_summary = trimmed.unionByName(sentinel).withColumn(
-            "gen", F.lit(prev_gen + 1).cast("long")
-        )
+        new_summary = self.spark.createDataFrame(
+            [(v, c, 0) for v, c in trimmed.items()]
+            + [(None, 0, err + sub)],
+            _SUMMARY_SCHEMA,
+        ).withColumn("gen", F.lit(prev_gen + 1).cast("long"))
         # CAS on the snapshot version (ADVICE r6): the single-live-writer
         # contract is now ENFORCED, not just documented — a concurrent
         # sibling that committed after our `_latest()` read makes this
         # publish raise ConcurrentWriteError (failing the batch loudly)
         # instead of both writers publishing generation prev_gen+1 and
         # `_latest()` merging their rows into double counts.
-        self.store.append_once(new_summary, txn=txn, cas_version=snap_v)
-        counts.unpersist()
-        merged.unpersist()
+        try:
+            self.store.append_once(new_summary, txn=txn, cas_version=snap_v)
+        except ConcurrentWriteError:
+            # the sibling advanced the store past our mirror: drop it so
+            # a RETRY of this batch re-reads the sibling's commit (the
+            # r14 fresh-read-per-block behavior) instead of CAS-failing
+            # forever against a stale snapshot
+            self._mem = None
+            raise
+        self._mem = (trimmed, err + sub, prev_gen + 1, snap_v + 1)
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.maintain()
 
@@ -1013,13 +1047,21 @@ class _TopKStreamWriter:
         O(batches).  Safe mid-stream between blocks like the near-dup
         maintenance; batch-id idempotence survives (the replaced commits
         stay in the watermark-compacted ledger)."""
-        gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
-        if gen is None:
+        if self._mem is not None:
+            gen = self._mem[2]  # the mirrored committed generation
+        else:
+            gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
+        if gen is None or gen < 0:
             return
         self.store.optimize(self.spark, keep_where=F.col("gen") == int(gen))
         self.store.checkpoint(compact_txn_watermarks=True)
         self.store.prune_log()
         self.store.vacuum()
+        if self._mem is not None:
+            # optimize committed a retention rewrite: re-anchor the
+            # mirror's CAS version to the advanced table (content
+            # unchanged — the rewrite keeps exactly generation `gen`)
+            self._mem = (*self._mem[:3], self.store.version())
 
     def topk(self, k: int) -> DataFrame:
         """Current top-k with bounds from the stored summary (same answer
@@ -1147,6 +1189,14 @@ class _ReservoirStreamWriter:
         #: (hash, id) rank rule).
         self.group_col = group_col
         self.store = TransactionalTable(store_dir)
+        #: driver-resident (gen, version) of the newest COMMITTED
+        #: generation — the generation ROWS stay in the cluster (the
+        #: sample is data-sized, k per group); mirroring just the two
+        #: scalars drops the per-block max(gen) driver action.  Same
+        #: protocol as the topK mirror: advanced only after a
+        #: successful publish, rebuilt through the store on first use,
+        #: invalidated on a lost CAS race (r15 driver-walk round).
+        self._mem: tuple[int, int] | None = None
 
     def _rank(self):
         from apache_kafka_clickhouse_demo_spark.functions import hashing as H
@@ -1156,6 +1206,10 @@ class _ReservoirStreamWriter:
         )
 
     def _latest(self):
+        if self._mem is not None:
+            gen, snap_v = self._mem
+            stored = self.store.read(self.spark, version=snap_v)
+            return stored.filter(F.col("gen") == gen).drop("gen"), gen, snap_v
         snap_v = self.store.version()
         if snap_v < 0:
             return None, -1, snap_v
@@ -1163,6 +1217,7 @@ class _ReservoirStreamWriter:
         gen = stored.agg(F.max("gen")).first()[0]
         if gen is None:
             return None, -1, snap_v
+        self._mem = (int(gen), snap_v)
         return stored.filter(F.col("gen") == gen).drop("gen"), int(gen), snap_v
 
     def _bottom_k(self, df: DataFrame) -> DataFrame:
@@ -1182,6 +1237,10 @@ class _ReservoirStreamWriter:
         )
 
     def process(self, block: DataFrame, batch_id: int) -> None:
+        from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+            ConcurrentWriteError,
+        )
+
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn):  # replayed batch
             return
@@ -1205,18 +1264,33 @@ class _ReservoirStreamWriter:
         next_gen = self._bottom_k(
             merged.dropDuplicates([self.id_col])
         ).withColumn("gen", F.lit(prev_gen + 1).cast("long"))
-        self.store.append_once(next_gen, txn=txn, cas_version=snap_v)
+        try:
+            self.store.append_once(next_gen, txn=txn, cas_version=snap_v)
+        except ConcurrentWriteError:
+            # a sibling advanced the store past our mirror: drop it so a
+            # retry re-reads the sibling's commit instead of CAS-failing
+            # forever against a stale snapshot
+            self._mem = None
+            raise
+        self._mem = (prev_gen + 1, snap_v + 1)
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.maintain()
 
     def maintain(self) -> None:
-        gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
-        if gen is None:
+        if self._mem is not None:
+            gen = self._mem[0]
+        else:
+            gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
+        if gen is None or gen < 0:
             return
         self.store.optimize(self.spark, keep_where=F.col("gen") == int(gen))
         self.store.checkpoint(compact_txn_watermarks=True)
         self.store.prune_log()
         self.store.vacuum()
+        if self._mem is not None:
+            # the retention rewrite advanced the table version; content
+            # is unchanged (exactly generation `gen` survives)
+            self._mem = (self._mem[0], self.store.version())
 
     def sample(self) -> DataFrame:
         """The current sample (id + payload columns, rank dropped)."""
@@ -1704,6 +1778,13 @@ class _AnnIndexStreamWriter:
         self.vec_col = vec_col
         self.id_col = id_col
         self.salt = salt
+        #: (n_shards, k) — BOTH creation-fixed by the extend contract,
+        #: derived once on the first extension and passed back into
+        #: every later one (r15: the per-block meta aggregate +
+        #: centroid count were two driver-synchronized jobs re-deriving
+        #: constants).  Safe across maintenance: optimize preserves
+        #: rows, and neither value can change after creation.
+        self._params: tuple[int, int] | None = None
 
     def maintain(self) -> None:
         """Compact to one file per shard + bound the log (the standard
@@ -1734,6 +1815,12 @@ class _AnnIndexStreamWriter:
                 txn=txn,
             )
         else:
+            if self._params is None:
+                _, n_shards = SI.ann_index_meta(self.spark, self.table)
+                k = self.table.read_where(
+                    self.spark, "shard", [SI.ANN_CENT_SHARD]
+                ).count()
+                self._params = (n_shards, k)
             SI.extend_ann_index(
                 block,
                 self.table,
@@ -1741,6 +1828,7 @@ class _AnnIndexStreamWriter:
                 id_col=self.id_col,
                 salt=self.salt,
                 txn=txn,
+                params=self._params,
             )
 
 
@@ -1825,6 +1913,12 @@ class _IvfPqIndexStreamWriter:
         self.id_col = id_col
         self.ivf_salt = ivf_salt
         self.pq_salt = pq_salt
+        #: (n_shards, pq_m, dim, k) — all creation-fixed by the extend
+        #: contract; derived once on the first extension and passed
+        #: back into every later one (r15: the per-block meta aggregate
+        #: + centroid count were two driver-synchronized jobs
+        #: re-deriving constants).  Safe across maintenance.
+        self._params: tuple[int, int, int, int] | None = None
 
     def maintain(self) -> None:
         self.table.optimize(self.spark, partition_by="shard")
@@ -1857,6 +1951,14 @@ class _IvfPqIndexStreamWriter:
                 txn=txn,
             )
         else:
+            if self._params is None:
+                _, n_shards, pq_m, dim = SI.ivfpq_index_meta(
+                    self.spark, self.table
+                )
+                k = self.table.read_where(
+                    self.spark, "shard", [SI.ANN_CENT_SHARD]
+                ).count()
+                self._params = (n_shards, pq_m, dim, k)
             SI.extend_ivfpq_index(
                 block,
                 self.table,
@@ -1864,6 +1966,7 @@ class _IvfPqIndexStreamWriter:
                 id_col=self.id_col,
                 ivf_salt=self.ivf_salt,
                 txn=txn,
+                params=self._params,
             )
 
 
@@ -2073,9 +2176,6 @@ class _DomainCapStreamWriter:
         store_done = self.store.txn_committed(txn)
         if store_done and self.out.txn_committed(txn):
             return  # fully-committed replay: no-op, no jobs
-        if not store_done and block.isEmpty():
-            return  # idle trigger: nothing published (store_done implies
-            # the first attempt saw a non-empty block — re-derive it)
         pin = _resolve_retry_pin(self.store, txn)
 
         if self.token_mode:
@@ -2124,26 +2224,36 @@ class _DomainCapStreamWriter:
         # block before this wrapper existed
         try:
 
-            # bounded driver actions: <= domain_shards shard names, and a
-            # CAPPED distinct-domain probe (limit MAX+1 — the collect is
-            # bounded by the cap, never by block size; a 250k-literal isin
-            # was measured to hang analysis, so big blocks skip the
-            # pushdown instead of building one)
-            block_shards = sorted(
-                (ranked.agg(F.collect_set("_shard")).first()[0]) or []
-            )
-            doms = [
-                r["reg_domain"]
-                for r in ranked.select("reg_domain")
+            # ONE bounded driver action (r15 — the r14 form ran a
+            # collect_set job AND a distinct-domain job per block): a
+            # CAPPED distinct (shard, domain) probe — each domain maps
+            # to exactly one shard, so the pair count equals the
+            # distinct-domain count, bounded by the MAX+1 limit, never
+            # by block size (a 250k-literal isin was measured to hang
+            # analysis, so big blocks skip the pushdown instead of
+            # building one).  An over-cap block falls back to reading
+            # EVERY counter shard — bounded by `domain_shards`, and
+            # harmless to the merge: prior domains the block never
+            # mentions drop out of the left join.
+            pairs = (
+                ranked.select("_shard", "reg_domain")
                 .distinct()
                 .limit(self.MAX_PUSHDOWN_DOMAINS + 1)
                 .collect()
-            ]
-            push = (
-                [d for d in doms if d is not None]
-                if len(doms) <= self.MAX_PUSHDOWN_DOMAINS
-                else None
             )
+            if not pairs:
+                # idle trigger: nothing published (a store_done retry
+                # implies the first attempt saw a non-empty block)
+                return
+            if len(pairs) <= self.MAX_PUSHDOWN_DOMAINS:
+                block_shards = sorted({r["_shard"] for r in pairs})
+                push = [
+                    r["reg_domain"] for r in pairs
+                    if r["reg_domain"] is not None
+                ]
+            else:
+                block_shards = [f"d{i}" for i in range(self.domain_shards)]
+                push = None
             try:
                 prior = self.store.read_where(
                     self.spark, "shard", block_shards, version=pin
@@ -2353,7 +2463,9 @@ class _CountMinStreamWriter:
 
     1. Build the BLOCK's sketch with the batch operator itself
        (`count_min_build` — provably shared cells/hashes), <=
-       depth*width increment rows however large the block.
+       depth*width increment rows however large the block, PERSISTED
+       and materialized by ONE bounded shard-name collect (r15 — the
+       r14 form paid separate isEmpty and collect_set jobs).
     2. Pin the store, read ONLY the block's touched cell shards at the
        pin (bounded by `cms_shards`), merge prior + block cells, and
        emit per-key running estimates AT INGEST for the block's
@@ -2364,9 +2476,7 @@ class _CountMinStreamWriter:
        protocol proven on the dyadic twin): increments (shard `c*`)
        and the block's estimate rows (namespaced shard `o`) union into
        a single frame, staged by ONE write job and committed under ONE
-       txn record.  The block sketch is PERSISTED so the shard-name
-       collect, the merge, and the staged write share one computation
-       (measured 3x per block under the two-commit protocol).
+       txn record.
 
     Exactly-once under retry is now structural: a replayed block is
     either fully committed (skip, no jobs) or fully absent — nothing
@@ -2458,8 +2568,6 @@ class _CountMinStreamWriter:
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn):
             return  # single atomic publish: committed means FULLY done
-        if block.isEmpty():
-            return  # idle trigger: nothing published
         # nothing of an uncommitted txn is ever visible (single commit),
         # so the current version IS the pre-block snapshot
         pin = self.store.version()
@@ -2467,21 +2575,28 @@ class _CountMinStreamWriter:
         inc = count_min_build(
             block, self.key_col, width=self.width, depth=self.depth, salt=self.salt
         ).withColumn("shard", self._shard())
-        # persisted: the shard-name collect materializes the bounded
-        # sketch (<= depth*width rows); the staged write's two branches
-        # (increments + the estimate's merge) then read the cache
+        # persisted, then materialized by ONE bounded collect
+        # (<= depth*width rows by construction): the collect replaces
+        # the r14 form's isEmpty + shard-name collect_set driver
+        # actions and leaves the cache populated for the staged write's
+        # two branches (increments + the estimate's merge).  The merge
+        # itself STAYS distributed — an A/B of the full driver-side
+        # merge (local increment + merged-sketch frames re-uploaded per
+        # block) measured SLOWER here than the cached cluster plan
+        # (~+0.6 s/block of LocalTableScan serialization at
+        # depth*width=4096), the opposite of the dyadic twin where the
+        # upload is ~17 estimate rows — so this writer keeps the r14
+        # dataflow minus two driver-synchronized jobs per block.
         inc = inc.persist()
         try:
-            # bounded driver action: <= cms_shards shard names
-            block_shards = sorted(
-                (inc.agg(F.collect_set("shard")).first()[0]) or []
-            )
-            if not block_shards:
+            inc_rows = inc.select("shard").collect()
+            if not inc_rows:
                 # all keys NULL: CMS counts non-NULL keys (the batch
                 # operator's contract), so there is nothing to count
                 # and nothing is published — the ADVICE r10 empty-block
                 # rule
                 return
+            block_shards = sorted({r["shard"] for r in inc_rows})
             try:
                 prior = self.store.read_where(
                     self.spark, "shard", block_shards, version=pin
@@ -2569,15 +2684,19 @@ class _DyadicCmsStreamWriter:
 
     1. Build the BLOCK's structure with the batch operator itself
        (`dyadic_cms_build` — provably shared grid), bounded increment
-       rows however large the block, PERSISTED: the shard-name collect,
-       the merge, and the staged write all consume it, and without the
-       cache each consumer re-runs the block aggregate (measured 3x per
-       block pre-r13).
-    2. Pin the store, read the union of the block's touched cell shards
-       and the fixed ranges' piece-cell shards at the pin, merge prior
-       + block cells, and derive the ranges' running estimates AT
-       INGEST (`dyadic_cms_range_counts` against the merged bounded
-       sketch).
+       rows however large the block, then ONE bounded collect
+       (<= (bits+1)*depth*width rows by construction) that detects the
+       empty block, materializes the persisted grid for the staged
+       write, and hands the driver the block cells.
+    2. Merge prior + block cells DRIVER-side against the mirrored
+       committed grid (`_prior_cells` — rebuilt from one bounded store
+       read on restart/replay, advanced only after a successful
+       commit), and derive the ranges' running estimates and the
+       quantile walk in pure integer Python (`dyadic_range_counts_py` /
+       `dyadic_quantiles_py` — the batch operators' exact rules, r15
+       driver-walk rewrite; the r14 form re-read prior shards and
+       re-aggregated per block, 2 extra cluster jobs each carrying a
+       store-read plan).
     3. ONE atomic publish (VERDICT r12 #3, the group-commit
        experiment): the increments (shard `y*`) and the estimate rows
        (namespaced shard `o`, the r7 b*/p* convention) are union'd into
@@ -2635,32 +2754,17 @@ class _DyadicCmsStreamWriter:
                 raise ValueError(f"permille fraction {p_} outside (0, 1000]")
         self.ps = [int(p_) for p_ in ps] if ps else None
         self.store = TransactionalTable(os.path.join(store_dir, "store"))
-        # The published running estimates address the FIXED ranges'
-        # dyadic piece cells, which are independent of any block's
-        # touched shards: a piece cell whose prior mass lives in a shard
-        # the block did not touch would join as NULL -> coalesce to 0 ->
-        # min-over-d drives the piece estimate to 0, silently
-        # undercounting the live histogram (ADVICE r12, high).  The
-        # piece-cell shard set is a function of (ranges, salt, width,
-        # depth, cms_shards) only, so compute it ONCE driver-side by
-        # mirroring `_shard()` exactly: bucket = h48(f"{salt}{lvl}:{d}:
-        # {key}") % width, shard = ((lvl*depth + d)*width + bucket) %
-        # cms_shards.  Bounded: <= |ranges| * 2*universe_bits * depth
-        # cells, capped at cms_shards distinct names.
-        from apache_kafka_clickhouse_demo_spark.functions.hashing import py_h48
-        from apache_kafka_clickhouse_demo_spark.operators.sketches import (
-            dyadic_decompose,
-        )
-
-        range_shards: set[str] = set()
-        for _rid, lo, hi in self.ranges:
-            for lvl, key in dyadic_decompose(lo, hi):
-                for d in range(depth):
-                    bucket = py_h48(f"{salt}{lvl}:{d}:{key}") % width
-                    range_shards.add(
-                        f"y{((lvl * depth + d) * width + bucket) % cms_shards}"
-                    )
-        self._range_shards = range_shards
+        #: driver-resident merged grid {(level, d, bucket): n} of the
+        #: COMMITTED store — bounded at <= (universe_bits+1)*depth*width
+        #: cells by construction whatever has ever arrived (the batch
+        #: operator's boundedness argument).  Maintained by the single
+        #: sequential foreachBatch writer: set from a store read on
+        #: first use (restart/replay), advanced only AFTER a successful
+        #: commit, so it always mirrors the committed state exactly —
+        #: a failed append leaves it at the pre-block snapshot and the
+        #: retry re-derives against that, preserving the exactly-once
+        #: replay contract unchanged (r15 driver-walk rewrite).
+        self._mem: dict[tuple[int, int, int], int] | None = None
 
     def maintain(self) -> None:
         """Compact the counter store, fold watermarks, prune, vacuum —
@@ -2747,17 +2851,45 @@ class _DyadicCmsStreamWriter:
             salt=self.salt,
         )
 
+    def _prior_cells(self, pin: int) -> dict[tuple[int, int, int], int]:
+        """The committed store's merged grid as a driver dict — from
+        memory when this writer has seen it (the sequential-writer
+        invariant: `_mem` is advanced only after a successful commit,
+        so it equals the committed state at `pin`), else rebuilt from
+        ONE bounded read of every cell shard (restart/replay path).
+        Increment rows are summed per cell — counters are linear."""
+        if self._mem is not None:
+            return self._mem
+        cells: dict[tuple[int, int, int], int] = {}
+        try:
+            rows = (
+                self.store.read_where(
+                    self.spark,
+                    "shard",
+                    [f"y{i}" for i in range(self.cms_shards)],
+                    version=pin,
+                )
+                .select("level", "d", "bucket", "n")
+                .collect()
+            )
+        except FileNotFoundError:  # no commits at/below the pin
+            rows = []
+        for r in rows:
+            key = (r["level"], r["d"], r["bucket"])
+            cells[key] = cells.get(key, 0) + r["n"]
+        self._mem = cells  # committed state — safe to keep on failure
+        return cells
+
     def process(self, block: DataFrame, batch_id: int) -> None:
         from apache_kafka_clickhouse_demo_spark.operators.sketches import (
             dyadic_cms_build,
-            dyadic_cms_range_counts,
+            dyadic_quantiles_py,
+            dyadic_range_counts_py,
         )
 
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn):
             return  # single atomic publish: committed means FULLY done
-        if block.isEmpty():
-            return  # idle trigger: nothing published
         # nothing of an uncommitted txn is ever visible (single commit),
         # so the current version IS the pre-block snapshot — no
         # half-committed pin case exists for this writer anymore
@@ -2771,75 +2903,47 @@ class _DyadicCmsStreamWriter:
             depth=self.depth,
             salt=self.salt,
         ).withColumn("shard", self._shard())
-        # persisted: the shard-name collect below MATERIALIZES the
-        # bounded grid (<= (bits+1)*depth*width rows), and the staged
-        # write's two branches (increment rows + the estimate's merge)
-        # then read the cache instead of re-running the block aggregate
+        # persisted, then materialized by ONE bounded collect
+        # (<= (bits+1)*depth*width rows by construction): the collect
+        # replaces the r14 form's three driver actions per block
+        # (isEmpty, the shard-name collect_set, and the quantile
+        # descent's merged-grid collect) — it detects the empty block,
+        # hands the driver the block cells for the merge below, and
+        # leaves the cache populated so the staged write's increment
+        # branch reads it instead of re-running the block aggregate.
         inc = inc.persist()
-        merged = None
         try:
-            # bounded driver action: <= cms_shards shard names
-            block_shards = sorted(
-                (inc.agg(F.collect_set("shard")).first()[0]) or []
-            )
-            if not block_shards:
+            block_rows = inc.collect()
+            if not block_rows:
                 # every value NULL/out-of-range: nothing countable,
                 # nothing published (the batch operator's drop
                 # contract; the ADVICE r10 empty-block rule)
                 return
-            # Read the UNION of the block's touched shards (for the
-            # merge) and the fixed ranges' piece-cell shards (for the
-            # estimate): a sparse block routinely misses shards holding
-            # prior band mass, and estimating from block shards alone
-            # would zero those pieces (ADVICE r12).  Committed
-            # increments stay block-only; only the read widens.  The
-            # estimate shard never enters: read_shards holds y* names
-            # only, so prior rows are always cell rows.
-            read_shards = sorted(set(block_shards) | self._range_shards)
-            if self.ps:
-                # the quantile descent addresses DATA-DEPENDENT cells at
-                # every level (where the walk turns), so the publishing
-                # writer reads the full cell-shard set — bounded by
-                # construction at <= (bits+1)*depth*width rows however
-                # much has ever arrived, the same boundedness argument
-                # as the batch operator's grid
-                read_shards = sorted(
-                    set(read_shards)
-                    | {f"y{i}" for i in range(self.cms_shards)}
-                )
-            try:
-                prior = self.store.read_where(
-                    self.spark, "shard", read_shards, version=pin
-                ).select("level", "d", "bucket", "n")
-            except FileNotFoundError:  # no commits at/below the pin
-                prior = self.spark.createDataFrame(
-                    [], "level int, d int, bucket int, n long"
-                )
-            merged = (
-                prior.unionByName(inc.select("level", "d", "bucket", "n"))
-                .groupBy("level", "d", "bucket")
-                .agg(F.sum("n").cast("long").alias("n"))
-            )
-            if self.ps:
-                # bounded (<= (bits+1)*depth*width rows): consumed TWICE
-                # when quantiles publish — the descent's grid collect
-                # and the staged write's estimate branch — and uncached
-                # each consumer re-runs the prior read + merge
-                merged = merged.persist()
-            est = dyadic_cms_range_counts(
+            # merge prior + block cells DRIVER-side: both sides are
+            # bounded by construction, counters are linear, and the
+            # estimate/descent rules are all-integer — bit-identical to
+            # the r14 distributed merge (ADVICE r12's unread-band-mass
+            # hazard is gone by construction: the dict covers EVERY
+            # committed cell, not a shard subset)
+            merged = dict(self._prior_cells(pin))
+            for r in block_rows:
+                key = (r["level"], r["d"], r["bucket"])
+                merged[key] = merged.get(key, 0) + r["n"]
+            est = dyadic_range_counts_py(
                 merged,
                 self.ranges,
                 universe_bits=self.universe_bits,
                 width=self.width,
                 depth=self.depth,
                 salt=self.salt,
-            ).select(
-                F.lit(self.OUT_SHARD).alias("shard"),
-                F.lit(batch_id).cast("long").alias("batch_id"),
-                "range_id",
-                "lo",
-                "hi",
-                "est",
+            )
+            est_df = self.spark.createDataFrame(
+                [
+                    (self.OUT_SHARD, int(batch_id), rid, lo, hi, e)
+                    for rid, lo, hi, e in est
+                ],
+                "shard string, batch_id long, range_id int, lo long, "
+                "hi long, est long",
             )
             # ONE staged write, ONE commit record naming both shard
             # sets; every parquet file carries the unified column set
@@ -2847,41 +2951,40 @@ class _DyadicCmsStreamWriter:
             # no read ever needs schema merging
             unified = inc.select(
                 "shard", "level", "d", "bucket", "n"
-            ).unionByName(est, allowMissingColumns=True)
+            ).unionByName(est_df, allowMissingColumns=True)
             if self.ps:
                 # running quantiles AT INGEST (r14, VERDICT r13 #6):
-                # the r13 descent composed over the SAME pre-append
-                # snapshot + block cells, published in the SAME single
-                # atomic commit — counters are linear, so the walk over
-                # `merged` equals the batch walk over a one-shot build
-                # of everything ingested so far, verbatim
-                from apache_kafka_clickhouse_demo_spark.operators.sketches import (
-                    dyadic_quantiles,
-                )
-
-                qrows = dyadic_quantiles(
+                # the descent over the SAME pre-append snapshot + block
+                # cells, published in the SAME single atomic commit —
+                # counters are linear, so the walk over `merged` equals
+                # the batch walk over a one-shot build of everything
+                # ingested so far, verbatim (the shared
+                # `dyadic_quantiles_py` IS the batch operator's walk)
+                qrows = dyadic_quantiles_py(
                     merged,
                     self.ps,
                     universe_bits=self.universe_bits,
                     width=self.width,
                     depth=self.depth,
                     salt=self.salt,
-                ).select(
-                    F.lit(self.QOUT_SHARD).alias("shard"),
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                    "p_permille",
-                    "target_rank",
-                    "q_value",
                 )
-                unified = unified.unionByName(qrows, allowMissingColumns=True)
+                q_df = self.spark.createDataFrame(
+                    [
+                        (self.QOUT_SHARD, int(batch_id), p, tr, qv)
+                        for p, tr, qv in qrows
+                    ],
+                    "shard string, batch_id long, p_permille int, "
+                    "target_rank long, q_value long",
+                )
+                unified = unified.unionByName(q_df, allowMissingColumns=True)
             self.store.append_once(
                 unified.repartition(F.col("shard")),
                 txn=txn,
                 partition_by="shard",
             )
+            # commit landed: advance the driver-resident mirror
+            self._mem = merged
         finally:
-            if merged is not None and self.ps:
-                merged.unpersist()
             inc.unpersist()
 
 
@@ -2946,13 +3049,15 @@ class _UniqStreamWriter:
     State: one transactional table of (group, state) HLL-binary rows
     under `shard=u<hash(group) % uniq_shards>`, unioned per group at
     read.  Per block: ONE per-group `uniq_state` aggregate (<= block's
-    distinct groups rows, PERSISTED — the shard collect and the staged
-    write's two branches share it), running estimates AT INGEST for
-    the block's groups (union of the pre-block snapshot's states + the
-    block's own), then ONE atomic publish (r13, the group-commit
-    protocol proven on the dyadic/CMS twins): state rows (shard `u*`)
-    and estimate rows (namespaced shard `o`) staged by one write job
-    under one txn record.  A replayed block is fully committed (skip)
+    distinct groups rows, COLLECTED in one bounded driver action — the
+    rows are the state rows to publish, r15), running estimates AT
+    INGEST for the block's groups (union of the pre-block snapshot's
+    states + the block's own local rows; the register MERGE stays a
+    cluster aggregate — HLL union is the JVM sketch library's), then
+    ONE atomic publish (r13, the group-commit protocol proven on the
+    dyadic/CMS twins): state rows (shard `u*`) and estimate rows
+    (namespaced shard `o`) staged by one write job under one txn
+    record.  A replayed block is fully committed (skip)
     or fully absent (recompute against the current version, which IS
     the pre-block snapshot) — the half-committed pin case is gone.
 
@@ -3032,67 +3137,74 @@ class _UniqStreamWriter:
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn):
             return  # single atomic publish: committed means FULLY done
-        if block.isEmpty():
-            return
         # nothing of an uncommitted txn is ever visible (single commit)
         pin = self.store.version()
 
+        gc = self.group_col
         inc = (
-            block.groupBy(self.group_col)
+            block.groupBy(gc)
             .agg(S.uniq_state(self.key_col, self.lg_k).alias("state"))
             .withColumn("shard", self._shard())
         )
-        # persisted: the shard collect materializes the per-group state
-        # rows (<= block's distinct groups); the staged write's two
-        # branches then read the cache
-        inc = inc.persist()
+        # ONE bounded collect (<= block's distinct groups rows, each a
+        # <= 2^lg_k-register state) replaces the r14 form's isEmpty +
+        # shard-name collect_set jobs; the collected rows ARE the
+        # state rows to publish, so the staged write re-runs nothing.
+        # The per-register MERGE stays a cluster aggregate — HLL union
+        # is the JVM sketch library's, not mirrorable in Python — but
+        # its plan now unions the prior read with a LOCAL frame instead
+        # of re-deriving the block aggregate (r15 driver-walk round).
+        inc_rows = inc.collect()
+        if not inc_rows:
+            return  # idle trigger: nothing published
+        gtype = block.schema[gc].dataType.simpleString()
+        block_shards = sorted({r["shard"] for r in inc_rows})
+        inc_df = self.spark.createDataFrame(
+            [(r[gc], r["state"], r["shard"]) for r in inc_rows],
+            f"{gc} {gtype}, state binary, shard string",
+        )
         try:
-            block_shards = sorted(
-                (inc.agg(F.collect_set("shard")).first()[0]) or []
+            prior = self.store.read_where(
+                self.spark, "shard", block_shards, version=pin
+            ).select(gc, "state")
+        except FileNotFoundError:
+            prior = self.spark.createDataFrame(
+                [], f"{gc} {gtype}, state binary"
             )
-            gtype = block.schema[self.group_col].dataType.simpleString()
-            try:
-                prior = self.store.read_where(
-                    self.spark, "shard", block_shards, version=pin
-                ).select(self.group_col, "state")
-            except FileNotFoundError:
-                prior = self.spark.createDataFrame(
-                    [], f"{self.group_col} {gtype}, state binary"
-                )
-            # running estimate at ingest: union prior + block states per
-            # group, restricted to the BLOCK's groups (null-safe semi
-            # join so a NULL group accumulates like any other)
-            gc = self.group_col
-            merged = (
-                prior.unionByName(inc.select(gc, "state"))
-                .groupBy(gc)
-                .agg(S.uniq_merge("state").alias("approx_uniq"))
+        # running estimate at ingest: union prior + block states per
+        # group, restricted to the BLOCK's groups (null-safe semi
+        # join so a NULL group accumulates like any other)
+        merged = (
+            prior.unionByName(inc_df.select(gc, "state"))
+            .groupBy(gc)
+            .agg(S.uniq_merge("state").alias("approx_uniq"))
+        )
+        groups_df = self.spark.createDataFrame(
+            [(r[gc],) for r in inc_rows], f"{gc} {gtype}"
+        )
+        est = (
+            merged.alias("m")
+            .join(
+                groups_df.alias("g"),
+                F.col(f"m.{gc}").eqNullSafe(F.col(f"g.{gc}")),
+                "leftsemi",
             )
-            est = (
-                merged.alias("m")
-                .join(
-                    inc.select(gc).distinct().alias("g"),
-                    F.col(f"m.{gc}").eqNullSafe(F.col(f"g.{gc}")),
-                    "leftsemi",
-                )
-                .select(
-                    F.lit(self.OUT_SHARD).alias("shard"),
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                    F.col(gc),
-                    F.col("approx_uniq"),
-                )
+            .select(
+                F.lit(self.OUT_SHARD).alias("shard"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.col(gc),
+                F.col("approx_uniq"),
             )
-            # ONE staged write, ONE commit record naming both shard sets
-            unified = inc.select(
-                "shard", self.group_col, "state"
-            ).unionByName(est, allowMissingColumns=True)
-            self.store.append_once(
-                unified.repartition(F.col("shard")),
-                txn=txn,
-                partition_by="shard",
-            )
-        finally:
-            inc.unpersist()
+        )
+        # ONE staged write, ONE commit record naming both shard sets
+        unified = inc_df.select("shard", gc, "state").unionByName(
+            est, allowMissingColumns=True
+        )
+        self.store.append_once(
+            unified.repartition(F.col("shard")),
+            txn=txn,
+            partition_by="shard",
+        )
 
 
 def uniq_stream(
@@ -3219,23 +3331,41 @@ class _PackBinsStreamWriter:
         self.writer_id = writer_id
         self.out = TransactionalTable(out_dir)
         self.store = TransactionalTable(os.path.join(store_dir, "store"))
+        #: driver-resident (gen, version) of the newest COMMITTED
+        #: snapshot generation — the reservoir mirror's protocol
+        #: (advanced only after a successful publish, rebuilt on first
+        #: use, invalidated on a lost CAS race); drops the per-block
+        #: max(gen) driver action (r15 driver-walk round).
+        self._mem: tuple[int, int] | None = None
 
     def maintain(self) -> None:
         """Fold superseded generations away, compact, prune, vacuum —
         between fully-committed batches only (the half-committed-pin
         argument)."""
-        gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
-        if gen is None:
+        if self._mem is not None:
+            gen = self._mem[0]
+        else:
+            gen = self.store.read(self.spark).agg(F.max("gen")).first()[0]
+        if gen is None or gen < 0:
             return
         self.store.optimize(self.spark, keep_where=F.col("gen") == int(gen))
         self.store.checkpoint(compact_txn_watermarks=True)
         self.store.prune_log()
         self.store.vacuum()
+        if self._mem is not None:
+            # retention rewrite advanced the version; content unchanged
+            self._mem = (self._mem[0], self.store.version())
 
     def _latest(self, version: int | None = None):
         """(open-bin frame, gen, snapshot version) at a committed
-        version — the reservoir `_latest` discipline."""
+        version — the reservoir `_latest` discipline (mirror-served
+        when the requested version IS the mirrored one; a retry pin at
+        an older version always re-reads)."""
         snap_v = self.store.version() if version is None else version
+        if self._mem is not None and self._mem[1] == snap_v:
+            gen = self._mem[0]
+            stored = self.store.read(self.spark, version=snap_v)
+            return stored.filter(F.col("gen") == gen).drop("gen"), gen, snap_v
         if snap_v < 0:
             return None, -1, snap_v
         try:
@@ -3245,6 +3375,8 @@ class _PackBinsStreamWriter:
         gen = stored.agg(F.max("gen")).first()[0]
         if gen is None:
             return None, -1, snap_v
+        if version is None:
+            self._mem = (int(gen), snap_v)
         return stored.filter(F.col("gen") == gen).drop("gen"), int(gen), snap_v
 
     def open_bins(self, version: int | None = None) -> DataFrame:
@@ -3364,8 +3496,6 @@ class _PackBinsStreamWriter:
         store_done = self.store.txn_committed(txn)
         if store_done and self.out.txn_committed(txn):
             return  # fully-committed replay: no-op, no jobs
-        if not store_done and block.isEmpty():
-            return  # idle trigger: nothing published
         pin = _resolve_retry_pin(self.store, txn)
 
         src = block.select(
@@ -3443,7 +3573,20 @@ class _PackBinsStreamWriter:
                         "bin_id",
                         F.col("bin_fill").alias("fill"),
                     )
-                    self.store.append_once(snapshot, txn=txn, cas_version=_v)
+                    from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+                        ConcurrentWriteError,
+                    )
+
+                    try:
+                        self.store.append_once(
+                            snapshot, txn=txn, cas_version=_v
+                        )
+                    except ConcurrentWriteError:
+                        # a sibling advanced the store past our mirror:
+                        # drop it so a retry re-reads the sibling's commit
+                        self._mem = None
+                        raise
+                    self._mem = (prev_gen + 1, _v + 1)
                 self.out.append_once(
                     packed.filter(~F.col("is_open")).select(
                         F.lit(batch_id).cast("long").alias("batch_id"),
