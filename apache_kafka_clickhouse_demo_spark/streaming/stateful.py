@@ -3049,15 +3049,13 @@ class _UniqStreamWriter:
     State: one transactional table of (group, state) HLL-binary rows
     under `shard=u<hash(group) % uniq_shards>`, unioned per group at
     read.  Per block: ONE per-group `uniq_state` aggregate (<= block's
-    distinct groups rows, COLLECTED in one bounded driver action — the
-    rows are the state rows to publish, r15), running estimates AT
-    INGEST for the block's groups (union of the pre-block snapshot's
-    states + the block's own local rows; the register MERGE stays a
-    cluster aggregate — HLL union is the JVM sketch library's), then
-    ONE atomic publish (r13, the group-commit protocol proven on the
-    dyadic/CMS twins): state rows (shard `u*`) and estimate rows
-    (namespaced shard `o`) staged by one write job under one txn
-    record.  A replayed block is fully committed (skip)
+    distinct groups rows, PERSISTED — the shard collect and the staged
+    write's two branches share it), running estimates AT INGEST for
+    the block's groups (union of the pre-block snapshot's states + the
+    block's own), then ONE atomic publish (r13, the group-commit
+    protocol proven on the dyadic/CMS twins): state rows (shard `u*`)
+    and estimate rows (namespaced shard `o`) staged by one write job
+    under one txn record.  A replayed block is fully committed (skip)
     or fully absent (recompute against the current version, which IS
     the pre-block snapshot) — the half-committed pin case is gone.
 
@@ -3137,74 +3135,74 @@ class _UniqStreamWriter:
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn):
             return  # single atomic publish: committed means FULLY done
+        if block.isEmpty():
+            return
         # nothing of an uncommitted txn is ever visible (single commit)
         pin = self.store.version()
 
-        gc = self.group_col
         inc = (
-            block.groupBy(gc)
+            block.groupBy(self.group_col)
             .agg(S.uniq_state(self.key_col, self.lg_k).alias("state"))
             .withColumn("shard", self._shard())
         )
-        # ONE bounded collect (<= block's distinct groups rows, each a
-        # <= 2^lg_k-register state) replaces the r14 form's isEmpty +
-        # shard-name collect_set jobs; the collected rows ARE the
-        # state rows to publish, so the staged write re-runs nothing.
-        # The per-register MERGE stays a cluster aggregate — HLL union
-        # is the JVM sketch library's, not mirrorable in Python — but
-        # its plan now unions the prior read with a LOCAL frame instead
-        # of re-deriving the block aggregate (r15 driver-walk round).
-        inc_rows = inc.collect()
-        if not inc_rows:
-            return  # idle trigger: nothing published
-        gtype = block.schema[gc].dataType.simpleString()
-        block_shards = sorted({r["shard"] for r in inc_rows})
-        inc_df = self.spark.createDataFrame(
-            [(r[gc], r["state"], r["shard"]) for r in inc_rows],
-            f"{gc} {gtype}, state binary, shard string",
-        )
+        # persisted: the shard collect materializes the per-group state
+        # rows (<= block's distinct groups); the staged write's two
+        # branches then read the cache.  NOTE (r15): the driver-walk
+        # round's local-frame form (collect the binary states, publish
+        # them from a LocalTableScan) was MEASURED ~1.75x SLOWER here in
+        # isolated warm A/B (5.98 -> 10.47 s min-of-5) — collecting and
+        # re-uploading HLL sketch binaries per block costs more than the
+        # two driver actions it saves, the count-min LocalTableScan
+        # lesson repeated on the state-store side — so this writer keeps
+        # the r14 dataflow.
+        inc = inc.persist()
         try:
-            prior = self.store.read_where(
-                self.spark, "shard", block_shards, version=pin
-            ).select(gc, "state")
-        except FileNotFoundError:
-            prior = self.spark.createDataFrame(
-                [], f"{gc} {gtype}, state binary"
+            block_shards = sorted(
+                (inc.agg(F.collect_set("shard")).first()[0]) or []
             )
-        # running estimate at ingest: union prior + block states per
-        # group, restricted to the BLOCK's groups (null-safe semi
-        # join so a NULL group accumulates like any other)
-        merged = (
-            prior.unionByName(inc_df.select(gc, "state"))
-            .groupBy(gc)
-            .agg(S.uniq_merge("state").alias("approx_uniq"))
-        )
-        groups_df = self.spark.createDataFrame(
-            [(r[gc],) for r in inc_rows], f"{gc} {gtype}"
-        )
-        est = (
-            merged.alias("m")
-            .join(
-                groups_df.alias("g"),
-                F.col(f"m.{gc}").eqNullSafe(F.col(f"g.{gc}")),
-                "leftsemi",
+            gtype = block.schema[self.group_col].dataType.simpleString()
+            try:
+                prior = self.store.read_where(
+                    self.spark, "shard", block_shards, version=pin
+                ).select(self.group_col, "state")
+            except FileNotFoundError:
+                prior = self.spark.createDataFrame(
+                    [], f"{self.group_col} {gtype}, state binary"
+                )
+            # running estimate at ingest: union prior + block states per
+            # group, restricted to the BLOCK's groups (null-safe semi
+            # join so a NULL group accumulates like any other)
+            gc = self.group_col
+            merged = (
+                prior.unionByName(inc.select(gc, "state"))
+                .groupBy(gc)
+                .agg(S.uniq_merge("state").alias("approx_uniq"))
             )
-            .select(
-                F.lit(self.OUT_SHARD).alias("shard"),
-                F.lit(batch_id).cast("long").alias("batch_id"),
-                F.col(gc),
-                F.col("approx_uniq"),
+            est = (
+                merged.alias("m")
+                .join(
+                    inc.select(gc).distinct().alias("g"),
+                    F.col(f"m.{gc}").eqNullSafe(F.col(f"g.{gc}")),
+                    "leftsemi",
+                )
+                .select(
+                    F.lit(self.OUT_SHARD).alias("shard"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.col(gc),
+                    F.col("approx_uniq"),
+                )
             )
-        )
-        # ONE staged write, ONE commit record naming both shard sets
-        unified = inc_df.select("shard", gc, "state").unionByName(
-            est, allowMissingColumns=True
-        )
-        self.store.append_once(
-            unified.repartition(F.col("shard")),
-            txn=txn,
-            partition_by="shard",
-        )
+            # ONE staged write, ONE commit record naming both shard sets
+            unified = inc.select(
+                "shard", self.group_col, "state"
+            ).unionByName(est, allowMissingColumns=True)
+            self.store.append_once(
+                unified.repartition(F.col("shard")),
+                txn=txn,
+                partition_by="shard",
+            )
+        finally:
+            inc.unpersist()
 
 
 def uniq_stream(
