@@ -441,8 +441,53 @@ class TransactionalTable:
         generation chain) rejects a concurrent sibling instead of both
         publishing the same generation and double-counting on merge.
         """
+        return self.commit_staged(
+            self.stage_for_append(df, partition_by),
+            max_retries=max_retries,
+            partition_by=partition_by,
+            txn=txn,
+            cas_version=cas_version,
+        )
+
+    def stage_for_append(
+        self, df: DataFrame, partition_by: str | None = None
+    ) -> list[str]:
+        """Phase 1 of a two-phase append (r16, guide §2.6): run the Spark
+        write that stages `df`'s files into the table under unique,
+        commit-less (hence reader-invisible) names, and return the staged
+        file list for `commit_staged`.  Splitting the append lets a
+        writer with TWO dependent publications (the drain writers' store
+        + out commits, whose crash-window argument only constrains COMMIT
+        order) run both staging Spark jobs concurrently and serialize
+        only the cheap filesystem publishes.  Files staged but never
+        committed are invisible forever and reclaimed by `vacuum()` —
+        the same orphan class as a crash inside `append` itself."""
         os.makedirs(self.log_dir, exist_ok=True)
-        moved = self._stage(df, partition_by)
+        return self._stage(df, partition_by)
+
+    def discard_staged(self, staged: list[str]) -> None:
+        """Best-effort immediate cleanup of files from `stage_for_append`
+        that the caller decided not to commit (no commit references them,
+        so removal is always safe; vacuum remains the crash backstop)."""
+        for rel in staged:
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except OSError:
+                pass
+
+    def commit_staged(
+        self,
+        staged: list[str],
+        max_retries: int = 50,
+        partition_by: str | None = None,
+        txn: str | None = None,
+        cas_version: int | None = None,
+    ) -> int:
+        """Phase 2 of a two-phase append: publish a commit naming the
+        files `stage_for_append` returned.  Pure filesystem work — no
+        Spark job.  Identical publish/CAS semantics to `append` (which is
+        now stage + this)."""
+        moved = staged
         commit: dict = {"files": sorted(moved)}
         if partition_by:
             # recorded so optimize() can default to the table's layout

@@ -311,16 +311,20 @@ class _NearDupStreamWriter:
            visible to them — the overlap changes wall time, not plans.
            (The block-shard collect job is back versus r8's commit-file
            derivation, but it rides entirely inside the append's wall.)
-        3. BARRIER: join the append thread (re-raising its error), THEN
-           payload read at `pin`, verify, anti-join, out commit.  The
-           out commit still strictly follows the store commit, so the
-           crash-window argument is r8's: a batch that dies between the
-           two commits re-runs with the store append no-opping (txn
+        3. Payload read at `pin`, verify, anti-join, and the survivors'
+           STAGING write all run before the barrier too (r16 two-phase
+           append — staged files are reader-invisible until a commit
+           names them, so only COMMIT order matters), then BARRIER: join
+           the append thread (re-raising its error, discarding the
+           staged survivors on failure), and publish the out commit.
+           The out commit still strictly follows the store commit, so
+           the crash-window argument is r8's: a batch that dies between
+           the two commits re-runs with the store append no-opping (txn
            guard) and `pin` now INCLUDING its own earlier rows — over-
            inclusive only of the block's own rows, which the block
-           union + distinct absorbs — and the out append publishing once.
-           A fully-committed batch short-circuits to a no-op with zero
-           Spark jobs.
+           union + distinct absorbs — and the out side staging +
+           publishing once.  A fully-committed batch short-circuits to
+           a no-op with zero Spark jobs.
         """
         txn = f"{self.writer_id}:{batch_id}"
         if self.store.txn_committed(txn) and self.out.txn_committed(txn):
@@ -471,26 +475,46 @@ class _NearDupStreamWriter:
                 .distinct()
             )
             survivors = block.join(dropped, self.id_col, "left_anti")
+            # survivors inherit the block's task layout — for a micro-
+            # batch that is N mostly-tiny files per commit.  `out_files`
+            # coalesces the commit (fewer files for the consumer + fewer
+            # fsyncs; wall measured neutral at gate scale — the win is
+            # the file count).  None keeps the source layout — the right
+            # default for large blocks, because coalesce() propagates UP
+            # the final stage and would throttle the anti-join itself to
+            # `out_files` tasks.
+            out_df = (
+                survivors
+                if self.out_files is None
+                else survivors.coalesce(self.out_files)
+            )
+            # STAGE the survivors BEFORE the barrier (r16 two-phase
+            # append): the verify/anti-join pipeline — the block's most
+            # expensive job — runs while the appender's tail is still in
+            # flight.  Every read in it is pinned, so the overlap changes
+            # wall time, not results; staged files are reader-invisible
+            # until the commit below names them.  (out committed while
+            # store is not cannot exist — the commit order below — so
+            # the txn guard here only protects a torn external state.)
+            staged_out = (
+                self.out.stage_for_append(out_df)
+                if not self.out.txn_committed(txn)
+                else None
+            )
         finally:
             appender.join()
 
-        # survivors inherit the block's task layout — for a micro-batch
-        # that is N mostly-tiny files per commit.  `out_files` coalesces
-        # the commit (fewer files for the consumer + fewer fsyncs; wall
-        # measured neutral at gate scale — the win is the file count).
-        # None keeps the source layout — the right default for large
-        # blocks, because coalesce() propagates UP the final stage and
-        # would throttle the anti-join itself to `out_files` tasks.
-        out_df = (
-            survivors if self.out_files is None else survivors.coalesce(self.out_files)
-        )
         # BARRIER (docstring step 3): the appender is joined by the
         # finally above; surface its failure BEFORE publishing survivors,
         # else a failed store append could leave survivors whose
-        # suppressing rows never landed.
+        # suppressing rows never landed — their staging is discarded (no
+        # commit references it).
         if append_exc:
+            if staged_out is not None:
+                self.out.discard_staged(staged_out)
             raise append_exc[0]
-        self.out.append_once(out_df, txn=txn)
+        if staged_out is not None:
+            self.out.commit_staged(staged_out, txn=txn)
 
 
 def minhash_stream_writer(
@@ -858,13 +882,18 @@ class _TopKStreamWriter:
       1. distributed fold of the block's values into per-task capacity-C
          summaries (`sketches._mg_partition` — the batch operator's exact
          fold; <= C+1 rows per task however large the block);
-      2. merge-and-trim: union the stored summary (<= C+1 rows) with the
-         block's summaries, re-sum counters per value, and apply the
-         mergeable-summaries trim (subtract the (C+1)-th largest merged
-         count, fold it into the error total) — all DataFrame ops over
-         frames bounded by (tasks + 1) x (C + 1) rows, never the corpus.
-         The only driver action is a 1-row `first()` for the subtrahend,
-         the same bounded class as the IVF memoized count;
+      2. merge-and-trim DRIVER-side (r15 driver-walk rewrite): ONE
+         bounded collect of the fold output, then merge into the
+         committed-state mirror, take the (C+1)-th largest merged count
+         as the trim subtrahend, trim and fold the error total — all
+         integer Python, bit-identical to the r14 DataFrame form.  The
+         collect is <= (tasks + 1) x (C + 1) rows by the MG per-task
+         invariant; past `DRIVER_MERGE_MAX_TASKS` tasks (a wide
+         production block — ADVICE r15's driver-OOM hazard) the
+         summaries are first re-summed per value DISTRIBUTEDLY, which
+         drops the multiplicity factor while changing nothing (the
+         driver merge sums per value anyway; the single trim still
+         happens once, on the fully merged counts);
       3. publish the new summary as the next GENERATION via
          `append_once(txn=writer:batch)` — a retried batch re-runs as a
          no-op, and readers take only the newest generation, so the store
@@ -885,6 +914,18 @@ class _TopKStreamWriter:
     HANDOVER (a new stream run, fresh writer_id) is the supported restart
     path and is pinned by test.
     """
+
+    #: above this many block tasks, the per-task MG summaries are
+    #: re-summed per value distributedly BEFORE the driver collect
+    #: (ADVICE r15: the raw collect is (tasks+1)x(C+1) rows — fine for
+    #: micro-batch task counts, a driver-OOM hazard for a thousands-of-
+    #: tasks block at the 100 TB target).  The pre-reduce is a plain
+    #: partial-aggregating groupBy, so it is bit-identical (the driver
+    #: merge sums per value anyway) and the one trim still happens once
+    #: on the fully merged counts — a distributed per-partition trim
+    #: would NOT be (different subtrahends), which is why the reduction
+    #: is a sum, never a second MG fold.
+    DRIVER_MERGE_MAX_TASKS = 32
 
     def __init__(
         self,
@@ -989,7 +1030,13 @@ class _TopKStreamWriter:
         # mirrored summary — all-integer, so bit-identical to the r14
         # distributed groupBy/orderBy form, at two cluster jobs per
         # block (this collect + the staged publish) instead of five
-        # (r15 driver-walk rewrite).
+        # (r15 driver-walk rewrite).  Wide blocks pre-reduce first —
+        # see DRIVER_MERGE_MAX_TASKS (r16, ADVICE r15).
+        if block.rdd.getNumPartitions() > self.DRIVER_MERGE_MAX_TASKS:
+            block_sums = block_sums.groupBy("value").agg(
+                F.sum("count_lb").alias("count_lb"),
+                F.sum("trim_err").alias("trim_err"),
+            )
         block_rows = block_sums.collect()
         prev_counts, prev_err, prev_gen, snap_v = self._latest_local()
         counts = dict(prev_counts)
@@ -1458,11 +1505,16 @@ class _UrlDedupStreamWriter:
        RETRY self-tolerant: the earlier attempt's own rows match on
        doc_id and do not suppress, so the retry re-derives identical
        survivors.
-    3. `append_once` the survivors' key rows to the store, THEN
-       `append_once` the survivors to out — same crash-window order as
-       the near-dup writers: dying between the commits re-runs the batch
-       with the store append a txn no-op and the out append publishing
-       once.
+    3. STAGE the survivors' key rows (store) and the survivors (out)
+       as two CONCURRENT Spark jobs, then publish the two commits in
+       order: store first, THEN out — the crash-window argument only
+       constrains COMMIT order, never staging order (staged files are
+       reader-invisible until a commit names them), so the two write
+       jobs overlap on the cluster (r16, guide §2.6; the r15 form ran
+       them back to back — pure serial fixed cost per block).  Dying
+       between the commits re-runs the batch with the store side a txn
+       no-op and the out side staging + publishing once, exactly the
+       r15 behavior.
 
     Semantics: FIRST-ARRIVAL-WINS per canonical URL (what a crawl
     pipeline wants — the first fetch is kept, re-crawls drop).  On an
@@ -1549,20 +1601,33 @@ class _UrlDedupStreamWriter:
                     | (F.col("store_id") == F.col("doc_id"))
                 )
                 .select("key", "doc_id", "url_norm", "reg_domain", "shard")
+                # both staging jobs read the survivor join; persisted so
+                # the pruned read + join run once and the second job
+                # reads cached partitions (block-bounded rows)
+                .persist()
             )
-            # store commit FIRST (crash-window argument in the class doc);
-            # align tasks with the shard layout like the near-dup writers
-            self.store.append_once(
-                survivors.select("key", "doc_id", "shard").repartition(
-                    F.col("shard")
-                ),
-                txn=txn,
-                partition_by="shard",
-            )
-            out_df = survivors.select("doc_id", "url_norm", "reg_domain")
-            if self.out_files is not None:
-                out_df = out_df.coalesce(self.out_files)
-            self.out.append_once(out_df, txn=txn)
+            try:
+                out_df = survivors.select("doc_id", "url_norm", "reg_domain")
+                if self.out_files is not None:
+                    out_df = out_df.coalesce(self.out_files)
+                # CONCURRENT staging, ORDERED commits (docstring step 3;
+                # r16 two-phase append — `_overlapped_store_out_commit`):
+                # the store rows stage on a side thread while the out
+                # rows stage on this one; the store commit still strictly
+                # precedes the out commit.  Tasks stay aligned with the
+                # shard layout like the near-dup writers.
+                _overlapped_store_out_commit(
+                    self.store,
+                    survivors.select("key", "doc_id", "shard").repartition(
+                        F.col("shard")
+                    ),
+                    "shard",
+                    self.out,
+                    out_df,
+                    txn,
+                )
+            finally:
+                survivors.unpersist()
         finally:
             reduced.unpersist()
 
@@ -1782,8 +1847,15 @@ class _AnnIndexStreamWriter:
         #: derived once on the first extension and passed back into
         #: every later one (r15: the per-block meta aggregate +
         #: centroid count were two driver-synchronized jobs re-deriving
-        #: constants).  Safe across maintenance: optimize preserves
-        #: rows, and neither value can change after creation.
+        #: constants).  Safe across THIS writer's maintenance: optimize
+        #: preserves rows, and neither value can change after creation.
+        #: An EXTERNAL `compact_*_index(recluster=True)` against a
+        #: live-streamed index is UNSUPPORTED (ADVICE r15): it founds a
+        #: new centroid generation that can change k, which would leave
+        #: this cache stale (assignment stays exact — `_assign_two_level`
+        #: is exact for any k — but the two-level/flat switch and
+        #: super-centroid sizing would be computed from the wrong k).
+        #: Recluster between stream runs; a fresh writer re-derives.
         self._params: tuple[int, int] | None = None
 
     def maintain(self) -> None:
@@ -1917,7 +1989,9 @@ class _IvfPqIndexStreamWriter:
         #: contract; derived once on the first extension and passed
         #: back into every later one (r15: the per-block meta aggregate
         #: + centroid count were two driver-synchronized jobs
-        #: re-deriving constants).  Safe across maintenance.
+        #: re-deriving constants).  Safe across THIS writer's
+        #: maintenance; an EXTERNAL recluster mid-stream is UNSUPPORTED
+        #: — see the ANN twin's `_params` note (ADVICE r15).
         self._params: tuple[int, int, int, int] | None = None
 
     def maintain(self) -> None:
@@ -2036,6 +2110,93 @@ def _resolve_retry_pin(store, txn: str) -> int:
     return store.version()
 
 
+def _overlapped_store_out_commit(
+    store,
+    store_df: DataFrame,
+    store_partition_by: str | None,
+    out,
+    out_df: DataFrame,
+    txn: str,
+    store_cas_version: int | None = None,
+) -> None:
+    """The store-then-out commit pair every two-table drain writer ends
+    with, as TWO CONCURRENT staging Spark jobs + ORDERED filesystem
+    commits (r16, guide §2.6 — overlap independent jobs).  The r15 form
+    ran `store.append_once(...)` then `out.append_once(...)` back to
+    back: two driver-synchronized write jobs in sequence, pure serial
+    per-block fixed cost.  The crash-window argument those writers rely
+    on only constrains COMMIT order (store strictly before out, so a
+    death between them replays with the store side a txn no-op) — it
+    never constrains STAGING order, because staged files are
+    reader-invisible until a commit names them.  So: stage the store
+    rows on a side thread while the out rows stage on the caller's
+    thread, then publish the two commits in order.  Failure cases:
+
+    - side staging fails -> the out staging's files are discarded
+      immediately (they are referenced by no commit; vacuum remains the
+      crash backstop) and the side error re-raises — nothing committed;
+    - caller-side staging fails -> the side thread is joined FIRST (a
+      retried batch must never overlap an orphaned stage job of the
+      same txn), its staged files stay orphaned for vacuum, the error
+      propagates — nothing committed;
+    - death between the commits -> exactly the r15 window: the retry
+      re-runs with `store.txn_committed(txn)` true and the out side
+      staging + publishing once.
+
+    Each side is skipped when its table already committed `txn` (the
+    half-committed retry), degenerating to the single remaining
+    `append_once`.  `store_cas_version` passes through to the store
+    commit (the generational writers' version-CAS); a rejected CAS
+    discards the out staging too and re-raises — nothing committed."""
+    import threading
+
+    store_needed = not store.txn_committed(txn)
+    out_needed = not out.txn_committed(txn)
+    if store_needed and out_needed:
+        staged_store: list[list[str]] = []
+        stage_exc: list[BaseException] = []
+
+        def _stage_store() -> None:
+            try:
+                staged_store.append(
+                    store.stage_for_append(store_df, store_partition_by)
+                )
+            except BaseException as e:  # re-raised after join()
+                stage_exc.append(e)
+
+        stager = threading.Thread(target=_stage_store, daemon=True)
+        stager.start()
+        try:
+            staged_out = out.stage_for_append(out_df)
+        finally:
+            stager.join()
+        if stage_exc:
+            out.discard_staged(staged_out)
+            raise stage_exc[0]
+        try:
+            store.commit_staged(
+                staged_store[0],
+                txn=txn,
+                partition_by=store_partition_by,
+                cas_version=store_cas_version,
+            )
+        except BaseException:
+            # the store commit failed (CAS rejection or I/O): the out
+            # staging will never be committed — reclaim it now
+            out.discard_staged(staged_out)
+            raise
+        out.commit_staged(staged_out, txn=txn)
+    elif store_needed:
+        store.append_once(
+            store_df,
+            txn=txn,
+            partition_by=store_partition_by,
+            cas_version=store_cas_version,
+        )
+    elif out_needed:
+        out.append_once(out_df, txn=txn)
+
+
 class _DomainCapStreamWriter:
     """foreachBatch body of `domain_cap_stream`: a continuous per-domain
     QUOTA over a crawl feed — keep each registered domain's first `cap`
@@ -2062,6 +2223,9 @@ class _DomainCapStreamWriter:
        output equals the batch operator's rows VERBATIM (the oracle).
     3. Commit the survivors' per-domain increments to the store, THEN the
        survivors to out (the crash-window order every writer here uses).
+       The two staging Spark jobs run CONCURRENTLY — only the cheap
+       filesystem commits are ordered (r16 two-phase append,
+       `_overlapped_store_out_commit`).
 
     Exactly-once under retry is the interesting part: survivors are a
     function of the PRE-APPEND counts, so a batch that died between its
@@ -2308,32 +2472,17 @@ class _DomainCapStreamWriter:
             # read the survivor set; block-bounded rows
             survivors = survivors.persist()
             try:
-                if not store_done:
-                    if self.token_mode:
-                        # EVERY seen row's charge accumulates (see the
-                        # class docstring's batch-parity argument) — the
-                        # aggregate reads `ranked`, not the survivors
-                        increments = (
-                            ranked.groupBy("_shard", "reg_domain")
-                            .agg(F.sum("_charge").cast("long").alias("n"))
-                            .select(
-                                F.col("_shard").alias("shard"), "reg_domain", "n"
-                            )
-                        )
-                    else:
-                        increments = (
-                            survivors.groupBy("_shard", "reg_domain")
-                            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-                            .select(
-                                F.col("_shard").alias("shard"), "reg_domain", "n"
-                            )
-                        )
-                    self.store.append_once(
-                        increments.repartition(F.col("shard")),
-                        txn=txn,
-                        partition_by="shard",
-                    )
                 if self.token_mode:
+                    # EVERY seen row's charge accumulates (see the
+                    # class docstring's batch-parity argument) — the
+                    # aggregate reads `ranked`, not the survivors
+                    increments = (
+                        ranked.groupBy("_shard", "reg_domain")
+                        .agg(F.sum("_charge").cast("long").alias("n"))
+                        .select(
+                            F.col("_shard").alias("shard"), "reg_domain", "n"
+                        )
+                    )
                     out_df = survivors.select(
                         "doc_id",
                         "reg_domain",
@@ -2341,12 +2490,32 @@ class _DomainCapStreamWriter:
                         F.col("domain_rank").alias("cum_tokens"),
                     )
                 else:
+                    increments = (
+                        survivors.groupBy("_shard", "reg_domain")
+                        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                        .select(
+                            F.col("_shard").alias("shard"), "reg_domain", "n"
+                        )
+                    )
                     out_df = survivors.select(
                         "doc_id", "url_norm", "reg_domain", "domain_rank"
                     )
                 if self.out_files is not None:
                     out_df = out_df.coalesce(self.out_files)
-                self.out.append_once(out_df, txn=txn)
+                # CONCURRENT staging, ORDERED commits (r16 two-phase
+                # append, `_overlapped_store_out_commit`): the increment
+                # aggregate stages on a side thread while the survivors
+                # stage here; both read the persisted block caches, and
+                # the store commit still strictly precedes the out
+                # commit (the crash-window order in the class docstring)
+                _overlapped_store_out_commit(
+                    self.store,
+                    increments.repartition(F.col("shard")),
+                    "shard",
+                    self.out,
+                    out_df,
+                    txn,
+                )
             finally:
                 survivors.unpersist()
         finally:
@@ -2628,10 +2797,16 @@ class _CountMinStreamWriter:
             unified = inc.select(
                 "shard", "d", "bucket", "n"
             ).unionByName(est, allowMissingColumns=True)
+            # CAS on the pinned version (r16, ADVICE r15 — the dyadic
+            # twin's hardening): the estimates above were derived from
+            # the snapshot at `pin`, so a concurrent appender landing
+            # between pin and publish fails this batch loudly instead
+            # of publishing estimates that silently miss its increments
             self.store.append_once(
                 unified.repartition(F.col("shard")),
                 txn=txn,
                 partition_by="shard",
+                cas_version=pin,
             )
         finally:
             inc.unpersist()
@@ -2764,7 +2939,14 @@ class _DyadicCmsStreamWriter:
         #: a failed append leaves it at the pre-block snapshot and the
         #: retry re-derives against that, preserving the exactly-once
         #: replay contract unchanged (r15 driver-walk rewrite).
+        #: CAS-ANCHORED (r16, ADVICE r15): `_mem_version` records the
+        #: store version the mirror equals; `_prior_cells` serves it
+        #: only at a matching pin, and every publish CASes on that
+        #: version — a contract-violating concurrent appender now fails
+        #: the batch loudly (the topk/reservoir/pack-bins discipline)
+        #: instead of silently diverging estimates from a stale mirror.
         self._mem: dict[tuple[int, int, int], int] | None = None
+        self._mem_version: int = -2  # never a valid table version
 
     def maintain(self) -> None:
         """Compact the counter store, fold watermarks, prune, vacuum —
@@ -2774,6 +2956,11 @@ class _DyadicCmsStreamWriter:
         self.store.checkpoint(compact_txn_watermarks=True)
         self.store.prune_log()
         self.store.vacuum()
+        if self._mem is not None:
+            # the retention rewrite advanced the version; the mirror's
+            # CONTENT is unchanged (compaction preserves the merge-on-
+            # read sums), so re-anchor instead of forcing a re-read
+            self._mem_version = self.store.version()
 
     def _shard(self):
         return F.concat(
@@ -2857,8 +3044,11 @@ class _DyadicCmsStreamWriter:
         invariant: `_mem` is advanced only after a successful commit,
         so it equals the committed state at `pin`), else rebuilt from
         ONE bounded read of every cell shard (restart/replay path).
-        Increment rows are summed per cell — counters are linear."""
-        if self._mem is not None:
+        Increment rows are summed per cell — counters are linear.
+        The mirror is served ONLY when its anchored version matches the
+        pin (r16): any other version means someone else advanced the
+        store, and the bounded re-read is the correct recovery."""
+        if self._mem is not None and self._mem_version == pin:
             return self._mem
         cells: dict[tuple[int, int, int], int] = {}
         try:
@@ -2878,6 +3068,7 @@ class _DyadicCmsStreamWriter:
             key = (r["level"], r["d"], r["bucket"])
             cells[key] = cells.get(key, 0) + r["n"]
         self._mem = cells  # committed state — safe to keep on failure
+        self._mem_version = pin
         return cells
 
     def process(self, block: DataFrame, batch_id: int) -> None:
@@ -2977,13 +3168,28 @@ class _DyadicCmsStreamWriter:
                     "target_rank long, q_value long",
                 )
                 unified = unified.unionByName(q_df, allowMissingColumns=True)
-            self.store.append_once(
-                unified.repartition(F.col("shard")),
-                txn=txn,
-                partition_by="shard",
+            from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+                ConcurrentWriteError,
             )
+
+            # CAS on the pinned version (r16, ADVICE r15): a concurrent
+            # appender advancing the store between our pin and this
+            # publish fails the batch loudly — the retry re-pins and
+            # rebuilds the mirror below — instead of the mirror silently
+            # diverging from the sibling's committed cells
+            try:
+                self.store.append_once(
+                    unified.repartition(F.col("shard")),
+                    txn=txn,
+                    partition_by="shard",
+                    cas_version=pin,
+                )
+            except ConcurrentWriteError:
+                self._mem = None
+                raise
             # commit landed: advance the driver-resident mirror
             self._mem = merged
+            self._mem_version = pin + 1
         finally:
             inc.unpersist()
 
@@ -3564,39 +3770,48 @@ class _PackBinsStreamWriter:
             # the fold's output; <= block + buckets*(max_open+1) rows
             packed = packed.persist()
             try:
-                if not store_done:
-                    snapshot = packed.filter(F.col("is_open")).select(
-                        F.lit(prev_gen + 1).cast("long").alias("gen"),
-                        "bucket",
-                        "bin_id",
-                        F.col("bin_fill").alias("fill"),
-                    )
-                    from apache_kafka_clickhouse_demo_spark.sources.txlog import (
-                        ConcurrentWriteError,
-                    )
-
-                    try:
-                        self.store.append_once(
-                            snapshot, txn=txn, cas_version=_v
-                        )
-                    except ConcurrentWriteError:
-                        # a sibling advanced the store past our mirror:
-                        # drop it so a retry re-reads the sibling's commit
-                        self._mem = None
-                        raise
-                    self._mem = (prev_gen + 1, _v + 1)
-                self.out.append_once(
-                    packed.filter(~F.col("is_open")).select(
-                        F.lit(batch_id).cast("long").alias("batch_id"),
-                        "bucket",
-                        "bin_id",
-                        "doc_id",
-                        "n_tokens",
-                        "bin_fill",
-                        "overflow",
-                    ),
-                    txn=txn,
+                snapshot = packed.filter(F.col("is_open")).select(
+                    F.lit(prev_gen + 1).cast("long").alias("gen"),
+                    "bucket",
+                    "bin_id",
+                    F.col("bin_fill").alias("fill"),
                 )
+                out_df = packed.filter(~F.col("is_open")).select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "bucket",
+                    "bin_id",
+                    "doc_id",
+                    "n_tokens",
+                    "bin_fill",
+                    "overflow",
+                )
+                from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+                    ConcurrentWriteError,
+                )
+
+                # CONCURRENT staging, ORDERED commits (r16 two-phase
+                # append): snapshot and assignment rows both read the
+                # persisted fold output; the snapshot's version-CAS
+                # commit still strictly precedes the out commit
+                try:
+                    _overlapped_store_out_commit(
+                        self.store,
+                        snapshot,
+                        None,
+                        self.out,
+                        out_df,
+                        txn,
+                        store_cas_version=_v,
+                    )
+                except ConcurrentWriteError:
+                    # a sibling advanced the store past our mirror:
+                    # drop it so a retry re-reads the sibling's commit
+                    self._mem = None
+                    raise
+                # both commits landed: generation prev_gen+1 is committed
+                # at version _v+1 whichever attempt published it (on a
+                # store_done retry the pin rule guarantees the same pair)
+                self._mem = (prev_gen + 1, _v + 1)
             finally:
                 packed.unpersist()
         finally:

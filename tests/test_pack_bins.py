@@ -205,24 +205,26 @@ def test_pack_stream_half_committed_retry_rederives_assignments(
     w = _pack_writer(spark, tmp_path, capacity=100, buckets=1)
     w.process(_items_df(spark, [(1, 60)]), 0)  # bin 0 at fill 60
 
-    orig = TXL.TransactionalTable.append_once
+    # r16: the writer stages both tables concurrently and publishes via
+    # commit_staged, so the between-the-commits crash is injected there
+    orig = TXL.TransactionalTable.commit_staged
     calls = {"n": 0}
 
-    def fail_out(self, df, txn, **kw):
+    def fail_out(self, staged, **kw):
         if "packout_" in self.path:
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("injected out-commit failure")
-        return orig(self, df, txn=txn, **kw)
+        return orig(self, staged, **kw)
 
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    monkeypatch.setattr(TXL.TransactionalTable, "commit_staged", fail_out)
     block = _items_df(spark, [(2, 40), (3, 70)])
     with pytest.raises(RuntimeError, match="injected"):
         w.process(block, 1)  # store committed, out did not
     assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
 
     w.process(block, 1)  # retry must pack against the PRE-append fills
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    monkeypatch.setattr(TXL.TransactionalTable, "commit_staged", orig)
     rows = {
         r["doc_id"]: (r["bin_id"], r["bin_fill"])
         for r in w.out.read(spark).collect()

@@ -1622,24 +1622,26 @@ def test_domain_cap_stream_half_committed_retry_rederives_survivors(
     out commits must re-derive the exact survivors its first attempt
     published increments for — re-reading at the current version would
     count the block against itself and wrongly drop kept rows.  Forced
-    by failing the out commit on the first attempt."""
+    by failing the out COMMIT on the first attempt (r16: the writer
+    stages both tables concurrently and publishes via commit_staged, so
+    the crash window between the two commits is injected there)."""
     from apache_kafka_clickhouse_demo_spark.sources import txlog as TXL
 
     w = _domcap_writer(spark, tmp_path, cap=2)
     a = "https://a.com/p"
     w.process(_urls_df(spark, [(1, a + "1")]), 0)  # domain at 1/2
 
-    orig = TXL.TransactionalTable.append_once
+    orig = TXL.TransactionalTable.commit_staged
     calls = {"n": 0}
 
-    def fail_out(self, df, txn, **kw):
+    def fail_out(self, staged, **kw):
         if "kept_" in self.path:
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("injected out-commit failure")
-        return orig(self, df, txn=txn, **kw)
+        return orig(self, staged, **kw)
 
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", fail_out)
+    monkeypatch.setattr(TXL.TransactionalTable, "commit_staged", fail_out)
     import pytest
 
     block = _urls_df(spark, [(2, a + "2"), (3, a + "3")])
@@ -1648,7 +1650,7 @@ def test_domain_cap_stream_half_committed_retry_rederives_survivors(
     assert w.store.txn_committed("w:1") and not w.out.txn_committed("w:1")
 
     w.process(block, 1)  # retry: must keep doc 2 ONLY (slot 2 of 2)
-    monkeypatch.setattr(TXL.TransactionalTable, "append_once", orig)
+    monkeypatch.setattr(TXL.TransactionalTable, "commit_staged", orig)
     kept = {
         r["doc_id"]: r["domain_rank"] for r in w.out.read(spark).collect()
     }

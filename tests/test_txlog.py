@@ -589,3 +589,109 @@ def test_txn_version_locates_commit(spark, tmp_path):
     assert t.txn_version("w:0") == 0
     assert t.txn_version("w:1") == 1
     assert t.txn_version("w:9") is None
+
+
+def test_two_phase_append_staged_invisible_until_commit(spark, tmp_path):
+    """r16 two-phase append: staged files are reader-invisible until
+    commit_staged names them; discard_staged reclaims an abandoned
+    staging immediately."""
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+
+    staged = t.stage_for_append(_df(spark, 5, 15))
+    assert staged and all(
+        os.path.exists(os.path.join(t.path, rel)) for rel in staged
+    )
+    # nothing committed yet: readers see only the first append
+    assert t.read(spark).count() == 5
+    v = t.commit_staged(staged, txn="w:0")
+    assert v == 1
+    assert t.read(spark).count() == 15
+    assert t.txn_committed("w:0")
+
+    # abandoned staging: discarded files are gone, committed data intact
+    staged2 = t.stage_for_append(_df(spark, 15, 20))
+    t.discard_staged(staged2)
+    assert not any(
+        os.path.exists(os.path.join(t.path, rel)) for rel in staged2
+    )
+    assert t.read(spark).count() == 15
+
+
+def test_two_phase_append_cas_rejection_reclaims_staging(spark, tmp_path):
+    """commit_staged with cas_version keeps append's CAS semantics: a
+    rejected commit removes the staged files and raises."""
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.sources.txlog import (
+        ConcurrentWriteError,
+    )
+
+    t = TransactionalTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))  # version 0
+    staged = t.stage_for_append(_df(spark, 5, 10))
+    t.append(_df(spark, 10, 15))  # sibling takes version 1
+    with pytest.raises(ConcurrentWriteError):
+        t.commit_staged(staged, cas_version=0)
+    assert not any(
+        os.path.exists(os.path.join(t.path, rel)) for rel in staged
+    )
+    assert t.read(spark).count() == 10  # 0-5 and 10-15 only
+
+
+def test_overlapped_store_out_commit_orders_and_recovers(spark, tmp_path):
+    """_overlapped_store_out_commit: concurrent staging publishes both
+    tables; a half-committed retry (store committed, out not — the only
+    crash window) publishes out exactly once; a side-staging failure
+    commits NOTHING and reclaims the out staging."""
+    import pytest
+
+    from apache_kafka_clickhouse_demo_spark.streaming.stateful import (
+        _overlapped_store_out_commit,
+    )
+
+    store = TransactionalTable(str(tmp_path / "store"))
+    out = TransactionalTable(str(tmp_path / "out"))
+    sdf = _df(spark, 0, 4)
+    odf = _df(spark, 4, 10)
+
+    _overlapped_store_out_commit(store, sdf, None, out, odf, "w:0")
+    assert store.read(spark).count() == 4
+    assert out.read(spark).count() == 6
+    assert store.txn_committed("w:0") and out.txn_committed("w:0")
+
+    # replay of the fully-committed txn: no-ops on both sides
+    _overlapped_store_out_commit(store, sdf, None, out, odf, "w:0")
+    assert store.read(spark).count() == 4
+    assert out.read(spark).count() == 6
+
+    # half-committed retry: store already has w:1, out does not
+    store.append_once(_df(spark, 20, 22), txn="w:1")
+    _overlapped_store_out_commit(
+        store, _df(spark, 20, 22), None, out, _df(spark, 22, 25), "w:1"
+    )
+    assert store.read(spark).count() == 6  # store side no-oped
+    assert out.read(spark).count() == 9
+
+    # side (store) staging failure: nothing committed, out staging gone
+    class _Boom(TransactionalTable):
+        def stage_for_append(self, df, partition_by=None):
+            raise RuntimeError("injected staging failure")
+
+    boom = _Boom(str(tmp_path / "store"))
+    before_out_files = set(out.data_files())
+    with pytest.raises(RuntimeError, match="injected"):
+        _overlapped_store_out_commit(
+            boom, sdf, None, out, _df(spark, 30, 33), "w:2"
+        )
+    assert not store.txn_committed("w:2") and not out.txn_committed("w:2")
+    assert set(out.data_files()) == before_out_files
+    # no stray staged files left in the out table directory
+    committed = set(out.data_files())  # absolute paths
+    on_disk = {
+        os.path.join(dp, n)
+        for dp, _d, ns in os.walk(out.path)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    assert on_disk == committed
